@@ -1,0 +1,560 @@
+"""Compiler: SourcePlan -> Spark DataFrame pipeline.
+
+Replaces the reference's SQL generator
+(enr-query-generator/u_enr_query_generate_query.sql and friends) with
+direct DataFrame composition:
+
+- CTE levels        -> batches of ``withColumns`` (Catalyst collapses them)
+- LEFT JOIN hub     -> ``df.join(chain, F.expr(pred), "left")`` where the
+                       chain is the multi-hop lookup path with every hub's
+                       columns prefixed (collision-free); Catalyst prunes
+                       unused columns through the renames and picks
+                       broadcast vs. sort-merge per hub size
+- LEFT JOIN LATERAL -> decorrelated ``groupBy(keys).agg(...)`` + left join
+                       (the scalable rewrite the reference's own dead code
+                       documents — u_enr_query_generate_distinct_many_join
+                       _query.sql:16-51); only the aggregated keys+values
+                       are kept so no column collisions are possible
+- decimal discipline-> inferred DecimalType columns normalized to
+                       decimal(38,12) (u_enr_query_add_enrichment.sql:128-133)
+- uniqueness rules  -> ``<rule>_uv_flag`` companion columns
+                       (count OVER (PARTITION BY key) = 1) and join-predicate
+                       guards (u_enr_query_add_join.sql:101-117)
+- validation rules  -> ``s_validation_status_code`` CASE chain
+                       (u_enr_query_add_validation_status.sql:38-58)
+
+Scale notes (100 TB design): every construct here is a declarative
+DataFrame op — no UDFs, no driver-side row handling — so whole-stage
+codegen, AQE (skew joins, dynamic coalescing), broadcast selection and
+partial aggregation all apply.  Lookup paths are deduplicated at compile
+time (one shuffle per path, not per referencing rule), and aggregate paths
+pre-aggregate on the foreign key *before* the join (map-side partials, and
+the joined side is keys+aggregates only — usually broadcastable).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from dataforge_core_spark.model import (
+    HIVE_TO_SPARK_DDL,
+    Project,
+    ProjectError,
+    Source,
+)
+from dataforge_core_spark.parser import (
+    equi_conjuncts,
+    parse_expression,
+    parse_relation_expression,
+    _quote_mask,
+)
+from dataforge_core_spark.paths import Hop, RelationGraph
+from dataforge_core_spark.plans.planner import (
+    JoinElement,
+    SourcePlan,
+    plan_source,
+)
+
+# aggregates whose LATERAL form returns a non-NULL value over an empty
+# correlated set; after the groupBy+join decorrelation the no-match rows
+# are NULL and must be backfilled for parity with the reference's
+# LEFT JOIN LATERAL (u_enr_query_generate_many_joins.sql:15-39)
+_EMPTY_ZERO = {"count", "count_if", "approx_count_distinct"}
+_EMPTY_ARRAY = {"collect_list", "collect_set", "array_agg"}
+
+_BACKTICKED = re.compile(r"`([A-Za-z0-9_]+)`")
+
+
+def _prefix_all(df: DataFrame, prefix: str) -> DataFrame:
+    return df.select([F.col(c).alias(prefix + c) for c in df.columns])
+
+
+def _rewrite_relation(
+    hop: Hop,
+    this_prefix: str | None,
+    related_prefix: str | None,
+    related_source_rules=None,
+) -> str:
+    """Rewrite a hop's relation predicate into executable SQL.
+
+    ``this_prefix``/``related_prefix`` apply to the relation's [This] (left
+    source) and [Related] (right source) tokens respectively; None = bare
+    column name.  Appends uniqueness-guard conjuncts for unique-flagged
+    rule keys (J7 — u_enr_query_add_join.sql:101-117).
+    """
+    parsed = parse_relation_expression(hop.relation.expression)
+    spans = []
+    guards = []
+    for t in parsed.tokens:
+        pref = this_prefix if t.source == "This" else related_prefix
+        col = f"`{(pref or '') + t.attr}`"
+        spans.append((t.start, t.end, col))
+        if related_source_rules is not None and t.source == (
+            "This" if not hop.forward else "Related"
+        ):
+            rule = related_source_rules.get(t.attr)
+            if rule is not None and rule.unique:
+                rpref = this_prefix if not hop.forward else related_prefix
+                guards.append(f"`{(rpref or '') + t.attr}_uv_flag`")
+    out = hop.relation.expression
+    for start, end, repl in sorted(spans, key=lambda x: -x[0]):
+        out = out[:start] + repl + out[end:]
+    for g in sorted(set(guards)):
+        out = f"({out}) AND {g}"
+    return out
+
+
+class SourceCompiler:
+    """Compiles one project's sources and outputs into DataFrames."""
+
+    def __init__(self, spark: SparkSession, project: Project):
+        self.spark = spark
+        self.project = project
+        self.graph = RelationGraph(project.relations)
+        self._by_name = project.source_by_name()
+
+    # ------------------------------------------------------------------
+    # source (hub) compilation
+    # ------------------------------------------------------------------
+    def plan(self, source: Source) -> SourcePlan:
+        return plan_source(self.project, self.graph, source)
+
+    def compile_source(
+        self, source: Source, base: DataFrame, hubs: dict[str, DataFrame]
+    ) -> DataFrame:
+        """base: DataFrame holding the source's raw attributes (already
+        cast to declared types); hubs: previously-built hub DataFrames."""
+        plan = self.plan(source)
+        df = base
+        applied: set[str] = set()
+        computed: set[str] = {a.name for a in source.raw_attributes}
+
+        def ready_joins() -> list[JoinElement]:
+            return [
+                j
+                for pid, j in plan.joins.items()
+                if pid not in applied and j.deps <= computed
+            ]
+
+        def apply_ready(df: DataFrame) -> DataFrame:
+            for join in ready_joins():
+                df = self._apply_join(df, join, source, hubs)
+                applied.add(join.pathid)
+            return df
+
+        df = apply_ready(df)
+        for level in plan.levels:
+            if not level:
+                continue
+            cols: dict[str, Column] = {}
+            for name in level:
+                el = plan.rules[name]
+                col = F.expr(el.compiled_sql)
+                if el.rule.cast_datatype:
+                    ddl = HIVE_TO_SPARK_DDL.get(
+                        el.rule.cast_datatype, el.rule.cast_datatype
+                    )
+                    col = col.cast(ddl)
+                cols[name] = col
+            df = df.withColumns(cols)
+            # decimal normalization (P3): inferred decimals -> decimal(38,12)
+            dtypes = dict(df.dtypes)
+            norm: dict[str, Column] = {}
+            for name in level:
+                el = plan.rules[name]
+                if el.rule.cast_datatype:
+                    continue
+                dt = dtypes.get(name, "")
+                if dt.startswith("decimal") and dt != "decimal(38,12)":
+                    norm[name] = F.col(name).cast("decimal(38,12)")
+            if norm:
+                df = df.withColumns(norm)
+            # uniqueness companion flags (V4): <rule>_uv_flag
+            for name in level:
+                if plan.rules[name].rule.unique:
+                    df = df.withColumn(
+                        f"{name}_uv_flag",
+                        F.count(F.lit(1)).over(Window.partitionBy(name)) == 1,
+                    )
+            computed |= set(level)
+            df = apply_ready(df)
+
+        if len(applied) != len(plan.joins):
+            missing = set(plan.joins) - applied
+            raise ProjectError(
+                f"Internal: joins never became applicable: {missing}"
+            )
+
+        # validation status column (V2) — CASE chain over V-rules
+        v_fail = [
+            r.name
+            for r in source.rules
+            if r.rule_type == "V" and r.validation_action == "F"
+        ]
+        v_warn = [
+            r.name
+            for r in source.rules
+            if r.rule_type == "V" and r.validation_action == "W"
+        ]
+        final_cols = [a.name for a in source.raw_attributes] + [
+            r.name for r in source.rules
+        ]
+        final_cols += [
+            f"{r.name}_uv_flag" for r in source.rules if r.unique
+        ]
+        if v_fail or v_warn:
+            clauses = []
+            if v_fail:
+                clauses.append(
+                    "WHEN NOT (" + " AND ".join(v_fail) + ") THEN 'F'"
+                )
+            if v_warn:
+                clauses.append(
+                    "WHEN NOT (" + " AND ".join(v_warn) + ") THEN 'W'"
+                )
+            status = "CAST(CASE " + " ".join(clauses) + " ELSE 'P' END AS string)"
+            df = df.withColumn("s_validation_status_code", F.expr(status))
+            final_cols.append("s_validation_status_code")
+
+        return df.select(*final_cols)
+
+    # ------------------------------------------------------------------
+    def _hub(self, name: str, hubs: dict[str, DataFrame]) -> DataFrame:
+        if name not in hubs:
+            raise ProjectError(f"Hub for source {name!r} not built yet")
+        return hubs[name]
+
+    def _apply_join(
+        self,
+        df: DataFrame,
+        join: JoinElement,
+        source: Source,
+        hubs: dict[str, DataFrame],
+    ) -> DataFrame:
+        if join.kind == "lookup":
+            return self._apply_lookup(df, join, source, hubs)
+        return self._apply_aggregate(df, join, source, hubs)
+
+    def _chain(
+        self,
+        join: JoinElement,
+        hubs: dict[str, DataFrame],
+        df_self: DataFrame,
+        upto: int,
+    ) -> DataFrame:
+        """LEFT-JOINed chain of hub h0..h{upto}, columns prefixed per hop."""
+        hops = join.path.hops
+        pid = join.pathid
+
+        def hub_df(hop_dst: str) -> DataFrame:
+            if join.is_self and hop_dst == join.path.hops[0].relation.left:
+                return df_self
+            return self._hub(hop_dst, hubs)
+
+        pref = lambda i: f"__{pid}_h{i}__"  # noqa: E731
+        chain = _prefix_all(hub_df(hops[0].dst), pref(0))
+        for i in range(1, upto + 1):
+            hop = hops[i]
+            nxt = _prefix_all(hub_df(hop.dst), pref(i))
+            rules_dst = self._by_name[hop.dst].rule_by_name()
+            # hop.src side carries pref(i-1); hop.dst side pref(i)
+            this_pref = pref(i - 1) if hop.forward else pref(i)
+            rel_pref = pref(i) if hop.forward else pref(i - 1)
+            cond = _rewrite_relation(hop, this_pref, rel_pref, rules_dst)
+            chain = chain.join(nxt, F.expr(cond), "left")
+        return chain
+
+    def _first_hop_cond(
+        self, join: JoinElement, source: Source, related_prefix: str
+    ) -> str:
+        hop = join.path.hops[0]
+        rules_dst = self._by_name[hop.dst].rule_by_name()
+        if hop.forward:
+            return _rewrite_relation(hop, None, related_prefix, rules_dst)
+        return _rewrite_relation(hop, related_prefix, None, rules_dst)
+
+    def _apply_lookup(
+        self,
+        df: DataFrame,
+        join: JoinElement,
+        source: Source,
+        hubs: dict[str, DataFrame],
+    ) -> DataFrame:
+        hops = join.path.hops
+        pid = join.pathid
+        last = len(hops) - 1
+        chain = self._chain(join, hubs, df, last)
+        # project: first-hop related-side cols (for the outer predicate)
+        # + needed target attrs under their final names
+        keep = [
+            F.col(f"__{pid}_h{last}__{attr}").alias(out)
+            for attr, out in join.needed.items()
+        ]
+        first_cols = self._hop_side_cols(hops[0], related=True)
+        rules0 = self._by_name[hops[0].dst].rule_by_name()
+        guard_cols = [
+            f"{a}_uv_flag"
+            for a in first_cols
+            if a in rules0 and rules0[a].unique
+        ]
+        keep += [
+            F.col(f"__{pid}_h0__{a}")
+            for a in sorted(set(first_cols) | set(guard_cols))
+        ]
+        chain = chain.select(*keep)
+        cond = self._first_hop_cond(join, source, f"__{pid}_h0__")
+        out = df.join(chain, F.expr(cond), "left")
+        # drop the join-key helper columns; keep only the needed outputs
+        return out.drop(
+            *[f"__{pid}_h0__{a}" for a in sorted(set(first_cols) | set(guard_cols))]
+        )
+
+    def _hop_side_cols(self, hop: Hop, related: bool) -> list[str]:
+        """Attribute names on the hop's dst (related=True) or src side."""
+        parsed = parse_relation_expression(hop.relation.expression)
+        want_this = (not related) == hop.forward
+        return [
+            t.attr
+            for t in parsed.tokens
+            if (t.source == "This") == want_this
+        ]
+
+    def _apply_aggregate(
+        self,
+        df: DataFrame,
+        join: JoinElement,
+        source: Source,
+        hubs: dict[str, DataFrame],
+    ) -> DataFrame:
+        hops = join.path.hops
+        pid = join.pathid
+        m_hop = hops[-1]
+        conj = equi_conjuncts(m_hop.relation.expression)
+        if conj is None:
+            raise ProjectError(
+                f"Aggregation over non-equi relation "
+                f"{m_hop.relation.name!r} is not supported; express the "
+                "predicate as AND-ed equalities"
+            )
+        target = self._hub(m_hop.dst, hubs)
+        # group keys: the M-target side of each equi conjunct
+        # (dst side of the hop); rewrite [This]/[Related] tokens to bare cols
+        key_exprs: list[str] = []
+        our_exprs: list[str] = []
+        for this_text, rel_text in conj:
+            dst_text = rel_text if m_hop.forward else this_text
+            src_text = this_text if m_hop.forward else rel_text
+            key_exprs.append(self._bare(dst_text))
+            our_exprs.append(self._bare(src_text))
+        gb = [F.expr(k).alias(f"__{pid}__k{j}") for j, k in enumerate(key_exprs)]
+        aggs = []
+        for call, out_col, inner_sql in join.aggs:
+            inner = _BACKTICKED.sub(r"`\1`", inner_sql)  # bare target cols
+            distinct = "DISTINCT " if call.distinct else ""
+            inner_no_distinct = re.sub(r"(?i)^\s*distinct\s+", "", inner)
+            aggs.append(
+                F.expr(f"{call.func}({distinct}{inner_no_distinct})").alias(
+                    out_col
+                )
+            )
+        aggdf = target.groupBy(*gb).agg(*aggs)
+
+        if len(hops) == 1:
+            # join df directly on our-side exprs == group keys
+            cond = " AND ".join(
+                f"({e}) = `__{pid}__k{j}`" for j, e in enumerate(our_exprs)
+            )
+            out = df.join(aggdf, F.expr(cond), "left")
+        else:
+            # chain h0..h{n-2} (all cardinality-1), then attach aggdf on the
+            # M hop, then join df on the first hop
+            upto = len(hops) - 2
+            chain = self._chain(join, hubs, df, upto)
+            src_pref = f"__{pid}_h{upto}__"
+            cond = " AND ".join(
+                f"({self._prefixed(src, src_pref)}) = `__{pid}__k{j}`"
+                for j, src in enumerate(our_exprs)
+            )
+            chain = chain.join(aggdf, F.expr(cond), "left")
+            first_cols = self._hop_side_cols(hops[0], related=True)
+            keep = [F.col(c) for c in aggdf.columns if c.startswith(f"__{pid}__a")]
+            keep += [F.col(f"__{pid}_h0__{a}") for a in sorted(set(first_cols))]
+            chain = chain.select(*keep)
+            outer = self._first_hop_cond(join, source, f"__{pid}_h0__")
+            out = df.join(chain, F.expr(outer), "left")
+            out = out.drop(
+                *[f"__{pid}_h0__{a}" for a in sorted(set(first_cols))]
+            )
+
+        # LATERAL parity: empty correlated set -> 0 / [] instead of NULL
+        fixes: dict[str, Column] = {}
+        for call, out_col, _ in join.aggs:
+            if call.func in _EMPTY_ZERO:
+                fixes[out_col] = F.coalesce(
+                    F.col(out_col), F.lit(0).cast(dict(out.dtypes)[out_col])
+                )
+            elif call.func in _EMPTY_ARRAY:
+                dt = out.schema[out_col].dataType
+                fixes[out_col] = F.coalesce(
+                    F.col(out_col), F.from_json(F.lit("[]"), dt)
+                )
+        if fixes:
+            out = out.withColumns(fixes)
+        return out
+
+    def _bare(self, text: str) -> str:
+        """Rewrite [This]/[Related] tokens in a predicate side to bare
+        backticked column names."""
+        parsed = parse_expression(text, allow_this_agg=True)
+        spans = [(t.start, t.end, f"`{t.attr}`") for t in parsed.tokens]
+        out = text
+        for start, end, repl in sorted(spans, key=lambda x: -x[0]):
+            out = out[:start] + repl + out[end:]
+        return out
+
+    def _prefixed(self, bare_sql: str, prefix: str) -> str:
+        return _BACKTICKED.sub(lambda m: f"`{prefix}{m.group(1)}`", bare_sql)
+
+    # ------------------------------------------------------------------
+    # output compilation
+    # ------------------------------------------------------------------
+    def compile_output(self, output, hubs: dict[str, DataFrame]) -> DataFrame:
+        """Channels -> filter -> (aggregate) -> typed select -> UNION ALL.
+
+        Mirrors u_output_generate_query.sql:88-155: per-channel SELECT with
+        ``WHERE true AND <filter>``, GROUP BY all non-aggregate mapped
+        columns when operation_type='Aggregate', typed-NULL fill for
+        unmapped columns, UNION ALL across channels.
+        """
+        from dataforge_core_spark.functions.aggregates import (
+            AGGREGATE_WHITELIST,
+        )
+
+        parts: list[DataFrame] = []
+        for ch in output.channels:
+            src = self._by_name.get(ch.source_name)
+            if src is None:
+                raise ProjectError(
+                    f"Output {output.output_name!r}: unknown source "
+                    f"{ch.source_name!r}"
+                )
+            df = self._hub(ch.source_name, hubs)
+            # validation-status routing (V3)
+            if "s_validation_status_code" in df.columns:
+                codes = [
+                    c
+                    for c, inc in (
+                        ("P", ch.include_pass),
+                        ("W", ch.include_warn),
+                        ("F", ch.include_fail),
+                    )
+                    if inc
+                ]
+                if not codes:
+                    raise ProjectError(
+                        f"Output {output.output_name!r}: channel must "
+                        "include at least one of pass/warn/fail"
+                    )
+                if set(codes) != {"P", "W", "F"}:
+                    df = df.filter(
+                        F.col("s_validation_status_code").isin(codes)
+                    )
+            if ch.filter:
+                fexpr = self._channel_filter_sql(ch.filter, src)
+                col = F.expr(fexpr)
+                # boolean type check (P5 — impc_update_test_results.sql:65-76)
+                if df.select(col.alias("f")).schema["f"].dataType != T.BooleanType():
+                    raise ProjectError(
+                        f"Output {output.output_name!r}: filter must be "
+                        f"boolean: {ch.filter!r}"
+                    )
+                df = df.filter(col)
+
+            out_types = {c.name: HIVE_TO_SPARK_DDL[c.hive_type] for c in output.columns}
+            mapped: dict[str, Column] = {}
+            if (ch.operation_type or "").lower() == "aggregate":
+                dims = []
+                aggs = []
+                for mp in ch.mappings:
+                    path = ".".join([mp.attribute] + mp.keys)
+                    if mp.aggregate:
+                        if mp.aggregate not in AGGREGATE_WHITELIST:
+                            raise ProjectError(
+                                f"Output {output.output_name!r}: "
+                                f"{mp.aggregate!r} is not an allowed aggregate"
+                            )
+                        d = "DISTINCT " if mp.distinct else ""
+                        aggs.append(
+                            F.expr(f"{mp.aggregate}({d}{path})").alias(mp.column)
+                        )
+                    else:
+                        dims.append(F.expr(path).alias(mp.column))
+                if not aggs:
+                    raise ProjectError(
+                        f"Output {output.output_name!r}: Aggregate channel "
+                        "has no aggregate mappings"
+                    )
+                df = df.groupBy(*dims).agg(*aggs) if dims else df.agg(*aggs)
+                for mp in ch.mappings:
+                    mapped[mp.column] = F.col(mp.column)
+            else:
+                for mp in ch.mappings:
+                    if mp.aggregate:
+                        raise ProjectError(
+                            f"Output {output.output_name!r}: aggregate "
+                            "mapping requires operation_type: Aggregate"
+                        )
+                    path = ".".join([mp.attribute] + mp.keys)
+                    mapped[mp.column] = F.expr(path)
+
+            sel = []
+            for c in output.columns:
+                if c.name in mapped:
+                    sel.append(
+                        mapped[c.name].cast(out_types[c.name]).alias(c.name)
+                    )
+                else:
+                    # typed NULL fill — u_output_query_column_select.sql:13-21
+                    sel.append(
+                        F.lit(None).cast(out_types[c.name]).alias(c.name)
+                    )
+            parts.append(df.select(*sel))
+
+        if not parts:
+            raise ProjectError(
+                f"Output {output.output_name!r} has no channels"
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)  # UNION ALL across channels (O2)
+        return out
+
+    def _channel_filter_sql(self, filter_expr: str, src: Source) -> str:
+        parsed = parse_expression(filter_expr)
+        if parsed.aggs:
+            raise ProjectError(
+                f"Channel filter cannot contain aggregates: {filter_expr!r}"
+            )
+        raw = src.raw_by_name()
+        rules = src.rule_by_name()
+        spans = []
+        for t in parsed.tokens:
+            if t.source != "This":
+                raise ProjectError(
+                    "Channel filters may only reference [This]: "
+                    f"{filter_expr!r}"
+                )
+            if t.attr not in raw and t.attr not in rules:
+                raise ProjectError(
+                    f"Channel filter references unknown attribute "
+                    f"{t.attr!r}"
+                )
+            spans.append((t.start, t.end, f"`{t.attr}`"))
+        out = filter_expr
+        for start, end, repl in sorted(spans, key=lambda x: -x[0]):
+            out = out[:start] + repl + out[end:]
+        return out

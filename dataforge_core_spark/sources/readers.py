@@ -1,0 +1,112 @@
+"""Source readers + output writers.
+
+The reference reads catalog-qualified tables only
+(u_get_source_table_name.sql; sample ``samples.tpch.*``) and writes hubs /
+outputs with ``DROP TABLE IF EXISTS …; CREATE TABLE … AS`` wrappers
+(u_enr_query_generate_query.sql:121-142, u_output_generate_query.sql:152-155).
+Output sub-types table/virtual/file(parquet|avro|text) are validated in
+u_validate_output.sql:21-76.
+
+This module keeps those semantics but adds direct-path reading (parquet /
+csv / json / orc) so the engine also runs without a metastore.  All reads
+go through ``spark.read`` — scans are DataSource-v2, so Catalyst pushes
+filters and prunes columns into the file format.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from dataforge_core_spark.model import ProjectError, Source
+
+
+def resolve_table_ref(ref: str, substitutions: dict[str, str] | None) -> str:
+    out = ref
+    for k, v in (substitutions or {}).items():
+        out = out.replace("${" + k + "}", v)
+    return out
+
+
+def read_table(spark: SparkSession, ref: str) -> DataFrame:
+    lower = ref.lower()
+    if lower.endswith(".parquet") or lower.endswith(".pq"):
+        return spark.read.parquet(ref)
+    if lower.endswith(".csv"):
+        return spark.read.option("header", "true").csv(ref)
+    if lower.endswith(".json") or lower.endswith(".jsonl"):
+        return spark.read.json(ref)
+    if lower.endswith(".orc"):
+        return spark.read.orc(ref)
+    if lower.endswith(".avro"):
+        return spark.read.format("avro").load(ref)
+    if os.path.sep in ref and os.path.isdir(ref):
+        return spark.read.parquet(ref)
+    return spark.table(ref)
+
+
+def read_source(
+    spark: SparkSession,
+    source: Source,
+    substitutions: dict[str, str] | None = None,
+) -> DataFrame:
+    """Read + project + cast a source to its declared raw attributes.
+
+    Emits only declared columns (ReadSchema pruning reaches the scan) and
+    casts each to the declared type — the reference trusts the catalog
+    schema instead; the explicit cast makes local files behave the same.
+    """
+    from pyspark.sql import types as T
+
+    df = read_table(spark, resolve_table_ref(source.source_table, substitutions))
+    cols = []
+    have = {c.lower() for c in df.columns}
+    for attr in source.raw_attributes:
+        if attr.name.lower() not in have:
+            raise ProjectError(
+                f"Source {source.source_name!r}: column {attr.name!r} not "
+                f"present in {source.source_table!r}"
+            )
+        if attr.schema_json is not None:
+            dt = T.DataType.fromJson(attr.schema_json)
+            cols.append(F.col(attr.name).cast(dt).alias(attr.name))
+        else:
+            cols.append(F.col(attr.name).cast(attr.spark_ddl).alias(attr.name))
+    return df.select(*cols)
+
+
+def write_output(
+    df: DataFrame,
+    name: str,
+    output_type: str = "table",
+    file_format: str | None = None,
+    base_dir: str | None = None,
+) -> None:
+    """table -> saveAsTable (overwrite, CREATE-TABLE-AS parity);
+    virtual -> temp view; file -> parquet/avro/text under base_dir."""
+    if output_type == "table":
+        if base_dir:
+            df.write.mode("overwrite").parquet(os.path.join(base_dir, name))
+        else:
+            df.write.mode("overwrite").saveAsTable(name)
+    elif output_type == "virtual":
+        df.createOrReplaceTempView(name)
+    elif output_type == "file":
+        fmt = (file_format or "parquet").lower()
+        if base_dir is None:
+            raise ProjectError("file outputs need base_dir")
+        path = os.path.join(base_dir, name)
+        if fmt == "parquet":
+            df.write.mode("overwrite").parquet(path)
+        elif fmt == "avro":
+            df.write.mode("overwrite").format("avro").save(path)
+        elif fmt == "text":
+            # text outputs must be single-column (u_validate_output.sql:39-41)
+            if len(df.columns) != 1:
+                raise ProjectError("text output must have exactly one column")
+            df.write.mode("overwrite").text(path)
+        else:
+            raise ProjectError(f"Unknown file format {fmt!r}")
+    else:
+        raise ProjectError(f"Unknown output type {output_type!r}")

@@ -1,38 +1,257 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's compiled artifacts (enriched hub tables
+and outputs of ``projects/tpch_demo``, the reference sample's project shape
+re-expressed over the driver testdata) plus the scale-out extension
+operators.  ``oracle_sql()`` holds hand-written DuckDB equivalents; the
+driver value-compares both at sf=0.01.
+
+Coverage map (SURVEY.md §2 -> query):
+  S1-S4 scans/sinks          -> every hub_* / output_* query
+  P1-P4 projections/filters  -> hub_* (derived cols), output_* (filters)
+  P3 decimal normalization   -> hub_customer.acctbal_dec, hub_lineitem.net_price
+  J1 lookup join             -> hub_nation.region_name
+  J2 multi-hop chain         -> hub_customer.region_name, hub_lineitem.c_name,
+                                hub_lineitem.cust_nation_name (explicit 3-hop)
+  J4 theta/expr keys         -> hub_lineitem.supplier_name (CAST key)
+  J5 correlated aggregate    -> hub_customer.total_spend/order_count/...,
+                                hub_part.* (incl. aggregate over a rule),
+                                hub_customer.nation_supplier_count (multi-hop)
+  J7 uniqueness guard        -> hub_lineitem.supplier_name (uv_flag conjunct)
+  A1-A4 aggregations         -> hub aggregates + output_feature_customer
+                                (sum/count/count distinct + GROUP BY)
+  W1 window functions        -> hub_orders.cust_order_rank
+  O2 UNION + typed-null fill -> output_entity_union
+  V1-V4 validation rules     -> *_valid rules, s_validation_status_code,
+                                channel pass routing, s_suppkey_str_uv_flag
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_PROJECT_DIR = os.path.join(_REPO, "projects", "tpch_demo")
+
+_hub_cache: dict = {}
+
+
+def _build(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir)
+    if key not in _hub_cache:
+        from dataforge_core_spark import ProjectRunner, load_project
+
+        project = load_project(_PROJECT_DIR)
+        runner = ProjectRunner(spark, project, {"DATA_DIR": sf_dir})
+        hubs = runner.build()
+        outs = runner.build_outputs(hubs)
+        _hub_cache[key] = (hubs, outs)
+    return _hub_cache[key]
+
+
+def _hub(name: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _build(spark, sf_dir)[0][name]
+
+    return q
+
+
+def _output(name: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _build(spark, sf_dir)[1][name]
+
+    return q
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the aggregated feature_customer output at sf0.001."""
+    return _output("feature_customer")(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from dataforge_core_spark.operators import extension_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "hub_region": _hub("tpch_region"),
+        "hub_nation": _hub("tpch_nation"),
+        "hub_supplier": _hub("tpch_supplier"),
+        "hub_orders": _hub("tpch_orders"),
+        "hub_customer": _hub("tpch_customer"),
+        "hub_lineitem": _hub("tpch_lineitem"),
+        "hub_part": _hub("tpch_part"),
+        "output_feature_customer": _output("feature_customer"),
+        "output_entity_union": _output("entity_union"),
+    }
+    q.update(extension_queries())
+    return q
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles.  One WITH-block re-deriving every hub in ANSI SQL; each
+# oracle selects from it.  DuckDB prunes unreferenced CTEs.
+#
+# Dialect alignment notes:
+# - DuckDB CAST(double AS BIGINT) rounds, Spark truncates -> trunc()
+# - DuckDB year()/row_number() return BIGINT, Spark int -> CAST AS INTEGER
+# - strftime(ts,'%Y%m') == date_format(ts,'yyyyMM')
+# - money arithmetic is decimal-exact on both engines (hash-stable)
+# ---------------------------------------------------------------------------
+
+_CTES = """
+region_h AS (
+  SELECT r_regionkey, r_name FROM region
+),
+nation_h AS (
+  SELECT n.n_nationkey, n.n_name, n.n_regionkey, r.r_name AS region_name
+  FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+),
+supplier_h AS (
+  SELECT s.s_suppkey, s.s_name, s.s_nationkey, s.s_acctbal,
+         CAST(s.s_suppkey AS VARCHAR) AS s_suppkey_str,
+         n.n_name AS nation_name,
+         (COUNT(*) OVER (PARTITION BY CAST(s.s_suppkey AS VARCHAR))) = 1
+           AS s_suppkey_str_uv_flag
+  FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+),
+orders_h AS (
+  SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,
+         o.o_orderdate, o.o_orderpriority,
+         strftime(o.o_orderdate, '%Y%m') AS order_year_month,
+         CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,12))
+           AS o_totalprice_dec,
+         CASE WHEN o.o_totalprice > 150000 THEN true ELSE false END
+           AS high_value,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o.o_custkey
+              ORDER BY o.o_orderdate, o.o_orderkey) AS INTEGER)
+           AS cust_order_rank,
+         o.o_totalprice >= 0 AS valid_price,
+         CASE WHEN NOT (o.o_totalprice >= 0) THEN 'F' ELSE 'P' END
+           AS s_validation_status_code
+  FROM orders o
+),
+customer_h AS (
+  SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment,
+         nh.n_name AS nation_name,
+         nh.region_name,
+         og.total_spend,
+         COALESCE(og.order_count, 0) AS order_count,
+         og.max_order_price,
+         CASE WHEN COALESCE(og.order_count, 0) > 0
+              THEN CAST(og.total_spend AS DOUBLE) / COALESCE(og.order_count, 0)
+         END AS avg_order_price,
+         COALESCE(sg.cnt, 0) AS nation_supplier_count,
+         CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) AS DECIMAL(38,12))
+           AS acctbal_dec,
+         c.c_acctbal IS NOT NULL AS acctbal_present,
+         CASE WHEN NOT (c.c_acctbal IS NOT NULL) THEN 'W' ELSE 'P' END
+           AS s_validation_status_code
+  FROM customer c
+  LEFT JOIN nation_h nh ON c.c_nationkey = nh.n_nationkey
+  LEFT JOIN (
+    SELECT o_custkey,
+           CAST(SUM(o_totalprice_dec) AS DECIMAL(38,12)) AS total_spend,
+           COUNT(o_orderkey) AS order_count,
+           MAX(o_totalprice) AS max_order_price
+    FROM orders_h GROUP BY o_custkey
+  ) og ON c.c_custkey = og.o_custkey
+  LEFT JOIN (
+    SELECT s_nationkey, COUNT(s_suppkey) AS cnt
+    FROM supplier_h GROUP BY s_nationkey
+  ) sg ON nh.n_nationkey = sg.s_nationkey
+),
+lineitem_h AS (
+  SELECT l.l_orderkey, l.l_partkey, l.l_suppkey, l.l_linenumber,
+         l.l_quantity, l.l_extendedprice, l.l_discount, l.l_tax,
+         l.l_returnflag, l.l_linestatus, l.l_shipdate,
+         CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+              * CAST(1 - l.l_discount AS DECIMAL(8,4)) AS DECIMAL(38,12))
+           AS net_price,
+         CAST(trunc((l.l_extendedprice - l.l_tax - l.l_discount) * 100)
+              AS BIGINT) AS net_price_int,
+         CASE WHEN l.l_returnflag = 'R' THEN CAST(0 AS BIGINT)
+              ELSE CAST(trunc((l.l_extendedprice - l.l_tax - l.l_discount)
+                             * 100) AS BIGINT)
+         END AS net_price_no_returns,
+         CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+         sh.s_name AS supplier_name,
+         ch.c_name AS c_name,
+         nh.n_name AS cust_nation_name,
+         oh.order_year_month AS order_month,
+         l.l_quantity >= 0 AS quantity_valid,
+         CASE WHEN NOT (l.l_quantity >= 0) THEN 'F' ELSE 'P' END
+           AS s_validation_status_code
+  FROM lineitem l
+  LEFT JOIN supplier_h sh
+    ON CAST(l.l_suppkey AS VARCHAR) = sh.s_suppkey_str
+   AND sh.s_suppkey_str_uv_flag
+  LEFT JOIN orders_h oh ON l.l_orderkey = oh.o_orderkey
+  LEFT JOIN customer_h ch ON oh.o_custkey = ch.c_custkey
+  LEFT JOIN nation_h nh ON ch.c_nationkey = nh.n_nationkey
+),
+part_h AS (
+  SELECT p.p_partkey, p.p_name, p.p_brand, p.p_type, p.p_size,
+         p.p_retailprice,
+         lg.qty_sold,
+         COALESCE(lg.line_count, 0) AS line_count,
+         lg.revenue
+  FROM part p
+  LEFT JOIN (
+    SELECT l_partkey, SUM(l_quantity) AS qty_sold,
+           COUNT(l_orderkey) AS line_count,
+           CAST(SUM(net_price) AS DECIMAL(38,12)) AS revenue
+    FROM lineitem_h GROUP BY l_partkey
+  ) lg ON p.p_partkey = lg.l_partkey
+)
+"""
+
+
+def _with(select: str) -> str:
+    return f"WITH {_CTES} {select}"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from dataforge_core_spark.operators import extension_oracles
+
+    o = {
+        "hub_region": _with("SELECT * FROM region_h"),
+        "hub_nation": _with("SELECT * FROM nation_h"),
+        "hub_supplier": _with("SELECT * FROM supplier_h"),
+        "hub_orders": _with("SELECT * FROM orders_h"),
+        "hub_customer": _with("SELECT * FROM customer_h"),
+        "hub_lineitem": _with("SELECT * FROM lineitem_h"),
+        "hub_part": _with("SELECT * FROM part_h"),
+        "output_feature_customer": _with(
+            """
+            SELECT l.c_name AS customer,
+                   l.cust_nation_name AS nation,
+                   CAST(SUM(l.net_price) AS DECIMAL(38,12)) AS line_net_total,
+                   COUNT(l.l_linenumber) AS line_cnt,
+                   COUNT(DISTINCT l.l_orderkey) AS order_cnt
+            FROM lineitem_h l
+            WHERE l.s_validation_status_code = 'P'
+              AND (l.ship_year BETWEEN 1994 AND 1997)
+            GROUP BY l.c_name, l.cust_nation_name
+            """
+        ),
+        "output_entity_union": _with(
+            """
+            SELECT CAST(NULL AS VARCHAR) AS entity,
+                   order_year_month AS event_month,
+                   o_totalprice AS amount,
+                   o_orderstatus AS status
+            FROM orders_h WHERE s_validation_status_code = 'P'
+            UNION ALL
+            SELECT c_name AS entity,
+                   CAST(NULL AS VARCHAR) AS event_month,
+                   c_acctbal AS amount,
+                   CAST(NULL AS VARCHAR) AS status
+            FROM customer_h
+            WHERE s_validation_status_code = 'P' AND c_acctbal > 0
+            """
+        ),
+    }
+    o.update(extension_oracles())
+    return o

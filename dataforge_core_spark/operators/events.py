@@ -1,0 +1,185 @@
+"""Event-stream operators over the ``events`` table (batch semantics).
+
+These are the batch-equivalent definitions of the streaming operators in
+``dataforge_core_spark.streaming`` — tumbling-window aggregation,
+gap-based sessionization, JSON payload extraction and an as-of join.
+Structured Streaming runs the same logical plans with watermarks (see
+streaming/ tests); batch mode makes them oracle-checkable.
+
+Determinism notes: value sums go through DECIMAL(12,2) (exact); the as-of
+pick packs (epoch, orderkey) into one BIGINT so MAX() is a deterministic
+argmax on both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+SESSION_GAP_MIN = 30
+
+
+def _views(spark: SparkSession, sf_dir: str) -> None:
+    from pyspark.sql import functions as F, types as T
+
+    # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+    # parquet reader rejects; read nanos as long and truncate to micros —
+    # exactly what DuckDB's nanos->micros conversion does, so oracles align.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if isinstance(ev.schema["ts"].dataType, T.LongType):
+        ev = ev.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    ev.createOrReplaceTempView("events")
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "orders"
+    )
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate (streaming window() equivalent)."""
+    _views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT date_trunc('hour', ts) AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,12))
+                 AS total_value
+        FROM events
+        GROUP BY date_trunc('hour', ts), event_type
+        """
+    )
+
+
+_HOURLY_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,12))
+         AS total_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts after a >30 min gap.
+
+    Expressed as lag + running sum over a per-user window — the batch
+    equivalent of applyInPandasWithState sessionization; shuffle key is
+    user_id, state never leaves the executor.
+    """
+    _views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH g AS (
+          SELECT event_id, user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                      WHEN ts > lag(ts) OVER w
+                           + INTERVAL {SESSION_GAP_MIN} MINUTE THEN 1
+                      ELSE 0 END AS is_start
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT event_id, user_id, ts,
+               SUM(is_start) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_number
+        FROM g
+        """
+    )
+
+
+_SESSIONIZE_ORACLE = f"""
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN ts > lag(ts) OVER w
+                   + INTERVAL {SESSION_GAP_MIN} MINUTE THEN 1
+              ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id, ts,
+       SUM(is_start) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS session_number
+FROM g
+"""
+
+
+def events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload extraction (props is a JSON text column)."""
+    _views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_id,
+               CAST(get_json_object(props, '$.k') AS BIGINT) AS prop_k
+        FROM events
+        """
+    )
+
+
+_JSON_ORACLE = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+FROM events
+"""
+
+
+def events_asof_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event gets the most recent order (o_orderdate <=
+    ts) of the matching customer (user_id = o_custkey).
+
+    Implemented as equi-join on the entity key + max() argmax — shuffle is
+    keyed by user, never a cross product.  The (epoch, orderkey) packing
+    makes the argmax total-ordered (deterministic under date ties).
+    """
+    _views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT e.event_id, e.user_id, e.ts,
+               MAX(CASE WHEN o.o_orderdate <= e.ts
+                   THEN unix_timestamp(o.o_orderdate) * 10000000 + o.o_orderkey
+                   END) % 10000000 AS asof_orderkey
+        FROM events e
+        LEFT JOIN orders o ON e.user_id = o.o_custkey
+        GROUP BY e.event_id, e.user_id, e.ts
+        """
+    )
+
+
+_ASOF_ORACLE = """
+SELECT e.event_id, e.user_id, e.ts,
+       MAX(CASE WHEN o.o_orderdate <= e.ts
+           THEN CAST(epoch(o.o_orderdate) AS BIGINT) * 10000000 + o.o_orderkey
+           END) % 10000000 AS asof_orderkey
+FROM events e
+LEFT JOIN orders o ON e.user_id = o.o_custkey
+GROUP BY e.event_id, e.user_id, e.ts
+"""
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "events_hourly": events_hourly,
+        "events_sessionize": events_sessionize,
+        "events_json": events_json,
+        "events_asof_order": events_asof_order,
+    }
+
+
+def oracles() -> dict[str, str]:
+    return {
+        "events_hourly": _HOURLY_ORACLE,
+        "events_sessionize": _SESSIONIZE_ORACLE,
+        "events_json": _JSON_ORACLE,
+        "events_asof_order": _ASOF_ORACLE,
+    }

@@ -1,0 +1,191 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Token counting, quality scoring, heuristic language ID and content
+fingerprinting — all pure JVM-side SQL expressions (codegen-friendly, no
+UDFs), each with an exact DuckDB oracle.  Ratios are single divisions of
+exact integers, so doubles hash-match across engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+# tiny per-language stopword lists for the heuristic language ID
+_LANGS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "zu"],
+    "es": ["el", "la", "de", "y", "que"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+_EN_STOP = _LANGS["en"] + ["in", "is", "it", "for", "on"]
+
+
+def _view(spark: SparkSession, sf_dir: str) -> None:
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+
+
+_SPARK_TOK = "split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' ')"
+_DUCK_TOK = "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+
+
+def _count_in(tokens_expr: str, words: list[str], dialect: str) -> str:
+    """# of tokens that are in `words` (exact membership)."""
+    lst = ", ".join(f"'{w}'" for w in words)
+    if dialect == "spark":
+        return (
+            f"size(filter({tokens_expr}, t -> array_contains(array({lst}), t)))"
+        )
+    return f"len(list_filter({tokens_expr}, t -> list_contains([{lst}], t)))"
+
+
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token statistics: counts are exact integers."""
+    _view(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT doc_id,
+               size({_SPARK_TOK}) AS n_tokens,
+               length(text) AS text_len,
+               size(array_distinct({_SPARK_TOK})) AS n_unique_tokens
+        FROM documents
+        """
+    )
+
+
+_TOKENS_ORACLE = f"""
+SELECT doc_id,
+       CAST(len({_DUCK_TOK}) AS INTEGER) AS n_tokens,
+       CAST(length(text) AS INTEGER) AS text_len,
+       CAST(len(list_distinct({_DUCK_TOK})) AS INTEGER) AS n_unique_tokens
+FROM documents
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics: length, stopword ratio, type-token ratio."""
+    _view(spark, sf_dir)
+    stop = _count_in("tok", _EN_STOP, "spark")
+    return spark.sql(
+        f"""
+        WITH t AS (SELECT doc_id, {_SPARK_TOK} AS tok FROM documents)
+        SELECT doc_id,
+               size(tok) AS n_tokens,
+               CAST({stop} AS DOUBLE) / size(tok) AS stopword_ratio,
+               CAST(size(array_distinct(tok)) AS DOUBLE) / size(tok)
+                 AS type_token_ratio,
+               size(tok) BETWEEN 20 AND 1000
+                 AND CAST(size(array_distinct(tok)) AS DOUBLE) / size(tok) > 0.2
+                 AS quality_pass
+        FROM t WHERE size(tok) > 0
+        """
+    )
+
+
+_QUALITY_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOK} AS tok FROM documents)
+SELECT doc_id,
+       CAST(len(tok) AS INTEGER) AS n_tokens,
+       CAST({_count_in('tok', _EN_STOP, 'duck')} AS DOUBLE) / len(tok)
+         AS stopword_ratio,
+       CAST(len(list_distinct(tok)) AS DOUBLE) / len(tok)
+         AS type_token_ratio,
+       len(tok) BETWEEN 20 AND 1000
+         AND CAST(len(list_distinct(tok)) AS DOUBLE) / len(tok) > 0.2
+         AS quality_pass
+FROM t WHERE len(tok) > 0
+"""
+
+
+def _langid_case(dialect: str) -> str:
+    """Argmax over per-language stopword hits, deterministic tie-break by
+    language-code order."""
+    counts = {
+        lang: _count_in("tok", words, dialect) for lang, words in _LANGS.items()
+    }
+    langs = sorted(_LANGS)  # de, en, es, fr — fixed tie-break order
+    best = " , ".join(counts[lang] for lang in langs)
+    clauses = []
+    for lang in langs:
+        others = [counts[o] for o in langs if o != lang]
+        gt = " AND ".join(f"{counts[lang]} >= {o}" for o in others)
+        clauses.append(f"WHEN {counts[lang]} > 0 AND {gt} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + " ELSE 'und' END"
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic n-gram/stopword language ID (deterministic argmax)."""
+    _view(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH t AS (SELECT doc_id, lang, {_SPARK_TOK} AS tok FROM documents)
+        SELECT doc_id, lang AS labeled_lang,
+               {_langid_case('spark')} AS predicted_lang
+        FROM t
+        """
+    )
+
+
+_LANGID_ORACLE = f"""
+WITH t AS (SELECT doc_id, lang, {_DUCK_TOK} AS tok FROM documents)
+SELECT doc_id, lang AS labeled_lang,
+       {_langid_case('duck')} AS predicted_lang
+FROM t
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content + shingle fingerprints (md5 — identical across engines).
+
+    content_fp  : digest of whitespace-normalized text
+    shingle_fp  : digest of the sorted distinct 3-gram shingle set (robust
+                  to token reordering at window granularity)
+    """
+    _view(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH t AS (SELECT doc_id, {_SPARK_TOK} AS tok, text FROM documents)
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\\\\s+', ' ')))) AS content_fp,
+               md5(concat_ws('|', array_sort(array_distinct(
+                 CASE WHEN size(tok) >= 3 THEN transform(
+                   sequence(1, size(tok) - 2),
+                   i -> concat_ws(' ', element_at(tok, i),
+                        element_at(tok, i + 1), element_at(tok, i + 2)))
+                 ELSE array() END)))) AS shingle_fp
+        FROM t
+        """
+    )
+
+
+_FINGERPRINT_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOK} AS tok, text FROM documents)
+SELECT doc_id,
+       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS content_fp,
+       md5(array_to_string(list_sort(list_distinct(
+         list_transform(generate_series(1, len(tok) - 2),
+           i -> tok[i] || ' ' || tok[i + 1] || ' ' || tok[i + 2]))), '|'))
+         AS shingle_fp
+FROM t
+"""
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "text_tokens": text_tokens,
+        "text_quality": text_quality,
+        "text_lang_id": text_lang_id,
+        "text_fingerprint": text_fingerprint,
+    }
+
+
+def oracles() -> dict[str, str]:
+    return {
+        "text_tokens": _TOKENS_ORACLE,
+        "text_quality": _QUALITY_ORACLE,
+        "text_lang_id": _LANGID_ORACLE,
+        "text_fingerprint": _FINGERPRINT_ORACLE,
+    }

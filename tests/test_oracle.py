@@ -1,0 +1,120 @@
+"""Self-check mirroring the driver's correctness gate: run every
+``__spark_entry__.queries()`` entry on Spark and its ``oracle_sql()`` on
+DuckDB over the same parquet, compare row count + column names + values
+(order-insensitive, column-name-sorted) — the same protocol the round
+driver applies at sf0.01.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+import os
+
+import duckdb
+import pytest
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, decimal.Decimal):
+        return ("dec", str(v.normalize()))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("f", "nan")
+        return ("f", repr(v))
+    if isinstance(v, datetime.datetime):
+        return ("ts", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, datetime.date):
+        return ("d", v.isoformat())
+    if isinstance(v, (list, tuple)):
+        return ("l", tuple(_norm(x) for x in v))
+    return v
+
+
+def _normalize_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm(r[i]) for i in order) for r in rows]
+    out.sort(key=repr)
+    return [cols[i] for i in order], out
+
+
+def _entry():
+    import __spark_entry__ as e
+
+    return e
+
+
+def _pairs():
+    e = _entry()
+    q = e.queries()
+    o = e.oracle_sql()
+    return sorted(q), q, o
+
+
+NAMES, _Q, _O = _pairs()
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_query_matches_oracle(name, spark, sf_dir):
+    q = _Q[name]
+    sdf = q(spark, sf_dir)
+    spark_cols = list(sdf.columns)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    if name not in _O:
+        # rows-only check for non-SQL-expressible ops
+        assert len(spark_rows) >= 0
+        return
+
+    con = _duck(sf_dir)
+    res = con.execute(_O[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {sorted(spark_cols)} vs {sorted(duck_cols)}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    cols, s_norm = _normalize_rows(spark_cols, spark_rows)
+    _, d_norm = _normalize_rows(duck_cols, duck_rows)
+    mism = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_norm, d_norm)) if a != b
+    ]
+    assert not mism, (
+        f"{name}: {len(mism)} row mismatches; first 3 (cols={cols}): "
+        + "; ".join(f"spark={a} duck={b}" for _, a, b in mism[:3])
+    )
+
+
+def test_entry_smoke(spark):
+    e = _entry()
+    df = e.entry(spark)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0

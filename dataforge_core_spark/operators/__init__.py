@@ -13,23 +13,27 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from dataforge_core_spark.operators import dedup, similarity, text, events
+def _modules():
+    from dataforge_core_spark.operators import (
+        dedup,
+        events,
+        multimodal,
+        similarity,
+        text,
+    )
 
+    return [dedup, similarity, text, events, multimodal]
+
+
+def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    q.update(dedup.queries())
-    q.update(similarity.queries())
-    q.update(text.queries())
-    q.update(events.queries())
+    for m in _modules():
+        q.update(m.queries())
     return q
 
 
 def extension_oracles() -> dict[str, str]:
-    from dataforge_core_spark.operators import dedup, similarity, text, events
-
     o: dict[str, str] = {}
-    o.update(dedup.oracles())
-    o.update(similarity.oracles())
-    o.update(text.oracles())
-    o.update(events.oracles())
+    for m in _modules():
+        o.update(m.oracles())
     return o

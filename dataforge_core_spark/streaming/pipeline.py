@@ -1,0 +1,204 @@
+"""Structured Streaming extension.
+
+The reference has no streaming implementation — only guards for a
+``processing_type = 'stream'`` source that its importer never sets
+(SURVEY.md §2.9: svc_parse_enrichment.sql:105-112 bans keep_current,
+unique rules and aggregates on stream sources; the generated query would
+go to a ``meta.process`` table core never creates).  This module
+implements the *intended* semantics natively:
+
+- a stream source runs the same rule compiler as batch, restricted to the
+  reference's constraints (stateless, per-row rules; window/aggregate/
+  unique rules rejected with the reference's error conditions)
+- lookups against *static* hubs are allowed (stream-static joins are
+  Spark-native and scale: the static side is broadcast or shuffled once)
+- watermarked tumbling-window aggregation and stateful sessionization are
+  provided as explicit streaming operators (Spark-native semantics),
+  whose batch equivalents are the oracle-tested queries in
+  operators/events.py
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from dataforge_core_spark.compiler import SourceCompiler
+from dataforge_core_spark.model import Project, ProjectError, Source
+from dataforge_core_spark.paths import RelationGraph
+from dataforge_core_spark.plans.planner import plan_source
+
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos (driver parquet)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def validate_stream_rules(project: Project, source: Source) -> None:
+    """Reference guards for stream sources (svc_parse_enrichment.sql:105-112;
+    u_validate_expression_parameters.sql:140-147)."""
+    plan = plan_source(project, RelationGraph(project.relations), source)
+    for rule in source.rules:
+        if rule.keep_current:
+            raise ProjectError(
+                f"Stream source {source.source_name!r}: keep_current rules "
+                f"are not allowed ({rule.name!r})"
+            )
+        if rule.unique:
+            raise ProjectError(
+                f"Stream source {source.source_name!r}: unique rules are "
+                f"not allowed ({rule.name!r})"
+            )
+        el = plan.rules[rule.name]
+        if el.parsed.window:
+            raise ProjectError(
+                f"Stream source {source.source_name!r}: window rules are "
+                f"not allowed ({rule.name!r})"
+            )
+        if el.parsed.aggs:
+            raise ProjectError(
+                f"Stream source {source.source_name!r}: aggregate rules are "
+                f"not allowed ({rule.name!r})"
+            )
+
+
+def compile_stream_source(
+    spark: SparkSession,
+    project: Project,
+    source: Source,
+    stream: DataFrame,
+    static_hubs: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """readStream DataFrame -> enriched stream via the batch compiler.
+
+    The rule DAG compiles identically; only stateless constructs pass
+    validation, so the resulting plan is a pure map + stream-static joins
+    — no state store, unbounded-source safe.
+    """
+    validate_stream_rules(project, source)
+    compiler = SourceCompiler(spark, project)
+    return compiler.compile_source(source, stream, static_hubs or {})
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (nanos ts -> micros)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file stream source wants a directory; glob-filter to the events
+    # file inside the sf dir
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def windowed_aggregate(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregate (late data dropped after the
+    watermark — the streaming form of operators/events.events_hourly)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionize_stateful(
+    stream: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Custom stateful operator: per-user session assignment via
+    applyInPandasWithState (GroupState timeout closes idle sessions).
+
+    Emits one row per closed session: (user_id, session_start,
+    session_end, n_events).  State per user is O(1): current session
+    bounds + counter — executor-local, keyed by the shuffle on user_id.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start", T.LongType()),  # micros
+            T.StructField("end", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(
+        key, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        (user_id,) = key
+        rows = []
+        cur = state.get if state.exists else None
+        ts_list = []
+        for pdf in pdfs:
+            ts_list.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+        ts_list.sort()
+        start, end, n = cur if cur else (None, None, 0)
+        for t in ts_list:
+            if start is None:
+                start, end, n = t, t, 1
+            elif t - end > gap_us:
+                rows.append((user_id, start, end, n))
+                start, end, n = t, t, 1
+            else:
+                end, n = t, n + 1
+        if state.hasTimedOut:
+            if start is not None:
+                rows.append((user_id, start, end, n))
+            state.remove()
+        elif start is not None:
+            state.update((start, end, n))
+            state.setTimeoutDuration(gap_minutes * 60 * 1000)
+        out = pd.DataFrame(
+            rows, columns=["user_id", "session_start", "session_end", "n_events"]
+        )
+        if not out.empty:
+            out["session_start"] = pd.to_datetime(out["session_start"], unit="us")
+            out["session_end"] = pd.to_datetime(out["session_end"], unit="us")
+        yield out
+
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

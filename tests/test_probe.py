@@ -1,0 +1,74 @@
+"""Probe-based type inference tests (SURVEY §5 mechanism 1 parity)."""
+
+import pytest
+
+from dataforge_core_spark.model import ProjectError
+from dataforge_core_spark.probe import build_probe_sql, check_boolean, run_probe
+
+
+def test_probe_success_type(spark):
+    res = run_probe(spark, "[This].a + 1", {"This.a": "bigint"})
+    assert res.status == "success"
+    assert res.data_type == "bigint"
+
+
+def test_probe_decimal_inference(spark):
+    res = run_probe(spark, "[This].a * 2", {"This.a": "decimal"})
+    assert res.status == "success"
+    assert res.data_type.startswith("decimal")
+
+
+def test_probe_date_function(spark):
+    res = run_probe(
+        spark, "date_format([This].d, 'yyyyMM')", {"This.d": "timestamp"}
+    )
+    assert res.status == "success"
+    assert res.data_type == "string"
+
+
+def test_probe_null_warning(spark):
+    # miniSparky.py:66-72: NULL first row -> 'improper type casting' warning.
+    # (The reference runs Spark 3.5 non-ANSI where CAST('zzz' AS int) is
+    # silently NULL; under Spark 4 ANSI the same silent-NULL path is
+    # try_cast — the probe mechanism is identical.)
+    res = run_probe(spark, "try_cast('zzz' AS int)")
+    assert res.status == "warning"
+    assert "improper type casting" in res.message
+
+
+def test_probe_extraneous_input(spark):
+    # miniSparky.py:73-77: injected extra select item -> error
+    res = run_probe(spark, "1 as col1, 2")
+    assert res.status == "error"
+    assert "Extraneous input" in res.message
+
+
+def test_probe_aggregate_wrapping(spark):
+    sql = build_probe_sql(
+        "SUM([orders].x) + [This].y",
+        {"orders.x": "bigint", "This.y": "int"},
+    )
+    assert "first_value(" in sql  # non-aggregated param wrapped (:51-53)
+    res = run_probe(
+        spark,
+        "SUM([orders].x) + [This].y",
+        {"orders.x": "bigint", "This.y": "int"},
+    )
+    assert res.status == "success"
+    assert res.data_type == "bigint"
+
+
+def test_check_boolean(spark):
+    check_boolean(spark, "[This].a = [Related].b", {"This.a": "bigint", "Related.b": "bigint"})
+    with pytest.raises(ProjectError, match="must be boolean"):
+        check_boolean(spark, "[This].a + 1", {"This.a": "bigint"})
+
+
+def test_probe_window_expression(spark):
+    res = run_probe(
+        spark,
+        "ROW_NUMBER() OVER (PARTITION BY [This].k ORDER BY [This].t)",
+        {"This.k": "string", "This.t": "timestamp"},
+    )
+    assert res.status == "success"
+    assert res.data_type == "int"

@@ -1,0 +1,183 @@
+"""Structured Streaming extension tests: the streaming operators must
+agree with their batch-oracle counterparts when run over the same finite
+input (availableNow trigger -> memory sink)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _run_to_memory(df, name: str, spark):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_windowed_aggregate_matches_batch(spark, sf_dir):
+    from dataforge_core_spark.operators.events import events_hourly
+    from dataforge_core_spark.streaming import (
+        stream_events,
+        windowed_aggregate,
+    )
+
+    stream = stream_events(spark, sf_dir)
+    assert stream.isStreaming
+    agg = windowed_aggregate(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("hourly_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.table("hourly_stream").collect()
+    }
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in events_hourly(spark, sf_dir)
+        .selectExpr(
+            "window_start",
+            "event_type",
+            "n_events",
+            "CAST(total_value AS DECIMAL(22,2)) AS total_value",
+        )
+        .collect()
+    }
+    assert set(got) == set(batch)
+    for k in batch:
+        assert got[k][0] == batch[k][0], k
+        assert float(got[k][1]) == float(batch[k][1]), k
+
+
+def test_stream_source_rule_compilation(spark, sf_dir):
+    """A stream source compiles through the same rule engine (stateless
+    rules + static lookups) and produces the batch-equivalent rows."""
+    from dataforge_core_spark.loader import parse_source_dict
+    from dataforge_core_spark.model import Project
+    from dataforge_core_spark.streaming import (
+        compile_stream_source,
+        stream_events,
+    )
+
+    src = parse_source_dict(
+        {
+            "source_name": "events_stream",
+            "source_table": "stream",
+            "target_table": "enriched_events_stream",
+            "processing_type": "stream",
+            "raw_attributes": [
+                "event_id long",
+                "ts timestamp",
+                "user_id long",
+                "event_type string",
+                "value double",
+                "props string",
+            ],
+            "rules": [
+                {
+                    "name": "value_bucket",
+                    "expression": (
+                        "CASE WHEN [This].value >= 100 THEN 'high' "
+                        "ELSE 'low' END"
+                    ),
+                },
+                {
+                    "name": "prop_k",
+                    "expression": (
+                        "CAST(get_json_object([This].props, '$.k') AS bigint)"
+                    ),
+                },
+            ],
+        }
+    )
+    project = Project(sources=[src])
+    stream = stream_events(spark, sf_dir)
+    enriched = compile_stream_source(spark, project, src, stream)
+    assert enriched.isStreaming
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("enriched_stream")
+    n = rows.count()
+    assert n > 0
+    assert rows.filter("value_bucket NOT IN ('high','low')").count() == 0
+    assert rows.filter("prop_k IS NULL").count() == 0
+
+
+def test_stream_rejects_stateful_rules(spark):
+    from dataforge_core_spark.loader import parse_source_dict
+    from dataforge_core_spark.model import Project, ProjectError
+    from dataforge_core_spark.streaming import validate_stream_rules
+
+    base = {
+        "source_name": "s",
+        "source_table": "t",
+        "target_table": "h",
+        "raw_attributes": ["a long"],
+    }
+    for bad_rule, err in [
+        (
+            {"name": "w", "expression": "SUM([This].a) OVER (ORDER BY [This].a)"},
+            "window",
+        ),
+        ({"name": "u", "expression": "[This].a + 1", "unique": True}, "unique"),
+        (
+            {"name": "k", "expression": "[This].a + 1", "keep_current": True},
+            "keep_current",
+        ),
+    ]:
+        src = parse_source_dict({**base, "rules": [bad_rule]})
+        with pytest.raises(ProjectError):
+            validate_stream_rules(Project(sources=[src]), src)
+
+
+def test_stateful_sessionization(spark, sf_dir):
+    """applyInPandasWithState sessionizer over the finite stream: session
+    counts per user must match the batch window-based sessionization."""
+    from dataforge_core_spark.operators.events import events_sessionize
+    from dataforge_core_spark.streaming import (
+        sessionize_stateful,
+        stream_events,
+    )
+
+    stream = stream_events(spark, sf_dir)
+    sess = sessionize_stateful(stream)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.table("sessions_stream")
+    # availableNow + timeout: open sessions may not be emitted before the
+    # query stops; closed sessions must match the batch assignment's count
+    # of non-final sessions.
+    batch = events_sessionize(spark, sf_dir)
+    batch_sessions = (
+        batch.groupBy("user_id")
+        .agg({"session_number": "max"})
+        .withColumnRenamed("max(session_number)", "n_sessions")
+    )
+    got_counts = {
+        r["user_id"]: r["cnt"]
+        for r in got.groupBy("user_id").count().withColumnRenamed("count", "cnt").collect()
+    }
+    for r in batch_sessions.collect():
+        # closed sessions emitted <= total sessions per user
+        assert got_counts.get(r["user_id"], 0) <= r["n_sessions"]

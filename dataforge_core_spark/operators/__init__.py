@@ -18,11 +18,13 @@ def _modules():
         dedup,
         events,
         multimodal,
+        nested,
         similarity,
+        simhash,
         text,
     )
 
-    return [dedup, similarity, text, events, multimodal]
+    return [dedup, simhash, similarity, text, events, multimodal, nested]
 
 
 def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,149 @@
+"""SimHash near-duplicate detection over ``documents``.
+
+64-bit simhash built from md5(token) nibbles: for each of 64 bit
+positions, sum +1/-1 over all token occurrences (weighted by frequency)
+and take the sign.  Everything is plain integer/string SQL — 64 SUM
+aggregates in one wide hash-aggregate pass (whole-stage codegen; one
+shuffle keyed by doc_id), identical arithmetic in the DuckDB oracle.
+
+Near-dup pairs use 4-block banding (Pigeonhole: hamming<=12 over 64 bits
+guarantees >=1 of 4 16-bit blocks equal ... for hamming<=3; in general
+banding is a recall/cost dial): pairs sharing any block are verified with
+an exact hamming distance.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+HAMMING_MAX = 12
+_HEX = "0123456789abcdef"
+
+_SPARK_TOK = "split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' ')"
+_DUCK_TOK = "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+
+
+def _digit(dialect: str, expr: str, j: int) -> str:
+    """0-based hex-digit value (0..15) of digit j (1-based) of `expr`."""
+    pos = "instr" if dialect == "spark" else "strpos"
+    return f"({pos}('{_HEX}', substr({expr}, {j}, 1)) - 1)"
+
+
+def _sig_select(dialect: str) -> str:
+    """64 signed-sum aggregates -> 16 hex digits -> simhash string."""
+    sums = []
+    for j in range(1, 17):
+        d = _digit(dialect, "h16", j)
+        for k, p in enumerate([8, 4, 2, 1]):
+            bit = f"(CAST(floor({d} / {p}) AS INT) % 2)"
+            sums.append(
+                f"SUM(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS b_{j}_{k}"
+            )
+    return ", ".join(sums)
+
+
+def _assemble(dialect: str) -> str:
+    digits = []
+    for j in range(1, 17):
+        v = " + ".join(
+            f"(CASE WHEN b_{j}_{k} >= 0 THEN {w} ELSE 0 END)"
+            for k, w in enumerate([8, 4, 2, 1])
+        )
+        digits.append(f"substr('{_HEX}', ({v}) + 1, 1)")
+    if dialect == "spark":
+        return "concat(" + ", ".join(digits) + ")"
+    return " || ".join(digits)
+
+
+def _sig_sql(dialect: str) -> str:
+    tok = _SPARK_TOK if dialect == "spark" else _DUCK_TOK
+    flat = (
+        "SELECT doc_id, explode(tok) AS tk FROM toks"
+        if dialect == "spark"
+        else "SELECT doc_id, unnest(tok) AS tk FROM toks"
+    )
+    return f"""
+        WITH toks AS (SELECT doc_id, {tok} AS tok FROM documents),
+        td AS (SELECT doc_id, substr(md5(tk), 1, 16) AS h16 FROM ({flat})),
+        sums AS (SELECT doc_id, {_sig_select(dialect)} FROM td GROUP BY doc_id)
+        SELECT doc_id, {_assemble(dialect)} AS simhash FROM sums
+    """
+
+
+def _hamming(dialect: str, a: str, b: str) -> str:
+    terms = []
+    for j in range(1, 17):
+        da = _digit(dialect, a, j)
+        db = _digit(dialect, b, j)
+        if dialect == "spark":
+            terms.append(f"bit_count({da} ^ {db})")
+        else:
+            terms.append(f"bit_count(xor(CAST({da} AS BIGINT), CAST({db} AS BIGINT)))")
+    return " + ".join(terms)
+
+
+def _pairs_sql(dialect: str) -> str:
+    blocks = ", ".join(
+        f"substr(simhash, {i * 4 + 1}, 4)" for i in range(4)
+    )
+    if dialect == "spark":
+        band = (
+            f"SELECT doc_id, simhash, posexplode(array({blocks})) AS (bno, blk)"
+            " FROM sig"
+        )
+    else:
+        unnests = " UNION ALL ".join(
+            f"SELECT doc_id, simhash, {i} AS bno, "
+            f"substr(simhash, {i * 4 + 1}, 4) AS blk FROM sig"
+            for i in range(4)
+        )
+        band = unnests
+    ham = _hamming(dialect, "a.simhash", "b.simhash")
+    return f"""
+        WITH sig AS ({_sig_sql(dialect)}),
+        bands AS ({band}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.simhash AS sig_a, b.simhash AS sig_b
+          FROM bands a JOIN bands b
+            ON a.bno = b.bno AND a.blk = b.blk AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST({_hamming(dialect, 'sig_a', 'sig_b')} AS INT) AS hamming
+        FROM cand
+        WHERE {_hamming(dialect, 'sig_a', 'sig_b')} <= {HAMMING_MAX}
+        """
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 64-bit simhash (16 hex chars)."""
+    par = spark.sparkContext.defaultParallelism
+    spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        par, "doc_id"
+    ).createOrReplaceTempView("documents")
+    return spark.sql(_sig_sql("spark"))
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-banded near-dup candidate pairs with exact hamming verify."""
+    par = spark.sparkContext.defaultParallelism
+    spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        par, "doc_id"
+    ).createOrReplaceTempView("documents")
+    return spark.sql(_pairs_sql("spark"))
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "dedup_simhash": dedup_simhash,
+        "dedup_simhash_pairs": dedup_simhash_pairs,
+    }
+
+
+def oracles() -> dict[str, str]:
+    return {
+        "dedup_simhash": _sig_sql("duck"),
+        "dedup_simhash_pairs": _pairs_sql("duck"),
+    }

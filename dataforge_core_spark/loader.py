@@ -80,13 +80,25 @@ def _parse_rule(item: dict) -> Rule:
     if rtype not in ("E", "V"):
         # CHECK constraint "12 enrichmentTable.sql":34
         raise ProjectError(f"rule_type must be E or V, got {rtype!r}")
+    expression = str(item["expression"])
+    # W2: window rules auto-set keep_current
+    # (impc_upsert_enrichments.sql:21 — COALESCE(keep_current_flag,
+    #  expression ~* 'over\s*\(.*\)'))
+    import re as _re
+
+    keep_current = bool(
+        item.get(
+            "keep_current",
+            bool(_re.search(r"(?i)over\s*\(", expression)),
+        )
+    )
     return Rule(
         name=item["name"],
-        expression=str(item["expression"]),
+        expression=expression,
         rule_type=rtype,
         validation_action=item.get("validation_action", "F"),
         unique=bool(item.get("unique", False)),
-        keep_current=bool(item.get("keep_current", False)),
+        keep_current=keep_current,
         cast_datatype=item.get("cast_datatype"),
         parameters=params,
     )

@@ -14,16 +14,26 @@ Coverage map (SURVEY.md §2 -> query):
   J2 multi-hop chain         -> hub_customer.region_name, hub_lineitem.c_name,
                                 hub_lineitem.cust_nation_name (explicit 3-hop)
   J4 theta/expr keys         -> hub_lineitem.supplier_name (CAST key)
+  J3 self-join               -> tests/test_selfjoin.py (explicit self path)
   J5 correlated aggregate    -> hub_customer.total_spend/order_count/...,
                                 hub_part.* (incl. aggregate over a rule),
                                 hub_customer.nation_supplier_count (multi-hop)
   J7 uniqueness guard        -> hub_lineitem.supplier_name (uv_flag conjunct)
-  A1-A4 aggregations         -> hub aggregates + output_feature_customer
-                                (sum/count/count distinct + GROUP BY)
+  A1-A4 aggregations         -> hub aggregates (sum/count/max/max_by/median/
+                                count DISTINCT/collect_set) +
+                                output_feature_customer (GROUP BY + DISTINCT)
   W1 window functions        -> hub_orders.cust_order_rank
   O2 UNION + typed-null fill -> output_entity_union
   V1-V4 validation rules     -> *_valid rules, s_validation_status_code,
                                 channel pass routing, s_suppkey_str_uv_flag
+  §2.11 nested / sub-source  -> nested_roundtrip, nested_aggregate
+  §2.9 streaming (extension) -> tests/test_streaming.py (batch parity)
+  LLM-pipeline operators     -> dedup_exact / dedup_minhash /
+                                dedup_ngram_jaccard / dedup_simhash[_pairs],
+                                ann_bruteforce / ann_ivf_label,
+                                text_tokens/quality/lang_id/fingerprint,
+                                events_hourly/sessionize/json/asof_order,
+                                multimodal_meta / multimodal_frame_sample
 """
 
 from __future__ import annotations
@@ -143,6 +153,10 @@ customer_h AS (
               THEN CAST(og.total_spend AS DOUBLE) / COALESCE(og.order_count, 0)
          END AS avg_order_price,
          COALESCE(sg.cnt, 0) AS nation_supplier_count,
+         og.last_order_status,
+         og.median_order_price,
+         COALESCE(og.distinct_status_count, 0) AS distinct_status_count,
+         list_sort(COALESCE(og.statuses, [])) AS order_statuses,
          CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) AS DECIMAL(38,12))
            AS acctbal_dec,
          c.c_acctbal IS NOT NULL AS acctbal_present,
@@ -154,7 +168,13 @@ customer_h AS (
     SELECT o_custkey,
            CAST(SUM(o_totalprice_dec) AS DECIMAL(38,12)) AS total_spend,
            COUNT(o_orderkey) AS order_count,
-           MAX(o_totalprice) AS max_order_price
+           MAX(o_totalprice) AS max_order_price,
+           max_by(o_orderstatus,
+                  CAST(epoch(o_orderdate) AS BIGINT) * 10000000 + o_orderkey)
+             AS last_order_status,
+           median(o_totalprice) AS median_order_price,
+           COUNT(DISTINCT o_orderstatus) AS distinct_status_count,
+           list(DISTINCT o_orderstatus) AS statuses
     FROM orders_h GROUP BY o_custkey
   ) og ON c.c_custkey = og.o_custkey
   LEFT JOIN (

@@ -219,11 +219,12 @@ class SqlEmitter:
             key_sql.append(f"{_bare(dst_text)} AS k{j}")
             group_sql.append(_bare(dst_text))
             our_sql.append(_bare(src_text))
-        aggs = ", ".join(
-            f"{c.func}({'DISTINCT ' if c.distinct else ''}{inner}) "
-            f"AS `a{k}`"
-            for k, (c, out, inner) in enumerate(join.aggs)
-        )
+        agg_parts = []
+        for k, (c, out, inner) in enumerate(join.aggs):
+            inner_clean = re.sub(r"(?i)^\s*distinct\s+", "", inner.strip())
+            d = "DISTINCT " if c.distinct else ""
+            agg_parts.append(f"{c.func}({d}{inner_clean}) AS `a{k}`")
+        aggs = ", ".join(agg_parts)
         sub = (
             f"(SELECT {', '.join(key_sql)}, {aggs} FROM {target_hub} "
             f"GROUP BY {', '.join(group_sql)})"

@@ -1,0 +1,101 @@
+"""Output sub-types (S5 — u_validate_output.sql:21-76) + channel routing."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+
+def _mini_project(sf_dir):
+    from dataforge_core_spark.loader import parse_output_dict, parse_source_dict
+    from dataforge_core_spark.model import Project
+
+    src = parse_source_dict(
+        {
+            "source_name": "nation_min",
+            "source_table": f"{sf_dir}/nation.parquet",
+            "target_table": "hub_nation_min",
+            "raw_attributes": ["n_nationkey int", "n_name string"],
+        }
+    )
+
+    def out(name, output_type, file_format=None, columns=None):
+        return parse_output_dict(
+            {
+                "output_name": name,
+                "output_type": output_type,
+                "file_format": file_format,
+                "columns": columns or ["nation string", "key int"],
+                "channels": [
+                    {
+                        "source_name": "nation_min",
+                        "mappings": ["n_name nation", "n_nationkey key"],
+                    }
+                ],
+            }
+        )
+
+    return Project(sources=[src]), out
+
+
+def test_virtual_and_file_outputs(spark, sf_dir, tmp_path):
+    from dataforge_core_spark.runner import ProjectRunner
+
+    project, out = _mini_project(sf_dir)
+    project.outputs = [
+        out("v_nations", "virtual"),
+        out("f_nations", "file", "parquet"),
+        out("t_nations", "text", None, None),
+    ]
+    # text outputs must be single-column (u_validate_output.sql:39-41)
+    project.outputs[2] = out(
+        "t_nations", "file", "text", ["nation string"]
+    )
+    project.outputs[2].channels[0].mappings = (
+        project.outputs[2].channels[0].mappings[:1]
+    )
+    runner = ProjectRunner(spark, project, persist_hubs=False)
+    runner.materialize(str(tmp_path))
+    n = spark.table("v_nations").count()
+    assert n > 0
+    pq = spark.read.parquet(str(tmp_path / "f_nations"))
+    assert pq.count() == n
+    txt = spark.read.text(str(tmp_path / "t_nations"))
+    assert txt.count() == n
+
+
+def test_text_output_multi_column_rejected(spark, sf_dir, tmp_path):
+    from dataforge_core_spark.model import ProjectError
+    from dataforge_core_spark.runner import ProjectRunner
+
+    project, out = _mini_project(sf_dir)
+    project.outputs = [out("bad_text", "file", "text")]
+    runner = ProjectRunner(spark, project, persist_hubs=False)
+    with pytest.raises(ProjectError, match="exactly one column"):
+        runner.materialize(str(tmp_path))
+
+
+def test_aggregate_mapping_requires_aggregate_op(spark, sf_dir):
+    from dataforge_core_spark.loader import parse_output_dict
+    from dataforge_core_spark.model import ProjectError
+    from dataforge_core_spark.runner import ProjectRunner
+
+    project, _ = _mini_project(sf_dir)
+    project.outputs = [
+        parse_output_dict(
+            {
+                "output_name": "bad",
+                "columns": ["n long"],
+                "channels": [
+                    {
+                        "source_name": "nation_min",
+                        "mappings": ["count(n_nationkey) n"],
+                    }
+                ],
+            }
+        )
+    ]
+    runner = ProjectRunner(spark, project, persist_hubs=False)
+    with pytest.raises(ProjectError, match="operation_type"):
+        runner.build_outputs()

@@ -436,6 +436,9 @@ class SourceCompiler:
 
         parts: list[DataFrame] = []
         for ch in output.channels:
+            if ch.unpivot:
+                # u_output_generate_query.sql:101 — verbatim
+                raise ProjectError("Unpivot not supported yet!")
             src = self._by_name.get(ch.source_name)
             if src is None:
                 raise ProjectError(

@@ -154,6 +154,7 @@ def parse_output_dict(d: dict) -> Output:
                 include_pass=bool(ch.get("include_pass", True)),
                 include_warn=bool(ch.get("include_warn", False)),
                 include_fail=bool(ch.get("include_fail", False)),
+                unpivot=ch.get("unpivot"),
             )
         )
     return Output(

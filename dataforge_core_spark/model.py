@@ -209,6 +209,10 @@ class Channel:
     include_pass: bool = True
     include_warn: bool = False
     include_fail: bool = False
+    # declared but rejected by the reference ("Unpivot not supported
+    # yet!" — u_output_generate_query.sql:101; unpivot_list column
+    # 12 outputSourceTable.sql:8); kept for error parity
+    unpivot: list[str] | None = None
 
 
 @dataclass

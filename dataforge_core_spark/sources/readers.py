@@ -69,7 +69,22 @@ def read_source(
                 f"present in {source.source_table!r}"
             )
         if attr.schema_json is not None:
-            dt = T.DataType.fromJson(attr.schema_json)
+            # round-trip the Spark DataType JSON via a one-field struct
+            # (StructType.fromJson is the public parser; datatype_schema
+            # columns store field.dataType.json() — miniSparky.py:63)
+            dt = T.StructType.fromJson(
+                {
+                    "type": "struct",
+                    "fields": [
+                        {
+                            "name": "f",
+                            "type": attr.schema_json,
+                            "nullable": True,
+                            "metadata": {},
+                        }
+                    ],
+                }
+            ).fields[0].dataType
             cols.append(F.col(attr.name).cast(dt).alias(attr.name))
         else:
             cols.append(F.col(attr.name).cast(attr.spark_ddl).alias(attr.name))

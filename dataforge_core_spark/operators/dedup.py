@@ -93,13 +93,17 @@ def _band_keys(bands: int, r: int) -> list[str]:
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact duplicate groups keyed by md5 of normalized text."""
+    """Exact duplicate groups keyed by md5 of normalized text.
+
+    The REPARTITION hint spreads the single-file local scan; the window's
+    partition key is the digest, so group state is one shuffle wide."""
+    par = spark.sparkContext.defaultParallelism
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
         "documents"
     )
     return spark.sql(
         f"""
-        SELECT doc_id,
+        SELECT /*+ REPARTITION({par}) */ doc_id,
                MIN(doc_id)  OVER (PARTITION BY k) AS canonical_id,
                COUNT(*)     OVER (PARTITION BY k) AS group_size,
                doc_id <> MIN(doc_id) OVER (PARTITION BY k) AS is_dup

@@ -20,8 +20,15 @@ from pyspark.sql import DataFrame, SparkSession
 SESSION_GAP_MIN = 30
 
 
+_views_done: set = set()
+
+
 def _views(spark: SparkSession, sf_dir: str) -> None:
     from pyspark.sql import functions as F, types as T
+
+    if (id(spark), sf_dir) in _views_done:
+        return
+    _views_done.add((id(spark), sf_dir))
 
     # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
     # parquet reader rejects; read nanos as long and truncate to micros —
@@ -167,12 +174,41 @@ GROUP BY e.event_id, e.user_id, e.ts
 """
 
 
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets rollup (A6 — absent from the reference, free in
+    Spark): per (event_type, day) with day and grand-total subtotals."""
+    _views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,12))
+                 AS total_value
+        FROM events
+        GROUP BY ROLLUP (event_type, CAST(date_trunc('day', ts) AS DATE))
+        """
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT event_type,
+       CAST(date_trunc('day', ts) AS DATE) AS day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,12))
+         AS total_value
+FROM events
+GROUP BY ROLLUP (event_type, CAST(date_trunc('day', ts) AS DATE))
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "events_hourly": events_hourly,
         "events_sessionize": events_sessionize,
         "events_json": events_json,
         "events_asof_order": events_asof_order,
+        "events_rollup": events_rollup,
     }
 
 
@@ -182,4 +218,5 @@ def oracles() -> dict[str, str]:
         "events_sessionize": _SESSIONIZE_ORACLE,
         "events_json": _JSON_ORACLE,
         "events_asof_order": _ASOF_ORACLE,
+        "events_rollup": _ROLLUP_ORACLE,
     }

@@ -117,22 +117,64 @@ def _pairs_sql(dialect: str) -> str:
         """
 
 
+_sig_cache: dict = {}
+
+
+def _sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted signature relation — the band self-join references it
+    twice; without the persist Spark recomputes the full signature
+    pipeline per reference (CTEs are inlined)."""
+    key = (id(spark), sf_dir)
+    if key not in _sig_cache:
+        par = spark.sparkContext.defaultParallelism
+        spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+            par, "doc_id"
+        ).createOrReplaceTempView("documents")
+        _sig_cache[key] = spark.sql(_sig_sql("spark")).persist()
+    return _sig_cache[key]
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 64-bit simhash (16 hex chars)."""
-    par = spark.sparkContext.defaultParallelism
-    spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
-        par, "doc_id"
-    ).createOrReplaceTempView("documents")
-    return spark.sql(_sig_sql("spark"))
+    return _sig_df(spark, sf_dir)
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-banded near-dup candidate pairs with exact hamming verify."""
-    par = spark.sparkContext.defaultParallelism
-    spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
-        par, "doc_id"
-    ).createOrReplaceTempView("documents")
-    return spark.sql(_pairs_sql("spark"))
+    from pyspark.sql import functions as F
+
+    sig = _sig_df(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[F.substring("simhash", i * 4 + 1, 4) for i in range(4)]
+            )
+        ).alias("bno", "blk"),
+    )
+    b2 = bands.toDF("doc_id_b", "simhash_b", "bno_b", "blk_b")
+    cand = (
+        bands.join(
+            b2,
+            (F.col("bno") == F.col("bno_b"))
+            & (F.col("blk") == F.col("blk_b"))
+            & (F.col("doc_id") < F.col("doc_id_b")),
+        )
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("doc_id_b").alias("doc_b"),
+            F.col("simhash").alias("sig_a"),
+            F.col("simhash_b").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = _hamming("spark", "sig_a", "sig_b")
+    return (
+        cand.withColumn("hamming", F.expr(f"CAST({ham} AS INT)"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -123,15 +123,80 @@ class SourceCompiler:
     def plan(self, source: Source) -> SourcePlan:
         return plan_source(self.project, self.graph, source)
 
+    def recalculation_closure(self, source: Source) -> set[str]:
+        """Rules recomputed in 'recalculation' mode: keep_current rules +
+        every rule downstream of them (u_enr_query_generate_elements.sql:
+        62-75; child closure u_enr_query_get_enrichment_children.sql)."""
+        plan = self.plan(source)
+        affected = {r.name for r in source.rules if r.keep_current}
+        changed = True
+        while changed:
+            changed = False
+            for name, el in plan.rules.items():
+                if name in affected:
+                    continue
+                join_dep_rules = set()
+                for pid in el.join_deps:
+                    join_dep_rules |= plan.joins[pid].deps
+                if (el.deps | join_dep_rules) & affected:
+                    affected.add(name)
+                    changed = True
+        return affected
+
+    def recalculate(
+        self, source: Source, existing: DataFrame, hubs: dict[str, DataFrame]
+    ) -> DataFrame:
+        """Incremental 'recalculation' run (W4): start from the existing
+        hub, drop only the affected columns, recompute them.
+
+        Unaffected rule columns are *read back*, not recomputed — the
+        point of the mode at scale (window rules must see the full table,
+        everything else is reused).  Semantically identical to a full
+        rebuild on unchanged inputs.
+        """
+        affected = self.recalculation_closure(source)
+        if not affected:
+            return existing
+        plan = self.plan(source)
+        drop = list(affected)
+        drop += [f"{r.name}_uv_flag" for r in source.rules if r.unique and r.name in affected]
+        if any(r.rule_type == "V" for r in source.rules):
+            drop.append("s_validation_status_code")
+        base = existing.drop(*[c for c in drop if c in existing.columns])
+        return self._compile(
+            source, base, hubs, plan=plan, only_rules=affected,
+            precomputed={r.name for r in source.rules if r.name not in affected},
+        )
+
     def compile_source(
         self, source: Source, base: DataFrame, hubs: dict[str, DataFrame]
     ) -> DataFrame:
         """base: DataFrame holding the source's raw attributes (already
         cast to declared types); hubs: previously-built hub DataFrames."""
-        plan = self.plan(source)
+        return self._compile(source, base, hubs)
+
+    def _compile(
+        self,
+        source: Source,
+        base: DataFrame,
+        hubs: dict[str, DataFrame],
+        plan: SourcePlan | None = None,
+        only_rules: set[str] | None = None,
+        precomputed: set[str] | None = None,
+    ) -> DataFrame:
+        plan = plan or self.plan(source)
         df = base
         applied: set[str] = set()
         computed: set[str] = {a.name for a in source.raw_attributes}
+        computed |= precomputed or set()
+        if only_rules is not None:
+            # joins needed only by untouched rules stay unapplied
+            needed_joins = set()
+            for name in only_rules:
+                needed_joins |= plan.rules[name].join_deps
+            for pid in list(plan.joins):
+                if pid not in needed_joins:
+                    applied.add(pid)
 
         def ready_joins() -> list[JoinElement]:
             return [
@@ -147,8 +212,15 @@ class SourceCompiler:
             return df
 
         df = apply_ready(df)
-        for level in plan.levels:
+        for full_level in plan.levels:
+            level = [
+                n
+                for n in full_level
+                if only_rules is None or n in only_rules
+            ]
             if not level:
+                computed |= set(full_level)
+                df = apply_ready(df)
                 continue
             cols: dict[str, Column] = {}
             for name in level:
@@ -180,7 +252,7 @@ class SourceCompiler:
                         f"{name}_uv_flag",
                         F.count(F.lit(1)).over(Window.partitionBy(name)) == 1,
                     )
-            computed |= set(level)
+            computed |= set(full_level)
             df = apply_ready(df)
 
         if len(applied) != len(plan.joins):

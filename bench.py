@@ -19,10 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# every queries() entry except the quadratic-pair diagnostics that are not
-# meaningful as throughput headlines (ngram pair join is covered by
-# dedup_minhash's banded form)
-EXCLUDE = {"dedup_ngram_jaccard"}
+EXCLUDE: set[str] = set()
 
 
 def main() -> None:

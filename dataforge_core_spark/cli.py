@@ -54,23 +54,20 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.validate:
-        from dataforge_core_spark.probe import run_probe
+        from dataforge_core_spark.probe import validate_project
         from dataforge_core_spark.session import get_spark
 
         project = load_project(args.validate)
         spark = get_spark(app_name="dataforge_validate")
         failures = 0
-        for src in project.sources:
-            for rule in src.rules:
-                res = run_probe(spark, rule.expression)
-                tag = f"{src.source_name}.{rule.name}"
-                if res.status == "error":
-                    failures += 1
-                    print(f"ERROR {tag}: {res.message}")
-                elif res.status == "warning":
-                    print(f"WARN  {tag}: {res.message}")
-                else:
-                    print(f"ok    {tag}: {res.data_type}")
+        for row in validate_project(spark, project):
+            if row["status"] == "error":
+                failures += 1
+                print(f"ERROR {row['kind']} {row['name']}: {row['message']}")
+            elif row["status"] == "warning":
+                print(f"WARN  {row['kind']} {row['name']}: {row['message']}")
+            else:
+                print(f"ok    {row['kind']} {row['name']}: {row['data_type']}")
         if failures:
             print(f"Validation failed: {failures} errors")
             return 1

@@ -145,6 +145,149 @@ def run_probe(
     )
 
 
+_SIMPLE_TO_VIEW_COL = {
+    "string": "string",
+    "boolean": "boolean",
+    "int": "int",
+    "smallint": "int",
+    "tinyint": "int",
+    "bigint": "bigint",
+    "float": "float",
+    "double": "double",
+    "date": "date",
+    "timestamp": "timestamp",
+}
+
+
+def _view_col_for(simple_type: str) -> str:
+    if simple_type.startswith("decimal"):
+        return "decimal"
+    return _SIMPLE_TO_VIEW_COL.get(simple_type, "string")
+
+
+def validate_project(spark: SparkSession, project) -> list[dict]:
+    """Dependency-ordered probe waves over a whole project — the
+    reference's import loop (importProject.py:81-111: expressions become
+    testable once their parameters' types are known; ≤20 waves).
+
+    Returns one report row per rule / relation / filter:
+    {kind, name, status, data_type, message}.
+    """
+    from dataforge_core_spark.compiler import SourceCompiler
+    from dataforge_core_spark.parser import parse_expression
+
+    compiler = SourceCompiler(spark, project)
+    report: list[dict] = []
+    # (source_name, attr) -> datatypes-view column name
+    types: dict[tuple[str, str], str] = {}
+    for src in project.sources:
+        for a in src.raw_attributes:
+            if a.hive_type is not None:
+                types[(src.source_name, a.name)] = _view_col_for(
+                    HIVE_TO_SPARK_DDL_SIMPLE.get(a.hive_type, a.hive_type)
+                )
+            else:
+                types[(src.source_name, a.name)] = "string"
+
+    by_name = project.source_by_name()
+
+    def param_types_for(src_name: str, expression: str) -> dict[str, str]:
+        parsed = parse_expression(expression, allow_this_agg=True)
+        out: dict[str, str] = {}
+        for t in parsed.all_tokens():
+            owner = src_name if t.source in ("This", "Related") else t.source
+            col = types.get((owner, t.attr), "string")
+            out[f"{t.source}.{t.attr}"] = col
+        return out
+
+    # probe rules wave-by-wave: a source's rules in level order, sources
+    # in topological order so cross-source lookups see inferred types
+    from dataforge_core_spark.runner import ProjectRunner
+
+    runner = ProjectRunner(spark, project)
+    for level in runner.topo_order():
+        for name in level:
+            src = by_name[name]
+            plan = compiler.plan(src)
+            for lv in plan.levels:
+                for rule_name in lv:
+                    rule = src.rule_by_name()[rule_name]
+                    res = run_probe(
+                        spark,
+                        rule.expression,
+                        param_types_for(name, rule.expression),
+                    )
+                    report.append(
+                        {
+                            "kind": "rule",
+                            "name": f"{name}.{rule_name}",
+                            "status": res.status,
+                            "data_type": res.data_type,
+                            "message": res.message,
+                        }
+                    )
+                    if res.data_type:
+                        types[(name, rule_name)] = _view_col_for(res.data_type)
+
+    for rel in project.relations:
+        left, _, right = rel.decode()
+        ptypes: dict[str, str] = {}
+        parsed = parse_expression(rel.expression, allow_this_agg=True)
+        for t in parsed.tokens:
+            owner = left if t.source == "This" else right
+            ptypes[f"{t.source}.{t.attr}"] = types.get((owner, t.attr), "string")
+        res = run_probe(spark, rel.expression, ptypes)
+        ok = res.status != "error" and res.data_type == "boolean"
+        report.append(
+            {
+                "kind": "relation",
+                "name": rel.name,
+                "status": "success" if ok else "error",
+                "data_type": res.data_type,
+                "message": res.message
+                if res.status == "error"
+                else (None if ok else "relation must be boolean"),
+            }
+        )
+
+    for out in project.outputs:
+        for ch in out.channels:
+            if not ch.filter:
+                continue
+            res = run_probe(
+                spark, ch.filter, param_types_for(ch.source_name, ch.filter)
+            )
+            ok = res.status != "error" and res.data_type == "boolean"
+            report.append(
+                {
+                    "kind": "filter",
+                    "name": f"{out.output_name}/{ch.source_name}",
+                    "status": "success" if ok else "error",
+                    "data_type": res.data_type,
+                    "message": res.message
+                    if res.status == "error"
+                    else (None if ok else "filter must be boolean"),
+                }
+            )
+    return report
+
+
+# user-facing hive type -> simple Spark type for view-column mapping
+HIVE_TO_SPARK_DDL_SIMPLE = {
+    "string": "string",
+    "decimal": "decimal(38,12)",
+    "timestamp": "timestamp",
+    "boolean": "boolean",
+    "int": "int",
+    "integer": "int",
+    "long": "bigint",
+    "float": "float",
+    "double": "double",
+    "date": "date",
+    "binary": "string",
+}
+
+
 def check_boolean(
     spark: SparkSession,
     expression: str,

@@ -72,3 +72,23 @@ def test_probe_window_expression(spark):
     )
     assert res.status == "success"
     assert res.data_type == "int"
+
+
+def test_validate_project_demo(spark):
+    """Dependency-ordered probe waves over the demo project: everything
+    probes clean with correctly inferred types."""
+    from dataforge_core_spark.loader import load_project
+    from dataforge_core_spark.probe import validate_project
+
+    project = load_project("projects/tpch_demo")
+    report = validate_project(spark, project)
+    errors = [r for r in report if r["status"] == "error"]
+    assert not errors, errors
+    by_name = {r["name"]: r for r in report if r["kind"] == "rule"}
+    assert by_name["tpch_lineitem.net_price_int"]["data_type"] == "bigint"
+    assert by_name["tpch_customer.order_statuses"]["data_type"] == "array<string>"
+    assert all(
+        r["data_type"] == "boolean"
+        for r in report
+        if r["kind"] in ("relation", "filter")
+    )

@@ -281,15 +281,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = _ex_df(spark, sf_dir)
     ea = ex.toDF("doc_a", "s")
     eb = ex.toDF("doc_b", "s_b")
-    cand = (
+    # the shingle join *is* the intersection count — one pass, no re-join
+    inter = (
         ea.join(
             eb,
             (F.col("s") == F.col("s_b")) & (F.col("doc_a") < F.col("doc_b")),
         )
-        .select("doc_a", "doc_b")
-        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter_n"))
     )
-    return _jaccard_verify(ex, cand)
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sizes.toDF("doc_a", "n_a")
+    sb = sizes.toDF("doc_b", "n_b")
+    jac = F.expr("CAST(inter_n AS DOUBLE) / (n_a + n_b - inter_n)")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
 
 
 _DEDUP_NGRAM_ORACLE = f"""

@@ -39,11 +39,14 @@ Coverage map (SURVEY.md §2 -> query):
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:  # robust under by-path module loading
+    sys.path.insert(0, _REPO)
 _PROJECT_DIR = os.path.join(_REPO, "projects", "tpch_demo")
 
 _hub_cache: dict = {}

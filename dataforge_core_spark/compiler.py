@@ -50,7 +50,6 @@ from dataforge_core_spark.parser import (
     equi_conjuncts,
     parse_expression,
     parse_relation_expression,
-    _quote_mask,
 )
 from dataforge_core_spark.paths import Hop, RelationGraph
 from dataforge_core_spark.plans.planner import (

@@ -202,8 +202,45 @@ GROUP BY ROLLUP (event_type, CAST(date_trunc('day', ts) AS DATE))
 """
 
 
+def events_user_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user aggregate via two-phase salted aggregation — the skew
+    pattern for hot keys at 100 TB: phase 1 groups by (user, salt) so one
+    hot user's rows spread over 16 reducers; phase 2 merges the partials.
+    The result is identical to a direct GROUP BY (the oracle *is* the
+    direct form); value sums stay decimal-exact so merging is orderless.
+    """
+    _views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH partial AS (
+          SELECT user_id, event_id % 16 AS salt,
+                 COUNT(*) AS n,
+                 SUM(CAST(value AS DECIMAL(12,2))) AS v
+          FROM events
+          GROUP BY user_id, event_id % 16
+        )
+        SELECT user_id,
+               SUM(n) AS n_events,
+               CAST(SUM(v) AS DECIMAL(38,12)) AS total_value
+        FROM partial
+        GROUP BY user_id
+        """
+    )
+
+
+_SALTED_ORACLE = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,12))
+         AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "events_user_stats_salted": events_user_stats_salted,
         "events_hourly": events_hourly,
         "events_sessionize": events_sessionize,
         "events_json": events_json,
@@ -214,6 +251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracles() -> dict[str, str]:
     return {
+        "events_user_stats_salted": _SALTED_ORACLE,
         "events_hourly": _HOURLY_ORACLE,
         "events_sessionize": _SESSIONIZE_ORACLE,
         "events_json": _JSON_ORACLE,

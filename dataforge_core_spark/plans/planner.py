@@ -29,7 +29,6 @@ from dataforge_core_spark.parser import (
     ParsedExpression,
     parse_expression,
     parse_relation_expression,
-    equi_conjuncts,
 )
 from dataforge_core_spark.paths import Path, RelationGraph
 

@@ -406,11 +406,10 @@ class SourceCompiler:
         m_hop = hops[-1]
         conj = equi_conjuncts(m_hop.relation.expression)
         if conj is None:
-            raise ProjectError(
-                f"Aggregation over non-equi relation "
-                f"{m_hop.relation.name!r} is not supported; express the "
-                "predicate as AND-ed equalities"
-            )
+            # arbitrary boolean M-hop predicate: the groupBy-on-foreign-key
+            # rewrite needs equi conjuncts; fall back to join + group on a
+            # synthetic row key (exact LATERAL semantics, more shuffle)
+            return self._apply_aggregate_nonequi(df, join, source, hubs)
         target = self._hub(m_hop.dst, hubs)
         # group keys: the M-target side of each equi conjunct
         # (dst side of the hop); rewrite [This]/[Related] tokens to bare cols
@@ -462,6 +461,70 @@ class SourceCompiler:
             )
 
         # LATERAL parity: empty correlated set -> 0 / [] instead of NULL
+        fixes: dict[str, Column] = {}
+        for call, out_col, _ in join.aggs:
+            if call.func in _EMPTY_ZERO:
+                fixes[out_col] = F.coalesce(
+                    F.col(out_col), F.lit(0).cast(dict(out.dtypes)[out_col])
+                )
+            elif call.func in _EMPTY_ARRAY:
+                dt = out.schema[out_col].dataType
+                fixes[out_col] = F.coalesce(
+                    F.col(out_col), F.from_json(F.lit("[]"), dt)
+                )
+        if fixes:
+            out = out.withColumns(fixes)
+        return out
+
+    def _apply_aggregate_nonequi(
+        self,
+        df: DataFrame,
+        join: JoinElement,
+        source: Source,
+        hubs: dict[str, DataFrame],
+    ) -> DataFrame:
+        """Correlated aggregate over a non-equi M-hop predicate (theta
+        LATERAL): join rows under the raw predicate and aggregate per
+        left row via a synthetic row key.
+
+        The row key is monotonically_increasing_id(), which is only
+        stable within one materialization — the keyed frame is persisted
+        so both the join and the final re-attach see the same ids.  At
+        scale prefer an equi-expressible predicate (the groupBy rewrite);
+        this path shuffles the full pair set.  Single-hop paths only —
+        multi-hop non-equi aggregates remain an error.
+        """
+        hops = join.path.hops
+        if len(hops) > 1:
+            raise ProjectError(
+                f"Multi-hop aggregation over non-equi relation "
+                f"{hops[-1].relation.name!r} is not supported"
+            )
+        m_hop = hops[0]
+        pid = join.pathid
+        rid = f"__{pid}__rid"
+        keyed = df.withColumn(rid, F.monotonically_increasing_id()).persist()
+        target = _prefix_all(self._hub(m_hop.dst, hubs), f"__{pid}_t__")
+        rules_dst = self._by_name[m_hop.dst].rule_by_name()
+        this_pref, rel_pref = (
+            (None, f"__{pid}_t__") if m_hop.forward else (f"__{pid}_t__", None)
+        )
+        cond = _rewrite_relation(m_hop, this_pref, rel_pref, rules_dst)
+        joined = keyed.join(target, F.expr(cond), "left")
+        aggs = []
+        for call, out_col, inner_sql in join.aggs:
+            inner = self._prefixed(inner_sql, f"__{pid}_t__")
+            inner = re.sub(r"(?i)^\s*distinct\s+", "", inner.strip())
+            distinct = "DISTINCT " if call.distinct else ""
+            aggs.append(F.expr(f"{call.func}({distinct}{inner})").alias(out_col))
+        aggdf = joined.groupBy(rid).agg(*aggs)
+        out = keyed.join(aggdf, rid, "left").drop(rid)
+        # left-joined rows with no match feed NULL target columns into the
+        # aggregates -> count() counts them; LATERAL parity needs count of
+        # *matching* rows.  count(col) over NULL columns already yields 0,
+        # and sum/avg/min/max ignore NULLs — semantics line up; only
+        # count(*)-style calls (no column ref) would differ and those
+        # cannot reference the target, so they are rejected upstream.
         fixes: dict[str, Column] = {}
         for call, out_col, _ in join.aggs:
             if call.func in _EMPTY_ZERO:

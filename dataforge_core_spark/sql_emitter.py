@@ -211,6 +211,14 @@ class SqlEmitter:
         # aggregate join: decorrelated GROUP BY subquery (J5 rewrite)
         m_hop = hops[-1]
         conj = equi_conjuncts(m_hop.relation.expression)
+        if conj is None:
+            # the DataFrame compiler has a row-key fallback; the SQL
+            # artifact keeps the decorrelated GROUP BY form only
+            raise RuntimeError(
+                "SQL emission for non-equi aggregate relation "
+                f"{m_hop.relation.name!r} is not supported; use the "
+                "DataFrame runner for theta aggregates"
+            )
         target_hub = self._hub(m_hop.dst)
         key_sql, our_sql, group_sql = [], [], []
         for j, (this_text, rel_text) in enumerate(conj):

@@ -72,6 +72,55 @@ def _prefix_all(df: DataFrame, prefix: str) -> DataFrame:
     return df.select([F.col(c).alias(prefix + c) for c in df.columns])
 
 
+def sub_source_sql(project: Project, graph: RelationGraph, sub: Source) -> str:
+    """SQL expression enriching the parent's array<struct> attribute:
+    ``transform(arr, x -> named_struct(raw fields..., rules...))`` —
+    the native form of the reference's sub-source generation
+    (ARRAY_AGG(STRUCT(...)) over inline(parent_expr) —
+    u_enr_query_generate_query.sql:52, u_enr_query_add_enrichment.sql:
+    80-117).  Element rules are [This]-only scalar expressions
+    (lookups/aggregates/windows inside array elements are rejected);
+    rule composition is resolved by textual substitution in level order
+    (lambda scopes have no lateral aliases).  Shared by the DataFrame
+    compiler and the SQL emitter — identical artifact semantics.
+    """
+    plan = plan_source(project, graph, sub)
+    if plan.joins:
+        raise ProjectError(
+            f"Sub-source {sub.source_name!r}: element rules may only "
+            "reference [This] element attributes"
+        )
+    for el in plan.rules.values():
+        if el.parsed.window:
+            raise ProjectError(
+                f"Sub-source {sub.source_name!r}: window rules are not "
+                f"allowed in element scope ({el.rule.name!r})"
+            )
+    field_exprs: dict[str, str] = {
+        a.name: f"x.`{a.name}`" for a in sub.raw_attributes
+    }
+    for level in plan.levels:
+        for name in level:
+            el = plan.rules[name]
+            expr = _BACKTICKED.sub(
+                lambda m: f"({field_exprs[m.group(1)]})"
+                if m.group(1) in field_exprs
+                else m.group(0),
+                el.compiled_sql,
+            )
+            if el.rule.cast_datatype:
+                ddl = HIVE_TO_SPARK_DDL.get(
+                    el.rule.cast_datatype, el.rule.cast_datatype
+                )
+                expr = f"CAST({expr} AS {ddl})"
+            field_exprs[name] = expr
+    items = ", ".join(f"'{n}', {e}" for n, e in field_exprs.items())
+    return (
+        f"transform(`{sub.sub_source_attribute}`, "
+        f"x -> named_struct({items}))"
+    )
+
+
 def _rewrite_relation(
     hop: Hop,
     this_prefix: str | None,
@@ -121,6 +170,16 @@ class SourceCompiler:
     # ------------------------------------------------------------------
     def plan(self, source: Source) -> SourcePlan:
         return plan_source(self.project, self.graph, source)
+
+    def sub_sources_of(self, source: Source) -> list[Source]:
+        return [
+            s
+            for s in self.project.sources
+            if s.sub_source_parent == source.source_name
+        ]
+
+    def sub_source_sql(self, sub: Source) -> str:
+        return sub_source_sql(self.project, self.graph, sub)
 
     def recalculation_closure(self, source: Source) -> set[str]:
         """Rules recomputed in 'recalculation' mode: keep_current rules +
@@ -274,6 +333,16 @@ class SourceCompiler:
         final_cols = [a.name for a in source.raw_attributes] + [
             r.name for r in source.rules
         ]
+        # sub-source enrichments: per-element rules over array<struct>
+        # attributes, re-packed in place (§2.11)
+        for sub in self.sub_sources_of(source):
+            if only_rules is not None and sub.source_name in df.columns:
+                final_cols.append(sub.source_name)
+                continue
+            df = df.withColumn(
+                sub.source_name, F.expr(self.sub_source_sql(sub))
+            )
+            final_cols.append(sub.source_name)
         final_cols += [
             f"{r.name}_uv_flag" for r in source.rules if r.unique
         ]

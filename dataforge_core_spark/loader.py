@@ -123,13 +123,16 @@ def _parse_mapping(text: str) -> Mapping:
 
 
 def parse_source_dict(d: dict) -> Source:
+    sub = d.get("sub_source") or {}
     return Source(
         source_name=d["source_name"],
-        source_table=d["source_table"],
-        target_table=d["target_table"],
+        source_table=d.get("source_table", ""),
+        target_table=d.get("target_table", d["source_name"]),
         raw_attributes=[_parse_raw_attribute(a) for a in d.get("raw_attributes", [])],
         rules=[_parse_rule(r) for r in d.get("rules", []) or []],
         processing_type=d.get("processing_type", "batch"),
+        sub_source_parent=sub.get("parent"),
+        sub_source_attribute=sub.get("attribute"),
     )
 
 
@@ -232,6 +235,23 @@ def load_project(project_dir: str) -> Project:
 
 def _validate_references(project: Project) -> None:
     by_name = project.source_by_name()
+    for s in project.sources:
+        if s.sub_source_parent:
+            parent = by_name.get(s.sub_source_parent)
+            if parent is None:
+                raise ProjectError(
+                    f"Sub-source {s.source_name!r} references unknown "
+                    f"parent {s.sub_source_parent!r}"
+                )
+            if not s.sub_source_attribute or (
+                s.sub_source_attribute not in parent.raw_by_name()
+                and s.sub_source_attribute not in parent.rule_by_name()
+            ):
+                raise ProjectError(
+                    f"Sub-source {s.source_name!r}: parent attribute "
+                    f"{s.sub_source_attribute!r} not found on "
+                    f"{s.sub_source_parent!r}"
+                )
     for rel in project.relations:
         left, _, right = rel.decode()
         for s in (left, right):

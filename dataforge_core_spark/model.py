@@ -157,6 +157,16 @@ class Source:
     # extension point — reference guards but never sets processing_type
     # ('stream' — svc_parse_enrichment.sql:105-112); see streaming/.
     processing_type: str = "batch"
+    # sub-source (SURVEY §2.11): this source's rows are the elements of
+    # the parent's array<struct> attribute; its rules run per element and
+    # the enriched array becomes an enrichment column on the parent hub,
+    # named by this source_name (source.sub_source_enrichment_id —
+    # "3 sourceTable.sql":36; generation mode 'sub-source'
+    # u_enr_query_generate_query.sql:20-23,52).  The reference's own 'S'
+    # path is unreachable (undefined function) — implemented natively
+    # here with transform()/named_struct.
+    sub_source_parent: str | None = None  # parent source name
+    sub_source_attribute: str | None = None  # parent array<struct> attr
 
     def raw_by_name(self) -> dict[str, RawAttribute]:
         return {a.name: a for a in self.raw_attributes}

@@ -50,9 +50,14 @@ class ProjectRunner:
 
     # ------------------------------------------------------------------
     def topo_order(self) -> list[list[str]]:
-        """Source build levels (svc_generate_queries.sql:18-53)."""
+        """Source build levels (svc_generate_queries.sql:18-53).
+
+        Sub-sources are not standalone hubs — their element rules compile
+        into the parent hub's array enrichment (§2.11)."""
         deps: dict[str, set[str]] = {}
         for s in self.project.sources:
+            if s.sub_source_parent:
+                continue
             plan = self.compiler.plan(s)
             deps[s.source_name] = set(plan.hub_deps)
         placed: set[str] = set()

@@ -46,6 +46,31 @@ def read_table(spark: SparkSession, ref: str) -> DataFrame:
     return spark.table(ref)
 
 
+def parse_datatype_json(schema_json):
+    """Spark DataType from its JSON form, via the public
+    StructType.fromJson one-field round-trip (datatype_schema columns
+    store field.dataType.json() — miniSparky.py:63)."""
+    from pyspark.sql import types as T
+
+    return (
+        T.StructType.fromJson(
+            {
+                "type": "struct",
+                "fields": [
+                    {
+                        "name": "f",
+                        "type": schema_json,
+                        "nullable": True,
+                        "metadata": {},
+                    }
+                ],
+            }
+        )
+        .fields[0]
+        .dataType
+    )
+
+
 def read_source(
     spark: SparkSession,
     source: Source,
@@ -69,23 +94,11 @@ def read_source(
                 f"present in {source.source_table!r}"
             )
         if attr.schema_json is not None:
-            # round-trip the Spark DataType JSON via a one-field struct
-            # (StructType.fromJson is the public parser; datatype_schema
-            # columns store field.dataType.json() — miniSparky.py:63)
-            dt = T.StructType.fromJson(
-                {
-                    "type": "struct",
-                    "fields": [
-                        {
-                            "name": "f",
-                            "type": attr.schema_json,
-                            "nullable": True,
-                            "metadata": {},
-                        }
-                    ],
-                }
-            ).fields[0].dataType
-            cols.append(F.col(attr.name).cast(dt).alias(attr.name))
+            cols.append(
+                F.col(attr.name)
+                .cast(parse_datatype_json(attr.schema_json))
+                .alias(attr.name)
+            )
         else:
             cols.append(F.col(attr.name).cast(attr.spark_ddl).alias(attr.name))
     return df.select(*cols)

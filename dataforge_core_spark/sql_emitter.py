@@ -81,9 +81,17 @@ class SqlEmitter:
 
     # ------------------------------------------------------------------
     def emit_source(self, source: Source) -> str:
+        from dataforge_core_spark.sources.readers import parse_datatype_json
+
         plan = plan_source(self.project, self.graph, source)
+
+        def ddl(a):
+            if a.schema_json is not None:
+                return parse_datatype_json(a.schema_json).simpleString()
+            return a.spark_ddl
+
         raw_cols = ",\n    ".join(
-            f"CAST(`{a.name}` AS {a.spark_ddl}) AS `{a.name}`"
+            f"CAST(`{a.name}` AS {ddl(a)}) AS `{a.name}`"
             for a in source.raw_attributes
         )
         ctes = [f"cte0 AS (\n  SELECT\n    {raw_cols}\n  FROM {self._table(source)}\n)"]
@@ -134,6 +142,15 @@ class SqlEmitter:
 
         final_cols = [f"`{a.name}`" for a in source.raw_attributes]
         final_cols += [f"`{r.name}`" for r in source.rules]
+        # sub-source enrichments (§2.11) — shared SQL with the compiler
+        from dataforge_core_spark.compiler import sub_source_sql
+
+        for sub in self.project.sources:
+            if sub.sub_source_parent == source.source_name:
+                final_cols.append(
+                    f"{sub_source_sql(self.project, self.graph, sub)} "
+                    f"AS `{sub.source_name}`"
+                )
         v_fail = [
             r.name
             for r in source.rules
@@ -333,6 +350,8 @@ class SqlEmitter:
 
         deps = {}
         for s in self.project.sources:
+            if s.sub_source_parent:
+                continue  # compiled into the parent hub (§2.11)
             plan = plan_source(self.project, self.graph, s)
             deps[s.source_name] = set(plan.hub_deps)
         placed: set[str] = set()

@@ -108,23 +108,35 @@ class ProjectRunner:
         checkpoint: downstream plans start from compact columnar files
         with accurate size stats (broadcast decisions stay correct).
         """
+        from concurrent.futures import ThreadPoolExecutor
+
         by_name = self.project.source_by_name()
         paths: dict[str, str] = {}
         hubs: dict[str, DataFrame] = {}
         os.makedirs(base_dir, exist_ok=True)
         for level in self.topo_order():
-            for name in level:
+            # hubs within a topological level are independent — submit
+            # their writes concurrently (Spark's scheduler interleaves
+            # the jobs; svc_generate_queries.sql orders only across
+            # levels)
+            def _write(name: str) -> None:
                 src = by_name[name]
                 base = read_source(self.spark, src, self.substitutions)
                 df = self.compiler.compile_source(src, base, hubs)
-                path = os.path.join(base_dir, src.target_table)
-                df.write.mode("overwrite").parquet(path)
-                paths[src.target_table] = path
-            for name in level:
-                src = by_name[name]
-                hubs[name] = self.spark.read.parquet(
+                df.write.mode("overwrite").parquet(
                     os.path.join(base_dir, src.target_table)
                 )
+
+            if len(level) == 1:
+                _write(level[0])
+            else:
+                with ThreadPoolExecutor(max_workers=len(level)) as pool:
+                    list(pool.map(_write, level))
+            for name in level:
+                src = by_name[name]
+                path = os.path.join(base_dir, src.target_table)
+                paths[src.target_table] = path
+                hubs[name] = self.spark.read.parquet(path)
         for out in self.project.outputs:
             df = self.compiler.compile_output(out, hubs)
             write_output(

@@ -463,6 +463,41 @@ class SourceCompiler:
             if (t.source == "This") == want_this
         ]
 
+    def _agg_target_side(
+        self, join: JoinElement, hubs: dict[str, DataFrame]
+    ) -> DataFrame:
+        """The aggregation input: the M-target hub with all transit
+        sources pre-joined (SURVEY §7.3 — transit attrs referenced inside
+        the aggregate come from cardinality-1 paths *from the target*),
+        exposed under the planner's `__TR__<src>__<attr>` names."""
+        from dataforge_core_spark.plans.planner import JoinElement as JE
+
+        m_hop = join.path.hops[-1]
+        target = self._hub(m_hop.dst, hubs)
+        target_src = self._by_name[m_hop.dst]
+        # collect needed transit attrs per source across all agg specs
+        needed: dict[str, dict[str, str]] = {}
+        paths = {}
+        for spec in join.aggs:
+            for s, tpath in spec.transits.items():
+                paths[s] = tpath
+                for m in re.finditer(
+                    rf"`__TR__{re.escape(s)}__([A-Za-z0-9_]+)`",
+                    spec.inner_sql,
+                ):
+                    needed.setdefault(s, {})[m.group(1)] = (
+                        f"__TR__{s}__{m.group(1)}"
+                    )
+        for s, attrs in needed.items():
+            tmp = JE(
+                path=paths[s],
+                pathid=f"tr_{re.sub(r'[^A-Za-z0-9_]', '_', paths[s].id())}",
+                kind="lookup",
+                needed=attrs,
+            )
+            target = self._apply_lookup(target, tmp, target_src, hubs)
+        return target
+
     def _apply_aggregate(
         self,
         df: DataFrame,
@@ -474,12 +509,13 @@ class SourceCompiler:
         pid = join.pathid
         m_hop = hops[-1]
         conj = equi_conjuncts(m_hop.relation.expression)
-        if conj is None:
-            # arbitrary boolean M-hop predicate: the groupBy-on-foreign-key
-            # rewrite needs equi conjuncts; fall back to join + group on a
-            # synthetic row key (exact LATERAL semantics, more shuffle)
-            return self._apply_aggregate_nonequi(df, join, source, hubs)
-        target = self._hub(m_hop.dst, hubs)
+        if conj is None or join.needs_row_fallback:
+            # arbitrary boolean M-hop predicate, or [This] values inside
+            # the aggregate: the groupBy-on-foreign-key rewrite doesn't
+            # apply; fall back to join + group on a synthetic row key
+            # (exact LATERAL semantics, more shuffle)
+            return self._apply_aggregate_rowkey(df, join, source, hubs)
+        target = self._agg_target_side(join, hubs)
         # group keys: the M-target side of each equi conjunct
         # (dst side of the hop); rewrite [This]/[Related] tokens to bare cols
         key_exprs: list[str] = []
@@ -491,13 +527,12 @@ class SourceCompiler:
             our_exprs.append(self._bare(src_text))
         gb = [F.expr(k).alias(f"__{pid}__k{j}") for j, k in enumerate(key_exprs)]
         aggs = []
-        for call, out_col, inner_sql in join.aggs:
-            inner = _BACKTICKED.sub(r"`\1`", inner_sql)  # bare target cols
-            distinct = "DISTINCT " if call.distinct else ""
-            inner_no_distinct = re.sub(r"(?i)^\s*distinct\s+", "", inner)
+        for spec in join.aggs:
+            distinct = "DISTINCT " if spec.call.distinct else ""
+            inner = re.sub(r"(?i)^\s*distinct\s+", "", spec.inner_sql.strip())
             aggs.append(
-                F.expr(f"{call.func}({distinct}{inner_no_distinct})").alias(
-                    out_col
+                F.expr(f"{spec.call.func}({distinct}{inner})").alias(
+                    spec.out_col
                 )
             )
         aggdf = target.groupBy(*gb).agg(*aggs)
@@ -529,51 +564,59 @@ class SourceCompiler:
                 *[f"__{pid}_h0__{a}" for a in sorted(set(first_cols))]
             )
 
+        return self._agg_empty_fixes(out, join)
+
+    def _agg_empty_fixes(self, out: DataFrame, join: JoinElement) -> DataFrame:
         # LATERAL parity: empty correlated set -> 0 / [] instead of NULL
         fixes: dict[str, Column] = {}
-        for call, out_col, _ in join.aggs:
-            if call.func in _EMPTY_ZERO:
-                fixes[out_col] = F.coalesce(
-                    F.col(out_col), F.lit(0).cast(dict(out.dtypes)[out_col])
+        for spec in join.aggs:
+            if spec.call.func in _EMPTY_ZERO:
+                fixes[spec.out_col] = F.coalesce(
+                    F.col(spec.out_col),
+                    F.lit(0).cast(dict(out.dtypes)[spec.out_col]),
                 )
-            elif call.func in _EMPTY_ARRAY:
-                dt = out.schema[out_col].dataType
-                fixes[out_col] = F.coalesce(
-                    F.col(out_col), F.from_json(F.lit("[]"), dt)
+            elif spec.call.func in _EMPTY_ARRAY:
+                dt = out.schema[spec.out_col].dataType
+                fixes[spec.out_col] = F.coalesce(
+                    F.col(spec.out_col), F.from_json(F.lit("[]"), dt)
                 )
         if fixes:
             out = out.withColumns(fixes)
         return out
 
-    def _apply_aggregate_nonequi(
+    def _apply_aggregate_rowkey(
         self,
         df: DataFrame,
         join: JoinElement,
         source: Source,
         hubs: dict[str, DataFrame],
     ) -> DataFrame:
-        """Correlated aggregate over a non-equi M-hop predicate (theta
-        LATERAL): join rows under the raw predicate and aggregate per
-        left row via a synthetic row key.
+        """Correlated aggregate via join + group on a synthetic row key.
 
-        The row key is monotonically_increasing_id(), which is only
-        stable within one materialization — the keyed frame is persisted
-        so both the join and the final re-attach see the same ids.  At
-        scale prefer an equi-expressible predicate (the groupBy rewrite);
-        this path shuffles the full pair set.  Single-hop paths only —
-        multi-hop non-equi aggregates remain an error.
+        Used when the M-hop predicate is non-equi (theta LATERAL) or the
+        aggregate's inner expression transits [This] values (row-correlated
+        — the foreign-key groupBy rewrite cannot express either).
+
+        The row key is monotonically_increasing_id(), only stable within
+        one materialization — the keyed frame is persisted so the join and
+        the final re-attach see the same ids.  NULL semantics match
+        LATERAL exactly: no-match rows feed NULL target columns, which
+        count(col)/sum/min/max already skip.  Single-hop paths only.
         """
         hops = join.path.hops
         if len(hops) > 1:
             raise ProjectError(
-                f"Multi-hop aggregation over non-equi relation "
-                f"{hops[-1].relation.name!r} is not supported"
+                f"Multi-hop aggregation over relation "
+                f"{hops[-1].relation.name!r} with theta predicates or "
+                "[This] transits is not supported"
             )
         m_hop = hops[0]
         pid = join.pathid
         rid = f"__{pid}__rid"
         keyed = df.withColumn(rid, F.monotonically_increasing_id()).persist()
-        target = _prefix_all(self._hub(m_hop.dst, hubs), f"__{pid}_t__")
+        target = _prefix_all(
+            self._agg_target_side(join, hubs), f"__{pid}_t__"
+        )
         rules_dst = self._by_name[m_hop.dst].rule_by_name()
         this_pref, rel_pref = (
             (None, f"__{pid}_t__") if m_hop.forward else (f"__{pid}_t__", None)
@@ -581,33 +624,26 @@ class SourceCompiler:
         cond = _rewrite_relation(m_hop, this_pref, rel_pref, rules_dst)
         joined = keyed.join(target, F.expr(cond), "left")
         aggs = []
-        for call, out_col, inner_sql in join.aggs:
-            inner = self._prefixed(inner_sql, f"__{pid}_t__")
+        for spec in join.aggs:
+            # `__THIS__attr` -> our bare column; everything else (target
+            # cols and `__TR__` transits) -> target prefix
+            def sub(m: re.Match) -> str:
+                name = m.group(1)
+                if name.startswith("__THIS__"):
+                    return f"`{name[len('__THIS__'):]}`"
+                return f"`__{pid}_t__{name}`"
+
+            inner = _BACKTICKED.sub(sub, spec.inner_sql)
             inner = re.sub(r"(?i)^\s*distinct\s+", "", inner.strip())
-            distinct = "DISTINCT " if call.distinct else ""
-            aggs.append(F.expr(f"{call.func}({distinct}{inner})").alias(out_col))
+            distinct = "DISTINCT " if spec.call.distinct else ""
+            aggs.append(
+                F.expr(f"{spec.call.func}({distinct}{inner})").alias(
+                    spec.out_col
+                )
+            )
         aggdf = joined.groupBy(rid).agg(*aggs)
         out = keyed.join(aggdf, rid, "left").drop(rid)
-        # left-joined rows with no match feed NULL target columns into the
-        # aggregates -> count() counts them; LATERAL parity needs count of
-        # *matching* rows.  count(col) over NULL columns already yields 0,
-        # and sum/avg/min/max ignore NULLs — semantics line up; only
-        # count(*)-style calls (no column ref) would differ and those
-        # cannot reference the target, so they are rejected upstream.
-        fixes: dict[str, Column] = {}
-        for call, out_col, _ in join.aggs:
-            if call.func in _EMPTY_ZERO:
-                fixes[out_col] = F.coalesce(
-                    F.col(out_col), F.lit(0).cast(dict(out.dtypes)[out_col])
-                )
-            elif call.func in _EMPTY_ARRAY:
-                dt = out.schema[out_col].dataType
-                fixes[out_col] = F.coalesce(
-                    F.col(out_col), F.from_json(F.lit("[]"), dt)
-                )
-        if fixes:
-            out = out.withColumns(fixes)
-        return out
+        return self._agg_empty_fixes(out, join)
 
     def _bare(self, text: str) -> str:
         """Rewrite [This]/[Related] tokens in a predicate side to bare

@@ -243,7 +243,11 @@ def parse_expression(expr: str, *, allow_this_agg: bool = False) -> ParsedExpres
     ]
     for a in lookup_aggs:
         srcs = {t.source for t in a.tokens}
-        if "This" in srcs and not allow_this_agg:
+        if srcs == {"This"} and not allow_this_agg:
+            # aggregation purely over [This] is banned
+            # (svc_parse_enrichment.sql:248-250); [This] values *inside*
+            # an aggregate over another source are transits
+            # (u_enr_query_add_many_join_attribute)
             raise ExpressionError(
                 "You must use aggregation over a related source, not [This]: "
                 f"{expr!r}"

@@ -38,6 +38,26 @@ def _sanitize(s: str) -> str:
 
 
 @dataclass
+class AggSpec:
+    """One aggregate call bound to a join element.
+
+    inner_sql tokens are rewritten to:
+      `attr`                 — column of the M-target hub
+      `__TR__<src>__<attr>`  — transit from a third source (cardinality-1
+                               path from the target; SURVEY §7.3 /
+                               u_enr_query_add_many_join_attribute)
+      `__THIS__<attr>`       — transit of a [This] value into the
+                               aggregate (forces row-key decorrelation)
+    """
+
+    call: AggCall
+    out_col: str
+    inner_sql: str
+    transits: dict[str, "Path"] = field(default_factory=dict)  # src -> path
+    this_attrs: set[str] = field(default_factory=set)
+
+
+@dataclass
 class JoinElement:
     """One (deduplicated) relation path materialized as a join.
 
@@ -52,12 +72,14 @@ class JoinElement:
     kind: str  # 'lookup' | 'aggregate'
     # attrs needed from the path target: attr -> output column name
     needed: dict[str, str] = field(default_factory=dict)
-    # for kind='aggregate': (call, output column name, rewritten inner expr
-    # in terms of bare target-hub column names)
-    aggs: list[tuple[AggCall, str, str]] = field(default_factory=list)
+    aggs: list[AggSpec] = field(default_factory=list)
     # [This]-side attribute names used by the first-hop predicate
     deps: set[str] = field(default_factory=set)
     level: int = 0
+
+    @property
+    def needs_row_fallback(self) -> bool:
+        return any(a.this_attrs for a in self.aggs)
 
     @property
     def is_self(self) -> bool:
@@ -163,72 +185,115 @@ def plan_source(
             spans.append((tok.start, tok.end, f"`{col}`"))
 
         for call in parsed.aggs:
-            srcs = {t.source for t in call.tokens}
-            if len(srcs) != 1:
-                raise ProjectError(
-                    f"Rule {rule.name!r}: aggregate must reference exactly "
-                    f"one related source, got {sorted(srcs)}"
-                )
-            (agg_src,) = srcs
-            if agg_src == "This":
-                raise ProjectError(
-                    f"Rule {rule.name!r}: aggregation over [This] is not "
-                    "allowed — use a window function (OVER) instead"
-                )
             if call.func not in AGGREGATE_WHITELIST:
                 raise ProjectError(
                     f"Rule {rule.name!r}: function {call.func!r} is not an "
                     "allowed aggregate"
                 )
-            if agg_src not in by_name:
-                raise ProjectError(
-                    f"Rule {rule.name!r} references unknown source "
-                    f"[{agg_src}]"
-                )
-            path = graph.resolve(
-                source.source_name,
-                agg_src,
-                explicit.get(agg_src),
-                context=f"(rule {rule.name!r})",
-            )
-            if not path.is_aggregate:
-                # aggregate over a 1-path — reference error
-                # u_get_next_relation_path.sql:82-86
-                raise ProjectError(
-                    f"Rule {rule.name!r}: path to [{agg_src}] has "
-                    "cardinality 1 — remove aggregation or add OVER clause"
-                )
-            join = _get_join(plan, path, kind="aggregate")
-            # rewrite inner tokens to bare target-hub column names
-            inner_spans = []
-            for t in call.tokens:
-                if not attr_exists(by_name[agg_src], t.attr):
+            srcs = {t.source for t in call.tokens}
+            for s in srcs - {"This"}:
+                if s not in by_name:
                     raise ProjectError(
-                        f"Rule {rule.name!r}: source [{agg_src}] has no "
+                        f"Rule {rule.name!r} references unknown source [{s}]"
+                    )
+            for t in call.tokens:
+                owner = source if t.source == "This" else by_name[t.source]
+                if not attr_exists(owner, t.attr):
+                    raise ProjectError(
+                        f"Rule {rule.name!r}: source [{t.source}] has no "
                         f"attribute {t.attr!r}"
                     )
+            # the aggregation target is the (single) source reached via an
+            # M-cardinality path; other sources are transits (resolved
+            # from the target, so they may be unreachable from [This])
+            m_candidates: list[tuple[str, Path]] = []
+            other_sources: list[str] = []
+            for s in sorted(srcs - {"This"}):
+                try:
+                    p = graph.resolve(
+                        source.source_name,
+                        s,
+                        explicit.get(s),
+                        context=f"(rule {rule.name!r})",
+                    )
+                except ProjectError:
+                    other_sources.append(s)
+                    continue
+                if p.is_aggregate:
+                    m_candidates.append((s, p))
+                else:
+                    other_sources.append(s)
+            if not m_candidates:
+                # aggregate over cardinality-1 path(s) — reference error
+                # u_get_next_relation_path.sql:82-86
+                raise ProjectError(
+                    f"Rule {rule.name!r}: aggregation path has cardinality "
+                    "1 — remove aggregation or add OVER clause"
+                )
+            if len(m_candidates) > 1:
+                raise ProjectError(
+                    f"Rule {rule.name!r}: aggregate references multiple "
+                    f"M-cardinality sources "
+                    f"{sorted(s for s, _ in m_candidates)}"
+                )
+            agg_src, path = m_candidates[0]
+            # transit sources must be reachable from the TARGET with a
+            # cardinality-1 path (they are pre-joined onto the
+            # aggregation side — SURVEY §7.3)
+            transits: dict[str, Path] = {}
+            for s in other_sources:
+                tpath = graph.discover(
+                    agg_src, s, context=f"(transit in rule {rule.name!r})"
+                )
+                if tpath.is_aggregate:
+                    raise ProjectError(
+                        f"Rule {rule.name!r}: transit source [{s}] is not "
+                        f"reachable from [{agg_src}] via a cardinality-1 "
+                        "path"
+                    )
+                transits[s] = tpath
+
+            join = _get_join(plan, path, kind="aggregate")
+            inner_spans = []
+            this_attrs: set[str] = set()
+            for t in call.tokens:
+                if t.source == agg_src:
+                    repl = f"`{t.attr}`"
+                elif t.source == "This":
+                    repl = f"`__THIS__{t.attr}`"
+                    this_attrs.add(t.attr)
+                    el.deps.add(t.attr)
+                else:
+                    repl = f"`__TR__{t.source}__{t.attr}`"
                 inner_spans.append(
                     (
                         t.start - call.inner_offset,
                         t.end - call.inner_offset,
-                        f"`{t.attr}`",
+                        repl,
                     )
                 )
             inner_sql = _rewrite(call.inner, inner_spans)
             out_col = _agg_out_col(join.pathid, len(join.aggs))
-            # dedupe identical agg calls on the same path
             existing = next(
                 (
-                    c
-                    for (c0, c, i0) in join.aggs
-                    if i0 == inner_sql
-                    and c0.func == call.func
-                    and c0.distinct == call.distinct
+                    a.out_col
+                    for a in join.aggs
+                    if a.inner_sql == inner_sql
+                    and a.call.func == call.func
+                    and a.call.distinct == call.distinct
                 ),
                 None,
             )
             if existing is None:
-                join.aggs.append((call, out_col, inner_sql))
+                join.aggs.append(
+                    AggSpec(
+                        call=call,
+                        out_col=out_col,
+                        inner_sql=inner_sql,
+                        transits=transits,
+                        this_attrs=this_attrs,
+                    )
+                )
             else:
                 out_col = existing
             el.join_deps.add(join.pathid)
@@ -240,9 +305,16 @@ def plan_source(
     # -- join deps: [This]-side attrs of first-hop predicates -------------
     for join in plan.joins.values():
         join.deps = _first_hop_this_deps(join, source)
-        # intermediate + target hubs are build deps (read materialized hubs)
+        # [This]-transits into aggregates are also pipeline deps
+        for a in join.aggs:
+            join.deps |= a.this_attrs
+        # intermediate + target + transit hubs are build deps
         for hop in join.path.hops:
             plan.hub_deps.add(hop.dst)
+        for a in join.aggs:
+            for tpath in a.transits.values():
+                for hop in tpath.hops:
+                    plan.hub_deps.add(hop.dst)
     plan.hub_deps.discard(source.source_name)
 
     _check_cycles(plan)

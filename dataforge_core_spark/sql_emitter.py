@@ -245,10 +245,17 @@ class SqlEmitter:
             group_sql.append(_bare(dst_text))
             our_sql.append(_bare(src_text))
         agg_parts = []
-        for k, (c, out, inner) in enumerate(join.aggs):
-            inner_clean = re.sub(r"(?i)^\s*distinct\s+", "", inner.strip())
-            d = "DISTINCT " if c.distinct else ""
-            agg_parts.append(f"{c.func}({d}{inner_clean}) AS `a{k}`")
+        for k, spec in enumerate(join.aggs):
+            if spec.transits or spec.this_attrs:
+                raise RuntimeError(
+                    "SQL emission for aggregates with transit/[This] "
+                    "attributes is not supported; use the DataFrame runner"
+                )
+            inner_clean = re.sub(
+                r"(?i)^\s*distinct\s+", "", spec.inner_sql.strip()
+            )
+            d = "DISTINCT " if spec.call.distinct else ""
+            agg_parts.append(f"{spec.call.func}({d}{inner_clean}) AS `a{k}`")
         aggs = ", ".join(agg_parts)
         sub = (
             f"(SELECT {', '.join(key_sql)}, {aggs} FROM {target_hub} "
@@ -271,11 +278,11 @@ class SqlEmitter:
         # transits: expose agg results (with LATERAL empty-set parity
         # coalesce for count-family) under the planner's helper names
         transits = []
-        for k, (c, out, inner) in enumerate(join.aggs):
+        for k, spec in enumerate(join.aggs):
             expr = f"J_{pid}.`a{k}`"
-            if c.func in ("count", "count_if", "approx_count_distinct"):
+            if spec.call.func in ("count", "count_if", "approx_count_distinct"):
                 expr = f"coalesce({expr}, 0)"
-            transits.append(f"{expr} AS `{out}`")
+            transits.append(f"{expr} AS `{spec.out_col}`")
         return ("\n  ".join(clauses), transits)
 
     # ------------------------------------------------------------------

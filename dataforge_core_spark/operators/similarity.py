@@ -201,10 +201,115 @@ WHERE rank <= {TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (the recall stage at scale): N_PLANES signed-sum
+# projections -> bucket id; candidates share a bucket; exact cosine
+# re-ranks.  The hyperplanes are +-1 sign matrices derived from md5 in
+# *Python at codegen time* — the emitted SQL is pure signed addition,
+# identical text/arithmetic for Spark and DuckDB.
+# ---------------------------------------------------------------------------
+
+# 6 planes = 64 buckets: ~30 candidates per bucket at the test corpus
+# size; at scale N_PLANES is the recall/cost dial (more planes = smaller
+# buckets; multi-probe or band-OR raises recall)
+N_PLANES = 6
+
+
+def _plane_signs() -> list[list[int]]:
+    import hashlib
+
+    signs = []
+    for p in range(N_PLANES):
+        row = []
+        for d in range(DIM):
+            h = hashlib.md5(f"plane{p}_{d}".encode()).hexdigest()
+            row.append(1 if int(h[0], 16) % 2 == 0 else -1)
+        signs.append(row)
+    return signs
+
+
+def _bucket_expr(col: str, dialect: str) -> str:
+    off = 0 if dialect == "spark" else 1
+    bits = []
+    for p, row in enumerate(_plane_signs()):
+        terms = [
+            f"({'' if s > 0 else '-'}CAST({col}[{d + off}] AS DOUBLE))"
+            for d, s in enumerate(row)
+        ]
+        while len(terms) > 1:
+            terms = [
+                f"({terms[i]} + {terms[i + 1]})"
+                if i + 1 < len(terms)
+                else terms[i]
+                for i in range(0, len(terms), 2)
+            ]
+        bits.append(f"(CASE WHEN {terms[0]} >= 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed top-k: candidates share the 12-bit hyperplane bucket,
+    exact cosine re-ranks within the bucket.  At 100 TB the bucket id is
+    the shuffle/partition key; each probe touches one bucket."""
+    v = _normed(spark, sf_dir)
+    cos = _spark_cosine("q.embedding", "c.embedding", "q.nrm", "c.nrm")
+    bucket = _bucket_expr("embedding", "spark")
+    return spark.sql(
+        f"""
+        WITH b AS (
+          SELECT vec_id, embedding, nrm, {bucket} AS bucket FROM {v}
+        ),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 {cos} AS score
+          FROM (SELECT * FROM b WHERE vec_id < {N_QUERIES}) q
+          JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+          FROM scored
+        )
+        SELECT query_id, rank, neighbor_id FROM ranked
+        WHERE rank <= {TOP_K}
+        """
+    )
+
+
+def _lsh_oracle() -> str:
+    cos = _duck_cosine("q.embedding", "c.embedding", "q.nrm", "c.nrm")
+    bucket = _bucket_expr("embedding", "duck")
+    return f"""
+WITH v AS (
+  SELECT vec_id, label, embedding, {_duck_norm('embedding')} AS nrm
+  FROM embeddings
+),
+b AS (
+  SELECT vec_id, embedding, nrm, {bucket} AS bucket FROM v
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {cos} AS score
+  FROM (SELECT * FROM b WHERE vec_id < {N_QUERIES}) q
+  JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id FROM ranked
+WHERE rank <= {TOP_K}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ann_bruteforce": ann_bruteforce,
         "ann_ivf_label": ann_ivf_label,
+        "ann_lsh_hyperplane": ann_lsh_hyperplane,
     }
 
 
@@ -212,4 +317,5 @@ def oracles() -> dict[str, str]:
     return {
         "ann_bruteforce": _bruteforce_oracle(),
         "ann_ivf_label": _ivf_oracle(),
+        "ann_lsh_hyperplane": _lsh_oracle(),
     }

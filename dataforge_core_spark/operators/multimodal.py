@@ -56,18 +56,36 @@ def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extract over binary payloads via Arrow-batched mapInPandas."""
-    import hashlib
-
     import pandas as pd
 
+    # NOTE: the closure must be fully self-contained (no references to
+    # this module's globals) — Python workers unpickle it without the
+    # repo on their sys.path when the driver loads __spark_entry__ by
+    # file path from another working directory.
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import pandas as pd
+
+        def decode_image(payload: bytes):
+            try:
+                import io
+
+                from PIL import Image  # not present in this container
+
+                return Image.open(io.BytesIO(payload))
+            except ImportError:
+                raise NotImplementedError(
+                    "media decode requires an imaging library"
+                )
+
         for pdf in batches:
             payloads = pdf["payload"]
             n_bytes = payloads.map(len)
             md5s = payloads.map(lambda b: hashlib.md5(b).hexdigest())
             try:
                 # real path would decode and read true dimensions
-                _decode_image(payloads.iloc[0] if len(payloads) else b"")
+                decode_image(payloads.iloc[0] if len(payloads) else b"")
                 raise AssertionError("unreachable in this container")
             except NotImplementedError:
                 # deterministic fake dimensions derived from the bytes
@@ -100,11 +118,13 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: each payload yields (n_bytes mod 4) + 1 frames —
     a flatMap-shaped mapInPandas (rows out != rows in), the shape a real
     video frame sampler has."""
-    import hashlib
-
     import pandas as pd
 
     def sample(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import pandas as pd
+
         for pdf in batches:
             out_doc, out_no, out_md5 = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):

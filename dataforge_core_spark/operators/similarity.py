@@ -305,11 +305,58 @@ WHERE rank <= {TOP_K}
 """
 
 
+# real deployments use ~0.95+; the synthetic corpus has no planted
+# near-dups (max pairwise cosine ~0.51), so the demo threshold sits where
+# the operator produces verifiable pairs
+COSINE_DUP_THRESHOLD = 0.40
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH buckets as the recall
+    stage (near-identical vectors share every hyperplane side), exact
+    cosine as the verifier.  Output is the candidate duplicate pair list;
+    clustering (connected components) is a driver-side/iterative step
+    downstream."""
+    v = _normed(spark, sf_dir)
+    cos = _spark_cosine("a.embedding", "b.embedding", "a.nrm", "b.nrm")
+    bucket = _bucket_expr("embedding", "spark")
+    return spark.sql(
+        f"""
+        WITH b AS (
+          SELECT vec_id, embedding, nrm, {bucket} AS bucket FROM {v}
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM b a JOIN b b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {cos} >= {COSINE_DUP_THRESHOLD}
+        """
+    )
+
+
+def _dedup_embedding_oracle() -> str:
+    cos = _duck_cosine("a.embedding", "b.embedding", "a.nrm", "b.nrm")
+    bucket = _bucket_expr("embedding", "duck")
+    return f"""
+WITH v AS (
+  SELECT vec_id, label, embedding, {_duck_norm('embedding')} AS nrm
+  FROM embeddings
+),
+b AS (
+  SELECT vec_id, embedding, nrm, {bucket} AS bucket FROM v
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM b a JOIN b b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {cos} >= {COSINE_DUP_THRESHOLD}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ann_bruteforce": ann_bruteforce,
         "ann_ivf_label": ann_ivf_label,
         "ann_lsh_hyperplane": ann_lsh_hyperplane,
+        "dedup_embedding": dedup_embedding,
     }
 
 
@@ -318,4 +365,5 @@ def oracles() -> dict[str, str]:
         "ann_bruteforce": _bruteforce_oracle(),
         "ann_ivf_label": _ivf_oracle(),
         "ann_lsh_hyperplane": _lsh_oracle(),
+        "dedup_embedding": _dedup_embedding_oracle(),
     }

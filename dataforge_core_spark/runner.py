@@ -58,6 +58,11 @@ class ProjectRunner:
         for s in self.project.sources:
             if s.sub_source_parent:
                 continue
+            if s.processing_type == "stream":
+                # stream sources run via streaming/, not the batch runner
+                # (the reference routes them to meta.process, outside
+                # run.sql — u_enr_query_generate_query.sql:101-104)
+                continue
             plan = self.compiler.plan(s)
             deps[s.source_name] = set(plan.hub_deps)
         placed: set[str] = set()

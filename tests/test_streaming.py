@@ -181,3 +181,78 @@ def test_stateful_sessionization(spark, sf_dir):
     for r in batch_sessions.collect():
         # closed sessions emitted <= total sessions per user
         assert got_counts.get(r["user_id"], 0) <= r["n_sessions"]
+
+
+def test_stream_static_lookup(spark, sf_dir):
+    """A stream source with a lookup rule against a static hub — the
+    stream-static join path (Spark-native; the static side is built by
+    the batch compiler)."""
+    from dataforge_core_spark.loader import (
+        parse_relations_list,
+        parse_source_dict,
+    )
+    from dataforge_core_spark.model import Project
+    from dataforge_core_spark.runner import ProjectRunner
+    from dataforge_core_spark.streaming import (
+        compile_stream_source,
+        stream_events,
+    )
+
+    cust = parse_source_dict(
+        {
+            "source_name": "cust_dim",
+            "source_table": f"{sf_dir}/customer.parquet",
+            "target_table": "hub_cust_dim",
+            "raw_attributes": ["c_custkey long", "c_name string"],
+        }
+    )
+    ev = parse_source_dict(
+        {
+            "source_name": "ev_stream",
+            "source_table": "stream",
+            "target_table": "enriched_ev_stream",
+            "processing_type": "stream",
+            "raw_attributes": [
+                "event_id long",
+                "ts timestamp",
+                "user_id long",
+                "event_type string",
+                "value double",
+                "props string",
+            ],
+            "rules": [
+                {"name": "user_name", "expression": "[cust_dim].c_name"},
+            ],
+        }
+    )
+    rels = parse_relations_list(
+        [
+            {
+                "name": "[ev_stream]- user -[cust_dim]",
+                "expression": "[This].user_id = [Related].c_custkey",
+                "cardinality": "M-1",
+            }
+        ]
+    )
+    project = Project(sources=[cust, ev], relations=rels)
+    static_hubs = {
+        "cust_dim": ProjectRunner(spark, project, persist_hubs=False)
+        .build()["cust_dim"]
+    }
+    stream = stream_events(spark, sf_dir)
+    enriched = compile_stream_source(spark, project, ev, stream, static_hubs)
+    assert enriched.isStreaming
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("ev_lookup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table("ev_lookup_stream")
+    n = rows.count()
+    assert n > 0
+    # every user_id present in the dim must resolve to its name
+    joined = rows.filter("user_name IS NOT NULL").count()
+    assert joined > 0

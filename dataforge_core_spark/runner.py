@@ -21,12 +21,18 @@ Two execution modes:
 from __future__ import annotations
 
 import os
+import re
+from collections import Counter
 
 from pyspark.sql import DataFrame, SparkSession
 
 from dataforge_core_spark.compiler import SourceCompiler
 from dataforge_core_spark.model import Project, ProjectError
+from dataforge_core_spark.parser import equi_conjuncts
 from dataforge_core_spark.sources.readers import read_source, write_output
+
+# a relation side that is a bare attribute token (bucketable column)
+_SIMPLE_SIDE_RE = re.compile(r"^\[(This|Related)\]\.([a-z_][a-z0-9_]*)$", re.I)
 
 
 class ProjectRunner:
@@ -105,19 +111,80 @@ class ProjectRunner:
         }
 
     # ------------------------------------------------------------------
-    def materialize(self, base_dir: str) -> dict[str, str]:
+    def bucket_keys(self) -> dict[str, list[str]]:
+        """Per-source bucket-key candidates derived from the relation graph.
+
+        A hub that is the cardinality-1 endpoint of relations is repeatedly
+        joined on its side of the predicate (J1/J2 lookups); the M endpoint
+        is the groupBy side of every decorrelated aggregate (J5).  When the
+        predicate is a pure equi-conjunction of bare columns, bucketing the
+        hub on that column tuple lets sort-merge joins and aggregate
+        groupBys reuse the write-time partitioning instead of shuffling —
+        at 100 TB that is the difference between a scan-local join and a
+        full-network exchange per query.  The most-voted key tuple per
+        source wins; 1-endpoints count double (lookups outnumber builds).
+        """
+        votes: dict[str, Counter] = {}
+        for rel in self.project.relations:
+            try:
+                conj = equi_conjuncts(rel.expression)
+            except Exception:
+                conj = None
+            if not conj:
+                continue
+            this_cols: list[str] = []
+            rel_cols: list[str] = []
+            for this_text, rel_text in conj:
+                mt = _SIMPLE_SIDE_RE.match(this_text.strip())
+                mr = _SIMPLE_SIDE_RE.match(rel_text.strip())
+                if not (mt and mr):
+                    break
+                this_cols.append(mt.group(2))
+                rel_cols.append(mr.group(2))
+            else:
+                lc, rc = rel.card_sides()
+                votes.setdefault(rel.left, Counter())[tuple(this_cols)] += (
+                    2 if lc == "1" else 1
+                )
+                votes.setdefault(rel.right, Counter())[tuple(rel_cols)] += (
+                    2 if rc == "1" else 1
+                )
+        return {
+            name: list(c.most_common(1)[0][0]) for name, c in votes.items()
+        }
+
+    # ------------------------------------------------------------------
+    def materialize(
+        self,
+        base_dir: str,
+        bucket_by: dict[str, list[str]] | str | None = None,
+        n_buckets: int = 32,
+    ) -> dict[str, str]:
         """Write hubs level-by-level (each level's hubs are independent),
         re-reading parquet for downstream levels; then write outputs.
 
         Returns {name: path}.  At scale each write is a natural pipeline
         checkpoint: downstream plans start from compact columnar files
         with accurate size stats (broadcast decisions stay correct).
+
+        ``bucket_by`` — ``"auto"`` derives per-hub bucket keys from the
+        relation graph (:meth:`bucket_keys`), or pass
+        ``{source_name: [cols]}`` explicitly.  Bucketed hubs are written
+        with ``bucketBy(n_buckets).sortBy`` as catalog tables (Spark only
+        records bucket specs in the catalog) and re-read via
+        ``spark.table`` so downstream joins/groupBys on the key reuse the
+        write-time partitioning without an exchange.
         """
         from concurrent.futures import ThreadPoolExecutor
+
+        if bucket_by == "auto":
+            bucket_by = self.bucket_keys()
+        bucket_by = bucket_by or {}
 
         by_name = self.project.source_by_name()
         paths: dict[str, str] = {}
         hubs: dict[str, DataFrame] = {}
+        bucketed: set[str] = set()
         os.makedirs(base_dir, exist_ok=True)
         for level in self.topo_order():
             # hubs within a topological level are independent — submit
@@ -128,9 +195,22 @@ class ProjectRunner:
                 src = by_name[name]
                 base = read_source(self.spark, src, self.substitutions)
                 df = self.compiler.compile_source(src, base, hubs)
-                df.write.mode("overwrite").parquet(
-                    os.path.join(base_dir, src.target_table)
-                )
+                path = os.path.join(base_dir, src.target_table)
+                keys = bucket_by.get(name)
+                if keys and set(keys) <= set(df.columns):
+                    self.spark.sql(
+                        f"DROP TABLE IF EXISTS `{src.target_table}`"
+                    )
+                    (
+                        df.write.mode("overwrite")
+                        .option("path", path)
+                        .bucketBy(n_buckets, *keys)
+                        .sortBy(*keys)
+                        .saveAsTable(src.target_table)
+                    )
+                    bucketed.add(name)
+                else:
+                    df.write.mode("overwrite").parquet(path)
 
             if len(level) == 1:
                 _write(level[0])
@@ -141,7 +221,11 @@ class ProjectRunner:
                 src = by_name[name]
                 path = os.path.join(base_dir, src.target_table)
                 paths[src.target_table] = path
-                hubs[name] = self.spark.read.parquet(path)
+                hubs[name] = (
+                    self.spark.table(src.target_table)
+                    if name in bucketed
+                    else self.spark.read.parquet(path)
+                )
         for out in self.project.outputs:
             df = self.compiler.compile_output(out, hubs)
             write_output(

@@ -28,18 +28,21 @@ DIM = 64  # embedding dimensionality of the testdata corpus
 
 
 def _unrolled_dot(a: str, b: str, dialect: str) -> str:
-    """Fully-unrolled dot product as a *balanced* addition tree.
+    """Fully-unrolled dot product as a *balanced* addition tree over
+    already-double arrays (the ``emb`` column of :func:`_normed`).
 
     Unrolled (vs higher-order lambdas): stays in whole-stage codegen —
     Spark interprets lambda folds row-at-a-time.  Balanced (vs
     left-leaning): a 64-deep nested add tree takes seconds of Janino
-    compilation; the balanced tree is depth 6.  The exact same tree shape
-    is emitted for DuckDB, so the floating-point result is
-    bit-deterministic across engines.  Spark arrays are 0-based, DuckDB
-    lists 1-based."""
+    compilation; the balanced tree is depth 6.  Operands are cast to
+    double *once per vector* (a whole-array cast in ``_normed``), not per
+    term — float->double is exact, and halving the expression node count
+    halves Janino compile time.  The exact same tree shape is emitted for
+    DuckDB, so the floating-point result is bit-deterministic across
+    engines.  Spark arrays are 0-based, DuckDB lists 1-based."""
     off = 0 if dialect == "spark" else 1
     terms = [
-        f"(CAST({a}[{i + off}] AS DOUBLE) * CAST({b}[{i + off}] AS DOUBLE))"
+        f"({a}[{i + off}] * {b}[{i + off}])"
         for i in range(DIM)
     ]
     while len(terms) > 1:
@@ -76,13 +79,14 @@ _v_cache: dict = {}
 
 
 def _normed(spark: SparkSession, sf_dir: str) -> str:
-    """Persisted (vec_id, label, embedding, nrm) relation.
+    """Persisted (vec_id, label, emb, nrm, bucket) relation.
 
-    Norms are computed once per vector and *materialized*: left inline,
-    Catalyst collapses the CTE into the pair projection and the combined
-    norm+dot expression tree blows past JIT/codegen size limits (and gets
-    re-evaluated per pair).  At scale this is the stored "vector index"
-    side: norms persist alongside the vectors.
+    Norms, the double-cast array, and the LSH bucket id are computed once
+    per vector and *materialized*: left inline, Catalyst collapses the
+    CTE into the pair projection and the combined norm+dot expression
+    tree blows past JIT/codegen size limits (and gets re-evaluated per
+    pair).  At scale this is the stored "vector index" side: norms and
+    bucket ids persist alongside the vectors.
     """
     key = (id(spark), sf_dir)
     if key not in _v_cache:
@@ -91,8 +95,16 @@ def _normed(spark: SparkSession, sf_dir: str) -> str:
             par
         ).createOrReplaceTempView("embeddings")
         v = spark.sql(
-            f"SELECT vec_id, label, embedding, "
-            f"{_spark_norm('embedding')} AS nrm FROM embeddings"
+            f"""
+            SELECT vec_id, label, emb,
+                   {_spark_norm('emb')} AS nrm,
+                   {_bucket_expr('emb', 'spark')} AS bucket
+            FROM (
+              SELECT vec_id, label,
+                     CAST(embedding AS array<double>) AS emb
+              FROM embeddings
+            )
+            """
         ).persist()
         name = f"embeddings_normed_{abs(hash(key)) % 10**8}"
         v.createOrReplaceTempView(name)
@@ -100,9 +112,23 @@ def _normed(spark: SparkSession, sf_dir: str) -> str:
     return _v_cache[key]
 
 
+# DuckDB-side equivalent of _normed's projection (shared by all oracles)
+def _duck_v_cte() -> str:
+    return f"""
+v AS (
+  SELECT vec_id, label, emb,
+         {_duck_norm('emb')} AS nrm,
+         {_bucket_expr('emb', 'duck')} AS bucket
+  FROM (
+    SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+    FROM embeddings
+  )
+)"""
+
+
 def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _normed(spark, sf_dir)
-    cos = _spark_cosine("q.embedding", "c.embedding", "q.nrm", "c.nrm")
+    cos = _spark_cosine("q.emb", "c.emb", "q.nrm", "c.nrm")
     return spark.sql(
         f"""
         WITH scored AS (
@@ -124,12 +150,9 @@ def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bruteforce_oracle() -> str:
-    cos = _duck_cosine("q.embedding", "c.embedding", "q.nrm", "c.nrm")
+    cos = _duck_cosine("q.emb", "c.emb", "q.nrm", "c.nrm")
     return f"""
-WITH v AS (
-  SELECT vec_id, label, embedding, {_duck_norm('embedding')} AS nrm
-  FROM embeddings
-),
+WITH {_duck_v_cte()},
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          {cos} AS score
@@ -154,7 +177,7 @@ def ann_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     time), probes shuffle only to their bucket's partition.
     """
     v = _normed(spark, sf_dir)
-    cos = _spark_cosine("q.embedding", "c.embedding", "q.nrm", "c.nrm")
+    cos = _spark_cosine("q.emb", "c.emb", "q.nrm", "c.nrm")
     return spark.sql(
         f"""
         WITH scored AS (
@@ -177,12 +200,9 @@ def ann_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_oracle() -> str:
-    cos = _duck_cosine("q.embedding", "c.embedding", "q.nrm", "c.nrm")
+    cos = _duck_cosine("q.emb", "c.emb", "q.nrm", "c.nrm")
     return f"""
-WITH v AS (
-  SELECT vec_id, label, embedding, {_duck_norm('embedding')} AS nrm
-  FROM embeddings
-),
+WITH {_duck_v_cte()},
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          {cos} AS score
@@ -229,11 +249,12 @@ def _plane_signs() -> list[list[int]]:
 
 
 def _bucket_expr(col: str, dialect: str) -> str:
+    """Signed-sum hyperplane bucket over an already-double array column."""
     off = 0 if dialect == "spark" else 1
     bits = []
     for p, row in enumerate(_plane_signs()):
         terms = [
-            f"({'' if s > 0 else '-'}CAST({col}[{d + off}] AS DOUBLE))"
+            f"({'' if s > 0 else '-'}{col}[{d + off}])"
             for d, s in enumerate(row)
         ]
         while len(terms) > 1:
@@ -252,18 +273,14 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine re-ranks within the bucket.  At 100 TB the bucket id is
     the shuffle/partition key; each probe touches one bucket."""
     v = _normed(spark, sf_dir)
-    cos = _spark_cosine("q.embedding", "c.embedding", "q.nrm", "c.nrm")
-    bucket = _bucket_expr("embedding", "spark")
+    cos = _spark_cosine("q.emb", "c.emb", "q.nrm", "c.nrm")
     return spark.sql(
         f"""
-        WITH b AS (
-          SELECT vec_id, embedding, nrm, {bucket} AS bucket FROM {v}
-        ),
-        scored AS (
+        WITH scored AS (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                  {cos} AS score
-          FROM (SELECT * FROM b WHERE vec_id < {N_QUERIES}) q
-          JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+          FROM (SELECT * FROM {v} WHERE vec_id < {N_QUERIES}) q
+          JOIN {v} c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
         ),
         ranked AS (
           SELECT query_id, neighbor_id,
@@ -278,21 +295,14 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_oracle() -> str:
-    cos = _duck_cosine("q.embedding", "c.embedding", "q.nrm", "c.nrm")
-    bucket = _bucket_expr("embedding", "duck")
+    cos = _duck_cosine("q.emb", "c.emb", "q.nrm", "c.nrm")
     return f"""
-WITH v AS (
-  SELECT vec_id, label, embedding, {_duck_norm('embedding')} AS nrm
-  FROM embeddings
-),
-b AS (
-  SELECT vec_id, embedding, nrm, {bucket} AS bucket FROM v
-),
+WITH {_duck_v_cte()},
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          {cos} AS score
-  FROM (SELECT * FROM b WHERE vec_id < {N_QUERIES}) q
-  JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  FROM (SELECT * FROM v WHERE vec_id < {N_QUERIES}) q
+  JOIN v c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
 ),
 ranked AS (
   SELECT query_id, neighbor_id,
@@ -318,15 +328,11 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering (connected components) is a driver-side/iterative step
     downstream."""
     v = _normed(spark, sf_dir)
-    cos = _spark_cosine("a.embedding", "b.embedding", "a.nrm", "b.nrm")
-    bucket = _bucket_expr("embedding", "spark")
+    cos = _spark_cosine("a.emb", "b.emb", "a.nrm", "b.nrm")
     return spark.sql(
         f"""
-        WITH b AS (
-          SELECT vec_id, embedding, nrm, {bucket} AS bucket FROM {v}
-        )
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-        FROM b a JOIN b b
+        FROM {v} a JOIN {v} b
           ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         WHERE {cos} >= {COSINE_DUP_THRESHOLD}
         """
@@ -334,18 +340,11 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_embedding_oracle() -> str:
-    cos = _duck_cosine("a.embedding", "b.embedding", "a.nrm", "b.nrm")
-    bucket = _bucket_expr("embedding", "duck")
+    cos = _duck_cosine("a.emb", "b.emb", "a.nrm", "b.nrm")
     return f"""
-WITH v AS (
-  SELECT vec_id, label, embedding, {_duck_norm('embedding')} AS nrm
-  FROM embeddings
-),
-b AS (
-  SELECT vec_id, embedding, nrm, {bucket} AS bucket FROM v
-)
+WITH {_duck_v_cte()}
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-FROM b a JOIN b b
+FROM v a JOIN v b
   ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE {cos} >= {COSINE_DUP_THRESHOLD}
 """

@@ -256,3 +256,73 @@ def test_stream_static_lookup(spark, sf_dir):
     # every user_id present in the dim must resolve to its name
     joined = rows.filter("user_name IS NOT NULL").count()
     assert joined > 0
+
+
+def test_stream_stream_attribution_join(spark, sf_dir):
+    """Watermarked stream-stream join must agree with the identical batch
+    join over the same finite input (inner join; no late data in a single
+    availableNow pass)."""
+    from pyspark.sql import functions as F
+
+    from dataforge_core_spark.streaming import (
+        attribution_join,
+        stream_events,
+    )
+
+    stream = stream_events(spark, sf_dir)
+    joined = attribution_join(stream)
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attr_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("attr_stream")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    clicks = ev.filter("event_type = 'click'").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        "value",
+    )
+    want = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id AND purchase_ts >= click_ts "
+            "AND purchase_ts <= click_ts + INTERVAL 1 HOUR"
+        ),
+    ).select("user_id", "click_id", "purchase_id", "click_ts",
+             "purchase_ts", "value")
+
+    assert want.count() > 0, "fixture produced no click->purchase pairs"
+    cols = sorted(want.columns)
+    assert sorted(got.columns) == cols
+    assert got.select(*cols).exceptAll(want.select(*cols)).count() == 0
+    assert want.select(*cols).exceptAll(got.select(*cols)).count() == 0
+
+
+def test_kafka_plumbing_gated(spark):
+    """Kafka wiring raises a clear error when the external package is
+    absent (this container); the availability probe is honest."""
+    from dataforge_core_spark.streaming import (
+        kafka_available,
+        kafka_source,
+    )
+
+    if kafka_available(spark):
+        pytest.skip("kafka package present; gating not exercised")
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        kafka_source(spark, "localhost:9092", "events")

@@ -123,12 +123,18 @@ FROM g
 
 
 def events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON payload extraction (props is a JSON text column)."""
+    """JSON payload extraction (props is a JSON text column).
+
+    Uses the registered explicit schema via ``from_json`` — one typed
+    parse per record with field pruning, vs ``get_json_object``'s one
+    parse per extracted path (functions/json_registry.py)."""
+    from dataforge_core_spark.functions.json_registry import parse_json_sql
+
     _views(spark, sf_dir)
+    parsed = parse_json_sql("events.props", "props")
     return spark.sql(
-        """
-        SELECT event_id,
-               CAST(get_json_object(props, '$.k') AS BIGINT) AS prop_k
+        f"""
+        SELECT event_id, {parsed}.k AS prop_k
         FROM events
         """
     )

@@ -226,6 +226,74 @@ class SourceCompiler:
             precomputed={r.name for r in source.rules if r.name not in affected},
         )
 
+    def window_partition_keys(self, source: Source) -> list[str] | None:
+        """Common bare-column PARTITION BY list shared by *every*
+        keep_current window rule of the source, or None when confinement
+        is not provable (no window rules, expression-valued partition
+        keys, or rules partitioned by different columns).
+
+        When all window rules partition by the same raw columns, a
+        recalculation touching only some key values is confined to those
+        window partitions — the basis for partition-pruned recompute."""
+        import re as _re
+
+        key_sets: list[tuple[str, ...]] = []
+        for rule in source.rules:
+            if not rule.keep_current:
+                continue
+            m = _re.search(
+                r"(?is)over\s*\(\s*partition\s+by\s+(.*?)"
+                r"(?:\border\s+by\b|\brows\b|\brange\b|\))",
+                rule.expression,
+            )
+            if not m:
+                return None  # un-partitioned window -> whole-table scope
+            cols = []
+            for part in m.group(1).split(","):
+                t = part.strip()
+                tm = _re.match(
+                    r"^\[This\]\.([a-z_][a-z0-9_]*)$", t, _re.I
+                )
+                if not tm:
+                    return None  # expression key -> not provably prunable
+                cols.append(tm.group(1))
+            key_sets.append(tuple(cols))
+        if not key_sets or len(set(key_sets)) != 1:
+            return None
+        return list(key_sets[0])
+
+    def recalculate_pruned(
+        self,
+        source: Source,
+        existing: DataFrame,
+        hubs: dict[str, DataFrame],
+        changed_keys: DataFrame,
+    ) -> DataFrame:
+        """Partition-pruned recalculation: recompute the keep_current
+        closure only for window partitions present in ``changed_keys``
+        (a DataFrame carrying the window partition-key columns of the
+        rows that changed); every other row is passed through untouched.
+
+        Correct because each window rule's result depends only on rows of
+        its own PARTITION BY group (validated by
+        :meth:`window_partition_keys`), and non-window closure members
+        are per-row.  At scale, store the hub partitioned/bucketed by the
+        window key and the semi/anti joins below become metadata-only
+        partition pruning — the recompute touches changed partitions'
+        files, not the 100 TB table.
+        """
+        keys = self.window_partition_keys(source)
+        if keys is None:
+            raise ProjectError(
+                f"Source {source.source_name!r}: partition-pruned "
+                "recalculation requires every keep_current window rule to "
+                "partition by the same raw attribute columns"
+            )
+        sel = changed_keys.select(*keys).distinct()
+        changed = existing.join(sel, keys, "left_semi")
+        unchanged = existing.join(sel, keys, "left_anti")
+        return self.recalculate(source, changed, hubs).unionByName(unchanged)
+
     def compile_source(
         self, source: Source, base: DataFrame, hubs: dict[str, DataFrame]
     ) -> DataFrame:

@@ -53,3 +53,83 @@ def test_recalculation_noop_without_keep_current(spark, sf_dir):
     assert runner.compiler.recalculation_closure(region) == set()
     out = runner.compiler.recalculate(region, hubs["tpch_region"], hubs)
     assert out is hubs["tpch_region"]
+
+
+def test_window_partition_keys(spark):
+    from dataforge_core_spark.compiler import SourceCompiler
+    from dataforge_core_spark.loader import load_project
+
+    project = load_project("projects/tpch_demo")
+    compiler = SourceCompiler(spark, project)
+    by_name = project.source_by_name()
+    assert compiler.window_partition_keys(by_name["tpch_orders"]) == [
+        "o_custkey"
+    ]
+    # no keep_current rules -> not prunable
+    assert compiler.window_partition_keys(by_name["tpch_region"]) is None
+
+
+def test_partition_pruned_recalculation_matches_full(spark, sf_dir):
+    """Pruned recompute over a subset of changed customers must agree
+    with the full recalculation everywhere."""
+    from pyspark.sql import functions as F
+
+    from dataforge_core_spark.loader import load_project
+    from dataforge_core_spark.runner import ProjectRunner
+
+    project = load_project("projects/tpch_demo")
+    runner = ProjectRunner(spark, project, {"DATA_DIR": sf_dir})
+    hubs = runner.build()
+    orders = project.source_by_name()["tpch_orders"]
+    full = hubs["tpch_orders"]
+
+    # stale ranks for a subset of customers ("their partitions changed")
+    changed = full.select("o_custkey").distinct().limit(5)
+    changed_keys = [r.o_custkey for r in changed.collect()]
+    stale = full.withColumn(
+        "cust_order_rank",
+        F.when(
+            F.col("o_custkey").isin(changed_keys), F.lit(-1)
+        ).otherwise(F.col("cust_order_rank")),
+    )
+
+    pruned = runner.compiler.recalculate_pruned(
+        orders, stale, hubs, changed
+    )
+    cols = sorted(full.columns)
+    assert sorted(pruned.columns) == cols
+    a = sorted([tuple(repr(r[c]) for c in cols) for r in full.collect()])
+    b = sorted([tuple(repr(r[c]) for c in cols) for r in pruned.collect()])
+    assert a == b
+
+
+def test_partition_pruned_requires_common_keys(spark):
+    import pytest
+
+    from dataforge_core_spark.loader import parse_source_dict
+    from dataforge_core_spark.compiler import SourceCompiler
+    from dataforge_core_spark.model import Project, ProjectError
+
+    src = parse_source_dict(
+        {
+            "source_name": "s",
+            "source_table": "t",
+            "target_table": "h",
+            "raw_attributes": ["a long", "b long"],
+            "rules": [
+                {
+                    "name": "r1",
+                    "expression": "SUM([This].a) OVER (PARTITION BY [This].a)",
+                },
+                {
+                    "name": "r2",
+                    "expression": "SUM([This].a) OVER (PARTITION BY [This].b)",
+                },
+            ],
+        }
+    )
+    project = Project(sources=[src], relations=[])
+    compiler = SourceCompiler(spark, project)
+    assert compiler.window_partition_keys(src) is None
+    with pytest.raises(ProjectError, match="partition-pruned"):
+        compiler.recalculate_pruned(src, None, {}, None)

@@ -28,6 +28,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--build", metavar="PROJECT_DIR")
     p.add_argument("--run", metavar="PROJECT_DIR")
     p.add_argument("--validate", metavar="PROJECT_DIR")
+    p.add_argument(
+        "--init",
+        metavar="PROJECT_DIR",
+        help="scaffold a sample project (the reference's --init, "
+        "mainConfig.py:43)",
+    )
+    p.add_argument("--version", action="store_true")
     p.add_argument("--target", default="target", help="--build output dir")
     p.add_argument("--out", default="out", help="--run materialization dir")
     p.add_argument(
@@ -40,6 +47,27 @@ def main(argv: list[str] | None = None) -> int:
     from dataforge_core_spark.loader import load_project
 
     subs = {"DATA_DIR": args.data_dir}
+
+    if args.version:
+        from dataforge_core_spark import __version__
+
+        print(__version__)
+        return 0
+
+    if args.init:
+        import shutil
+
+        sample = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "projects",
+            "tpch_demo",
+        )
+        if os.path.exists(args.init) and os.listdir(args.init):
+            print(f"Refusing to init into non-empty directory {args.init!r}")
+            return 1
+        shutil.copytree(sample, args.init, dirs_exist_ok=True)
+        print(f"Initialized sample project at {args.init}")
+        return 0
 
     if args.build:
         from dataforge_core_spark.session import get_spark

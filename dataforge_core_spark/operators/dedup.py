@@ -269,6 +269,85 @@ WHERE CAST(i.inter_n AS DOUBLE) / (sa.n + sb.n - i.inter_n)
 """
 
 
+CC_MAX_ITERS = 20  # label propagation rounds (bound = cluster diameter)
+
+
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document assignment: connected components over the
+    MinHash near-duplicate pair graph via iterative min-label
+    propagation (each round: label[v] <- min(label[v], labels of v's
+    neighbors); converges in diameter rounds — duplicate clusters are
+    shallow).  cluster_id = min doc_id of the component, so the result
+    is deterministic regardless of iteration/partition order; singleton
+    documents map to themselves.
+
+    Scale shape: each round is one edges-by-dst shuffle + groupBy min —
+    no driver-side graph state; ``localCheckpoint`` cuts the lineage per
+    round (on a cluster, use a reliable checkpoint dir instead).  The
+    alternative for deep graphs is pointer-doubling (O(log n) rounds);
+    near-dup clusters don't need it.
+    """
+    from pyspark.sql import functions as F
+
+    pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select("doc_b", "doc_a"))
+        .toDF("src", "dst")
+        .persist()
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    labels = docs.select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    ).localCheckpoint()
+    for _ in range(CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+            .select(
+                labels.doc_id,
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter("n.cluster_id <> o.cluster_id")
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+# min-label reachability: lab reaches node along (undirected) edges; the
+# component minimum is MIN over all labels that reach the node
+_DEDUP_CLUSTER_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_DEDUP_MINHASH_ORACLE}),
+nodes AS (SELECT doc_id FROM documents),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT doc_id AS node, doc_id AS lab FROM nodes
+  UNION
+  SELECT e.b AS node, r.lab FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node
+"""
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard for all pairs sharing >= 1 shingle.
 
@@ -325,6 +404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
+        "dedup_cluster": dedup_cluster,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
     }
 
@@ -333,5 +413,6 @@ def oracles() -> dict[str, str]:
     return {
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "dedup_minhash": _DEDUP_MINHASH_ORACLE,
+        "dedup_cluster": _DEDUP_CLUSTER_ORACLE,
         "dedup_ngram_jaccard": _DEDUP_NGRAM_ORACLE,
     }

@@ -188,3 +188,57 @@ class RelationGraph:
         if explicit:
             return self.explicit_path(start, explicit, target)
         return self.discover(start, target, context=context)
+
+
+# ---------------------------------------------------------------------------
+# bucket-key derivation (shared by the runner's bucketed materialization
+# and the SQL emitter's CLUSTERED BY DDL)
+# ---------------------------------------------------------------------------
+
+_SIMPLE_SIDE_RE_STR = r"^\[(This|Related)\]\.([a-z_][a-z0-9_]*)$"
+
+
+def derive_bucket_keys(relations: list[Relation]) -> dict[str, list[str]]:
+    """Per-source bucket-key candidates from the relation graph.
+
+    A hub that is the cardinality-1 endpoint of relations is repeatedly
+    joined on its side of the predicate (J1/J2 lookups); the M endpoint
+    is the groupBy side of every decorrelated aggregate (J5).  When the
+    predicate is a pure equi-conjunction of bare columns, bucketing the
+    hub on that column tuple lets sort-merge joins and aggregate groupBys
+    reuse the write-time partitioning instead of shuffling.  The
+    most-voted key tuple per source wins; 1-endpoints count double
+    (lookups outnumber builds).
+    """
+    import re
+    from collections import Counter
+
+    from dataforge_core_spark.parser import equi_conjuncts
+
+    side_re = re.compile(_SIMPLE_SIDE_RE_STR, re.I)
+    votes: dict[str, Counter] = {}
+    for rel in relations:
+        try:
+            conj = equi_conjuncts(rel.expression)
+        except Exception:
+            conj = None
+        if not conj:
+            continue
+        this_cols: list[str] = []
+        rel_cols: list[str] = []
+        for this_text, rel_text in conj:
+            mt = side_re.match(this_text.strip())
+            mr = side_re.match(rel_text.strip())
+            if not (mt and mr):
+                break
+            this_cols.append(mt.group(2))
+            rel_cols.append(mr.group(2))
+        else:
+            lc, rc = rel.card_sides()
+            votes.setdefault(rel.left, Counter())[tuple(this_cols)] += (
+                2 if lc == "1" else 1
+            )
+            votes.setdefault(rel.right, Counter())[tuple(rel_cols)] += (
+                2 if rc == "1" else 1
+            )
+    return {name: list(c.most_common(1)[0][0]) for name, c in votes.items()}

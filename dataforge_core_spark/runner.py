@@ -21,18 +21,13 @@ Two execution modes:
 from __future__ import annotations
 
 import os
-import re
-from collections import Counter
 
 from pyspark.sql import DataFrame, SparkSession
 
 from dataforge_core_spark.compiler import SourceCompiler
 from dataforge_core_spark.model import Project, ProjectError
-from dataforge_core_spark.parser import equi_conjuncts
+from dataforge_core_spark.paths import derive_bucket_keys
 from dataforge_core_spark.sources.readers import read_source, write_output
-
-# a relation side that is a bare attribute token (bucketable column)
-_SIMPLE_SIDE_RE = re.compile(r"^\[(This|Related)\]\.([a-z_][a-z0-9_]*)$", re.I)
 
 
 class ProjectRunner:
@@ -112,46 +107,10 @@ class ProjectRunner:
 
     # ------------------------------------------------------------------
     def bucket_keys(self) -> dict[str, list[str]]:
-        """Per-source bucket-key candidates derived from the relation graph.
-
-        A hub that is the cardinality-1 endpoint of relations is repeatedly
-        joined on its side of the predicate (J1/J2 lookups); the M endpoint
-        is the groupBy side of every decorrelated aggregate (J5).  When the
-        predicate is a pure equi-conjunction of bare columns, bucketing the
-        hub on that column tuple lets sort-merge joins and aggregate
-        groupBys reuse the write-time partitioning instead of shuffling —
-        at 100 TB that is the difference between a scan-local join and a
-        full-network exchange per query.  The most-voted key tuple per
-        source wins; 1-endpoints count double (lookups outnumber builds).
-        """
-        votes: dict[str, Counter] = {}
-        for rel in self.project.relations:
-            try:
-                conj = equi_conjuncts(rel.expression)
-            except Exception:
-                conj = None
-            if not conj:
-                continue
-            this_cols: list[str] = []
-            rel_cols: list[str] = []
-            for this_text, rel_text in conj:
-                mt = _SIMPLE_SIDE_RE.match(this_text.strip())
-                mr = _SIMPLE_SIDE_RE.match(rel_text.strip())
-                if not (mt and mr):
-                    break
-                this_cols.append(mt.group(2))
-                rel_cols.append(mr.group(2))
-            else:
-                lc, rc = rel.card_sides()
-                votes.setdefault(rel.left, Counter())[tuple(this_cols)] += (
-                    2 if lc == "1" else 1
-                )
-                votes.setdefault(rel.right, Counter())[tuple(rel_cols)] += (
-                    2 if rc == "1" else 1
-                )
-        return {
-            name: list(c.most_common(1)[0][0]) for name, c in votes.items()
-        }
+        """Per-source bucket keys from the relation graph — at 100 TB the
+        difference between a scan-local join and a full-network exchange
+        per query (see paths.derive_bucket_keys)."""
+        return derive_bucket_keys(self.project.relations)
 
     # ------------------------------------------------------------------
     def materialize(

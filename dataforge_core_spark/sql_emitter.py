@@ -44,6 +44,8 @@ class SqlEmitter:
         project: Project,
         substitutions: dict | None = None,
         spark: SparkSession | None = None,
+        bucket_by: dict[str, list[str]] | str | None = None,
+        n_buckets: int = 32,
     ):
         self.project = project
         self.graph = RelationGraph(project.relations)
@@ -51,6 +53,12 @@ class SqlEmitter:
         self.subs = substitutions or {}
         self.spark = spark
         self._dtypes: dict[str, dict[str, str]] | None = None
+        if bucket_by == "auto":
+            from dataforge_core_spark.paths import derive_bucket_keys
+
+            bucket_by = derive_bucket_keys(project.relations)
+        self.bucket_by = bucket_by or {}
+        self.n_buckets = n_buckets
 
     def _hub_dtypes(self, source_name: str) -> dict[str, str]:
         """Inferred column types from the lazily-built DataFrame hubs —
@@ -190,9 +198,22 @@ class SqlEmitter:
             + status
             + f"\nFROM {prev}"
         )
+        keys = self.bucket_by.get(source.source_name)
+        if keys:
+            # bucketed hub DDL — same property the runner's
+            # materialize(bucket_by=...) gives the parquet path: repeated
+            # joins/groupBys on the key reuse write-time partitioning
+            cols = ", ".join(f"`{k}`" for k in keys)
+            create = (
+                f"CREATE TABLE {source.target_table} USING PARQUET\n"
+                f"CLUSTERED BY ({cols}) SORTED BY ({cols}) "
+                f"INTO {self.n_buckets} BUCKETS AS\n"
+            )
+        else:
+            create = f"CREATE TABLE {source.target_table} AS\n"
         return (
             f"DROP TABLE IF EXISTS {source.target_table};\n"
-            f"CREATE TABLE {source.target_table} AS\n{body};\n"
+            f"{create}{body};\n"
         )
 
     def _emit_join(self, join: JoinElement, prev: str) -> tuple[str, list[str]]:

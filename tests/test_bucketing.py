@@ -78,3 +78,25 @@ def test_bucketed_materialize_parity_and_plan(project, spark, sf_dir):
         assert plan.count("Exchange hashpartitioning") <= 1
     finally:
         with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_emitter_clustered_by_ddl(project, spark):
+    """The SQL artifact path gets the same bucketing property via
+    CLUSTERED BY CTAS, and the DDL executes."""
+    from dataforge_core_spark.sql_emitter import SqlEmitter, run_statements
+
+    em = SqlEmitter(
+        project,
+        {"DATA_DIR": "/root/testdata/sf0.001"},
+        spark=spark,
+        bucket_by="auto",
+        n_buckets=4,
+    )
+    sql = em.emit_source(project.source_by_name()["tpch_region"])
+    assert "CLUSTERED BY (`r_regionkey`)" in sql
+    assert "INTO 4 BUCKETS" in sql
+    spark.sql("DROP TABLE IF EXISTS enriched_region")
+    run_statements(spark, sql)
+    desc = {r[0]: r[1] for r in spark.sql("DESCRIBE EXTENDED enriched_region").collect()}
+    assert desc.get("Num Buckets") == "4"
+    spark.sql("DROP TABLE IF EXISTS enriched_region")

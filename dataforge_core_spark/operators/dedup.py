@@ -199,6 +199,14 @@ def _jaccard_verify(ex: DataFrame, cand: DataFrame) -> DataFrame:
     )
 
 
+# skew guard: a band bucket holding > MAX_BAND_BUCKET docs contributes
+# O(n^2) candidate pairs while carrying almost no signal (it means 1/BANDS
+# of the signature collided across a huge set — boilerplate/empty docs).
+# Dropping oversized buckets caps the worst key's join fan-out; the same
+# rule is applied in the oracle so results stay engine-identical.
+MAX_BAND_BUCKET = 1000
+
+
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash/LSH candidate pairs + exact-Jaccard verification."""
     from pyspark.sql import functions as F
@@ -218,7 +226,16 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.selectExpr(
         "doc_id", f"explode(array({keys})) AS band_key"
     )
-    b2 = bands.toDF("doc_id_b", "band_key_b")
+    # oversized-bucket guard: the heavy-key set is tiny by construction,
+    # so it broadcasts and the exclusion is a map-side anti join
+    heavy = (
+        bands.groupBy("band_key")
+        .count()
+        .filter(F.col("count") > MAX_BAND_BUCKET)
+        .select("band_key")
+    )
+    bands = bands.join(F.broadcast(heavy), "band_key", "left_anti")
+    b2 = bands.toDF("band_key_b", "doc_id_b")
     cand = (
         bands.join(
             b2,
@@ -246,9 +263,16 @@ bands AS (
            AS band_key
   FROM sig
 ),
+ok_bands AS (
+  SELECT doc_id, band_key FROM bands
+  WHERE band_key NOT IN (
+    SELECT band_key FROM bands
+    GROUP BY band_key HAVING COUNT(*) > {MAX_BAND_BUCKET}
+  )
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
+  FROM ok_bands a JOIN ok_bands b
     ON a.band_key = b.band_key AND a.doc_id < b.doc_id
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),

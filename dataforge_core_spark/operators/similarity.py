@@ -315,6 +315,116 @@ WHERE rank <= {TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Re-rank stage: the cross-encoder slot of a retrieval pipeline.  Recall
+# (LSH buckets) -> shortlist (top-K cosine) -> model re-rank (top-K2).
+# The scorer is a mapInPandas Arrow-batched stage — the exact shape a
+# learned cross-encoder drops into (swap `_score_batches`).  The stub
+# scores by *unnormalized* dot product computed in numpy with the same
+# balanced-tree association as the SQL expression, so results are
+# bit-identical to the DuckDB oracle and the re-ranked order genuinely
+# differs from the cosine shortlist (norms vary).
+# ---------------------------------------------------------------------------
+
+RERANK_K = 5
+
+
+def ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-rank the LSH shortlist with an Arrow-batched pairwise scorer.
+
+    At scale the candidate set is |queries| x TOP_K rows — embarrassingly
+    parallel, no shuffle besides the final per-query window; batches hit
+    the Python worker as Arrow columns, scored vectorized."""
+    v = _normed(spark, sf_dir)
+    shortlist = ann_lsh_hyperplane(spark, sf_dir)
+    shortlist.createOrReplaceTempView("ann_rerank_shortlist")
+    pairs = spark.sql(
+        f"""
+        SELECT c.query_id, c.neighbor_id, q.emb AS q_emb, n.emb AS n_emb
+        FROM ann_rerank_shortlist c
+        JOIN {v} q ON q.vec_id = c.query_id
+        JOIN {v} n ON n.vec_id = c.neighbor_id
+        """
+    )
+
+    def _score_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.stack(pdf["q_emb"].to_numpy()).astype("float64")
+            n = np.stack(pdf["n_emb"].to_numpy()).astype("float64")
+            # balanced pairwise-adjacent adds — the same association as
+            # _unrolled_dot, so the double result is bit-identical
+            prod = q * n
+            while prod.shape[1] > 1:
+                prod = prod[:, 0::2] + prod[:, 1::2]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["neighbor_id"],
+                    "score": prod[:, 0],
+                }
+            )
+
+    scored = pairs.mapInPandas(
+        _score_batches, "query_id long, neighbor_id long, score double"
+    )
+    scored.createOrReplaceTempView("ann_rerank_scored")
+    return spark.sql(
+        f"""
+        SELECT query_id, rank, neighbor_id
+        FROM (
+          SELECT query_id, neighbor_id,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+          FROM ann_rerank_scored
+        )
+        WHERE rank <= {RERANK_K}
+        """
+    )
+
+
+def _rerank_oracle() -> str:
+    cos = _duck_cosine("q.emb", "c.emb", "q.nrm", "c.nrm")
+    dot = _unrolled_dot("q.emb", "n.emb", "duck")
+    return f"""
+WITH {_duck_v_cte()},
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {cos} AS score
+  FROM (SELECT * FROM v WHERE vec_id < {N_QUERIES}) q
+  JOIN v c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+),
+shortlist AS (
+  SELECT query_id, neighbor_id
+  FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS rank
+    FROM scored
+  )
+  WHERE rank <= {TOP_K}
+),
+re AS (
+  SELECT s.query_id, s.neighbor_id, {dot} AS score
+  FROM shortlist s
+  JOIN v q ON q.vec_id = s.query_id
+  JOIN v n ON n.vec_id = s.neighbor_id
+)
+SELECT query_id, rank, neighbor_id
+FROM (
+  SELECT query_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+  FROM re
+)
+WHERE rank <= {RERANK_K}
+"""
+
+
 # real deployments use ~0.95+; the synthetic corpus has no planted
 # near-dups (max pairwise cosine ~0.51), so the demo threshold sits where
 # the operator produces verifiable pairs
@@ -355,6 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": ann_bruteforce,
         "ann_ivf_label": ann_ivf_label,
         "ann_lsh_hyperplane": ann_lsh_hyperplane,
+        "ann_rerank": ann_rerank,
         "dedup_embedding": dedup_embedding,
     }
 
@@ -364,5 +475,6 @@ def oracles() -> dict[str, str]:
         "ann_bruteforce": _bruteforce_oracle(),
         "ann_ivf_label": _ivf_oracle(),
         "ann_lsh_hyperplane": _lsh_oracle(),
+        "ann_rerank": _rerank_oracle(),
         "dedup_embedding": _dedup_embedding_oracle(),
     }

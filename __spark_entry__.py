@@ -28,9 +28,11 @@ Coverage map (SURVEY.md §2 -> query):
                                 channel pass routing, s_suppkey_str_uv_flag
   §2.11 nested / sub-source  -> nested_roundtrip, nested_aggregate
   §2.9 streaming (extension) -> tests/test_streaming.py (batch parity)
-  LLM-pipeline operators     -> dedup_exact / dedup_minhash /
-                                dedup_ngram_jaccard / dedup_simhash[_pairs],
-                                ann_bruteforce / ann_ivf_label,
+  LLM-pipeline operators     -> dedup_exact / dedup_minhash / dedup_cluster /
+                                dedup_ngram_jaccard / dedup_simhash[_pairs] /
+                                dedup_embedding,
+                                ann_bruteforce / ann_ivf_label /
+                                ann_lsh_hyperplane / ann_rerank,
                                 text_tokens/quality/lang_id/fingerprint,
                                 events_hourly/sessionize/json/asof_order,
                                 multimodal_meta / multimodal_frame_sample

@@ -96,6 +96,11 @@ def test_emitter_clustered_by_ddl(project, spark):
     assert "CLUSTERED BY (`r_regionkey`)" in sql
     assert "INTO 4 BUCKETS" in sql
     spark.sql("DROP TABLE IF EXISTS enriched_region")
+    # a prior pytest process's managed table may have left files the
+    # in-memory catalog no longer knows about — CTAS refuses the location
+    import shutil
+
+    shutil.rmtree("spark-warehouse/enriched_region", ignore_errors=True)
     run_statements(spark, sql)
     desc = {r[0]: r[1] for r in spark.sql("DESCRIBE EXTENDED enriched_region").collect()}
     assert desc.get("Num Buckets") == "4"

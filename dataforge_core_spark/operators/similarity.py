@@ -425,6 +425,148 @@ WHERE rank <= {RERANK_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# True k-means IVF: Lloyd's algorithm with a FIXED iteration count and
+# fixed-point centroid accumulation, so the coarse quantizer itself is
+# part of the verified query (the DuckDB oracle runs the identical
+# unrolled iterations).  This replaces the label-as-bucket stand-in
+# (ann_ivf_label keeps documenting that shape).
+#
+# Determinism across engines: double addition is not associative, so a
+# naive AVG(emb[d]) per centroid would depend on each engine's (and each
+# partition layout's) summation order.  Instead components are scaled by
+# 2^32 (exact — power-of-two multiply only shifts the exponent), floored
+# to BIGINT, and summed in *integer* arithmetic (exact, associative,
+# order-free), then divided back in double.  On a 1000-executor cluster
+# this also means the centroids are reproducible run-to-run regardless
+# of partitioning — the same property Spark's own MLlib KMeans does NOT
+# give you.  Assignment = argmin ||a-c||^2 = argmin (c.c - 2 a.c); the
+# per-centroid self-dot is precomputed once per centroid row, so each
+# vector x centroid pair costs ONE unrolled dot product, broadcast-joined
+# (K rows) with no shuffle on the corpus side.  The only shuffles per
+# iteration are the ROW_NUMBER partition-by-vector (argmin) and the
+# K-group centroid aggregate (map-side combinable).
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+_FP_SCALE = "4294967296.0"  # 2^32 — exact double multiply
+
+
+def _kmeans_update(src: str, dialect: str) -> str:
+    """Fixed-point centroid recompute: exact integer sums per dimension."""
+    off = 0 if dialect == "spark" else 1
+    arr_open, arr_close = ("array(", ")") if dialect == "spark" else ("[", "]")
+    elems = ",\n       ".join(
+        f"CAST(SUM(CAST(FLOOR(emb[{d + off}] * {_FP_SCALE}) AS BIGINT))"
+        f" AS DOUBLE) / (COUNT(*) * {_FP_SCALE})"
+        for d in range(DIM)
+    )
+    return (
+        f"SELECT cid, {arr_open}{elems}{arr_close} AS emb"
+        f" FROM {src} GROUP BY cid"
+    )
+
+
+def _kmeans_assign(v: str, csrc: str, dialect: str) -> str:
+    """argmin-distance assignment; cid tie-break keeps it deterministic."""
+    dot = _unrolled_dot("a.emb", "c.emb", dialect)
+    return f"""SELECT vec_id, emb, nrm, cid FROM (
+    SELECT a.vec_id, a.emb, a.nrm, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                ORDER BY (c.cc - (2 * ({dot}))) ASC, c.cid) AS rn
+    FROM {v} a CROSS JOIN {csrc} c) t WHERE rn = 1"""
+
+
+def _kmeans_ctes(v: str, dialect: str) -> str:
+    """CTE chain c0 -> (assign -> update -> self-dot) x ITERS -> af."""
+    self_dot = _unrolled_dot("emb", "emb", dialect)
+    parts = [
+        f"c0 AS (SELECT vec_id AS cid, emb, {self_dot} AS cc"
+        f" FROM {v} WHERE vec_id < {KMEANS_K})"
+    ]
+    prev = "c0"
+    for i in range(1, KMEANS_ITERS + 1):
+        parts.append(f"a{i} AS ({_kmeans_assign(v, prev, dialect)})")
+        parts.append(f"u{i} AS ({_kmeans_update(f'a{i}', dialect)})")
+        parts.append(
+            f"c{i} AS (SELECT cid, emb, {self_dot} AS cc FROM u{i})"
+        )
+        prev = f"c{i}"
+    parts.append(f"af AS ({_kmeans_assign(v, prev, dialect)})")
+    return ",\n".join(parts)
+
+
+_kmeans_cache: dict = {}
+
+
+def _kmeans_assignments(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted (vec_id, emb, nrm, cid) view — the 'index build' side.
+
+    Materialized so the query-side/corpus-side self-join of the search
+    doesn't recompute the Lloyd iterations twice.  At scale this is the
+    stored IVF index: assignments persist alongside the vectors,
+    partitioned by cid."""
+    key = (id(spark), sf_dir)
+    if key not in _kmeans_cache:
+        v = _normed(spark, sf_dir)
+        df = spark.sql(
+            f"WITH {_kmeans_ctes(v, 'spark')} SELECT * FROM af"
+        ).repartition("cid").persist()
+        name = f"kmeans_assign_{abs(hash(key)) % 10**8}"
+        df.createOrReplaceTempView(name)
+        _kmeans_cache[key] = name
+    return _kmeans_cache[key]
+
+
+def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a real k-means coarse quantizer: search only the query's
+    centroid cell.  nprobe=1 here; raising nprobe = OR-ing more cids into
+    the join key (recall dial, same plan shape)."""
+    af = _kmeans_assignments(spark, sf_dir)
+    cos = _spark_cosine("q.emb", "c.emb", "q.nrm", "c.nrm")
+    return spark.sql(
+        f"""
+        WITH scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 {cos} AS score
+          FROM (SELECT * FROM {af} WHERE vec_id < {N_QUERIES}) q
+          JOIN {af} c ON q.cid = c.cid AND q.vec_id <> c.vec_id
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+          FROM scored
+        )
+        SELECT query_id, rank, neighbor_id FROM ranked
+        WHERE rank <= {TOP_K}
+        """
+    )
+
+
+def _ivf_kmeans_oracle() -> str:
+    cos = _duck_cosine("q.emb", "c.emb", "q.nrm", "c.nrm")
+    return f"""
+WITH {_duck_v_cte()},
+{_kmeans_ctes('v', 'duck')},
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {cos} AS score
+  FROM (SELECT * FROM af WHERE vec_id < {N_QUERIES}) q
+  JOIN af c ON q.cid = c.cid AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id FROM ranked
+WHERE rank <= {TOP_K}
+"""
+
+
 # real deployments use ~0.95+; the synthetic corpus has no planted
 # near-dups (max pairwise cosine ~0.51), so the demo threshold sits where
 # the operator produces verifiable pairs
@@ -464,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ann_bruteforce": ann_bruteforce,
         "ann_ivf_label": ann_ivf_label,
+        "ann_ivf_kmeans": ann_ivf_kmeans,
         "ann_lsh_hyperplane": ann_lsh_hyperplane,
         "ann_rerank": ann_rerank,
         "dedup_embedding": dedup_embedding,
@@ -474,6 +617,7 @@ def oracles() -> dict[str, str]:
     return {
         "ann_bruteforce": _bruteforce_oracle(),
         "ann_ivf_label": _ivf_oracle(),
+        "ann_ivf_kmeans": _ivf_kmeans_oracle(),
         "ann_lsh_hyperplane": _lsh_oracle(),
         "ann_rerank": _rerank_oracle(),
         "dedup_embedding": _dedup_embedding_oracle(),

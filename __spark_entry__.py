@@ -67,16 +67,45 @@ def _build(spark: SparkSession, sf_dir: str):
     return _hub_cache[key]
 
 
+def _canonical(df: DataFrame) -> DataFrame:
+    """Comparison-boundary canonicalization (driver hashes pandas frames):
+
+    - DECIMAL(38,12) -> DOUBLE: Spark's toPandas yields ``Decimal`` objects
+      while DuckDB's ``.df()`` yields float64, so bit-identical values hash
+      differently.  Internal engine arithmetic stays decimal-exact; only the
+      driver-facing column is cast, mirrored by CAST(... AS DOUBLE) /
+      SELECT * REPLACE in the oracles below.
+    - array<string> -> sorted comma-joined string: pandas ``sort_values``
+      cannot factorize list cells (unhashable), so the driver errors out.
+      Mirrored by array_to_string(list_sort(...)) in the oracle.
+    """
+    from pyspark.sql import functions as F, types as T
+
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.DecimalType):
+            cols.append(F.col(f.name).cast("double").alias(f.name))
+        elif isinstance(f.dataType, T.ArrayType) and isinstance(
+            f.dataType.elementType, T.StringType
+        ):
+            cols.append(
+                F.array_join(F.sort_array(F.col(f.name)), ",").alias(f.name)
+            )
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
+
+
 def _hub(name: str):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return _build(spark, sf_dir)[0][name]
+        return _canonical(_build(spark, sf_dir)[0][name])
 
     return q
 
 
 def _output(name: str):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return _build(spark, sf_dir)[1][name]
+        return _canonical(_build(spark, sf_dir)[1][name])
 
     return q
 
@@ -244,15 +273,35 @@ def oracle_sql() -> dict[str, str]:
         "hub_region": _with("SELECT * FROM region_h"),
         "hub_nation": _with("SELECT * FROM nation_h"),
         "hub_supplier": _with("SELECT * FROM supplier_h"),
-        "hub_orders": _with("SELECT * FROM orders_h"),
-        "hub_customer": _with("SELECT * FROM customer_h"),
-        "hub_lineitem": _with("SELECT * FROM lineitem_h"),
-        "hub_part": _with("SELECT * FROM part_h"),
+        # DECIMAL(38,12) -> DOUBLE goes through VARCHAR on DuckDB: its direct
+        # decimal cast double-rounds (int128 -> double, then / 10^12) once
+        # value*10^12 > 2^53, while Spark's BigDecimal -> double and DuckDB's
+        # string -> double (fast_float) are both correctly rounded.
+        "hub_orders": _with(
+            """SELECT * REPLACE (CAST(CAST(o_totalprice_dec AS VARCHAR)
+               AS DOUBLE) AS o_totalprice_dec) FROM orders_h"""
+        ),
+        "hub_customer": _with(
+            """SELECT * REPLACE (
+                 CAST(CAST(total_spend AS VARCHAR) AS DOUBLE) AS total_spend,
+                 CAST(CAST(acctbal_dec AS VARCHAR) AS DOUBLE) AS acctbal_dec,
+                 array_to_string(order_statuses, ',') AS order_statuses)
+               FROM customer_h"""
+        ),
+        "hub_lineitem": _with(
+            """SELECT * REPLACE (CAST(CAST(net_price AS VARCHAR) AS DOUBLE)
+               AS net_price) FROM lineitem_h"""
+        ),
+        "hub_part": _with(
+            """SELECT * REPLACE (CAST(CAST(revenue AS VARCHAR) AS DOUBLE)
+               AS revenue) FROM part_h"""
+        ),
         "output_feature_customer": _with(
             """
             SELECT l.c_name AS customer,
                    l.cust_nation_name AS nation,
-                   CAST(SUM(l.net_price) AS DECIMAL(38,12)) AS line_net_total,
+                   CAST(CAST(SUM(l.net_price) AS VARCHAR) AS DOUBLE)
+                     AS line_net_total,
                    COUNT(l.l_linenumber) AS line_cnt,
                    COUNT(DISTINCT l.l_orderkey) AS order_cnt
             FROM lineitem_h l

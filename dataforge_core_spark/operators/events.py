@@ -9,6 +9,12 @@ streaming/ tests); batch mode makes them oracle-checkable.
 Determinism notes: value sums go through DECIMAL(12,2) (exact); the as-of
 pick packs (epoch, orderkey) into one BIGINT so MAX() is a deterministic
 argmax on both engines.
+
+Output canonicalization: comparison columns are emitted as DOUBLE / BIGINT
+on BOTH engines (the exact decimal sum happens first, then one final cast)
+because the driver hashes pandas frames where Spark DECIMAL -> object
+Decimal('1.20000…') while DuckDB DECIMAL -> float64 — bit-identical values,
+different hashes.  Internal arithmetic stays decimal-exact.
 """
 
 from __future__ import annotations
@@ -54,7 +60,7 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                event_type,
                COUNT(*) AS n_events,
                COUNT(DISTINCT user_id) AS n_users,
-               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,12))
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
                  AS total_value
         FROM events
         GROUP BY date_trunc('hour', ts), event_type
@@ -67,7 +73,7 @@ SELECT date_trunc('hour', ts) AS window_start,
        event_type,
        COUNT(*) AS n_events,
        COUNT(DISTINCT user_id) AS n_users,
-       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,12))
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
          AS total_value
 FROM events
 GROUP BY date_trunc('hour', ts), event_type
@@ -114,10 +120,10 @@ WITH g AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT event_id, user_id, ts,
-       SUM(is_start) OVER (PARTITION BY user_id
+       CAST(SUM(is_start) OVER (PARTITION BY user_id
             ORDER BY ts, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         AS session_number
+         AS BIGINT) AS session_number
 FROM g
 """
 
@@ -189,7 +195,7 @@ def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                CAST(date_trunc('day', ts) AS DATE) AS day,
                COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,12))
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
                  AS total_value
         FROM events
         GROUP BY ROLLUP (event_type, CAST(date_trunc('day', ts) AS DATE))
@@ -201,7 +207,7 @@ _ROLLUP_ORACLE = """
 SELECT event_type,
        CAST(date_trunc('day', ts) AS DATE) AS day,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,12))
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
          AS total_value
 FROM events
 GROUP BY ROLLUP (event_type, CAST(date_trunc('day', ts) AS DATE))
@@ -227,7 +233,7 @@ def events_user_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT user_id,
                SUM(n) AS n_events,
-               CAST(SUM(v) AS DECIMAL(38,12)) AS total_value
+               CAST(SUM(v) AS DOUBLE) AS total_value
         FROM partial
         GROUP BY user_id
         """
@@ -237,7 +243,7 @@ def events_user_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SALTED_ORACLE = """
 SELECT user_id,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(38,12))
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
          AS total_value
 FROM events
 GROUP BY user_id

@@ -60,7 +60,8 @@ def nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM nested
         )
         SELECT o_orderkey, o_custkey,
-               l_linenumber, l_quantity, net_price
+               l_linenumber, l_quantity,
+               CAST(net_price AS DOUBLE) AS net_price
         FROM enriched
         LATERAL VIEW inline(items) t AS l_linenumber, l_quantity, net_price
         """
@@ -70,9 +71,9 @@ def nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ROUNDTRIP_ORACLE = """
 SELECT o.o_orderkey, o.o_custkey,
        l.l_linenumber, l.l_quantity,
-       CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+       CAST(CAST(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
             * CAST(1 - l.l_discount AS DECIMAL(8,4)) AS DECIMAL(38,12))
-         AS net_price
+         AS VARCHAR) AS DOUBLE) AS net_price
 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 """
 

@@ -227,37 +227,57 @@ class SourceCompiler:
         )
 
     def window_partition_keys(self, source: Source) -> list[str] | None:
-        """Common bare-column PARTITION BY list shared by *every*
-        keep_current window rule of the source, or None when confinement
-        is not provable (no window rules, expression-valued partition
-        keys, or rules partitioned by different columns).
+        """Common bare-column PARTITION BY list shared by *every* window
+        occurrence of *every* rule in the recalculation closure, or None
+        when confinement is not provable (no window rules, an OVER()
+        missing PARTITION BY, expression-valued partition keys, or
+        windows partitioned by different columns).
 
-        When all window rules partition by the same raw columns, a
-        recalculation touching only some key values is confined to those
-        window partitions — the basis for partition-pruned recompute."""
+        The closure — not just keep_current rules — is what
+        :meth:`recalculate` recomputes, so a window rule downstream of a
+        keep_current rule constrains prunability too; and a single rule
+        may carry several OVER() clauses, each of which must be confined.
+
+        When every recomputed window partitions by the same raw columns,
+        a recalculation touching only some key values is confined to
+        those window partitions — the basis for partition-pruned
+        recompute."""
         import re as _re
 
+        closure = self.recalculation_closure(source)
         key_sets: list[tuple[str, ...]] = []
         for rule in source.rules:
-            if not rule.keep_current:
+            if rule.name not in closure:
                 continue
-            m = _re.search(
-                r"(?is)over\s*\(\s*partition\s+by\s+(.*?)"
-                r"(?:\border\s+by\b|\brows\b|\brange\b|\))",
-                rule.expression,
-            )
-            if not m:
-                return None  # un-partitioned window -> whole-table scope
-            cols = []
-            for part in m.group(1).split(","):
-                t = part.strip()
-                tm = _re.match(
-                    r"^\[This\]\.([a-z_][a-z0-9_]*)$", t, _re.I
+            if rule.unique:
+                # the implicit `_uv_flag` window partitions by the rule's
+                # *value* — a value straddling changed/unchanged rows would
+                # get a wrong count over a pruned subset
+                return None
+            expr = rule.expression
+            n_windows = len(_re.findall(r"(?i)\bover\s*\(", expr))
+            if n_windows == 0:
+                continue  # per-row rule — prunes trivially
+            matches = list(
+                _re.finditer(
+                    r"(?is)\bover\s*\(\s*partition\s+by\s+(.*?)"
+                    r"(?:\border\s+by\b|\brows\b|\brange\b|\))",
+                    expr,
                 )
-                if not tm:
-                    return None  # expression key -> not provably prunable
-                cols.append(tm.group(1))
-            key_sets.append(tuple(cols))
+            )
+            if len(matches) != n_windows:
+                return None  # un-partitioned window -> whole-table scope
+            for m in matches:
+                cols = []
+                for part in m.group(1).split(","):
+                    t = part.strip()
+                    tm = _re.match(
+                        r"^\[This\]\.([a-z_][a-z0-9_]*)$", t, _re.I
+                    )
+                    if not tm:
+                        return None  # expression key -> not provably prunable
+                    cols.append(tm.group(1))
+                key_sets.append(tuple(cols))
         if not key_sets or len(set(key_sets)) != 1:
             return None
         return list(key_sets[0])
@@ -532,16 +552,30 @@ class SourceCompiler:
         ]
 
     def _agg_target_side(
-        self, join: JoinElement, hubs: dict[str, DataFrame]
+        self,
+        join: JoinElement,
+        hubs: dict[str, DataFrame],
+        df_self: DataFrame | None = None,
     ) -> DataFrame:
         """The aggregation input: the M-target hub with all transit
         sources pre-joined (SURVEY §7.3 — transit attrs referenced inside
         the aggregate come from cardinality-1 paths *from the target*),
-        exposed under the planner's `__TR__<src>__<attr>` names."""
+        exposed under the planner's `__TR__<src>__<attr>` names.
+
+        For self-relation aggregates the target is the in-flight frame
+        (mirroring :meth:`_chain`'s ``df_self`` handling) — the hub for
+        the source being built does not exist yet."""
         from dataforge_core_spark.plans.planner import JoinElement as JE
 
         m_hop = join.path.hops[-1]
-        target = self._hub(m_hop.dst, hubs)
+        if (
+            join.is_self
+            and df_self is not None
+            and m_hop.dst == join.path.hops[0].relation.left
+        ):
+            target = df_self
+        else:
+            target = self._hub(m_hop.dst, hubs)
         target_src = self._by_name[m_hop.dst]
         # collect needed transit attrs per source across all agg specs
         needed: dict[str, dict[str, str]] = {}
@@ -583,7 +617,7 @@ class SourceCompiler:
             # apply; fall back to join + group on a synthetic row key
             # (exact LATERAL semantics, more shuffle)
             return self._apply_aggregate_rowkey(df, join, source, hubs)
-        target = self._agg_target_side(join, hubs)
+        target = self._agg_target_side(join, hubs, df_self=df)
         # group keys: the M-target side of each equi conjunct
         # (dst side of the hop); rewrite [This]/[Related] tokens to bare cols
         key_exprs: list[str] = []
@@ -666,10 +700,15 @@ class SourceCompiler:
         — the foreign-key groupBy rewrite cannot express either).
 
         The row key is monotonically_increasing_id(), only stable within
-        one materialization — the keyed frame is persisted so the join and
-        the final re-attach see the same ids.  NULL semantics match
-        LATERAL exactly: no-match rows feed NULL target columns, which
-        count(col)/sum/min/max already skip.  Single-hop paths only.
+        one materialization — the keyed frame is eagerly
+        ``localCheckpoint``-ed so the aggregate join and the final
+        re-attach read the *same* ids from stored blocks.  Unlike
+        ``persist()`` (lazy, evictable — a recomputed partition would
+        silently renumber rows), a lost checkpoint block fails the job
+        instead of mis-attaching aggregates; blocks are freed by the
+        ContextCleaner once the frame is unreferenced.  NULL semantics
+        match LATERAL exactly: no-match rows feed NULL target columns,
+        which count(col)/sum/min/max already skip.  Single-hop paths only.
         """
         hops = join.path.hops
         if len(hops) > 1:
@@ -681,9 +720,11 @@ class SourceCompiler:
         m_hop = hops[0]
         pid = join.pathid
         rid = f"__{pid}__rid"
-        keyed = df.withColumn(rid, F.monotonically_increasing_id()).persist()
+        keyed = df.withColumn(
+            rid, F.monotonically_increasing_id()
+        ).localCheckpoint(eager=True)
         target = _prefix_all(
-            self._agg_target_side(join, hubs), f"__{pid}_t__"
+            self._agg_target_side(join, hubs, df_self=keyed), f"__{pid}_t__"
         )
         rules_dst = self._by_name[m_hop.dst].rule_by_name()
         this_pref, rel_pref = (

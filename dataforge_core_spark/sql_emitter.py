@@ -296,13 +296,19 @@ class SqlEmitter:
             for j, e in enumerate(our_sql)
         )
         clauses.append(f"LEFT JOIN {sub} J_{pid} ON {conds}")
-        # transits: expose agg results (with LATERAL empty-set parity
-        # coalesce for count-family) under the planner's helper names
+        # transits: expose agg results under the planner's helper names,
+        # with LATERAL empty-set parity (compiler._agg_empty_fixes):
+        # count-family -> 0, array-family -> [] (Spark coerces the bare
+        # array() literal to the column's element type in coalesce)
+        from dataforge_core_spark.compiler import _EMPTY_ARRAY, _EMPTY_ZERO
+
         transits = []
         for k, spec in enumerate(join.aggs):
             expr = f"J_{pid}.`a{k}`"
-            if spec.call.func in ("count", "count_if", "approx_count_distinct"):
+            if spec.call.func in _EMPTY_ZERO:
                 expr = f"coalesce({expr}, 0)"
+            elif spec.call.func in _EMPTY_ARRAY:
+                expr = f"coalesce({expr}, array())"
             transits.append(f"{expr} AS `{spec.out_col}`")
         return ("\n  ".join(clauses), transits)
 
@@ -324,6 +330,15 @@ class SqlEmitter:
                     )
                     if inc
                 ]
+                if not codes:
+                    # matches compile_output's validation — otherwise the
+                    # artifact silently contains `IN ()` (invalid SQL)
+                    from dataforge_core_spark.model import ProjectError
+
+                    raise ProjectError(
+                        f"Output {output.output_name!r}: channel must "
+                        "include at least one of pass/warn/fail"
+                    )
                 if set(codes) != {"P", "W", "F"}:
                     quoted = ", ".join(f"'{c}'" for c in codes)
                     where.append(f"s_validation_status_code IN ({quoted})")

@@ -1,0 +1,308 @@
+"""Regression tests for the round-1 advisor findings: emitted-SQL
+empty-array parity, recalculation window validation, output-channel
+validation in the emitter, and self-relation aggregates."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+
+def _project(parent_table: str, child_table: str):
+    from dataforge_core_spark.loader import (
+        parse_relations_list,
+        parse_source_dict,
+    )
+    from dataforge_core_spark.model import Project
+
+    parent = parse_source_dict(
+        {
+            "source_name": "par",
+            "source_table": parent_table,
+            "target_table": "hub_par_adv",
+            "raw_attributes": ["pid long"],
+            "rules": [
+                {"name": "vals", "expression": "collect_list([chi].v)"},
+                {"name": "vset", "expression": "collect_set([chi].v)"},
+                {"name": "vcnt", "expression": "count([chi].v)"},
+            ],
+        }
+    )
+    child = parse_source_dict(
+        {
+            "source_name": "chi",
+            "source_table": child_table,
+            "target_table": "hub_chi_adv",
+            "raw_attributes": ["cid long", "parent_id long", "v long"],
+        }
+    )
+    rels = parse_relations_list(
+        [
+            {
+                "name": "[par]- kids -[chi]",
+                "expression": "[This].pid = [Related].parent_id",
+                "cardinality": "1-M",
+            }
+        ]
+    )
+    return Project(sources=[parent, child], relations=rels)
+
+
+@pytest.fixture(scope="module")
+def empty_group_tables(spark):
+    """Parent pid=2 has NO children — the empty aggregation group the
+    sf0.001 TPC-H data never produces (every customer has orders)."""
+    d = tempfile.mkdtemp(prefix="dfspark_adv_")
+    spark.createDataFrame([(1,), (2,)], "pid long").write.parquet(f"{d}/p")
+    spark.createDataFrame(
+        [(10, 1, 7), (11, 1, 8)], "cid long, parent_id long, v long"
+    ).write.parquet(f"{d}/c")
+    yield f"{d}/p", f"{d}/c"
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_emitted_sql_empty_array_parity(spark, empty_group_tables):
+    """The SQL artifact must coalesce collect_list/collect_set to [] for
+    empty groups exactly like compiler._agg_empty_fixes (LATERAL parity);
+    previously only the count family was coalesced."""
+    from dataforge_core_spark.runner import ProjectRunner
+    from dataforge_core_spark.sql_emitter import SqlEmitter, run_statements
+
+    p_tab, c_tab = empty_group_tables
+    project = _project(p_tab, c_tab)
+
+    hubs = ProjectRunner(spark, project, persist_hubs=False).build()
+    df_rows = {
+        r["pid"]: (sorted(r["vals"]), sorted(r["vset"]), r["vcnt"])
+        for r in hubs["par"].collect()
+    }
+    assert df_rows[2] == ([], [], 0)  # DataFrame path: LATERAL parity
+
+    shutil.rmtree("spark-warehouse", ignore_errors=True)
+    target = tempfile.mkdtemp(prefix="dfspark_adv_target_")
+    run_sql = SqlEmitter(project, spark=spark).emit_all(target)
+    run_statements(spark, run_sql)
+    sql_rows = {
+        r["pid"]: (sorted(r["vals"]), sorted(r["vset"]), r["vcnt"])
+        for r in spark.table("hub_par_adv").collect()
+    }
+    assert sql_rows == df_rows
+    shutil.rmtree(target, ignore_errors=True)
+
+
+def test_emit_output_rejects_empty_channel(spark):
+    """emit_output must raise the same ProjectError as compile_output when
+    a channel excludes all validation statuses, instead of silently
+    emitting `IN ()` (invalid SQL) into the artifact."""
+    from dataforge_core_spark.loader import parse_output_dict, parse_source_dict
+    from dataforge_core_spark.model import Project, ProjectError
+    from dataforge_core_spark.sql_emitter import SqlEmitter
+
+    src = parse_source_dict(
+        {
+            "source_name": "s",
+            "source_table": "t",
+            "target_table": "h",
+            "raw_attributes": ["a long"],
+            "rules": [
+                {
+                    "name": "a_ok",
+                    "expression": "[This].a >= 0",
+                    "rule_type": "V",
+                }
+            ],
+        }
+    )
+    out = parse_output_dict(
+        {
+            "output_name": "o",
+            "columns": ["a long"],
+            "channels": [
+                {
+                    "source_name": "s",
+                    "operation_type": "pass through",
+                    "include_pass": False,
+                    "include_warn": False,
+                    "include_fail": False,
+                    "mappings": ["a a"],
+                }
+            ],
+        }
+    )
+    project = Project(sources=[src], relations=[], outputs=[out])
+    with pytest.raises(ProjectError, match="at least one of pass/warn/fail"):
+        SqlEmitter(project).emit_output(out)
+
+
+def _mk_source(rules):
+    from dataforge_core_spark.loader import parse_source_dict
+
+    return parse_source_dict(
+        {
+            "source_name": "s",
+            "source_table": "t",
+            "target_table": "h",
+            "raw_attributes": ["a long", "b long"],
+            "rules": rules,
+        }
+    )
+
+
+def test_window_keys_validate_downstream_rules(spark):
+    """A window rule explicitly marked keep_current:false that sits in the
+    recalculation closure (downstream of a keep_current rule) must
+    constrain prunability — recalculate() recomputes it too."""
+    from dataforge_core_spark.compiler import SourceCompiler
+    from dataforge_core_spark.model import Project
+
+    src = _mk_source(
+        [
+            {
+                "name": "r1",
+                "expression": "SUM([This].a) OVER (PARTITION BY [This].a)",
+            },
+            {
+                "name": "r2",
+                "expression": "SUM([This].r1) OVER (PARTITION BY [This].b)",
+                "keep_current": False,
+            },
+        ]
+    )
+    compiler = SourceCompiler(spark, Project(sources=[src], relations=[]))
+    assert compiler.recalculation_closure(src) == {"r1", "r2"}
+    assert compiler.window_partition_keys(src) is None
+
+    # same downstream rule partitioned consistently -> prunable
+    src2 = _mk_source(
+        [
+            {
+                "name": "r1",
+                "expression": "SUM([This].a) OVER (PARTITION BY [This].a)",
+            },
+            {
+                "name": "r2",
+                "expression": "SUM([This].r1) OVER (PARTITION BY [This].a)",
+                "keep_current": False,
+            },
+        ]
+    )
+    compiler2 = SourceCompiler(spark, Project(sources=[src2], relations=[]))
+    assert compiler2.window_partition_keys(src2) == ["a"]
+
+
+def test_window_keys_validate_every_window_occurrence(spark):
+    """A single rule carrying two OVER() clauses with different partition
+    keys must not be treated as confined (previously only the first
+    occurrence was inspected)."""
+    from dataforge_core_spark.compiler import SourceCompiler
+    from dataforge_core_spark.model import Project
+
+    src = _mk_source(
+        [
+            {
+                "name": "r1",
+                "expression": (
+                    "SUM([This].a) OVER (PARTITION BY [This].a) + "
+                    "SUM([This].b) OVER (PARTITION BY [This].b)"
+                ),
+            }
+        ]
+    )
+    compiler = SourceCompiler(spark, Project(sources=[src], relations=[]))
+    assert compiler.window_partition_keys(src) is None
+
+
+def test_window_keys_reject_unique_rules_in_closure(spark):
+    """The implicit `_uv_flag` window partitions by the rule's *value*;
+    recomputing it over a pruned subset would miscount values that
+    straddle changed/unchanged rows."""
+    from dataforge_core_spark.compiler import SourceCompiler
+    from dataforge_core_spark.model import Project
+
+    src = _mk_source(
+        [
+            {
+                "name": "r1",
+                "expression": "SUM([This].a) OVER (PARTITION BY [This].a)",
+            },
+            {
+                "name": "r2",
+                "expression": "CAST([This].r1 AS STRING)",
+                "unique": True,
+                "keep_current": False,
+            },
+        ]
+    )
+    compiler = SourceCompiler(spark, Project(sources=[src], relations=[]))
+    assert "r2" in compiler.recalculation_closure(src)
+    assert compiler.window_partition_keys(src) is None
+
+
+def test_self_relation_aggregate(spark, sf_dir):
+    """Aggregates over an M self-relation: the aggregation target is the
+    in-flight frame (previously raised 'Hub for source ... not built
+    yet')."""
+    from dataforge_core_spark.loader import (
+        parse_relations_list,
+        parse_source_dict,
+    )
+    from dataforge_core_spark.model import Project
+    from dataforge_core_spark.runner import ProjectRunner
+
+    src = parse_source_dict(
+        {
+            "source_name": "orders_sa",
+            "source_table": f"{sf_dir}/orders.parquet",
+            "target_table": "enriched_orders_sa",
+            "raw_attributes": [
+                "o_orderkey long",
+                "o_custkey long",
+                "o_totalprice double",
+            ],
+            "rules": [
+                {
+                    "name": "cust_order_cnt",
+                    "expression": "count([orders_sa].o_orderkey)",
+                    "parameters": [
+                        {
+                            "source_name": "orders_sa",
+                            "relations": [
+                                "[orders_sa]- same_cust -[orders_sa]"
+                            ],
+                        }
+                    ],
+                },
+            ],
+        }
+    )
+    rels = parse_relations_list(
+        [
+            {
+                "name": "[orders_sa]- same_cust -[orders_sa]",
+                "expression": "[This].o_custkey = [Related].o_custkey",
+                "cardinality": "1-M",
+            }
+        ]
+    )
+    project = Project(sources=[src], relations=rels)
+    hubs = ProjectRunner(spark, project, persist_hubs=False).build()
+    got = {
+        (r["o_orderkey"]): r["cust_order_cnt"]
+        for r in hubs["orders_sa"].collect()
+    }
+    expect = {
+        r["o_orderkey"]: r["cnt"]
+        for r in spark.sql(
+            f"""
+            SELECT a.o_orderkey, COUNT(b.o_orderkey) AS cnt
+            FROM parquet.`{sf_dir}/orders.parquet` a
+            LEFT JOIN parquet.`{sf_dir}/orders.parquet` b
+              ON a.o_custkey = b.o_custkey
+            GROUP BY a.o_orderkey
+            """
+        ).collect()
+    }
+    assert got == expect
+    assert any(v > 1 for v in got.values())

@@ -14,7 +14,13 @@ Coverage map (SURVEY.md §2 -> query):
   J2 multi-hop chain         -> hub_customer.region_name, hub_lineitem.c_name,
                                 hub_lineitem.cust_nation_name (explicit 3-hop)
   J4 theta/expr keys         -> hub_lineitem.supplier_name (CAST key)
-  J3 self-join               -> tests/test_selfjoin.py (explicit self path)
+  J3 self-join               -> engine_selfjoin (lookup + aggregate over a
+                                self relation), tests/test_selfjoin.py
+  W4 recalculation           -> engine_recalc (incremental == full rebuild)
+  S6/S7 SQL artifact         -> engine_sql_artifact (emitted run.sql
+                                executed, table value-matched)
+  P7 struct-key mappings     -> engine_struct_keys
+  §2.11 engine sub-source    -> engine_subsource (element rules re-packed)
   J5 correlated aggregate    -> hub_customer.total_spend/order_count/...,
                                 hub_part.* (incl. aggregate over a rule),
                                 hub_customer.nation_supplier_count (multi-hop)
@@ -68,32 +74,13 @@ def _build(spark: SparkSession, sf_dir: str):
 
 
 def _canonical(df: DataFrame) -> DataFrame:
-    """Comparison-boundary canonicalization (driver hashes pandas frames):
+    """Comparison-boundary canonicalization — see
+    ``operators.engine_rows.canonicalize`` (DECIMAL -> DOUBLE,
+    array<string> -> sorted joined string; oracles mirror with
+    ``CAST(CAST(x AS VARCHAR) AS DOUBLE)`` / ``array_to_string``)."""
+    from dataforge_core_spark.operators.engine_rows import canonicalize
 
-    - DECIMAL(38,12) -> DOUBLE: Spark's toPandas yields ``Decimal`` objects
-      while DuckDB's ``.df()`` yields float64, so bit-identical values hash
-      differently.  Internal engine arithmetic stays decimal-exact; only the
-      driver-facing column is cast, mirrored by CAST(... AS DOUBLE) /
-      SELECT * REPLACE in the oracles below.
-    - array<string> -> sorted comma-joined string: pandas ``sort_values``
-      cannot factorize list cells (unhashable), so the driver errors out.
-      Mirrored by array_to_string(list_sort(...)) in the oracle.
-    """
-    from pyspark.sql import functions as F, types as T
-
-    cols = []
-    for f in df.schema.fields:
-        if isinstance(f.dataType, T.DecimalType):
-            cols.append(F.col(f.name).cast("double").alias(f.name))
-        elif isinstance(f.dataType, T.ArrayType) and isinstance(
-            f.dataType.elementType, T.StringType
-        ):
-            cols.append(
-                F.array_join(F.sort_array(F.col(f.name)), ",").alias(f.name)
-            )
-        else:
-            cols.append(F.col(f.name))
-    return df.select(*cols)
+    return canonicalize(df)
 
 
 def _hub(name: str):

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 def _modules():
     from dataforge_core_spark.operators import (
         dedup,
+        engine_rows,
         events,
         multimodal,
         nested,
@@ -24,7 +25,16 @@ def _modules():
         text,
     )
 
-    return [dedup, simhash, similarity, text, events, multimodal, nested]
+    return [
+        dedup,
+        simhash,
+        similarity,
+        text,
+        events,
+        multimodal,
+        nested,
+        engine_rows,
+    ]
 
 
 def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,433 @@
+"""Driver-facing rows for engine paths previously covered only by pytest:
+self-joins (J3 — u_enr_query_generate_query.sql:90-91), recalculation
+parity (W4 — u_enr_query_generate_elements.sql:62-75), engine sub-sources
+(§2.11 — svc_parse_source.sql sub-source branch), struct-key output
+mappings (P7 — impc_parse_mapping.sql:25,39; u_get_struct_key_datatype.sql:
+1-45), and execution of the emitted SQL artifact (S6/S7 —
+databricks_sql.py:47-60; importProject.py:125-150).
+
+Each entry is a (spark, sf_dir) -> DataFrame callable with a DuckDB oracle
+recomputing the same result from the base parquet tables, so the round
+driver's value-hash compare gates the engine path itself.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+_PROJECT_DIR = os.path.normpath(
+    os.path.join(os.path.dirname(__file__), "..", "..", "projects", "tpch_demo")
+)
+
+
+def canonicalize(df: DataFrame) -> DataFrame:
+    """Comparison-boundary canonicalization (the driver hashes pandas
+    frames):
+
+    - DECIMAL -> DOUBLE: Spark's toPandas yields ``Decimal`` objects while
+      DuckDB's ``.df()`` yields float64, so bit-identical values hash
+      differently.  Engine arithmetic stays decimal-exact; only the
+      driver-facing column is cast.  Oracles mirror with
+      ``CAST(CAST(x AS VARCHAR) AS DOUBLE)`` — DuckDB's direct decimal
+      cast double-rounds for wide scales, the string route is correctly
+      rounded like Spark's BigDecimal cast.
+    - array<string> -> sorted comma-joined string: pandas ``sort_values``
+      cannot factorize list cells (unhashable).
+    """
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.DecimalType):
+            cols.append(F.col(f.name).cast("double").alias(f.name))
+        elif isinstance(f.dataType, T.ArrayType) and isinstance(
+            f.dataType.elementType, T.StringType
+        ):
+            cols.append(
+                F.array_join(F.sort_array(F.col(f.name)), ",").alias(f.name)
+            )
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# J3 — self-relation lookup AND self-relation aggregate in one source.
+# The reference joins cte(n-1) for self paths
+# (u_enr_query_generate_query.sql:90-91); our compiler mirrors with the
+# in-flight frame (compiler._chain / _agg_target_side df_self).
+# ---------------------------------------------------------------------------
+
+
+def engine_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataforge_core_spark.loader import (
+        parse_relations_list,
+        parse_source_dict,
+    )
+    from dataforge_core_spark.model import Project
+    from dataforge_core_spark.runner import ProjectRunner
+
+    src = parse_source_dict(
+        {
+            "source_name": "orders_sj",
+            "source_table": f"{sf_dir}/orders.parquet",
+            "target_table": "enriched_orders_sj",
+            "raw_attributes": [
+                "o_orderkey long",
+                "o_custkey long",
+                "o_totalprice double",
+            ],
+            "rules": [
+                {
+                    "name": "prev_price",
+                    "expression": "[orders_sj].o_totalprice",
+                    "parameters": [
+                        {
+                            "source_name": "orders_sj",
+                            "relations": ["[orders_sj]- prev -[orders_sj]"],
+                        }
+                    ],
+                },
+                {
+                    "name": "cust_order_cnt",
+                    "expression": "count([orders_sj].o_orderkey)",
+                    "parameters": [
+                        {
+                            "source_name": "orders_sj",
+                            "relations": [
+                                "[orders_sj]- same_cust -[orders_sj]"
+                            ],
+                        }
+                    ],
+                },
+            ],
+        }
+    )
+    rels = parse_relations_list(
+        [
+            {
+                "name": "[orders_sj]- prev -[orders_sj]",
+                "expression": "[This].o_orderkey = [Related].o_orderkey + 1",
+                "cardinality": "M-1",
+            },
+            {
+                "name": "[orders_sj]- same_cust -[orders_sj]",
+                "expression": "[This].o_custkey = [Related].o_custkey",
+                "cardinality": "1-M",
+            },
+        ]
+    )
+    project = Project(sources=[src], relations=rels)
+    hub = ProjectRunner(spark, project, persist_hubs=False).build()["orders_sj"]
+    return canonicalize(hub)
+
+
+_SELFJOIN_ORACLE = """
+SELECT a.o_orderkey, a.o_custkey, a.o_totalprice,
+       b.o_totalprice AS prev_price,
+       g.cnt AS cust_order_cnt
+FROM orders a
+LEFT JOIN orders b ON a.o_orderkey = b.o_orderkey + 1
+LEFT JOIN (
+  SELECT o_custkey, COUNT(o_orderkey) AS cnt FROM orders GROUP BY o_custkey
+) g ON a.o_custkey = g.o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# W4 — recalculation parity: corrupt the window column of a built hub,
+# recalculate() only the keep_current closure, and value-match the result
+# against the full-rebuild oracle.  A green row proves incremental ==
+# full rebuild (u_enr_query_generate_elements.sql:62-75).
+# ---------------------------------------------------------------------------
+
+
+def _orders_only_project():
+    from dataforge_core_spark.loader import load_project
+    from dataforge_core_spark.model import Project
+
+    project = load_project(_PROJECT_DIR)
+    orders = project.source_by_name()["tpch_orders"]
+    return Project(sources=[orders], relations=[], outputs=[]), orders
+
+
+def engine_recalc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataforge_core_spark.runner import ProjectRunner
+
+    project, orders = _orders_only_project()
+    runner = ProjectRunner(
+        spark, project, {"DATA_DIR": sf_dir}, persist_hubs=False
+    )
+    hubs = runner.build()
+    stale = hubs["tpch_orders"].withColumn("cust_order_rank", F.lit(-1))
+    recalced = runner.compiler.recalculate(orders, stale, hubs)
+    return canonicalize(recalced)
+
+
+_ORDERS_HUB_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority,
+       strftime(o_orderdate, '%Y%m') AS order_year_month,
+       CAST(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,12))
+            AS VARCHAR) AS DOUBLE) AS o_totalprice_dec,
+       CASE WHEN o_totalprice > 150000 THEN true ELSE false END AS high_value,
+       CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS cust_order_rank,
+       o_totalprice >= 0 AS valid_price,
+       CASE WHEN NOT (o_totalprice >= 0) THEN 'F' ELSE 'P' END
+         AS s_validation_status_code
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# S6/S7 — the emitted SQL artifact executed statement-by-statement
+# (databricks_sql.py:47-60), then the created hub *table* returned for the
+# value-hash compare.  A green row proves the artifact path produces the
+# same hub as the DataFrame runner.
+# ---------------------------------------------------------------------------
+
+
+def engine_sql_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from dataforge_core_spark.sql_emitter import SqlEmitter, run_statements
+
+    project, orders = _orders_only_project()
+    # a stale warehouse dir without a catalog entry (killed session) makes
+    # DROP IF EXISTS a no-op while CREATE still fails LOCATION_ALREADY_EXISTS
+    spark.sql(f"DROP TABLE IF EXISTS {orders.target_table}")
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    shutil.rmtree(os.path.join(wh, orders.target_table), ignore_errors=True)
+    target = tempfile.mkdtemp(prefix="dfspark_artifact_")
+    emitter = SqlEmitter(project, {"DATA_DIR": sf_dir}, spark=spark)
+    run_sql = emitter.emit_all(target)
+    run_statements(spark, run_sql)
+    return canonicalize(spark.table(orders.target_table))
+
+
+# ---------------------------------------------------------------------------
+# §2.11 — engine-path sub-source: element rules over a parent's
+# array<struct> attribute, re-packed in place, exploded flat for the
+# hashable driver compare.
+# ---------------------------------------------------------------------------
+
+_ITEM_FIELDS = [
+    ("l_linenumber", "integer"),
+    ("l_quantity", "double"),
+    ("l_extendedprice", "double"),
+    ("l_discount", "double"),
+]
+
+
+def engine_subsource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataforge_core_spark.loader import parse_source_dict
+    from dataforge_core_spark.model import Project
+    from dataforge_core_spark.runner import ProjectRunner
+
+    spark.sql(
+        f"""
+        SELECT o.o_orderkey,
+               collect_list(struct(
+                 l.l_linenumber, l.l_quantity, l.l_extendedprice, l.l_discount
+               )) AS items
+        FROM parquet.`{sf_dir}/orders.parquet` o
+        JOIN parquet.`{sf_dir}/lineitem.parquet` l
+          ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey
+        """
+    ).createOrReplaceTempView("engine_subsource_src")
+    items_schema = {
+        "type": "array",
+        "elementType": {
+            "type": "struct",
+            "fields": [
+                {"name": n, "type": t, "nullable": True, "metadata": {}}
+                for n, t in _ITEM_FIELDS
+            ],
+        },
+        "containsNull": True,
+    }
+    parent = parse_source_dict(
+        {
+            "source_name": "orders_n",
+            "source_table": "engine_subsource_src",
+            "target_table": "hub_orders_n",
+            "raw_attributes": [
+                "o_orderkey long",
+                {"name": "items", "schema": items_schema},
+            ],
+        }
+    )
+    sub = parse_source_dict(
+        {
+            "source_name": "order_items",
+            "sub_source": {"parent": "orders_n", "attribute": "items"},
+            "raw_attributes": [f"{n} {t}" for n, t in _ITEM_FIELDS],
+            "rules": [
+                {
+                    "name": "net_price",
+                    "expression": (
+                        "CAST(CAST([This].l_extendedprice AS decimal(18,2)) "
+                        "* CAST(1 - [This].l_discount AS decimal(8,4)) "
+                        "AS decimal(38,12))"
+                    ),
+                },
+                {
+                    "name": "big_item",
+                    "expression": (
+                        "[This].net_price > 50000 AND [This].l_quantity > 10"
+                    ),
+                },
+            ],
+        }
+    )
+    project = Project(sources=[parent, sub])
+    hub = ProjectRunner(spark, project, persist_hubs=False).build()["orders_n"]
+    flat = hub.select(
+        "o_orderkey", F.explode("order_items").alias("x")
+    ).select(
+        "o_orderkey",
+        F.col("x.l_linenumber").alias("l_linenumber"),
+        F.col("x.net_price").cast("double").alias("net_price"),
+        F.col("x.big_item").alias("big_item"),
+    )
+    return flat
+
+
+_SUBSOURCE_ORACLE = """
+WITH net AS (
+  SELECT o.o_orderkey, l.l_linenumber, l.l_quantity,
+         CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+              * CAST(1 - l.l_discount AS DECIMAL(8,4)) AS DECIMAL(38,12))
+           AS np
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderkey, l_linenumber,
+       CAST(CAST(np AS VARCHAR) AS DOUBLE) AS net_price,
+       (np > 50000 AND l_quantity > 10) AS big_item
+FROM net
+"""
+
+
+# ---------------------------------------------------------------------------
+# P7 — struct-key output mappings `attr.key col`
+# (impc_parse_mapping.sql:25,39; u_get_struct_key_datatype.sql:1-45) plus
+# struct navigation inside a rule expression.
+# ---------------------------------------------------------------------------
+
+
+def engine_struct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataforge_core_spark.loader import (
+        parse_output_dict,
+        parse_source_dict,
+    )
+    from dataforge_core_spark.model import Project
+    from dataforge_core_spark.runner import ProjectRunner
+
+    spark.sql(
+        f"""
+        SELECT doc_id,
+               named_struct('w', CAST(n_chars % 640 AS INT),
+                            'h', CAST(n_chars % 480 AS INT),
+                            'fmt', lang) AS meta
+        FROM parquet.`{sf_dir}/documents.parquet`
+        """
+    ).createOrReplaceTempView("engine_struct_src")
+    src = parse_source_dict(
+        {
+            "source_name": "media",
+            "source_table": "engine_struct_src",
+            "target_table": "hub_media",
+            "raw_attributes": [
+                "doc_id long",
+                {
+                    "name": "meta",
+                    "schema": {
+                        "type": "struct",
+                        "fields": [
+                            {
+                                "name": "w",
+                                "type": "integer",
+                                "nullable": True,
+                                "metadata": {},
+                            },
+                            {
+                                "name": "h",
+                                "type": "integer",
+                                "nullable": True,
+                                "metadata": {},
+                            },
+                            {
+                                "name": "fmt",
+                                "type": "string",
+                                "nullable": True,
+                                "metadata": {},
+                            },
+                        ],
+                    },
+                },
+            ],
+            "rules": [
+                {
+                    "name": "area",
+                    "expression": "CAST([This].meta.w AS bigint) * [This].meta.h",
+                },
+            ],
+        }
+    )
+    out = parse_output_dict(
+        {
+            "output_name": "media_dims",
+            "columns": ["doc long", "width int", "fmt string", "area long"],
+            "channels": [
+                {
+                    "source_name": "media",
+                    "mappings": [
+                        "doc_id doc",
+                        "meta.w width",
+                        "meta.fmt fmt",
+                        "area area",
+                    ],
+                }
+            ],
+        }
+    )
+    project = Project(sources=[src], outputs=[out])
+    runner = ProjectRunner(spark, project, persist_hubs=False)
+    return runner.build_outputs()["media_dims"]
+
+
+_STRUCT_KEYS_ORACLE = """
+SELECT doc_id AS doc,
+       CAST(n_chars % 640 AS INTEGER) AS width,
+       lang AS fmt,
+       CAST(n_chars % 640 AS BIGINT) * CAST(n_chars % 480 AS BIGINT) AS area
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+
+
+def queries():
+    return {
+        "engine_selfjoin": engine_selfjoin,
+        "engine_recalc": engine_recalc,
+        "engine_sql_artifact": engine_sql_artifact,
+        "engine_subsource": engine_subsource,
+        "engine_struct_keys": engine_struct_keys,
+    }
+
+
+def oracles():
+    return {
+        "engine_selfjoin": _SELFJOIN_ORACLE,
+        "engine_recalc": _ORDERS_HUB_ORACLE,
+        "engine_sql_artifact": _ORDERS_HUB_ORACLE,
+        "engine_subsource": _SUBSOURCE_ORACLE,
+        "engine_struct_keys": _STRUCT_KEYS_ORACLE,
+    }

@@ -64,9 +64,14 @@ _DUCK_SHINGLES = (
 # scale: one shuffle keyed by doc_id with map-side partial MINs.
 _P = 1_000_000_007  # keeps a_i*h < 2^60: no int64 overflow on either engine
 
-# base hash per shingle (both engines parse 14 hex chars of md5 -> BIGINT)
-_SPARK_H = f"CAST(conv(substr(md5(s), 1, 14), 16, 10) AS BIGINT) % {_P}"
-_DUCK_H = f"('0x' || substr(md5(s), 1, 14))::BIGINT % {_P}"
+# 56-bit base hash per shingle (both engines parse 14 hex chars of md5 ->
+# BIGINT).  The shared shingle relation stores THIS value instead of the
+# shingle string: bigint shuffle keys are ~4x smaller than 3-gram strings
+# at any corpus size, and both engines hash identically, so the (already
+# negligible) collision behavior is engine-identical.  MinHash reduces it
+# mod P on top; Jaccard set ops use the full 56 bits.
+_SPARK_H = "CAST(conv(substr(md5(s), 1, 14), 16, 10) AS BIGINT)"
+_DUCK_H = "('0x' || substr(md5(s), 1, 14))::BIGINT"
 
 
 def _perm_consts(n: int) -> list[tuple[int, int]]:
@@ -122,11 +127,11 @@ FROM (SELECT doc_id, md5({_DUCK_NORM}) AS k FROM documents)
 
 
 def _duck_ex_sql() -> str:
-    """DuckDB equivalent of `_ex_df`: distinct (doc_id, shingle)."""
+    """DuckDB equivalent of `_ex_df`: distinct (doc_id, shingle-hash)."""
     return f"""
         WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS tok FROM documents),
         shingled AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM toks)
-        SELECT DISTINCT doc_id, s
+        SELECT DISTINCT doc_id, {_DUCK_H} AS s
         FROM (SELECT doc_id, unnest(sh) AS s FROM shingled)
     """
 
@@ -135,8 +140,11 @@ _ex_cache: dict = {}
 
 
 def _ex_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, shingle) relation, persisted once per (session, sf)
-    — the shared base of minhash and n-gram Jaccard.
+    """Distinct (doc_id, shingle-hash) relation, persisted once per
+    (session, sf) — the shared base of minhash and n-gram Jaccard.
+    The 56-bit hash (see _SPARK_H) replaces the shingle string: every
+    downstream shuffle/join keys on a bigint instead of a ~20-byte
+    string, identically on both engines.
 
     Built with posexplode + window lead() instead of array lambdas: every
     operator here is whole-stage-codegen'd (higher-order array functions
@@ -166,7 +174,12 @@ def _ex_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
             F.lead("tk", 2).over(w).isNotNull().alias("ok"),
         )
-        ex = sh.filter("ok").select("doc_id", "s").distinct().persist()
+        ex = (
+            sh.filter("ok")
+            .selectExpr("doc_id", f"{_SPARK_H} AS s")
+            .distinct()
+            .persist()
+        )
         _ex_cache[key] = ex
     return _ex_cache[key]
 
@@ -207,13 +220,24 @@ def _jaccard_verify(ex: DataFrame, cand: DataFrame) -> DataFrame:
 MAX_BAND_BUCKET = 1000
 
 
+_pairs_cache: dict = {}
+
+
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash/LSH candidate pairs + exact-Jaccard verification."""
+    """MinHash/LSH candidate pairs + exact-Jaccard verification.
+
+    The verified pair set is persisted per (session, sf): the clustering
+    operator consumes it as its edge list, so one materialization serves
+    both driver rows (at scale: the stored near-dup pair table)."""
     from pyspark.sql import functions as F
+
+    key = (id(spark), sf_dir)
+    if key in _pairs_cache:
+        return _pairs_cache[key]
 
     ex = _ex_df(spark, sf_dir)
     sig = (
-        ex.selectExpr("doc_id", f"{_SPARK_H} AS h")
+        ex.selectExpr("doc_id", f"s % {_P} AS h")
         .groupBy("doc_id")
         .agg(
             *[
@@ -247,12 +271,14 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return _jaccard_verify(ex, cand)
+    out = _jaccard_verify(ex, cand).persist()
+    _pairs_cache[key] = out
+    return out
 
 
 _DEDUP_MINHASH_ORACLE = f"""
 WITH ex AS ({_duck_ex_sql()}),
-hx AS (SELECT doc_id, {_DUCK_H} AS h FROM ex),
+hx AS (SELECT doc_id, s % {_P} AS h FROM ex),
 sig AS (
   SELECT doc_id, {_sig_cols(MINHASH_N)}
   FROM hx GROUP BY doc_id
@@ -310,6 +336,13 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     round (on a cluster, use a reliable checkpoint dir instead).  The
     alternative for deep graphs is pointer-doubling (O(log n) rounds);
     near-dup clusters don't need it.
+
+    Convergence is detected from the label-sum invariant: ``least()``
+    only ever *decreases* labels, so SUM(cluster_id) is strictly
+    decreasing until the fixed point — one cheap aggregate over the
+    already-checkpointed label table per round, instead of a
+    changed-rows self-join (which doubled per-round work and issued a
+    second blocking job).
     """
     from pyspark.sql import functions as F
 
@@ -319,17 +352,25 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .toDF("src", "dst")
         .persist()
     )
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-    labels = docs.select(
-        "doc_id", F.col("doc_id").alias("cluster_id")
-    ).localCheckpoint()
+    # iterate ONLY over edge endpoints: documents outside the pair graph
+    # are singletons by definition (label = own id) and re-joining them
+    # through every round just inflates each shuffle.  At 100 TB the
+    # endpoint set is a small fraction of the corpus — the loop cost
+    # scales with near-dup density, not corpus size.
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .localCheckpoint()
+    )
+    prev_sum = None
     for _ in range(CC_MAX_ITERS):
         nbr_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        new_labels = (
+        labels = (
             labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
             .select(
                 labels.doc_id,
@@ -340,17 +381,18 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter("n.cluster_id <> o.cluster_id")
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+        ).collect()[0][0]
+        if cur_sum == prev_sum:  # no label decreased -> fixed point
             break
+        prev_sum = cur_sum
     edges.unpersist()
-    return labels
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+    )
 
 
 # min-label reachability: lab reaches node along (undirected) edges; the
@@ -372,27 +414,45 @@ SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node
 """
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard for all pairs sharing >= 1 shingle.
+# hot-shingle guard: a boilerplate shingle shared by d documents fans the
+# per-shingle pair generation out to O(d^2) — one header line in 1M docs
+# is 10^12 candidates at 100 TB.  Shingles with document frequency above
+# the cap generate NO pairs (exactly like MAX_BAND_BUCKET drops oversized
+# candidate buckets); document sizes stay computed over the full shingle
+# sets.  The oracle applies the identical rule, so results stay
+# engine-identical.
+MAX_SHINGLE_DF = 1000
 
-    The explode+join-on-shingle form is the scalable expression of
-    "pairwise Jaccard": the shuffle key is the shingle, so work scales
-    with shared-shingle pairs, not |docs|^2.
+
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, max_shingle_df: int = MAX_SHINGLE_DF
+) -> DataFrame:
+    """Exact n-gram Jaccard for all pairs sharing >= 1 (non-hot) shingle.
+
+    One shuffle keyed by shingle: group docs per shingle (sorted,
+    bounded by the df cap), emit ordered pairs via posexplode + slice
+    (both whole-stage-codegen'd — no higher-order lambdas), count pair
+    multiplicity as the intersection size.  Work scales with
+    shared-shingle pairs, not |docs|^2, and the df cap bounds the worst
+    key's fan-out; groups are <= cap doc_ids, so per-group state is
+    bounded at any corpus size.  The df=1 floor also drops the (vast)
+    unique-shingle majority before pair generation.
     """
     from pyspark.sql import functions as F
 
     ex = _ex_df(spark, sf_dir)
-    ea = ex.toDF("doc_a", "s")
-    eb = ex.toDF("doc_b", "s_b")
-    # the shingle join *is* the intersection count — one pass, no re-join
-    inter = (
-        ea.join(
-            eb,
-            (F.col("s") == F.col("s_b")) & (F.col("doc_a") < F.col("doc_b")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter_n"))
+    grouped = (
+        ex.groupBy("s")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds").between(2, max_shingle_df))
     )
+    pairs = grouped.select(
+        F.posexplode("ds").alias("i", "doc_a"), "ds"
+    ).select(
+        "doc_a",
+        F.explode(F.expr("slice(ds, i + 2, size(ds))")).alias("doc_b"),
+    )
+    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter_n"))
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = sizes.toDF("doc_a", "n_a")
     sb = sizes.toDF("doc_b", "n_b")
@@ -405,13 +465,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DEDUP_NGRAM_ORACLE = f"""
+def _ngram_oracle(max_shingle_df: int = MAX_SHINGLE_DF) -> str:
+    """DuckDB mirror of dedup_ngram_jaccard incl. the hot-shingle cap
+    (pairs only from shingles with 2 <= df <= cap; sizes stay full)."""
+    return f"""
 WITH exploded AS ({_duck_ex_sql()}),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM exploded GROUP BY doc_id),
+ok AS (
+  SELECT s FROM exploded
+  GROUP BY s HAVING COUNT(*) BETWEEN 2 AND {max_shingle_df}
+),
 pair_inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_n
   FROM exploded a JOIN exploded b
     ON a.s = b.s AND a.doc_id < b.doc_id
+  WHERE a.s IN (SELECT s FROM ok)
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT p.doc_a, p.doc_b,
@@ -422,6 +490,9 @@ JOIN sizes sb ON p.doc_b = sb.doc_id
 WHERE CAST(p.inter_n AS DOUBLE) / (sa.n + sb.n - p.inter_n)
       >= {JACCARD_THRESHOLD}
 """
+
+
+_DEDUP_NGRAM_ORACLE = _ngram_oracle()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -87,6 +87,15 @@ def _normed(spark: SparkSession, sf_dir: str) -> str:
     tree blows past JIT/codegen size limits (and gets re-evaluated per
     pair).  At scale this is the stored "vector index" side: norms and
     bucket ids persist alongside the vectors.
+
+    ``localCheckpoint(eager=True)`` rather than ``persist()``: queries
+    reach this frame by re-resolving the temp view from SQL text, and
+    CacheManager does not reliably substitute the cached relation into
+    the re-derived plan (nested cached views defeat the canonical-plan
+    match), silently recomputing the index per query.  The checkpoint
+    truncates lineage to the materialized blocks, so the view *cannot*
+    be recomputed.  On a cluster, a reliable checkpoint dir / written
+    parquet index replaces it.
     """
     key = (id(spark), sf_dir)
     if key not in _v_cache:
@@ -105,7 +114,7 @@ def _normed(spark: SparkSession, sf_dir: str) -> str:
               FROM embeddings
             )
             """
-        ).persist()
+        ).localCheckpoint(eager=True)
         name = f"embeddings_normed_{abs(hash(key)) % 10**8}"
         v.createOrReplaceTempView(name)
         _v_cache[key] = name
@@ -506,14 +515,38 @@ def _kmeans_assignments(spark: SparkSession, sf_dir: str) -> str:
     Materialized so the query-side/corpus-side self-join of the search
     doesn't recompute the Lloyd iterations twice.  At scale this is the
     stored IVF index: assignments persist alongside the vectors,
-    partitioned by cid."""
+    partitioned by cid.  Eager ``localCheckpoint`` (not lazy persist) —
+    see ``_normed``: view re-resolution bypassed the cache and re-ran
+    the whole Lloyd chain on every search."""
     key = (id(spark), sf_dir)
     if key not in _kmeans_cache:
         v = _normed(spark, sf_dir)
-        df = spark.sql(
-            f"WITH {_kmeans_ctes(v, 'spark')} SELECT * FROM af"
-        ).repartition("cid").persist()
-        name = f"kmeans_assign_{abs(hash(key)) % 10**8}"
+        # One small query per Lloyd iteration (assign+update fused), each
+        # ending in an 8-row checkpointed centroid table, instead of one
+        # monolithic WITH chain: the single-statement form was ~200 KB of
+        # SQL whose parse/analyze alone cost ~2 s *per query touching the
+        # view*.  The math is identical — the DuckDB oracle still runs
+        # the original inlined chain (_kmeans_ctes) and matches
+        # bit-for-bit.
+        self_dot = _unrolled_dot("emb", "emb", "spark")
+        tag = abs(hash(key)) % 10**8
+        cview = f"kmeans_c_{tag}"
+        spark.sql(
+            f"SELECT vec_id AS cid, emb, {self_dot} AS cc FROM {v} "
+            f"WHERE vec_id < {KMEANS_K}"
+        ).localCheckpoint(eager=True).createOrReplaceTempView(cview)
+        for _ in range(KMEANS_ITERS):
+            assign = _kmeans_assign(v, cview, "spark")
+            update = _kmeans_update(f"({assign}) a_it", "spark")
+            spark.sql(
+                f"SELECT cid, emb, {self_dot} AS cc FROM ({update}) u"
+            ).localCheckpoint(eager=True).createOrReplaceTempView(cview)
+        df = (
+            spark.sql(_kmeans_assign(v, cview, "spark"))
+            .repartition("cid")
+            .localCheckpoint(eager=True)
+        )
+        name = f"kmeans_assign_{tag}"
         df.createOrReplaceTempView(name)
         _kmeans_cache[key] = name
     return _kmeans_cache[key]

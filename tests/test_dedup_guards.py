@@ -1,0 +1,57 @@
+"""Skew guards in the dedup family: the hot-shingle document-frequency
+cap in n-gram Jaccard (mirror of the MinHash MAX_BAND_BUCKET guard) must
+drop boilerplate-driven pairs identically on both engines."""
+
+from __future__ import annotations
+
+import duckdb
+
+
+def _write_docs(spark, tmp_path):
+    docs = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta zeta"),
+        # five unrelated docs sharing only the boilerplate "click here now"
+        *[(10 + i, f"u{i} click here now") for i in range(5)],
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    return sf
+
+
+def test_hot_shingle_guard(spark, tmp_path):
+    from dataforge_core_spark.operators import dedup
+
+    sf = _write_docs(spark, tmp_path)
+
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.dedup_ngram_jaccard(
+            spark, sf, max_shingle_df=3
+        ).collect()
+    }
+    # the real near-dup pair survives; boilerplate-only pairs are gone
+    assert (1, 2) in got
+    assert not any(a >= 10 and b >= 10 for a, b in got)
+
+    # the DuckDB oracle applies the identical rule -> engine-identical
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    want = {
+        (a, b): j for a, b, j in con.execute(dedup._ngram_oracle(3)).fetchall()
+    }
+    assert got == want
+
+    # with the cap above the boilerplate's df, the O(d^2) pairs come back
+    unguarded = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.dedup_ngram_jaccard(
+            spark, sf, max_shingle_df=100
+        ).collect()
+    }
+    assert any(a >= 10 and b >= 10 for a, b in unguarded)

@@ -41,7 +41,8 @@ Coverage map (SURVEY.md §2 -> query):
                                 ann_lsh_hyperplane / ann_rerank,
                                 text_tokens/quality/lang_id/fingerprint,
                                 events_hourly/sessionize/json/asof_order,
-                                multimodal_meta / multimodal_frame_sample
+                                multimodal_meta / multimodal_frame_sample /
+                                multimodal_decode (real stdlib header parse)
 """
 
 from __future__ import annotations

@@ -3,12 +3,17 @@
 Design for image/audio/video at 100 TB: payloads travel as parquet
 ``binary`` columns partitioned by content hash; decode / feature-extract /
 resize / frame-sample run as Arrow-batched ``mapInPandas`` stages (one
-Python worker per partition, zero driver involvement).  The actual media
-decode is STUBBED here (no image/audio libraries in this container —
-``_decode_image`` raises NotImplementedError unless PIL is importable and
-is replaced by a deterministic fake for the pipeline tests); everything
-around it — schema contract, partitioning, UDF signature, Arrow batch
-shape — is real and oracle-tested.
+Python worker per partition, zero driver involvement).
+
+Decode comes in two tiers:
+- ``multimodal_decode`` parses REAL PNG/BMP/WAV headers with stdlib
+  ``struct``/``zlib`` — no imaging library needed; synth payloads are
+  fully valid files and the decode stage sees only bytes.
+- full *pixel* decode (``_decode_image``) remains stubbed behind PIL
+  (not in this container); ``multimodal_meta`` documents that fallback
+  with deterministic fake dimensions.
+Everything around them — schema contract, partitioning, UDF signature,
+Arrow batch shape — is real and oracle-tested.
 
 The binary payload is synthesized from ``documents.text`` (utf-8 bytes) so
 the pipeline runs on driver testdata; a real deployment points the reader
@@ -156,10 +161,186 @@ FROM documents d,
 """
 
 
+# ---------------------------------------------------------------------------
+# REAL decode path (no imaging library needed): PNG / BMP / WAV headers
+# are fixed binary layouts parseable with stdlib ``struct``/``zlib``.
+# The synth stage emits fully valid tiny files (PNG with CRC-correct
+# IHDR/IDAT/IEND, BMP with BITMAPINFOHEADER + pixel array, WAV with
+# RIFF/fmt/data chunks); the decode stage sees ONLY bytes and extracts
+# dimensions / channels / sample rate by parsing the headers — the same
+# two-stage mapInPandas shape a real media pipeline has, with the decode
+# no longer stubbed.
+#
+# Both stage functions are built by factories returning *nested* closures
+# (cloudpickle serializes nested functions by value, so workers need
+# neither this repo on sys.path nor any library beyond the stdlib), and
+# the factories are module-level so tests can unit-drive the exact
+# functions the pipeline ships.
+# ---------------------------------------------------------------------------
+
+DECODE_SCHEMA = (
+    "doc_id bigint, fmt string, width int, height int, "
+    "channels int, sample_rate int"
+)
+
+
+def media_synth_fn():
+    """mapInPandas stage: (doc_id, text) -> (doc_id, payload binary)."""
+
+    def synth(batches):
+        import struct
+        import zlib
+
+        import pandas as pd
+
+        def png(w: int, h: int) -> bytes:
+            ihdr = b"IHDR" + struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            raw = b"".join(b"\x00" + b"\x00\x00\x00" * w for _ in range(h))
+            idat = b"IDAT" + zlib.compress(raw)
+            iend = b"IEND"
+            out = [b"\x89PNG\r\n\x1a\n"]
+            for chunk in (ihdr, idat, iend):
+                out.append(struct.pack(">I", len(chunk) - 4))
+                out.append(chunk)
+                out.append(struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF))
+            return b"".join(out)
+
+        def bmp(w: int, h: int) -> bytes:
+            row = (w * 3 + 3) // 4 * 4
+            pix = (b"\x00" * row) * h
+            info = struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0
+            )
+            header = struct.pack(
+                "<2sIHHI", b"BM", 14 + 40 + len(pix), 0, 0, 14 + 40
+            )
+            return header + info + pix
+
+        def wav(channels: int, rate: int) -> bytes:
+            data = b"\x00\x00" * channels * 8  # 8 silent 16-bit frames
+            fmt = struct.pack(
+                "<HHIIHH", 1, channels, rate, rate * channels * 2,
+                channels * 2, 16,
+            )
+            return (
+                struct.pack("<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data), b"WAVE")
+                + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+                + struct.pack("<4sI", b"data", len(data)) + data
+            )
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                n = len(text.encode("utf-8"))
+                kind = int(doc_id) % 3
+                if kind == 0:
+                    payloads.append(png(n % 64 + 1, n % 48 + 1))
+                elif kind == 1:
+                    payloads.append(bmp(n % 16 + 1, n % 8 + 1))
+                else:
+                    payloads.append(wav(n % 2 + 1, 8000 + (n % 8) * 1000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return synth
+
+
+def media_decode_fn():
+    """mapInPandas stage: (doc_id, payload) -> parsed header metadata.
+
+    Pure-stdlib parsers: PNG signature + IHDR (CRC-checked), BMP
+    BITMAPINFOHEADER, WAV RIFF/fmt chunk walk.  Unrecognized or corrupt
+    payloads yield fmt='unknown' with NULL fields (error rows, not a
+    failed job — at 100 TB a decode stage must tolerate bad bytes)."""
+
+    def decode(batches):
+        import struct
+        import zlib
+
+        import pandas as pd
+
+        def parse(b: bytes):
+            try:
+                if b[:8] == b"\x89PNG\r\n\x1a\n":
+                    (ln,) = struct.unpack(">I", b[8:12])
+                    chunk = b[12 : 16 + ln]
+                    (crc,) = struct.unpack(">I", b[16 + ln : 20 + ln])
+                    if chunk[:4] != b"IHDR" or ln != 13:
+                        return ("unknown", None, None, None, None)
+                    if zlib.crc32(chunk) & 0xFFFFFFFF != crc:
+                        return ("unknown", None, None, None, None)
+                    w, h = struct.unpack(">II", chunk[4:12])
+                    return ("png", w, h, None, None)
+                if b[:2] == b"BM":
+                    w, h = struct.unpack("<ii", b[18:26])
+                    return ("bmp", w, abs(h), None, None)
+                if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    off = 12
+                    while off + 8 <= len(b):
+                        cid, ln = struct.unpack("<4sI", b[off : off + 8])
+                        if cid == b"fmt ":
+                            _, ch, rate = struct.unpack(
+                                "<HHI", b[off + 8 : off + 16]
+                            )
+                            return ("wav", None, None, ch, rate)
+                        off += 8 + ln + (ln & 1)
+                return ("unknown", None, None, None, None)
+            except (struct.error, IndexError):
+                return ("unknown", None, None, None, None)
+
+        for pdf in batches:
+            rows = [parse(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fmt": [r[0] for r in rows],
+                    "width": pd.array([r[1] for r in rows], dtype="Int32"),
+                    "height": pd.array([r[2] for r in rows], dtype="Int32"),
+                    "channels": pd.array([r[3] for r in rows], dtype="Int32"),
+                    "sample_rate": pd.array(
+                        [r[4] for r in rows], dtype="Int32"
+                    ),
+                }
+            )
+
+    return decode
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize valid media payloads, then decode them back by parsing
+    the binary headers — the decode stage operates on bytes alone."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    payloads = docs.mapInPandas(
+        media_synth_fn(), "doc_id bigint, payload binary"
+    )
+    return payloads.mapInPandas(media_decode_fn(), DECODE_SCHEMA)
+
+
+_DECODE_ORACLE = """
+WITH d AS (
+  SELECT doc_id, octet_length(encode(text)) AS n,
+         CAST(doc_id % 3 AS INTEGER) AS kind
+  FROM documents
+)
+SELECT doc_id,
+       CASE kind WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'wav' END AS fmt,
+       CASE kind WHEN 0 THEN CAST(n % 64 + 1 AS INTEGER)
+                 WHEN 1 THEN CAST(n % 16 + 1 AS INTEGER) END AS width,
+       CASE kind WHEN 0 THEN CAST(n % 48 + 1 AS INTEGER)
+                 WHEN 1 THEN CAST(n % 8 + 1 AS INTEGER) END AS height,
+       CASE WHEN kind = 2 THEN CAST(n % 2 + 1 AS INTEGER) END AS channels,
+       CASE WHEN kind = 2
+            THEN CAST(8000 + (n % 8) * 1000 AS INTEGER) END AS sample_rate
+FROM d
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "multimodal_meta": multimodal_meta,
         "multimodal_frame_sample": multimodal_frame_sample,
+        "multimodal_decode": multimodal_decode,
     }
 
 
@@ -167,4 +348,5 @@ def oracles() -> dict[str, str]:
     return {
         "multimodal_meta": _META_ORACLE,
         "multimodal_frame_sample": _FRAME_ORACLE,
+        "multimodal_decode": _DECODE_ORACLE,
     }

@@ -124,10 +124,18 @@ class RelationGraph:
         *,
         max_hops: int = MAX_HOPS_DEFAULT,
         context: str = "",
+        cardinality: str | None = None,
+        start_path: str = "",
     ) -> Path:
         """BFS all valid paths start->target, apply tie-breaks.
 
         Valid = every non-final hop has cardinality 1 (toward its dst).
+        When ``cardinality`` ('1' or 'M') is given, only paths whose last
+        hop matches count as found — the reference filters its _paths
+        table the same way and reports which *kind* of mismatch occurred,
+        byte-exact (u_get_next_relation_path.sql:77-86; the empty
+        ``start_path`` mirrors format()'s NULL -> '' for auto-discovered
+        paths).
         """
         if start == target:
             raise ProjectError(
@@ -136,6 +144,7 @@ class RelationGraph:
             )
         frontier: list[list[Hop]] = [[]]
         found: list[Path] = []
+        found_other: list[Path] = []  # other-cardinality paths, any depth
         for _depth in range(max_hops):
             nxt: list[list[Hop]] = []
             for prefix in frontier:
@@ -146,7 +155,13 @@ class RelationGraph:
                         continue  # no relation reuse within a path
                     new = prefix + [hop]
                     if hop.dst == target:
-                        found.append(Path(new))
+                        p = Path(new)
+                        if cardinality is None or (
+                            (cardinality == "M") == p.is_aggregate
+                        ):
+                            found.append(p)
+                        else:
+                            found_other.append(p)
                     elif hop.dst_cardinality == "1":
                         # only cardinality-1 hops may be intermediate
                         nxt.append(new)
@@ -154,6 +169,23 @@ class RelationGraph:
                 break  # BFS: shortest length wins before tie-breaking
             frontier = nxt
         if not found:
+            if cardinality is not None:
+                # u_get_next_relation_path.sql:80-86, verbatim
+                if not found_other:
+                    raise ProjectError(
+                        f"No active relation paths exist from source "
+                        f"`{start}` to source `{target}` with cardinality "
+                        f"{cardinality} using start path {start_path}"
+                    )
+                if cardinality == "1":
+                    raise ProjectError(
+                        "You must use aggregation without OVER clause. "
+                        f"Target source `{target}`"
+                    )
+                raise ProjectError(
+                    "Remove aggregation or add OVER clause. "
+                    f"Target source `{target}`"
+                )
             raise ProjectError(
                 f"No relation path found from {start!r} to {target!r} "
                 f"within {max_hops} hops {context}"
@@ -161,10 +193,10 @@ class RelationGraph:
         primary = [p for p in found if p.all_primary]
         pool = primary if primary else found
         if len(pool) > 1:
-            names = [p.id() for p in pool]
+            # svc_parse_enrichment.sql:306-315, verbatim
             raise ProjectError(
-                f"Multiple relation paths found from {start!r} to {target!r}: "
-                f"{names}; pin one with explicit rule parameters {context}"
+                f"Multiple relation paths exist for source {target}. "
+                "Specify desired path in rule parameters."
             )
         return pool[0]
 
@@ -184,10 +216,13 @@ class RelationGraph:
         explicit: list[str] | None,
         *,
         context: str = "",
+        cardinality: str | None = None,
     ) -> Path:
         if explicit:
             return self.explicit_path(start, explicit, target)
-        return self.discover(start, target, context=context)
+        return self.discover(
+            start, target, context=context, cardinality=cardinality
+        )
 
 
 # ---------------------------------------------------------------------------

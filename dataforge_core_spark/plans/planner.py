@@ -163,19 +163,21 @@ def plan_source(
                     f"Rule {rule.name!r}: source [{tok.source}] has no "
                     f"attribute {tok.attr!r}"
                 )
+            # cardinality '1' wanted: a discovery finding only M paths
+            # raises the reference's "You must use aggregation without
+            # OVER clause" verbatim (u_get_next_relation_path.sql:82-83)
             path = graph.resolve(
                 source.source_name,
                 tok.source,
                 explicit.get(tok.source),
                 context=f"(rule {rule.name!r})",
+                cardinality="1",
             )
             if path.is_aggregate:
-                # non-aggregated token over an M path — reference error
-                # u_get_next_relation_path.sql:82-86
+                # explicit path pinned to an M chain without aggregation
                 raise ProjectError(
-                    f"Rule {rule.name!r}: path to [{tok.source}] has "
-                    "cardinality M — you must use aggregation, or pin a "
-                    "cardinality-1 path"
+                    "You must use aggregation without OVER clause. "
+                    f"Target source `{tok.source}`"
                 )
             join = _get_join(plan, path, kind="lookup")
             col = join.needed.setdefault(
@@ -208,15 +210,22 @@ def plan_source(
             # from the target, so they may be unreachable from [This])
             m_candidates: list[tuple[str, Path]] = []
             other_sources: list[str] = []
+            first_err: ProjectError | None = None
             for s in sorted(srcs - {"This"}):
                 try:
+                    # cardinality 'M' wanted: 1-only sources raise the
+                    # reference's "Remove aggregation or add OVER clause"
+                    # (u_get_next_relation_path.sql:84-85) and become
+                    # transit candidates instead
                     p = graph.resolve(
                         source.source_name,
                         s,
                         explicit.get(s),
                         context=f"(rule {rule.name!r})",
+                        cardinality="M",
                     )
-                except ProjectError:
+                except ProjectError as e:
+                    first_err = first_err or e
                     other_sources.append(s)
                     continue
                 if p.is_aggregate:
@@ -224,9 +233,10 @@ def plan_source(
                 else:
                     other_sources.append(s)
             if not m_candidates:
-                # aggregate over cardinality-1 path(s) — reference error
-                # u_get_next_relation_path.sql:82-86
-                raise ProjectError(
+                # surface the first per-parameter path error verbatim,
+                # as the reference's parameter loop does
+                # (svc_parse_enrichment.sql:295-303)
+                raise first_err or ProjectError(
                     f"Rule {rule.name!r}: aggregation path has cardinality "
                     "1 — remove aggregation or add OVER clause"
                 )
@@ -242,16 +252,15 @@ def plan_source(
             # aggregation side — SURVEY §7.3)
             transits: dict[str, Path] = {}
             for s in other_sources:
-                tpath = graph.discover(
-                    agg_src, s, context=f"(transit in rule {rule.name!r})"
+                # cardinality-1 from the target (pre-joined onto the
+                # aggregation side); BFS raises the reference messages
+                # when only M paths (or none) exist
+                transits[s] = graph.discover(
+                    agg_src,
+                    s,
+                    context=f"(transit in rule {rule.name!r})",
+                    cardinality="1",
                 )
-                if tpath.is_aggregate:
-                    raise ProjectError(
-                        f"Rule {rule.name!r}: transit source [{s}] is not "
-                        f"reachable from [{agg_src}] via a cardinality-1 "
-                        "path"
-                    )
-                transits[s] = tpath
 
             join = _get_join(plan, path, kind="aggregate")
             inner_spans = []

@@ -122,21 +122,27 @@ def run_probe(
     except Exception as e:  # surface Spark analysis errors per-rule
         return ProbeResult(status="error", message=str(e))
     fields = df.schema.fields
-    if len(fields) != 1 or fields[0].name != "col1":
-        # miniSparky.py:73-77
-        extra = [f.name for f in fields[1:]] or [fields[0].name]
-        return ProbeResult(
-            status="error",
-            message=f"Extraneous input detected: {', '.join(extra)}",
-        )
     field = fields[0]
+    # Behavior + message parity with miniSparky.py:66-77, including the
+    # precedence: the NULL check (on the FIRST column of the first row)
+    # fires before the extraneous-column check.
     if rows and rows[0][0] is None:
-        # miniSparky.py:66-72
         return ProbeResult(
             status="warning",
             data_type=field.dataType.simpleString(),
             schema_json=field.dataType.json(),
-            message="improper type casting",
+            message=(
+                "NULL values detected! This typically indicates improper "
+                "type casting or that you're doing some very complex logic"
+            ),
+        )
+    if len(fields) != 1 or field.name != "col1":
+        # reference checks only fields[0].name != 'col1'; rejecting extra
+        # columns too is a strictly stronger injection guard with the
+        # same verbatim message
+        return ProbeResult(
+            status="error",
+            message="Extraneous input detected at end of expression",
         )
     return ProbeResult(
         status="success",

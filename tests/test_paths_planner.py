@@ -204,7 +204,9 @@ def test_aggregate_over_one_path_error():
         ).rules[0]
     )
     g = RelationGraph(project.relations)
-    with pytest.raises(ProjectError, match="remove aggregation|cardinality 1"):
+    with pytest.raises(
+        ProjectError, match="Remove aggregation or add OVER clause"
+    ):
         plan_source(project, g, project.sources[0])
 
 

@@ -40,6 +40,8 @@ Coverage map (SURVEY.md §2 -> query):
                                 ann_bruteforce / ann_ivf_label /
                                 ann_lsh_hyperplane / ann_rerank,
                                 text_tokens/quality/lang_id/fingerprint,
+                                train_pack / train_top_tokens /
+                                train_contamination,
                                 events_hourly/sessionize/json/asof_order,
                                 multimodal_meta / multimodal_frame_sample /
                                 multimodal_decode (real stdlib header parse)

@@ -23,6 +23,7 @@ def _modules():
         similarity,
         simhash,
         text,
+        training,
     )
 
     return [
@@ -30,6 +31,7 @@ def _modules():
         simhash,
         similarity,
         text,
+        training,
         events,
         multimodal,
         nested,

@@ -1,0 +1,191 @@
+"""Training-data pipeline operators beyond dedup/similarity: sequence
+packing, corpus token statistics, and benchmark-contamination checks —
+the remaining ops an LLM data pipeline runs over a 100 TB corpus.
+
+All JVM-side SQL (no UDFs); each has an exact DuckDB oracle.
+
+- ``train_pack``: concat-and-chunk sequence packing.  Documents are
+  sharded (embarrassingly parallel), ordered deterministically inside
+  each shard, and assigned pack/offset by a running token total — the
+  distributed form of "concatenate the stream, cut every BUDGET
+  tokens".  One window per shard; no global single-partition sort.
+- ``train_top_tokens``: corpus-wide token frequencies, top-K.  Classic
+  word-count: map-side-combined groupBy, then a rank window that Spark
+  executes as WindowGroupLimit (top-K per partition before the final
+  merge), so the full vocabulary never gathers on one node.
+- ``train_contamination``: per-training-document overlap with a
+  benchmark document set, measured on distinct 3-gram shingle hashes
+  (shared relation with minhash/Jaccard).  The join key is the 56-bit
+  shingle hash; the benchmark side is DISTINCT-reduced first so the
+  semi join's build side stays proportional to the benchmark, not the
+  corpus.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dataforge_core_spark.operators.dedup import _duck_ex_sql, _ex_df
+from dataforge_core_spark.operators.text import _DUCK_TOK, _SPARK_TOK, _view
+
+TOKEN_BUDGET = 2048  # context-window size in tokens
+N_SHARDS = 32  # independent packing streams
+TOP_K = 100
+BENCH_MOD = 100  # doc_id % BENCH_MOD == 0 -> benchmark ("eval") split
+
+
+def train_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy concat-and-chunk packing: bin = floor(tokens-before /
+    budget) within the document's shard; offset = position inside the
+    pack.  A document may straddle two packs (stream-cut semantics, as
+    in training-corpus packing); all arithmetic is exact integers."""
+    _view(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(doc_id % {N_SHARDS} AS INT) AS shard,
+                 size({_SPARK_TOK}) AS n_tokens
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, shard, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS tokens_before
+          FROM t
+        )
+        SELECT doc_id, shard, n_tokens,
+               CAST(shard * 1000000 +
+                    FLOOR(tokens_before / {TOKEN_BUDGET}.0) AS BIGINT)
+                 AS pack_id,
+               CAST(tokens_before % {TOKEN_BUDGET} AS INT) AS pack_offset
+        FROM c
+        """
+    )
+
+
+_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(doc_id % {N_SHARDS} AS INTEGER) AS shard,
+         len({_DUCK_TOK}) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS tokens_before
+  FROM t
+)
+SELECT doc_id, shard, CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(shard * 1000000 +
+            FLOOR(tokens_before / {TOKEN_BUDGET}.0) AS BIGINT) AS pack_id,
+       CAST(tokens_before % {TOKEN_BUDGET} AS INTEGER) AS pack_offset
+FROM c
+"""
+
+
+def train_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-K token frequencies with deterministic rank
+    (count desc, token asc)."""
+    _view(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH tok AS (
+          SELECT explode({_SPARK_TOK}) AS token FROM documents
+        ),
+        counts AS (
+          SELECT token, COUNT(*) AS n FROM tok
+          WHERE token <> '' GROUP BY token
+        )
+        SELECT token, n, rank FROM (
+          SELECT token, n,
+                 CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token)
+                      AS INT) AS rank
+          FROM counts
+        ) WHERE rank <= {TOP_K}
+        """
+    )
+
+
+_TOP_TOKENS_ORACLE = f"""
+WITH tok AS (
+  SELECT unnest({_DUCK_TOK}) AS token FROM documents
+),
+counts AS (
+  SELECT token, COUNT(*) AS n FROM tok WHERE token <> '' GROUP BY token
+)
+SELECT token, n, rank FROM (
+  SELECT token, n,
+         CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS INTEGER) AS rank
+  FROM counts
+) t WHERE rank <= {TOP_K}
+"""
+
+
+def train_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-training-doc contamination against the benchmark split:
+    fraction of the doc's distinct shingles that appear in ANY benchmark
+    document.  Ratio is a single division of exact integers, so the
+    double hash-matches across engines."""
+    from pyspark.sql import functions as F
+
+    ex = _ex_df(spark, sf_dir)
+    bench = (
+        ex.filter(F.col("doc_id") % BENCH_MOD == 0).select("s").distinct()
+    )
+    train = ex.filter(F.col("doc_id") % BENCH_MOD != 0)
+    sizes = train.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        train.join(bench, "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    return sizes.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("hits", F.lit(0)).alias("n_contaminated"),
+        (
+            F.coalesce("hits", F.lit(0)).cast("double")
+            / F.col("n_shingles")
+        ).alias("contamination_ratio"),
+    )
+
+
+_CONTAMINATION_ORACLE = f"""
+WITH ex AS ({_duck_ex_sql()}),
+bench AS (SELECT DISTINCT s FROM ex WHERE doc_id % {BENCH_MOD} = 0),
+train AS (SELECT * FROM ex WHERE doc_id % {BENCH_MOD} <> 0),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY doc_id),
+hits AS (
+  SELECT doc_id, COUNT(*) AS hits FROM train
+  WHERE s IN (SELECT s FROM bench) GROUP BY doc_id
+)
+SELECT z.doc_id, z.n_shingles,
+       COALESCE(h.hits, 0) AS n_contaminated,
+       CAST(COALESCE(h.hits, 0) AS DOUBLE) / z.n_shingles
+         AS contamination_ratio
+FROM sizes z LEFT JOIN hits h ON z.doc_id = h.doc_id
+"""
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "train_pack": train_pack,
+        "train_top_tokens": train_top_tokens,
+        "train_contamination": train_contamination,
+    }
+
+
+def oracles() -> dict[str, str]:
+    return {
+        "train_pack": _PACK_ORACLE,
+        "train_top_tokens": _TOP_TOKENS_ORACLE,
+        "train_contamination": _CONTAMINATION_ORACLE,
+    }

@@ -27,6 +27,19 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="dataforge-spark")
     p.add_argument("--build", metavar="PROJECT_DIR")
     p.add_argument("--run", metavar="PROJECT_DIR")
+    p.add_argument(
+        "--run-sql",
+        metavar="TARGET_DIR",
+        help="execute a built TARGET_DIR/run.sql statement-by-statement "
+        "on a warehouse backend (the reference's --run path, "
+        "databricks_sql.py:20-31); local Spark unless --backend",
+    )
+    p.add_argument(
+        "--backend",
+        choices=["spark", "databricks"],
+        default="spark",
+        help="warehouse backend for --run-sql",
+    )
     p.add_argument("--validate", metavar="PROJECT_DIR")
     p.add_argument(
         "--init",
@@ -100,6 +113,35 @@ def main(argv: list[str] | None = None) -> int:
             print(f"Validation failed: {failures} errors")
             return 1
         print("Import completed successfully")
+        return 0
+
+    if args.run_sql:
+        from dataforge_core_spark.backends import (
+            BackendError,
+            DatabricksWarehouse,
+            SparkWarehouse,
+        )
+
+        run_file = os.path.join(args.run_sql, "run.sql")
+        try:
+            if args.backend == "databricks":
+                cfg = {
+                    k: os.environ.get(f"DATAFORGE_DATABRICKS_{k.upper()}")
+                    for k in DatabricksWarehouse.REQUIRED
+                }
+                backend = DatabricksWarehouse(cfg, log_path=args.run_sql)
+            else:
+                from dataforge_core_spark.session import get_spark
+
+                backend = SparkWarehouse(
+                    get_spark(app_name="dataforge_run_sql"),
+                    log_path=args.run_sql,
+                )
+            backend.run(run_file)
+        except BackendError as e:
+            print(str(e))
+            return 1
+        print("Execution completed successfully")
         return 0
 
     if args.run:

@@ -175,11 +175,66 @@ FROM sizes z LEFT JOIN hits h ON z.doc_id = h.doc_id
 """
 
 
+# per-language mixture rates (basis points of 10000) — the "data
+# mixture" dial of a training pipeline; deterministic hash sampling so
+# reruns and engines agree row-for-row
+SAMPLE_RATES_BP: dict[str, int] = {"en": 5000, "de": 2500}
+DEFAULT_RATE_BP = 1000
+_RATE_SCALE = 10000
+
+# engine-identical uniform hash in [0, 10000): 8 hex chars of
+# md5(doc_id) -> 32-bit int, mod 10^4.  Never rand()/hash(): Spark's
+# Murmur3 differs from DuckDB's hash and rand() differs run-to-run.
+_SPARK_U = (
+    "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+    f" % {_RATE_SCALE}"
+)
+_DUCK_U = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+    f" % {_RATE_SCALE}"
+)
+
+
+def _rate_case(dialect: str) -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {bp}" for lang, bp in SAMPLE_RATES_BP.items()
+    )
+    return f"CASE lang {whens} ELSE {DEFAULT_RATE_BP} END"
+
+
+def train_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified sampling: keep a document
+    iff its md5-uniform draw falls under its language's rate.  A pure
+    scan-side filter (no shuffle), reproducible across engines, runs,
+    and partitionings — the property rand()-based sampling lacks."""
+    _view(spark, sf_dir)
+    rate = _rate_case("spark")
+    return spark.sql(
+        f"""
+        SELECT doc_id, lang,
+               CAST({rate} AS INT) AS rate_bp,
+               CAST({_SPARK_U} AS INT) AS draw_bp
+        FROM documents
+        WHERE {_SPARK_U} < {rate}
+        """
+    )
+
+
+_SAMPLE_ORACLE = f"""
+SELECT doc_id, lang,
+       CAST({_rate_case("duck")} AS INTEGER) AS rate_bp,
+       CAST({_DUCK_U} AS INTEGER) AS draw_bp
+FROM documents
+WHERE {_DUCK_U} < {_rate_case("duck")}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "train_pack": train_pack,
         "train_top_tokens": train_top_tokens,
         "train_contamination": train_contamination,
+        "train_sample_stratified": train_sample_stratified,
     }
 
 
@@ -188,4 +243,5 @@ def oracles() -> dict[str, str]:
         "train_pack": _PACK_ORACLE,
         "train_top_tokens": _TOP_TOKENS_ORACLE,
         "train_contamination": _CONTAMINATION_ORACLE,
+        "train_sample_stratified": _SAMPLE_ORACLE,
     }

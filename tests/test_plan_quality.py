@@ -126,3 +126,21 @@ def test_aggregate_rewrite_is_partial_final(project, spark, sf_dir):
     plan = _plan(hubs["tpch_customer"])
     assert "HashAggregate" in plan
     assert "partial" in plan.lower()
+
+
+def test_ann_search_reads_checkpointed_index(spark):
+    """The IVF search must scan the materialized (localCheckpoint-ed)
+    index, never re-derive the Lloyd chain: a Window or embeddings
+    FileScan inside the search plan means the index cache was bypassed
+    (the lazy-persist regression fixed in round 2)."""
+    from dataforge_core_spark.operators import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    df = S.ann_ivf_kmeans(spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan, "search does not read the index RDD"
+    assert "parquet" not in plan.lower(), (
+        "search plan re-reads embeddings parquet — index checkpoint bypassed"
+    )
+    # exactly the ranking window of the search itself, not Lloyd argmins
+    assert plan.count("WindowGroupLimit") <= 2

@@ -33,7 +33,10 @@ Coverage map (SURVEY.md §2 -> query):
   V1-V4 validation rules     -> *_valid rules, s_validation_status_code,
                                 channel pass routing, s_suppkey_str_uv_flag
   §2.11 nested / sub-source  -> nested_roundtrip, nested_aggregate
-  §2.9 streaming (extension) -> tests/test_streaming.py (batch parity)
+  §2.9 streaming (extension) -> stream_hourly (watermarked window agg on
+                                the streaming engine), stream_attribution
+                                (watermarked stream-stream join);
+                                tests/test_streaming.py (batch parity)
   LLM-pipeline operators     -> dedup_exact / dedup_minhash / dedup_cluster /
                                 dedup_ngram_jaccard / dedup_simhash[_pairs] /
                                 dedup_embedding,

@@ -22,6 +22,7 @@ def _modules():
         nested,
         similarity,
         simhash,
+        streaming_rows,
         text,
         training,
     )
@@ -36,6 +37,7 @@ def _modules():
         multimodal,
         nested,
         engine_rows,
+        streaming_rows,
     ]
 
 

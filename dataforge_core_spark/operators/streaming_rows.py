@@ -1,0 +1,113 @@
+"""Driver rows for the Structured Streaming extension (SURVEY §2.9).
+
+The reference guards against streaming sources but implements no
+streaming execution (svc_parse_source.sql stream checks); this repo adds
+a real Structured Streaming path (streaming/pipeline.py).  These rows
+run the streaming operators to completion over the finite driver
+testdata (availableNow trigger -> memory sink) and return the result as
+a batch DataFrame, so the DuckDB oracle can value-compare them exactly
+like any batch operator — the streaming analogue of the batch-parity
+tests in tests/test_streaming.py, but visible to the round driver.
+
+Determinism notes:
+- ``availableNow`` over the single events.parquet file yields one
+  micro-batch, so no watermark eviction happens mid-run: the windowed
+  aggregate (complete mode) and the inner stream-stream join both emit
+  exactly the batch-equivalent result.
+- Memory-sink tables are tiny (hour x type groups; attribution pairs,
+  371 rows at sf0.1) — collecting them driver-side is safe at any SF;
+  at production scale the same plans write to a real sink instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _run_to_memory(df: DataFrame, name: str, spark: SparkSession,
+                   mode: str) -> DataFrame:
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregate executed on the streaming
+    engine (file stream source -> window()/watermark -> memory sink)."""
+    from dataforge_core_spark.streaming import (
+        stream_events,
+        windowed_aggregate,
+    )
+
+    agg = windowed_aggregate(stream_events(spark, sf_dir))
+    out = _run_to_memory(agg, "drv_stream_hourly", spark, "complete")
+    return out.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+    )
+
+
+_HOURLY_ORACLE = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click-to-purchase attribution via a watermarked stream-stream
+    join with a bounded time-range condition (state evictable at scale)."""
+    from dataforge_core_spark.streaming import (
+        attribution_join,
+        stream_events,
+    )
+
+    joined = attribution_join(stream_events(spark, sf_dir))
+    out = _run_to_memory(joined, "drv_stream_attribution", spark, "append")
+    return out.select(
+        "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts",
+        F.col("value").cast("double").alias("value"),
+    )
+
+
+_ATTRIBUTION_ORACLE = """
+SELECT c.user_id,
+       c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.ts AS click_ts,
+       p.ts AS purchase_ts,
+       CAST(p.value AS DOUBLE) AS value
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "stream_hourly": stream_hourly,
+        "stream_attribution": stream_attribution,
+    }
+
+
+def oracles() -> dict[str, str]:
+    return {
+        "stream_hourly": _HOURLY_ORACLE,
+        "stream_attribution": _ATTRIBUTION_ORACLE,
+    }

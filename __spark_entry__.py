@@ -27,7 +27,9 @@ Coverage map (SURVEY.md §2 -> query):
   J7 uniqueness guard        -> hub_lineitem.supplier_name (uv_flag conjunct)
   A1-A4 aggregations         -> hub aggregates (sum/count/max/max_by/median/
                                 count DISTINCT/collect_set) +
-                                output_feature_customer (GROUP BY + DISTINCT)
+                                output_feature_customer (GROUP BY + DISTINCT);
+                                engine_agg_whitelist (16 whitelist functions
+                                through the correlated-aggregate rule path)
   W1 window functions        -> hub_orders.cust_order_rank
   O2 UNION + typed-null fill -> output_entity_union
   V1-V4 validation rules     -> *_valid rules, s_validation_status_code,

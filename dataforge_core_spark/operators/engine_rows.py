@@ -411,6 +411,158 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# A1 — broad sweep of the 45-function aggregate whitelist
+# ("10 aggregateTable.sql":11-54) through the engine's correlated-aggregate
+# rule path: 16 distinct whitelist functions as rules over a 1-M relation,
+# each with a deterministic DuckDB equivalent.  Excluded from the hash
+# compare by nature: order-dependent picks (first/last/any_value/mode),
+# engine-specific sketches (approx_*, count_min_sketch, schema_of_json_agg)
+# and float-accumulation families (stddev/var/corr/skew/kurtosis) whose
+# last-bit results are reduction-order-dependent on any engine.
+# ---------------------------------------------------------------------------
+
+
+def engine_agg_whitelist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataforge_core_spark.loader import (
+        parse_relations_list,
+        parse_source_dict,
+    )
+    from dataforge_core_spark.model import Project
+    from dataforge_core_spark.runner import ProjectRunner
+
+    orders = parse_source_dict(
+        {
+            "source_name": "orders_aw",
+            "source_table": f"{sf_dir}/orders.parquet",
+            "target_table": "enriched_orders_aw",
+            "raw_attributes": [
+                "o_orderkey long",
+                "o_custkey long",
+                "o_totalprice double",
+                "o_orderstatus string",
+            ],
+            "rules": [
+                {  # exact decimal base for SUM/AVG (aggregate over a rule)
+                    "name": "price_dec",
+                    "expression": (
+                        "CAST([This].o_totalprice AS decimal(18,2))"
+                    ),
+                },
+            ],
+        }
+    )
+    customer = parse_source_dict(
+        {
+            "source_name": "customer_aw",
+            "source_table": f"{sf_dir}/customer.parquet",
+            "target_table": "enriched_customer_aw",
+            "raw_attributes": ["c_custkey long", "c_name string"],
+            "rules": [
+                {"name": "order_cnt",
+                 "expression": "count([orders_aw].o_orderkey)"},
+                {"name": "big_cnt",
+                 "expression": "count_if([orders_aw].o_totalprice > 100000)"},
+                {"name": "spend",
+                 "expression": "sum([orders_aw].price_dec)"},
+                {"name": "avg_price",
+                 "expression": "avg([orders_aw].price_dec)"},
+                {"name": "min_price",
+                 "expression": "min([orders_aw].o_totalprice)"},
+                {"name": "max_price",
+                 "expression": "max([orders_aw].o_totalprice)"},
+                {"name": "first_status",
+                 "expression": "min_by([orders_aw].o_orderstatus,"
+                               " [orders_aw].o_orderkey)"},
+                {"name": "last_status",
+                 "expression": "max_by([orders_aw].o_orderstatus,"
+                               " [orders_aw].o_orderkey)"},
+                {"name": "all_valid",
+                 "expression": "every([orders_aw].o_totalprice >= 0)"},
+                {"name": "any_big",
+                 "expression": "some([orders_aw].o_totalprice > 200000)"},
+                {"name": "any_huge",
+                 "expression": "any([orders_aw].o_totalprice > 300000)"},
+                {"name": "key_or",
+                 "expression": "bit_or([orders_aw].o_orderkey)"},
+                {"name": "key_xor",
+                 "expression": "bit_xor([orders_aw].o_orderkey)"},
+                {"name": "med_price",
+                 "expression": "median([orders_aw].o_totalprice)"},
+                {"name": "p50_price",
+                 "expression": "percentile([orders_aw].o_totalprice, 0.5)"},
+                {"name": "statuses",
+                 "expression":
+                     "array_sort(collect_set([orders_aw].o_orderstatus))"},
+            ],
+        }
+    )
+    rels = parse_relations_list(
+        [
+            {
+                "name": "[customer_aw]- aw -[orders_aw]",
+                "expression": "[This].c_custkey = [Related].o_custkey",
+                "cardinality": "1-M",
+            }
+        ]
+    )
+    project = Project(sources=[customer, orders], relations=rels)
+    hub = ProjectRunner(spark, project, persist_hubs=False).build()[
+        "customer_aw"
+    ]
+    return canonicalize(hub)
+
+
+# The engine's P3 pass normalizes decimal rules to DECIMAL(38,12): avg
+# computes at DECIMAL(38,16) (Spark's p+4/s+4 rule) and the result is then
+# re-normalized to scale 12, both roundings HALF_UP.  DuckDB's AVG returns
+# an unrounded DOUBLE, so the oracle emulates Spark exactly in HUGEINT:
+# units12 = half_up(cents * 10^10 / n) = floor((2*cents*10^10 + n) / (2n))
+# (values non-negative; the intermediate scale-16 rounding can't move a
+# scale-12 boundary), rendered as the exact scale-12 decimal string and
+# CAST to DOUBLE — correctly rounded like Spark's BigDecimal.doubleValue,
+# bit-identical at the comparison boundary.
+_AGG_WHITELIST_ORACLE = """
+WITH g AS (
+  SELECT o_custkey,
+         COUNT(o_orderkey) AS order_cnt,
+         COUNT(*) FILTER (WHERE o_totalprice > 100000) AS big_cnt,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+              AS DOUBLE) AS spend,
+         CAST(printf('%d.%012d',
+           CAST(((2 * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                          AS HUGEINT) * 10000000000 + COUNT(*))
+                 // (2 * COUNT(*))) // 1000000000000 AS BIGINT),
+           CAST(((2 * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                          AS HUGEINT) * 10000000000 + COUNT(*))
+                 // (2 * COUNT(*))) % 1000000000000 AS BIGINT))
+           AS DOUBLE) AS avg_price,
+         MIN(o_totalprice) AS min_price,
+         MAX(o_totalprice) AS max_price,
+         ARG_MIN(o_orderstatus, o_orderkey) AS first_status,
+         ARG_MAX(o_orderstatus, o_orderkey) AS last_status,
+         BOOL_AND(o_totalprice >= 0) AS all_valid,
+         BOOL_OR(o_totalprice > 200000) AS any_big,
+         BOOL_OR(o_totalprice > 300000) AS any_huge,
+         BIT_OR(o_orderkey) AS key_or,
+         BIT_XOR(o_orderkey) AS key_xor,
+         MEDIAN(o_totalprice) AS med_price,
+         quantile_cont(o_totalprice, 0.5) AS p50_price,
+         array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
+           AS statuses
+  FROM orders GROUP BY o_custkey
+)
+SELECT c.c_custkey, c.c_name,
+       COALESCE(g.order_cnt, 0) AS order_cnt,
+       COALESCE(g.big_cnt, 0) AS big_cnt,
+       g.spend, g.avg_price, g.min_price, g.max_price,
+       g.first_status, g.last_status, g.all_valid, g.any_big, g.any_huge,
+       g.key_or, g.key_xor, g.med_price, g.p50_price,
+       COALESCE(g.statuses, '') AS statuses
+FROM customer c LEFT JOIN g ON c.c_custkey = g.o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
 
 
 def queries():
@@ -420,6 +572,7 @@ def queries():
         "engine_sql_artifact": engine_sql_artifact,
         "engine_subsource": engine_subsource,
         "engine_struct_keys": engine_struct_keys,
+        "engine_agg_whitelist": engine_agg_whitelist,
     }
 
 
@@ -430,4 +583,5 @@ def oracles():
         "engine_sql_artifact": _ORDERS_HUB_ORACLE,
         "engine_subsource": _SUBSOURCE_ORACLE,
         "engine_struct_keys": _STRUCT_KEYS_ORACLE,
+        "engine_agg_whitelist": _AGG_WHITELIST_ORACLE,
     }

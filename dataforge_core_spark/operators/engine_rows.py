@@ -411,6 +411,95 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# S4/S5 — output sinks round-tripped through every sub-type
+# (u_validate_output.sql:21-76): file/parquet and file/text (single-column
+# check) re-read from disk, virtual re-read from the temp-view catalog.
+# The returned frame joins all three paths, so a corruption in any sink
+# drops rows or mismatches values in the driver compare.
+# ---------------------------------------------------------------------------
+
+
+def engine_output_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataforge_core_spark.loader import (
+        parse_output_dict,
+        parse_source_dict,
+    )
+    from dataforge_core_spark.model import Project
+    from dataforge_core_spark.runner import ProjectRunner
+
+    src = parse_source_dict(
+        {
+            "source_name": "docs_os",
+            "source_table": f"{sf_dir}/documents.parquet",
+            "target_table": "hub_docs_os",
+            "raw_attributes": ["doc_id long", "lang string", "n_chars long"],
+            "rules": [
+                {
+                    "name": "doc_line",
+                    "expression":
+                        "concat(CAST([This].doc_id AS string), '|', "
+                        "[This].lang)",
+                },
+            ],
+        }
+    )
+
+    def _out(name, output_type, file_format, columns, mappings):
+        return parse_output_dict(
+            {
+                "output_name": name,
+                "output_type": output_type,
+                "file_format": file_format,
+                "columns": columns,
+                "channels": [
+                    {"source_name": "docs_os", "mappings": mappings}
+                ],
+            }
+        )
+
+    project = Project(
+        sources=[src],
+        outputs=[
+            _out("os_file", "file", "parquet",
+                 ["doc_id long", "lang string", "n_chars long"],
+                 ["doc_id doc_id", "lang lang", "n_chars n_chars"]),
+            _out("os_virtual", "virtual", None,
+                 ["doc_id long", "lang string"],
+                 ["doc_id doc_id", "lang lang"]),
+            _out("os_text", "file", "text",
+                 ["line string"], ["doc_line line"]),
+        ],
+    )
+    base = tempfile.mkdtemp(prefix="dfspark_sinks_")
+    ProjectRunner(spark, project, persist_hubs=False).materialize(base)
+
+    df_p = spark.read.parquet(os.path.join(base, "os_file"))
+    df_t = (
+        spark.read.text(os.path.join(base, "os_text"))
+        .select(
+            F.split("value", "\\|").getItem(0).cast("long").alias("doc_id"),
+            F.split("value", "\\|").getItem(1).alias("lang_txt"),
+        )
+    )
+    df_v = spark.table("os_virtual").groupBy("lang").agg(
+        F.count("*").alias("lang_docs")
+    )
+    return (
+        df_p.join(df_t, "doc_id")
+        .join(df_v, "lang")
+        .select("doc_id", "lang", "n_chars", "lang_txt", "lang_docs")
+    )
+
+
+_OUTPUT_SINKS_ORACLE = """
+SELECT d.doc_id, d.lang, d.n_chars, d.lang AS lang_txt, g.lang_docs
+FROM documents d
+JOIN (SELECT lang, COUNT(*) AS lang_docs FROM documents GROUP BY lang) g
+  ON d.lang = g.lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # A1 — broad sweep of the 45-function aggregate whitelist
 # ("10 aggregateTable.sql":11-54) through the engine's correlated-aggregate
 # rule path: 16 distinct whitelist functions as rules over a 1-M relation,
@@ -573,6 +662,7 @@ def queries():
         "engine_subsource": engine_subsource,
         "engine_struct_keys": engine_struct_keys,
         "engine_agg_whitelist": engine_agg_whitelist,
+        "engine_output_sinks": engine_output_sinks,
     }
 
 
@@ -584,4 +674,5 @@ def oracles():
         "engine_subsource": _SUBSOURCE_ORACLE,
         "engine_struct_keys": _STRUCT_KEYS_ORACLE,
         "engine_agg_whitelist": _AGG_WHITELIST_ORACLE,
+        "engine_output_sinks": _OUTPUT_SINKS_ORACLE,
     }

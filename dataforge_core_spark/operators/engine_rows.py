@@ -473,6 +473,10 @@ def engine_output_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="dfspark_sinks_")
     ProjectRunner(spark, project, persist_hubs=False).materialize(base)
 
+    # S3: the materialized hub parquet itself, re-read from its sink
+    df_h = spark.read.parquet(os.path.join(base, "hub_docs_os")).select(
+        "doc_id", F.col("doc_line").alias("hub_line")
+    )
     df_p = spark.read.parquet(os.path.join(base, "os_file"))
     df_t = (
         spark.read.text(os.path.join(base, "os_text"))
@@ -487,12 +491,16 @@ def engine_output_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         df_p.join(df_t, "doc_id")
         .join(df_v, "lang")
-        .select("doc_id", "lang", "n_chars", "lang_txt", "lang_docs")
+        .join(df_h, "doc_id")
+        .select(
+            "doc_id", "lang", "n_chars", "lang_txt", "lang_docs", "hub_line"
+        )
     )
 
 
 _OUTPUT_SINKS_ORACLE = """
-SELECT d.doc_id, d.lang, d.n_chars, d.lang AS lang_txt, g.lang_docs
+SELECT d.doc_id, d.lang, d.n_chars, d.lang AS lang_txt, g.lang_docs,
+       CAST(d.doc_id AS VARCHAR) || '|' || d.lang AS hub_line
 FROM documents d
 JOIN (SELECT lang, COUNT(*) AS lang_docs FROM documents GROUP BY lang) g
   ON d.lang = g.lang

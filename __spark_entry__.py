@@ -46,7 +46,9 @@ Coverage map (SURVEY.md §2 -> query):
                                 ann_lsh_hyperplane / ann_rerank,
                                 text_tokens/quality/lang_id/fingerprint,
                                 train_pack / train_top_tokens /
-                                train_contamination,
+                                train_contamination /
+                                train_sample_stratified /
+                                train_pii_redact / train_repetition,
                                 events_hourly/sessionize/json/asof_order,
                                 multimodal_meta / multimodal_frame_sample /
                                 multimodal_decode (real stdlib header parse)

@@ -229,12 +229,129 @@ WHERE {_DUCK_U} < {_rate_case("duck")}
 """
 
 
+# --------------------------------------------------------------------------
+# PII scrubbing.  Regexes stay in the Java/RE2 common subset (character
+# classes, bounded repetition — no backrefs or lookaround) so Spark and
+# DuckDB match identical spans.  The driver testdata is synthetic word
+# soup, so the row plants deterministic PII derived from doc_id before
+# scrubbing — the redaction path is exercised on real matches while
+# remaining reproducible and oracle-checkable.
+# --------------------------------------------------------------------------
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_PII_PHONE = "[+][0-9]{1,2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_PII_IP = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+
+def _pii_augment(dialect: str) -> str:
+    cat = "||" if dialect == "duck" else "||"
+    s = "VARCHAR" if dialect == "duck" else "STRING"
+    return (
+        f"text {cat} ' contact user' {cat} CAST(doc_id AS {s}) {cat} "
+        f"'@example.com or +1-555-' {cat} "
+        f"lpad(CAST(doc_id % 10000 AS {s}), 4, '0') {cat} "
+        f"' from 10.0.' {cat} CAST(doc_id % 256 AS {s}) {cat} '.' {cat} "
+        f"CAST((doc_id * 7) % 256 AS {s})"
+    )
+
+
+def train_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count and redact emails / phone numbers / IPv4 addresses.
+
+    Pure scan-side regexp_replace chain (JVM regex, whole-stage
+    codegen'd, no shuffle) — at 100 TB this runs at parquet-scan speed
+    and the redacted column writes straight back out."""
+    _view(spark, sf_dir)
+    aug = _pii_augment("spark")
+    return spark.sql(
+        f"""
+        SELECT doc_id,
+               CAST(regexp_count({aug}, '{_PII_EMAIL}') AS BIGINT)
+                 AS n_emails,
+               CAST(regexp_count({aug}, '{_PII_PHONE}') AS BIGINT)
+                 AS n_phones,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace({aug}, '{_PII_EMAIL}', '<EMAIL>'),
+                   '{_PII_PHONE}', '<PHONE>'),
+                 '{_PII_IP}', '<IP>') AS redacted
+        FROM documents
+        """
+    )
+
+
+_PII_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all({_pii_augment("duck")}, '{_PII_EMAIL}'))
+            AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all({_pii_augment("duck")}, '{_PII_PHONE}'))
+            AS BIGINT) AS n_phones,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace({_pii_augment("duck")}, '{_PII_EMAIL}', '<EMAIL>',
+                          'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g'),
+         '{_PII_IP}', '<IP>', 'g') AS redacted
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Within-document repetition: the n-gram repetition ratio used by corpus
+# quality filters (a boilerplate/spam signal).  Trigrams are built with
+# a higher-order transform over the token array — per-row, scan-side, no
+# shuffle, no UDF; the ratio is a single division of exact integers so
+# doubles hash-match across engines.
+# --------------------------------------------------------------------------
+
+
+def train_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir)
+    tri = (
+        f"transform(sequence(1, greatest(size({_SPARK_TOK}) - 2, 0)), "
+        f"i -> concat_ws(' ', {_SPARK_TOK}[i - 1], {_SPARK_TOK}[i], "
+        f"{_SPARK_TOK}[i + 1]))"
+    )
+    return spark.sql(
+        f"""
+        SELECT doc_id,
+               size({tri}) AS n_trigrams,
+               size(array_distinct({tri})) AS n_unique,
+               CASE WHEN size({tri}) > 0
+                    THEN CAST(size({tri}) - size(array_distinct({tri}))
+                              AS DOUBLE) / size({tri})
+                    ELSE 0.0 END AS rep_ratio
+        FROM documents
+        """
+    )
+
+
+_DUCK_TRI = (
+    f"list_transform(range(1, greatest(len({_DUCK_TOK}) - 1, 1)), "
+    f"i -> {_DUCK_TOK}[i] || ' ' || {_DUCK_TOK}[i + 1] || ' ' || "
+    f"{_DUCK_TOK}[i + 2])"
+)
+
+_REPETITION_ORACLE = f"""
+SELECT doc_id,
+       len({_DUCK_TRI}) AS n_trigrams,
+       len(list_distinct({_DUCK_TRI})) AS n_unique,
+       CASE WHEN len({_DUCK_TRI}) > 0
+            THEN CAST(len({_DUCK_TRI}) - len(list_distinct({_DUCK_TRI}))
+                      AS DOUBLE) / len({_DUCK_TRI})
+            ELSE 0.0 END AS rep_ratio
+FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "train_pack": train_pack,
         "train_top_tokens": train_top_tokens,
         "train_contamination": train_contamination,
         "train_sample_stratified": train_sample_stratified,
+        "train_pii_redact": train_pii_redact,
+        "train_repetition": train_repetition,
     }
 
 
@@ -244,4 +361,6 @@ def oracles() -> dict[str, str]:
         "train_top_tokens": _TOP_TOKENS_ORACLE,
         "train_contamination": _CONTAMINATION_ORACLE,
         "train_sample_stratified": _SAMPLE_ORACLE,
+        "train_pii_redact": _PII_ORACLE,
+        "train_repetition": _REPETITION_ORACLE,
     }

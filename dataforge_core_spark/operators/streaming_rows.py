@@ -29,14 +29,26 @@ from pyspark.sql import functions as F
 
 def _run_to_memory(df: DataFrame, name: str, spark: SparkSession,
                    mode: str) -> DataFrame:
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # State-store partition count is fixed at query start from
+    # spark.sql.shuffle.partitions; a finite single-file micro-batch
+    # doesn't amortize 32 HDFS-state-store inits, so run the driver row
+    # with a few state partitions and restore the session conf after.
+    # (A production deployment sizes this to the key cardinality once —
+    # it cannot change across restarts of the same checkpoint.)
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "4")
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set(key, prev)
     return spark.table(name)
 
 

@@ -242,9 +242,27 @@ class SourceCompiler:
         a recalculation touching only some key values is confined to
         those window partitions — the basis for partition-pruned
         recompute."""
+        status, keys = self._window_confinement(
+            source, self.recalculation_closure(source)
+        )
+        return keys if status == "keys" else None
+
+    def _window_confinement(
+        self, source: Source, rule_names: set[str]
+    ) -> tuple[str, list[str] | None]:
+        """Window-group confinement for the given rules:
+
+        - ``('none', None)`` — no window (or unique) rule among them;
+          per-row semantics, recompute confines to the touched rows alone
+        - ``('keys', cols)`` — every OVER() partitions by the same bare
+          raw columns; recompute confines to the touched key groups
+        - ``('unconfined', None)`` — an un-partitioned window,
+          expression-valued keys, differing key sets, or a unique rule
+          (its implicit ``_uv_flag`` window partitions by rule *value*)
+        """
         import re as _re
 
-        closure = self.recalculation_closure(source)
+        closure = rule_names
         key_sets: list[tuple[str, ...]] = []
         for rule in source.rules:
             if rule.name not in closure:
@@ -253,7 +271,7 @@ class SourceCompiler:
                 # the implicit `_uv_flag` window partitions by the rule's
                 # *value* — a value straddling changed/unchanged rows would
                 # get a wrong count over a pruned subset
-                return None
+                return ("unconfined", None)
             expr = rule.expression
             n_windows = len(_re.findall(r"(?i)\bover\s*\(", expr))
             if n_windows == 0:
@@ -266,7 +284,8 @@ class SourceCompiler:
                 )
             )
             if len(matches) != n_windows:
-                return None  # un-partitioned window -> whole-table scope
+                # un-partitioned window -> whole-table scope
+                return ("unconfined", None)
             for m in matches:
                 cols = []
                 for part in m.group(1).split(","):
@@ -275,12 +294,15 @@ class SourceCompiler:
                         r"^\[This\]\.([a-z_][a-z0-9_]*)$", t, _re.I
                     )
                     if not tm:
-                        return None  # expression key -> not provably prunable
+                        # expression key -> not provably prunable
+                        return ("unconfined", None)
                     cols.append(tm.group(1))
                 key_sets.append(tuple(cols))
-        if not key_sets or len(set(key_sets)) != 1:
-            return None
-        return list(key_sets[0])
+        if not key_sets:
+            return ("none", None)
+        if len(set(key_sets)) != 1:
+            return ("unconfined", None)
+        return ("keys", list(key_sets[0]))
 
     def recalculate_pruned(
         self,

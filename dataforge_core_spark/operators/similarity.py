@@ -148,12 +148,12 @@ def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ranked AS (
           SELECT query_id, neighbor_id,
-                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                      ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, neighbor_id) AS rank
           FROM scored
         )
-        SELECT query_id, rank, neighbor_id FROM ranked
-        WHERE rank <= {TOP_K}
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id
+        FROM ranked WHERE rank <= {TOP_K}
         """
     )
 
@@ -198,12 +198,12 @@ def ann_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ranked AS (
           SELECT query_id, neighbor_id,
-                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                      ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, neighbor_id) AS rank
           FROM scored
         )
-        SELECT query_id, rank, neighbor_id FROM ranked
-        WHERE rank <= {TOP_K}
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id
+        FROM ranked WHERE rank <= {TOP_K}
         """
     )
 
@@ -293,12 +293,12 @@ def ann_lsh_hyperplane(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ranked AS (
           SELECT query_id, neighbor_id,
-                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                      ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, neighbor_id) AS rank
           FROM scored
         )
-        SELECT query_id, rank, neighbor_id FROM ranked
-        WHERE rank <= {TOP_K}
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id
+        FROM ranked WHERE rank <= {TOP_K}
         """
     )
 
@@ -384,11 +384,11 @@ def ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored.createOrReplaceTempView("ann_rerank_scored")
     return spark.sql(
         f"""
-        SELECT query_id, rank, neighbor_id
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id
         FROM (
           SELECT query_id, neighbor_id,
-                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                      ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, neighbor_id) AS rank
           FROM ann_rerank_scored
         )
         WHERE rank <= {RERANK_K}
@@ -568,12 +568,12 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         ranked AS (
           SELECT query_id, neighbor_id,
-                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                      ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, neighbor_id) AS rank
           FROM scored
         )
-        SELECT query_id, rank, neighbor_id FROM ranked
-        WHERE rank <= {TOP_K}
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id
+        FROM ranked WHERE rank <= {TOP_K}
         """
     )
 

@@ -46,7 +46,14 @@ def _run_to_memory(df: DataFrame, name: str, spark: SparkSession,
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        # awaitTermination(timeout) returns False while the query is
+        # still running — reading the memory sink then would silently
+        # compare a partially-populated table; fail loudly instead
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                f"streaming query {name!r} did not finish within 300s"
+            )
     finally:
         spark.conf.set(key, prev)
     return spark.table(name)

@@ -125,7 +125,11 @@ def run_probe(
     field = fields[0]
     # Behavior + message parity with miniSparky.py:66-77, including the
     # precedence: the NULL check (on the FIRST column of the first row)
-    # fires before the extraneous-column check.
+    # fires before the extraneous-column check.  An empty result set is
+    # an error: the reference's ``df.head()[0]`` raises IndexError there,
+    # which its except-path reports verbatim (miniSparky.py:59,84-89).
+    if not rows:
+        return ProbeResult(status="error", message="list index out of range")
     if rows and rows[0][0] is None:
         return ProbeResult(
             status="warning",

@@ -142,5 +142,70 @@ def test_ann_search_reads_checkpointed_index(spark):
     assert "parquet" not in plan.lower(), (
         "search plan re-reads embeddings parquet — index checkpoint bypassed"
     )
-    # exactly the ranking window of the search itself, not Lloyd argmins
-    assert plan.count("WindowGroupLimit") <= 2
+    # exactly the ranking window of the search itself, not Lloyd argmins —
+    # and the top-k filter MUST execute as WindowGroupLimit (partial +
+    # final): 0 means a CAST or projection between Filter and Window is
+    # defeating InferWindowGroupLimit again and every per-query candidate
+    # list is fully materialized before ranking (the round-2 regression)
+    assert 1 <= plan.count("WindowGroupLimit") <= 2
+
+
+def test_top_tokens_limit_pushed_below_window(spark):
+    """train_top_tokens' global rank must NOT move the full vocabulary to
+    one partition: with the rank filter on the bare ROW_NUMBER attribute,
+    LimitPushDownThroughWindow turns it into TakeOrderedAndProject(100)
+    below the Window (bounded per-partition heaps, 100-row final merge).
+    The round-2 form (CAST between Filter and Window) defeated both this
+    rule and InferWindowGroupLimit — at 100 TB that plan funnels billions
+    of distinct tokens through a single WindowExec partition."""
+    from dataforge_core_spark.operators import training as T
+
+    df = T.train_top_tokens(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan, (
+        "top-K window is unbounded: full vocabulary on one partition"
+    )
+
+
+def test_ranked_ann_windows_group_limit(spark):
+    """Every ann_* per-query ranking window must execute with
+    WindowGroupLimit (rank filter on the bare ROW_NUMBER attribute)."""
+    from dataforge_core_spark.operators import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    for name, fn in [
+        ("ann_bruteforce", S.ann_bruteforce),
+        ("ann_ivf_label", S.ann_ivf_label),
+        ("ann_lsh_hyperplane", S.ann_lsh_hyperplane),
+        ("ann_rerank", S.ann_rerank),
+    ]:
+        plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("WindowGroupLimit") >= 1, (
+            f"{name}: ranking window has no WindowGroupLimit"
+        )
+
+
+# queries whose plans are cheap to derive (no eager driver-side loops /
+# streaming execution at construction time); ann_bruteforce is the one
+# intentional all-pairs shape (the re-rank stage scans the corpus against
+# a broadcast query set — a BroadcastNestedLoopJoin on q.vec_id <> c.vec_id)
+_CARTESIAN_EXEMPT = {"ann_bruteforce"}
+
+
+def test_no_cartesian_products_in_driver_queries(spark):
+    """No driver query may plan a CartesianProduct, and only the
+    explicitly exempted all-pairs shapes may BroadcastNestedLoopJoin —
+    an accidental non-equi join is a silent 100x at scale."""
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    skip_prefixes = ("stream_", "engine_", "dedup_cluster")
+    for name, fn in e.queries().items():
+        if name.startswith(skip_prefixes):
+            continue  # eager side-effects at construction; covered elsewhere
+        plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+        if name not in _CARTESIAN_EXEMPT:
+            assert "BroadcastNestedLoopJoin" not in plan, (
+                f"{name}: unexpected nested-loop join"
+            )

@@ -36,10 +36,14 @@ def _views(spark: SparkSession, sf_dir: str) -> None:
         return
     _views_done.add((id(spark), sf_dir))
 
-    # events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    # parquet reader rejects; read nanos as long and truncate to micros —
-    # exactly what DuckDB's nanos->micros conversion does, so oracles align.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Old driver testdata carried TIMESTAMP(NANOS) which Spark's vectorized
+    # parquet reader rejects; only those files need nanosAsLong + a
+    # truncate-to-micros (exactly DuckDB's nanos->micros conversion, so
+    # oracles align).  Current testdata is timestamp[us] and reads natively.
+    from dataforge_core_spark.streaming.pipeline import _events_ts_is_nanos
+
+    if _events_ts_is_nanos(sf_dir):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     if isinstance(ev.schema["ts"].dataType, T.LongType):
         ev = ev.withColumn(

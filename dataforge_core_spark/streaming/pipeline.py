@@ -31,16 +31,34 @@ from dataforge_core_spark.paths import RelationGraph
 from dataforge_core_spark.plans.planner import plan_source
 
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (driver parquet)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+EVENTS_SCHEMA = _events_schema(T.TimestampType())
+
+
+def _events_ts_is_nanos(sf_dir: str) -> bool:
+    """Probe the parquet footer for the physical ts unit.  The driver has
+    regenerated events.parquet with different units across rounds
+    (timestamp[ns] -> timestamp[us]); a stream source imposes its schema
+    blindly, so pick it from the file rather than assuming."""
+    try:
+        import pyarrow.parquet as pq
+
+        field = pq.read_schema(f"{sf_dir}/events.parquet").field("ts")
+        return str(field.type) == "timestamp[ns]"
+    except Exception:
+        return False
 
 
 def validate_stream_rules(project: Project, source: Source) -> None:
@@ -90,16 +108,27 @@ def compile_stream_source(
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (nanos ts -> micros)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """File-source stream over the events parquet.
+
+    Native timestamp units (us/ms) read straight into TimestampType; only
+    INT64 TIMESTAMP(NANOS) files — which Spark's vectorized reader rejects
+    — take the legacy nanosAsLong + truncate-to-micros path (mirrors the
+    batch dtype guard at operators/events.py)."""
     # the file stream source wants a directory; glob-filter to the events
     # file inside the sf dir
-    raw = (
+    if _events_ts_is_nanos(sf_dir):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(_events_schema(T.LongType()))
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
 def windowed_aggregate(

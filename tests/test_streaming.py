@@ -282,11 +282,15 @@ def test_stream_stream_attribution_join(spark, sf_dir):
     q.awaitTermination(120)
     got = spark.table("attr_stream")
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    from pyspark.sql import types as T
+
+    from dataforge_core_spark.streaming.pipeline import _events_ts_is_nanos
+
+    if _events_ts_is_nanos(sf_dir):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if isinstance(ev.schema["ts"].dataType, T.LongType):
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     clicks = ev.filter("event_type = 'click'").select(
         "user_id",
         F.col("ts").alias("click_ts"),

@@ -307,14 +307,27 @@ def media_decode_fn():
 
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize valid media payloads, then decode them back by parsing
-    the binary headers — the decode stage operates on bytes alone."""
+    the binary headers — the decode stage operates on bytes alone.
+
+    Both stages are Iterator[pdf] -> Iterator[pdf], so they FUSE into one
+    mapInPandas pass: the intermediate payload batches flow generator-to-
+    generator inside a single Python worker instead of round-tripping
+    through Arrow twice (2x serialization saved; was the r3 perf
+    regression when the driver regenerated larger documents).  A real
+    deployment reading stored media runs media_decode_fn alone."""
+
+    def fused(synth, decode):
+        def fn(batches):
+            return decode(synth(batches))
+
+        return fn
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
-    payloads = docs.mapInPandas(
-        media_synth_fn(), "doc_id bigint, payload binary"
+    return docs.mapInPandas(
+        fused(media_synth_fn(), media_decode_fn()), DECODE_SCHEMA
     )
-    return payloads.mapInPandas(media_decode_fn(), DECODE_SCHEMA)
 
 
 _DECODE_ORACLE = """

@@ -32,12 +32,26 @@ def _digit(dialect: str, expr: str, j: int) -> str:
 
 
 def _sig_select(dialect: str) -> str:
-    """64 signed-sum aggregates -> 16 hex digits -> simhash string."""
+    """64 signed-sum aggregates -> 16 hex digits -> simhash string.
+
+    Spark evaluates this per exploded token, so per-bit cost dominates at
+    scale: the spark dialect extracts bits from two pre-parsed 32-bit
+    integer halves (one shiftright+AND each — stays in whole-stage
+    codegen, ~50x cheaper than the instr/substr string walk it replaces);
+    the duck dialect keeps the hex-digit string form for the 500-doc
+    oracle, where clarity beats speed.  Both compute bit (j,k) = bit
+    (67-4j-k) of the 64-bit md5 prefix, so signatures agree exactly."""
     sums = []
     for j in range(1, 17):
         d = _digit(dialect, "h16", j)
         for k, p in enumerate([8, 4, 2, 1]):
-            bit = f"(CAST(floor({d} / {p}) AS INT) % 2)"
+            if dialect == "spark":
+                if j <= 8:
+                    bit = f"(shiftright(h_hi, {35 - 4 * j - k}) & 1)"
+                else:
+                    bit = f"(shiftright(h_lo, {67 - 4 * j - k}) & 1)"
+            else:
+                bit = f"(CAST(floor({d} / {p}) AS INT) % 2)"
             sums.append(
                 f"SUM(CASE WHEN {bit} = 1 THEN 1 ELSE -1 END) AS b_{j}_{k}"
             )
@@ -64,9 +78,21 @@ def _sig_sql(dialect: str) -> str:
         if dialect == "spark"
         else "SELECT doc_id, unnest(tok) AS tk FROM toks"
     )
+    if dialect == "spark":
+        # parse the 16-hex-digit md5 prefix ONCE per token into two
+        # unsigned-32-bit halves (each fits a BIGINT, ANSI-safe); the 64
+        # bit extractions are then integer shifts
+        td = (
+            "SELECT doc_id,"
+            " CAST(conv(substr(h, 1, 8), 16, 10) AS BIGINT) AS h_hi,"
+            " CAST(conv(substr(h, 9, 8), 16, 10) AS BIGINT) AS h_lo"
+            f" FROM (SELECT doc_id, md5(tk) AS h FROM ({flat}))"
+        )
+    else:
+        td = f"SELECT doc_id, substr(md5(tk), 1, 16) AS h16 FROM ({flat})"
     return f"""
         WITH toks AS (SELECT doc_id, {tok} AS tok FROM documents),
-        td AS (SELECT doc_id, substr(md5(tk), 1, 16) AS h16 FROM ({flat})),
+        td AS ({td}),
         sums AS (SELECT doc_id, {_sig_select(dialect)} FROM td GROUP BY doc_id)
         SELECT doc_id, {_assemble(dialect)} AS simhash FROM sums
     """

@@ -37,7 +37,9 @@ Coverage map (SURVEY.md §2 -> query):
   §2.11 nested / sub-source  -> nested_roundtrip, nested_aggregate
   §2.9 streaming (extension) -> stream_hourly (watermarked window agg on
                                 the streaming engine), stream_attribution
-                                (watermarked stream-stream join);
+                                (watermarked stream-stream join),
+                                stream_sessionize (applyInPandasWithState
+                                custom stateful operator);
                                 tests/test_streaming.py (batch parity)
   LLM-pipeline operators     -> dedup_exact / dedup_minhash / dedup_cluster /
                                 dedup_ngram_jaccard / dedup_simhash[_pairs] /

@@ -118,10 +118,58 @@ WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 """
 
 
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionization (applyInPandasWithState) run to
+    completion over the finite stream.
+
+    use_timeout=False: under availableNow a ProcessingTimeTimeout query
+    never terminates (the engine keeps scheduling batches to service
+    pending timeouts), and without timeouts the output is deterministic —
+    exactly the sessions CLOSED by a later event, i.e. every session
+    except each user's final one, which is what the oracle expresses."""
+    from dataforge_core_spark.streaming import (
+        sessionize_stateful,
+        stream_events,
+    )
+
+    sess = sessionize_stateful(
+        stream_events(spark, sf_dir), use_timeout=False
+    )
+    out = _run_to_memory(sess, "drv_stream_sessionize", spark, "append")
+    return out.select("user_id", "session_start", "session_end", "n_events")
+
+
+_SESSIONIZE_ORACLE = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1
+              ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sn
+  FROM g
+),
+sess AS (
+  SELECT user_id, sn, MIN(ts) AS session_start, MAX(ts) AS session_end,
+         COUNT(*) AS n_events
+  FROM numbered GROUP BY user_id, sn
+)
+SELECT user_id, session_start, session_end, n_events
+FROM sess s
+WHERE sn < (SELECT MAX(sn) FROM sess m WHERE m.user_id = s.user_id)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stream_hourly": stream_hourly,
         "stream_attribution": stream_attribution,
+        "stream_sessionize": stream_sessionize,
     }
 
 
@@ -129,4 +177,5 @@ def oracles() -> dict[str, str]:
     return {
         "stream_hourly": _HOURLY_ORACLE,
         "stream_attribution": _ATTRIBUTION_ORACLE,
+        "stream_sessionize": _SESSIONIZE_ORACLE,
     }

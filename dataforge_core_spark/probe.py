@@ -109,13 +109,36 @@ def build_probe_sql(
     return f"WITH ct AS (SELECT {ct} FROM {VIEW_NAME}) SELECT {body} as col1 FROM ct"
 
 
+# Probe-result cache, keyed by (session, probe SQL).  The probe SQL is a
+# pure function of (expression, param_types) and runs over a constant
+# 2-row literal view, so its result can never change within a session —
+# the reference caches equivalently in its metadata DB (meta.process
+# test results; SURVEY §7.3 "cache by expression hash").  engine_* driver
+# rows rebuild the same project repeatedly; without this every rebuild
+# re-runs identical probe waves (~100 ms Spark job each).
+_probe_cache: dict[tuple[int, str], ProbeResult] = {}
+probe_stats = {"runs": 0, "hits": 0}
+
+
 def run_probe(
     spark: SparkSession,
     expression: str,
     param_types: dict[str, str] | None = None,
 ) -> ProbeResult:
-    ensure_datatypes_view(spark)
     sql = build_probe_sql(expression, param_types)
+    key = (id(spark), sql)
+    cached = _probe_cache.get(key)
+    if cached is not None:
+        probe_stats["hits"] += 1
+        return cached
+    probe_stats["runs"] += 1
+    ensure_datatypes_view(spark)
+    res = _run_probe_uncached(spark, sql)
+    _probe_cache[key] = res
+    return res
+
+
+def _run_probe_uncached(spark: SparkSession, sql: str) -> ProbeResult:
     try:
         df = spark.sql(sql)
         rows = df.limit(1).collect()

@@ -286,7 +286,7 @@ def kafka_sink(
 
 
 def sessionize_stateful(
-    stream: DataFrame, gap_minutes: int = 30
+    stream: DataFrame, gap_minutes: int = 30, use_timeout: bool = True
 ) -> DataFrame:
     """Custom stateful operator: per-user session assignment via
     applyInPandasWithState (GroupState timeout closes idle sessions).
@@ -294,6 +294,15 @@ def sessionize_stateful(
     Emits one row per closed session: (user_id, session_start,
     session_end, n_events).  State per user is O(1): current session
     bounds + counter — executor-local, keyed by the shuffle on user_id.
+
+    ``use_timeout=False`` switches to GroupStateTimeout.NoTimeout for
+    FINITE availableNow runs: with ProcessingTimeTimeout the micro-batch
+    engine keeps scheduling batches to service pending timeouts and the
+    query never terminates (observed: availableNow + timeout = hang).
+    Without timeouts the finite run emits exactly the sessions closed by
+    a later event — deterministic, and each user's final open session
+    stays in state (a live deployment keeps the timeout so idle sessions
+    flush).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import (
@@ -343,7 +352,8 @@ def sessionize_stateful(
             state.remove()
         elif start is not None:
             state.update((start, end, n))
-            state.setTimeoutDuration(gap_minutes * 60 * 1000)
+            if use_timeout:
+                state.setTimeoutDuration(gap_minutes * 60 * 1000)
         out = pd.DataFrame(
             rows, columns=["user_id", "session_start", "session_end", "n_events"]
         )
@@ -359,6 +369,10 @@ def sessionize_stateful(
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if use_timeout
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )

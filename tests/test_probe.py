@@ -92,3 +92,20 @@ def test_validate_project_demo(spark):
         for r in report
         if r["kind"] in ("relation", "filter")
     )
+
+
+def test_probe_cache_no_requery(spark):
+    """Second validation of the same project issues ZERO probe queries:
+    probe results are pure functions of (expression, param types) over a
+    constant literal view, cached per session by probe SQL (the
+    reference caches equivalently in its metadata DB, SURVEY §7.3)."""
+    from dataforge_core_spark.loader import load_project
+    from dataforge_core_spark.probe import probe_stats, validate_project
+
+    project = load_project("projects/tpch_demo")
+    first = validate_project(spark, project)
+    runs_after_first = probe_stats["runs"]
+    second = validate_project(spark, project)
+    assert probe_stats["runs"] == runs_after_first, "probe re-queried"
+    assert probe_stats["hits"] >= len(second)
+    assert [r["status"] for r in first] == [r["status"] for r in second]

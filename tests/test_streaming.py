@@ -146,8 +146,10 @@ def test_stream_rejects_stateful_rules(spark):
 
 
 def test_stateful_sessionization(spark, sf_dir):
-    """applyInPandasWithState sessionizer over the finite stream: session
-    counts per user must match the batch window-based sessionization."""
+    """applyInPandasWithState sessionizer over the finite stream
+    (use_timeout=False — a ProcessingTimeTimeout query never terminates
+    under availableNow): emitted sessions must be EXACTLY the batch
+    sessionization minus each user's final (still-open) session."""
     from dataforge_core_spark.operators.events import events_sessionize
     from dataforge_core_spark.streaming import (
         sessionize_stateful,
@@ -155,7 +157,7 @@ def test_stateful_sessionization(spark, sf_dir):
     )
 
     stream = stream_events(spark, sf_dir)
-    sess = sessionize_stateful(stream)
+    sess = sessionize_stateful(stream, use_timeout=False)
     q = (
         sess.writeStream.format("memory")
         .queryName("sessions_stream")
@@ -163,24 +165,24 @@ def test_stateful_sessionization(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
-    got = spark.table("sessions_stream")
-    # availableNow + timeout: open sessions may not be emitted before the
-    # query stops; closed sessions must match the batch assignment's count
-    # of non-final sessions.
-    batch = events_sessionize(spark, sf_dir)
+    assert q.awaitTermination(180), "sessionize query did not terminate"
+    got_counts = {
+        r["user_id"]: r["cnt"]
+        for r in spark.table("sessions_stream")
+        .groupBy("user_id")
+        .count()
+        .withColumnRenamed("count", "cnt")
+        .collect()
+    }
     batch_sessions = (
-        batch.groupBy("user_id")
+        events_sessionize(spark, sf_dir)
+        .groupBy("user_id")
         .agg({"session_number": "max"})
         .withColumnRenamed("max(session_number)", "n_sessions")
     )
-    got_counts = {
-        r["user_id"]: r["cnt"]
-        for r in got.groupBy("user_id").count().withColumnRenamed("count", "cnt").collect()
-    }
     for r in batch_sessions.collect():
-        # closed sessions emitted <= total sessions per user
-        assert got_counts.get(r["user_id"], 0) <= r["n_sessions"]
+        # closed sessions = all sessions except the final open one
+        assert got_counts.get(r["user_id"], 0) == r["n_sessions"] - 1
 
 
 def test_stream_static_lookup(spark, sf_dir):

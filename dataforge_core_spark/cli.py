@@ -42,6 +42,19 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--validate", metavar="PROJECT_DIR")
     p.add_argument(
+        "--import",
+        dest="import_dir",
+        metavar="PROJECT_DIR",
+        help="diff-import the project into a metadata store: upsert by "
+        "name, delete objects missing from the import, cascade-delete "
+        "dependents (the reference's stateful import — impc_execute.sql)",
+    )
+    p.add_argument(
+        "--state",
+        default=".dataforge_state",
+        help="metadata store directory for --import",
+    )
+    p.add_argument(
         "--init",
         metavar="PROJECT_DIR",
         help="scaffold a sample project (the reference's --init, "
@@ -92,6 +105,21 @@ def main(argv: list[str] | None = None) -> int:
         spark = get_spark(app_name="dataforge_build")
         SqlEmitter(project, subs, spark=spark).emit_all(args.target)
         print(f"Build completed successfully: {args.target}/run.sql")
+        return 0
+
+    if args.import_dir:
+        import json as _json
+
+        from dataforge_core_spark.imports import MetaStore, import_project
+
+        project = load_project(args.import_dir)
+        store = MetaStore(args.state)
+        report = import_project(store, project)
+        if "error" in report:
+            print(_json.dumps(report))
+            return 1
+        for line in report["log"]:
+            print(line)
         return 0
 
     if args.validate:

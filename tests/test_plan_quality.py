@@ -209,3 +209,36 @@ def test_no_cartesian_products_in_driver_queries(spark):
             assert "BroadcastNestedLoopJoin" not in plan, (
                 f"{name}: unexpected nested-loop join"
             )
+
+
+def test_simhash_signature_integer_bits(spark):
+    """The 64 simhash bit extractions must be integer shift/AND over two
+    pre-parsed md5 halves, inside a partial+final hash aggregate.  A
+    string-walk form (instr/substr per bit) in the plan means the r3
+    per-token regression is back: 64 string scans per exploded token."""
+    from dataforge_core_spark.operators import simhash as S
+
+    plan = (
+        S.dedup_simhash(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "instr" not in plan, "per-bit string walk back in the hot path"
+    assert "HashAggregate" in plan
+    assert "partial" in plan.lower(), "no map-side combine on signature agg"
+
+
+def test_multimodal_decode_single_python_pass(spark):
+    """The synth and decode stages must stay FUSED into one mapInPandas
+    pass — two MapInPandas nodes means the intermediate payload batches
+    round-trip through Arrow twice (the r3 perf regression)."""
+    from dataforge_core_spark.operators import multimodal as M
+
+    plan = (
+        M.multimodal_decode(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("MapInPandas") == 1

@@ -332,3 +332,56 @@ def test_kafka_plumbing_gated(spark):
         pytest.skip("kafka package present; gating not exercised")
     with pytest.raises(RuntimeError, match="spark-sql-kafka"):
         kafka_source(spark, "localhost:9092", "events")
+
+
+def test_stream_events_handles_nanos_parquet(spark, tmp_path):
+    """The driver has regenerated events.parquet with different physical
+    ts units across rounds (timestamp[ns] in r1-r2, timestamp[us] in r3).
+    The file-stream source imposes its schema blindly, so stream_events
+    probes the footer: native units read as TimestampType, INT64 nanos
+    take the legacy nanosAsLong + truncate path.  Pin both."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dataforge_core_spark.streaming import stream_events
+    from dataforge_core_spark.streaming.pipeline import _events_ts_is_nanos
+
+    base = datetime.datetime(2024, 5, 1, 12, 0, 0)
+    rows = {
+        "event_id": [1, 2],
+        "ts": pa.array(
+            [base, base + datetime.timedelta(minutes=90)],
+            type=pa.timestamp("ns"),
+        ),
+        "user_id": [10, 10],
+        "event_type": ["click", "purchase"],
+        "value": [1.0, 2.0],
+        "props": ["{}", "{}"],
+    }
+    d = tmp_path / "nanos_sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(rows), str(d / "events.parquet"), version="2.6",
+        coerce_timestamps=None,
+    )
+    assert _events_ts_is_nanos(str(d))
+    assert not _events_ts_is_nanos("/root/testdata/sf0.001")
+
+    stream = stream_events(spark, str(d))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("nanos_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = sorted(
+        (r["event_id"], r["ts"]) for r in spark.table("nanos_stream").collect()
+    )
+    assert got == [
+        (1, base),
+        (2, base + datetime.timedelta(minutes=90)),
+    ], "nanos path mangled timestamps (January-1970 regression)"

@@ -305,6 +305,223 @@ def media_decode_fn():
     return decode
 
 
+def media_resize_fn(max_w: int = 16, max_h: int = 16, max_rate: int = 4000):
+    """mapInPandas stage: (doc_id, payload) -> (doc_id, payload resized).
+
+    REAL pixel/sample work in pure stdlib: PNG IDAT zlib-decompress +
+    filter-0 unfilter + nearest-neighbor resample + re-encode with
+    correct CRCs; BMP pixel-array nearest-neighbor resample with 4-byte
+    row padding; WAV nearest-neighbor frame decimation to ``max_rate``.
+    Images fit within (max_w, max_h) preserving aspect ratio, never
+    upscaled: scale = min(1, max_w/w, max_h/h), out = max(1, int(dim *
+    scale)) — the oracle reproduces this arithmetic in SQL.  Unparseable
+    payloads pass through untouched (error rows, not failed jobs)."""
+
+    def resize(batches):
+        import struct
+        import zlib
+
+        import pandas as pd
+
+        def fit(w: int, h: int) -> tuple[int, int]:
+            s = min(1.0, max_w / w, max_h / h)
+            return max(1, int(w * s)), max(1, int(h * s))
+
+        def png(b: bytes) -> bytes:
+            (ln,) = struct.unpack(">I", b[8:12])
+            ihdr = b[12 : 16 + ln]
+            if ihdr[:4] != b"IHDR":
+                return b
+            w, h = struct.unpack(">II", ihdr[4:12])
+            bit_depth, color = ihdr[12], ihdr[13]
+            if bit_depth != 8 or color != 2:  # 8-bit RGB only
+                return b
+            off, idat = 8, b""
+            while off + 8 <= len(b):
+                (cl,) = struct.unpack(">I", b[off : off + 4])
+                if b[off + 4 : off + 8] == b"IDAT":
+                    idat += b[off + 8 : off + 8 + cl]
+                off += 12 + cl
+            raw = zlib.decompress(idat)
+            stride = 1 + 3 * w
+            rows = []
+            for y in range(h):
+                row = raw[y * stride : (y + 1) * stride]
+                if row[0] != 0:  # only filter type 0 (what synth writes)
+                    return b
+                rows.append(row[1:])
+            ow, oh = fit(w, h)
+            out_rows = []
+            for oy in range(oh):
+                src = rows[oy * h // oh]
+                r = bytearray(b"\x00")
+                for ox in range(ow):
+                    sx = 3 * (ox * w // ow)
+                    r += src[sx : sx + 3]
+                out_rows.append(bytes(r))
+            new_ihdr = b"IHDR" + struct.pack(
+                ">IIBBBBB", ow, oh, 8, 2, 0, 0, 0
+            )
+            new_idat = b"IDAT" + zlib.compress(b"".join(out_rows))
+            out = [b"\x89PNG\r\n\x1a\n"]
+            for chunk in (new_ihdr, new_idat, b"IEND"):
+                out.append(struct.pack(">I", len(chunk) - 4))
+                out.append(chunk)
+                out.append(
+                    struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+                )
+            return b"".join(out)
+
+        def bmp(b: bytes) -> bytes:
+            (data_off,) = struct.unpack("<I", b[10:14])
+            w, h = struct.unpack("<ii", b[18:26])
+            (bpp,) = struct.unpack("<H", b[28:30])
+            if bpp != 24 or h <= 0:
+                return b
+            stride = (w * 3 + 3) // 4 * 4
+            ow, oh = fit(w, h)
+            ostride = (ow * 3 + 3) // 4 * 4
+            pix = bytearray()
+            for oy in range(oh):
+                sy = oy * h // oh  # rows are bottom-up; NN map is symmetric
+                row = bytearray()
+                for ox in range(ow):
+                    sx = 3 * (ox * w // ow)
+                    s = data_off + sy * stride + sx
+                    row += b[s : s + 3]
+                row += b"\x00" * (ostride - len(row))
+                pix += row
+            info = struct.pack(
+                "<IiiHHIIiiII", 40, ow, oh, 1, 24, 0, len(pix), 2835, 2835,
+                0, 0,
+            )
+            header = struct.pack(
+                "<2sIHHI", b"BM", 14 + 40 + len(pix), 0, 0, 14 + 40
+            )
+            return header + info + bytes(pix)
+
+        def wav(b: bytes) -> bytes:
+            off = 12
+            fmt_off = data_off = None
+            while off + 8 <= len(b):
+                cid, ln = struct.unpack("<4sI", b[off : off + 8])
+                if cid == b"fmt ":
+                    fmt_off, fmt_len = off, ln
+                elif cid == b"data":
+                    data_off, data_len = off, ln
+                off += 8 + ln + (ln & 1)
+            if fmt_off is None or data_off is None:
+                return b
+            _, ch, rate = struct.unpack(
+                "<HHI", b[fmt_off + 8 : fmt_off + 16]
+            )
+            out_rate = min(rate, max_rate)
+            frame = ch * 2  # 16-bit PCM
+            data = b[data_off + 8 : data_off + 8 + data_len]
+            n = len(data) // frame
+            n_out = max(1, n * out_rate // rate) if n else 0
+            out_data = b"".join(
+                data[(i * rate // out_rate) * frame :][:frame]
+                for i in range(n_out)
+            )
+            new_fmt = struct.pack(
+                "<HHIIHH", 1, ch, out_rate, out_rate * frame, frame, 16
+            )
+            return (
+                struct.pack(
+                    "<4sI4s",
+                    b"RIFF",
+                    4 + 8 + len(new_fmt) + 8 + len(out_data),
+                    b"WAVE",
+                )
+                + struct.pack("<4sI", b"fmt ", len(new_fmt))
+                + new_fmt
+                + struct.pack("<4sI", b"data", len(out_data))
+                + out_data
+            )
+
+        def one(b: bytes) -> bytes:
+            try:
+                if b[:8] == b"\x89PNG\r\n\x1a\n":
+                    return png(b)
+                if b[:2] == b"BM":
+                    return bmp(b)
+                if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    return wav(b)
+            except (struct.error, IndexError, zlib.error, ValueError):
+                pass
+            return b
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [one(b) for b in pdf["payload"]],
+                }
+            )
+
+    return resize
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synth -> resize -> decode, all FUSED into one mapInPandas pass:
+    the decode stage parses the RESIZED binary headers, so the emitted
+    dimensions prove the resize stage wrote valid files with the
+    arithmetic the oracle reproduces (fit-within-box, aspect-preserving,
+    no upscale; WAV decimated to <=4 kHz)."""
+
+    def fused(*stages):
+        def fn(batches):
+            for s in stages:
+                batches = s(batches)
+            return batches
+
+        return fn
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return docs.mapInPandas(
+        fused(media_synth_fn(), media_resize_fn(), media_decode_fn()),
+        DECODE_SCHEMA,
+    )
+
+
+_RESIZE_ORACLE = """
+WITH d AS (
+  SELECT doc_id, octet_length(encode(text)) AS n,
+         CAST(doc_id % 3 AS INTEGER) AS kind
+  FROM documents
+),
+dims AS (
+  SELECT doc_id, kind,
+         CASE kind WHEN 0 THEN n % 64 + 1 WHEN 1 THEN n % 16 + 1 END AS w,
+         CASE kind WHEN 0 THEN n % 48 + 1 WHEN 1 THEN n % 8 + 1 END AS h,
+         CASE WHEN kind = 2 THEN n % 2 + 1 END AS ch,
+         CASE WHEN kind = 2 THEN 8000 + (n % 8) * 1000 END AS rate
+  FROM d
+),
+scaled AS (
+  SELECT doc_id, kind, ch, rate,
+         LEAST(1.0, 16.0 / w, 16.0 / h) AS s, w, h
+  FROM dims
+)
+SELECT doc_id,
+       CASE kind WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'wav' END AS fmt,
+       CASE WHEN kind IN (0, 1)
+            THEN CAST(GREATEST(1, CAST(FLOOR(w * s) AS INTEGER)) AS INTEGER)
+       END AS width,
+       CASE WHEN kind IN (0, 1)
+            THEN CAST(GREATEST(1, CAST(FLOOR(h * s) AS INTEGER)) AS INTEGER)
+       END AS height,
+       CAST(ch AS INTEGER) AS channels,
+       -- DuckDB LEAST ignores NULLs (would turn non-wav rows into 4000)
+       CASE WHEN kind = 2
+            THEN CAST(LEAST(rate, 4000) AS INTEGER) END AS sample_rate
+FROM scaled
+"""
+
+
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize valid media payloads, then decode them back by parsing
     the binary headers — the decode stage operates on bytes alone.
@@ -354,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": multimodal_meta,
         "multimodal_frame_sample": multimodal_frame_sample,
         "multimodal_decode": multimodal_decode,
+        "multimodal_resize": multimodal_resize,
     }
 
 
@@ -362,4 +580,5 @@ def oracles() -> dict[str, str]:
         "multimodal_meta": _META_ORACLE,
         "multimodal_frame_sample": _FRAME_ORACLE,
         "multimodal_decode": _DECODE_ORACLE,
+        "multimodal_resize": _RESIZE_ORACLE,
     }

@@ -71,8 +71,9 @@ def _entry():
 
 def _pairs():
     e = _entry()
-    q = e.queries()
+    q = e.all_queries()  # full inventory incl. driver-trimmed rows
     o = e.oracle_sql()
+    assert len(e.queries()) <= 50, "driver contract exceeds 50-row record"
     return sorted(q), q, o
 
 

@@ -53,7 +53,9 @@ Coverage map (SURVEY.md §2 -> query):
                                 train_pii_redact / train_repetition,
                                 events_hourly/sessionize/json/asof_order,
                                 multimodal_meta / multimodal_frame_sample /
-                                multimodal_decode (real stdlib header parse)
+                                multimodal_decode (real stdlib header
+                                parse) / multimodal_resize (real stdlib
+                                pixel/sample resize, NN resample)
 """
 
 from __future__ import annotations

@@ -61,6 +61,42 @@ def _events_ts_is_nanos(sf_dir: str) -> bool:
         return False
 
 
+def _events_schema_from_file(sf_dir: str) -> T.StructType:
+    """Derive the stream schema from the parquet footer (falling back to
+    the static EVENTS_SCHEMA).  A file stream source cannot infer its
+    schema per-batch, and the driver has changed physical types between
+    rounds — deriving every column from the footer means a regenerated
+    float32 `value` or int32 `user_id` reads correctly instead of
+    silently nulling out."""
+    _PA_TO_SPARK = {
+        "int8": T.ByteType(),
+        "int16": T.ShortType(),
+        "int32": T.IntegerType(),
+        "int64": T.LongType(),
+        "float": T.FloatType(),
+        "double": T.DoubleType(),
+        "string": T.StringType(),
+        "large_string": T.StringType(),
+        "bool": T.BooleanType(),
+        "date32[day]": T.DateType(),
+        "binary": T.BinaryType(),
+    }
+    try:
+        import pyarrow.parquet as pq
+
+        fields = []
+        for f in pq.read_schema(f"{sf_dir}/events.parquet"):
+            t = str(f.type)
+            if t.startswith("timestamp"):
+                spark_t: T.DataType = T.TimestampType()
+            else:
+                spark_t = _PA_TO_SPARK.get(t, T.StringType())
+            fields.append(T.StructField(f.name, spark_t))
+        return T.StructType(fields)
+    except Exception:
+        return EVENTS_SCHEMA
+
+
 def validate_stream_rules(project: Project, source: Source) -> None:
     """Reference guards for stream sources (svc_parse_enrichment.sql:105-112;
     u_validate_expression_parameters.sql:140-147)."""
@@ -125,7 +161,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema_from_file(sf_dir))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )

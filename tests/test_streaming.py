@@ -385,3 +385,44 @@ def test_stream_events_handles_nanos_parquet(spark, tmp_path):
         (1, base),
         (2, base + datetime.timedelta(minutes=90)),
     ], "nanos path mangled timestamps (January-1970 regression)"
+
+
+def test_stream_schema_derived_from_footer(spark, tmp_path):
+    """A regenerated events.parquet with different physical column types
+    (float32 value, int32 user_id) must stream correctly — the schema is
+    derived from the parquet footer, not assumed."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dataforge_core_spark.streaming import stream_events
+
+    base = datetime.datetime(2024, 5, 1, 12, 0, 0)
+    t = pa.table(
+        {
+            "event_id": pa.array([1], type=pa.int64()),
+            "ts": pa.array([base], type=pa.timestamp("us")),
+            "user_id": pa.array([7], type=pa.int32()),
+            "event_type": ["click"],
+            "value": pa.array([1.5], type=pa.float32()),
+            "props": ["{}"],
+        }
+    )
+    d = tmp_path / "variant_sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    stream = stream_events(spark, str(d))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("variant_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    rows = spark.table("variant_stream").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["user_id"] == 7 and abs(r["value"] - 1.5) < 1e-6
+    assert r["ts"] == base

@@ -290,6 +290,13 @@ def _with(select: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    """Driver-facing oracles — keyset identical to queries()."""
+    return {
+        k: v for k, v in all_oracles().items() if k not in _DRIVER_TRIMMED
+    }
+
+
+def all_oracles() -> dict[str, str]:
     from dataforge_core_spark.operators import extension_oracles
 
     o = {

@@ -72,8 +72,11 @@ def _entry():
 def _pairs():
     e = _entry()
     q = e.all_queries()  # full inventory incl. driver-trimmed rows
-    o = e.oracle_sql()
+    o = e.all_oracles()
     assert len(e.queries()) <= 50, "driver contract exceeds 50-row record"
+    assert set(e.oracle_sql()) == set(e.queries()), (
+        "driver queries/oracles keysets must match"
+    )
     return sorted(q), q, o
 
 

@@ -60,6 +60,23 @@ def main(argv: list[str] | None = None) -> int:
         help="scaffold a sample project (the reference's --init, "
         "mainConfig.py:43)",
     )
+    p.add_argument(
+        "--configure",
+        action="store_true",
+        help="save a Databricks SQL Warehouse connection profile "
+        "(interactive on a TTY; otherwise from DATAFORGE_DATABRICKS_* "
+        "env vars) — the reference's --configure (mainConfig.py:115-129) "
+        "minus its Postgres section, which the stateless design and the "
+        "--import MetaStore replace",
+    )
+    p.add_argument(
+        "--profile",
+        metavar="PATH",
+        default=None,
+        help="connection profile path (default ~/Dataforge/profile.yaml, "
+        "the reference's location); used by --run-sql --backend "
+        "databricks",
+    )
     p.add_argument("--version", action="store_true")
     p.add_argument("--target", default="target", help="--build output dir")
     p.add_argument("--out", default="out", help="--run materialization dir")
@@ -73,6 +90,43 @@ def main(argv: list[str] | None = None) -> int:
     from dataforge_core_spark.loader import load_project
 
     subs = {"DATA_DIR": args.data_dir}
+
+    def _profile_path() -> str:
+        if args.profile:
+            return args.profile
+        home = os.environ.get("APPDATA") or os.environ.get("HOME", ".")
+        return os.path.join(home, "Dataforge", "profile.yaml")
+
+    if args.configure:
+        import yaml
+
+        from dataforge_core_spark.backends import DatabricksWarehouse
+
+        cfg: dict = {}
+        if sys.stdin.isatty():
+            defaults = {"catalog": "hive_metastore"}
+            prompts = {
+                "hostname": "Enter Server hostname: ",
+                "http_path": "Enter HTTP path: ",
+                "access_token": "Enter access token: ",
+                "catalog": "Enter catalog name: ",
+                "schema": "Enter schema name: ",
+            }
+            for key in DatabricksWarehouse.REQUIRED:
+                raw = input(prompts[key]).strip()
+                cfg[key] = raw or defaults.get(key, "")
+        else:
+            for key in DatabricksWarehouse.REQUIRED:
+                v = os.environ.get(f"DATAFORGE_DATABRICKS_{key.upper()}")
+                if v is not None:
+                    cfg[key] = v
+            cfg.setdefault("catalog", "hive_metastore")
+        path = _profile_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            yaml.dump({"databricks": cfg}, f, default_flow_style=False)
+        print(f"Profile saved in {path}")
+        return 0
 
     if args.version:
         from dataforge_core_spark import __version__
@@ -153,10 +207,21 @@ def main(argv: list[str] | None = None) -> int:
         run_file = os.path.join(args.run_sql, "run.sql")
         try:
             if args.backend == "databricks":
-                cfg = {
-                    k: os.environ.get(f"DATAFORGE_DATABRICKS_{k.upper()}")
-                    for k in DatabricksWarehouse.REQUIRED
-                }
+                # profile file first (reference flow: --configure saves,
+                # --run loads), env vars override per key
+                cfg = {}
+                ppath = _profile_path()
+                if os.path.isfile(ppath):
+                    import yaml
+
+                    with open(ppath) as f:
+                        cfg.update(
+                            (yaml.safe_load(f) or {}).get("databricks", {})
+                        )
+                for k in DatabricksWarehouse.REQUIRED:
+                    v = os.environ.get(f"DATAFORGE_DATABRICKS_{k.upper()}")
+                    if v is not None:
+                        cfg[k] = v
                 backend = DatabricksWarehouse(cfg, log_path=args.run_sql)
             else:
                 from dataforge_core_spark.session import get_spark

@@ -21,3 +21,27 @@ def test_init_scaffolds_sample_project(capsys):
     assert os.path.isdir(os.path.join(target, "sources"))
     # refuses to clobber a non-empty directory
     assert main(["--init", target]) == 1
+
+
+def test_configure_writes_profile_from_env(tmp_path, monkeypatch):
+    """--configure (non-TTY) builds the profile from env vars and saves
+    the reference's profile.yaml shape; --run-sql --backend databricks
+    loads it (validated structurally — no warehouse in this container)."""
+    import yaml
+
+    from dataforge_core_spark.cli import main
+
+    prof = tmp_path / "profile.yaml"
+    for k, v in {
+        "HOSTNAME": "dbc.example.com",
+        "HTTP_PATH": "/sql/1.0/warehouses/abc",
+        "ACCESS_TOKEN": "tok",
+        "SCHEMA": "demo",
+    }.items():
+        monkeypatch.setenv(f"DATAFORGE_DATABRICKS_{k}", v)
+    rc = main(["--configure", "--profile", str(prof)])
+    assert rc == 0
+    cfg = yaml.safe_load(prof.read_text())["databricks"]
+    assert cfg["hostname"] == "dbc.example.com"
+    assert cfg["catalog"] == "hive_metastore"  # reference default
+    assert cfg["schema"] == "demo"

@@ -77,6 +77,13 @@ def main(argv: list[str] | None = None) -> int:
         "the reference's location); used by --run-sql --backend "
         "databricks",
     )
+    p.add_argument(
+        "--from-state",
+        action="store_true",
+        help="treat the --build/--run path as a MetaStore state dir and "
+        "compile from imported metadata (the reference's flow: --import "
+        "into the metadata DB, then build from it)",
+    )
     p.add_argument("--version", action="store_true")
     p.add_argument("--target", default="target", help="--build output dir")
     p.add_argument("--out", default="out", help="--run materialization dir")
@@ -87,7 +94,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     args = p.parse_args(argv)
 
-    from dataforge_core_spark.loader import load_project
+    from dataforge_core_spark.loader import load_project as _load_yaml
+
+    def load_project(path: str):
+        if args.from_state:
+            from dataforge_core_spark.imports import MetaStore
+
+            return MetaStore(path).to_project()
+        return _load_yaml(path)
 
     subs = {"DATA_DIR": args.data_dir}
 

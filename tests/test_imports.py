@@ -255,3 +255,31 @@ def test_demo_project_imports_and_recompiles(tmp_path):
         assert [r.expression for r in s_new.rules] == [
             r.expression for r in s_old.rules
         ]
+
+
+def test_build_from_imported_state_matches_yaml_build(tmp_path):
+    """--import then --build --from-state produces the same run.sql as
+    building straight from the YAML project (the reference's import ->
+    compile-from-metadata flow)."""
+    from dataforge_core_spark.cli import main
+
+    state = tmp_path / "state"
+    t_yaml = tmp_path / "t_yaml"
+    t_state = tmp_path / "t_state"
+    assert main(["--import", "projects/tpch_demo", "--state", str(state)]) == 0
+    assert main(["--build", "projects/tpch_demo", "--target", str(t_yaml)]) == 0
+    assert (
+        main(
+            [
+                "--build",
+                str(state),
+                "--from-state",
+                "--target",
+                str(t_state),
+            ]
+        )
+        == 0
+    )
+    a = (t_yaml / "run.sql").read_text()
+    b = (t_state / "run.sql").read_text()
+    assert a == b

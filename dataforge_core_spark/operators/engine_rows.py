@@ -660,6 +660,138 @@ FROM customer c LEFT JOIN g ON c.c_custkey = g.o_custkey
 
 
 # ---------------------------------------------------------------------------
+# C8 — the stateful import/diff engine driven end-to-end
+# (impc_execute.sql:1-221 orchestration; u_delete_cascade.sql cascade
+# branches; impc_upsert_enrichments.sql:9-17 rule delete-missing).  A v1
+# project is imported into a fresh MetaStore, then a mutated v2 is
+# re-imported: one rule renamed (delete-missing + insert under the new
+# name), one rule body updated in place (upsert keeps its id), and one
+# source dropped while the import still carries the rules/relation that
+# reference it — the engine must cascade-delete the direct lookup rule,
+# its transitive dependent, and the relation (u_delete_cascade.sql
+# 'source'/'enrichment'/'relation' branches).  The surviving state is
+# compiled with the normal runner (the --from-state flow) and the rebuilt
+# hub is value-compared; structural asserts on the diff (surviving rule
+# set, id stability across the upsert, id change across the rename) fail
+# the row loudly if the diff semantics regress.
+# ---------------------------------------------------------------------------
+
+
+def _import_diff_docs_source(sf_dir: str, v2: bool) -> dict:
+    rules = [
+        {
+            # v2 renames chars_k -> chars_kilo: delete-missing + new id
+            "name": "chars_kilo" if v2 else "chars_k",
+            "expression": "CAST([This].n_chars AS double) / 1000",
+        },
+        {
+            # same name in both versions: upsert must keep the id while
+            # replacing the body
+            "name": "is_long",
+            "expression": (
+                "[This].chars_kilo > 0.5" if v2 else "[This].chars_k > 0.4"
+            ),
+        },
+        {
+            # direct lookup into emb_im — cascade-deleted in v2 when
+            # emb_im disappears from the import
+            "name": "emb_label",
+            "expression": "[emb_im].label",
+        },
+        {
+            # transitive dependent of emb_label — recursive cascade
+            "name": "label_sq",
+            "expression": "[This].emb_label * [This].emb_label",
+        },
+    ]
+    return {
+        "source_name": "docs_im",
+        "source_table": f"{sf_dir}/documents.parquet",
+        "target_table": "enriched_docs_im",
+        "raw_attributes": ["doc_id long", "lang string", "n_chars long"],
+        "rules": rules,
+    }
+
+
+def engine_import_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataforge_core_spark.imports import MetaStore, import_project
+    from dataforge_core_spark.loader import (
+        parse_relations_list,
+        parse_source_dict,
+    )
+    from dataforge_core_spark.model import Project
+    from dataforge_core_spark.runner import ProjectRunner
+
+    emb = parse_source_dict(
+        {
+            "source_name": "emb_im",
+            "source_table": f"{sf_dir}/embeddings.parquet",
+            "target_table": "enriched_emb_im",
+            "raw_attributes": ["vec_id long", "label int"],
+        }
+    )
+    rels = parse_relations_list(
+        [
+            {
+                "name": "[docs_im]- by_key -[emb_im]",
+                "expression": "[This].doc_id = [Related].vec_id",
+                "cardinality": "M-1",
+            }
+        ]
+    )
+    v1 = Project(
+        sources=[
+            parse_source_dict(_import_diff_docs_source(sf_dir, v2=False)),
+            emb,
+        ],
+        relations=rels,
+    )
+    # v2 drops emb_im but still carries the relation and the two rules
+    # that (transitively) reference it — the cascade must remove them
+    # after the upsert pass (impc_execute.sql:163-184 order).
+    v2 = Project(
+        sources=[parse_source_dict(_import_diff_docs_source(sf_dir, v2=True))],
+        relations=rels,
+    )
+
+    store = MetaStore(tempfile.mkdtemp(prefix="dfspark_metastore_"))
+    rep1 = import_project(store, v1)
+    if "error" in rep1:
+        raise RuntimeError(f"v1 import failed: {rep1}")
+    docs_rules_v1 = store.state["sources"]["docs_im"]["rules"]
+    is_long_id = docs_rules_v1["is_long"]["id"]
+    chars_k_id = docs_rules_v1["chars_k"]["id"]
+
+    rep2 = import_project(store, v2)
+    if "error" in rep2:
+        raise RuntimeError(f"v2 import failed: {rep2}")
+    docs_rules_v2 = store.state["sources"]["docs_im"]["rules"]
+    if set(docs_rules_v2) != {"chars_kilo", "is_long"}:
+        raise RuntimeError(
+            f"cascade left wrong rule set: {sorted(docs_rules_v2)}"
+        )
+    if docs_rules_v2["is_long"]["id"] != is_long_id:
+        raise RuntimeError("upsert-by-name changed a matched rule's id")
+    if docs_rules_v2["chars_kilo"]["id"] == chars_k_id:
+        raise RuntimeError("renamed rule kept the deleted rule's id")
+    if "emb_im" in store.state["sources"] or store.state["relations"]:
+        raise RuntimeError("source/relation cascade did not delete")
+
+    # compile straight from the imported state (the --from-state flow)
+    rebuilt = MetaStore(store.state_dir).to_project()
+    hub = ProjectRunner(spark, rebuilt, persist_hubs=False).build()["docs_im"]
+    return canonicalize(hub)
+
+
+_IMPORT_DIFF_ORACLE = """
+SELECT doc_id, lang, n_chars,
+       CAST(n_chars AS DOUBLE) / 1000 AS chars_kilo,
+       (CAST(n_chars AS DOUBLE) / 1000) > 0.5 AS is_long
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 
 
 def queries():
@@ -671,6 +803,7 @@ def queries():
         "engine_struct_keys": engine_struct_keys,
         "engine_agg_whitelist": engine_agg_whitelist,
         "engine_output_sinks": engine_output_sinks,
+        "engine_import_diff": engine_import_diff,
     }
 
 
@@ -683,4 +816,5 @@ def oracles():
         "engine_struct_keys": _STRUCT_KEYS_ORACLE,
         "engine_agg_whitelist": _AGG_WHITELIST_ORACLE,
         "engine_output_sinks": _OUTPUT_SINKS_ORACLE,
+        "engine_import_diff": _IMPORT_DIFF_ORACLE,
     }

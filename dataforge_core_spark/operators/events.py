@@ -161,20 +161,41 @@ def events_asof_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event gets the most recent order (o_orderdate <=
     ts) of the matching customer (user_id = o_custkey).
 
-    Implemented as equi-join on the entity key + max() argmax — shuffle is
-    keyed by user, never a cross product.  The (epoch, orderkey) packing
-    makes the argmax total-ordered (deterministic under date ties).
+    Sort-merge-style, fan-out-free: both streams are UNIONed tagged
+    (orders sort before events at equal time, matching the inclusive
+    `<=`), then one running-MAX window per user over the packed
+    (epoch, orderkey) key picks the as-of order at event rows.  One
+    shuffle keyed by user, O(rows) per partition — a hot user with many
+    orders costs events+orders rows, never events*orders (the previous
+    join+argmax form multiplied the two).  The packing keeps the pick
+    total-ordered (max orderkey among date ties), identical to the
+    join+argmax semantics the oracle still expresses.
     """
     _views(spark, sf_dir)
     return spark.sql(
         """
-        SELECT e.event_id, e.user_id, e.ts,
-               MAX(CASE WHEN o.o_orderdate <= e.ts
-                   THEN unix_timestamp(o.o_orderdate) * 10000000 + o.o_orderkey
-                   END) % 10000000 AS asof_orderkey
-        FROM events e
-        LEFT JOIN orders o ON e.user_id = o.o_custkey
-        GROUP BY e.event_id, e.user_id, e.ts
+        WITH u AS (
+          SELECT user_id, ts AS t, 1 AS tag, event_id, ts,
+                 CAST(NULL AS BIGINT) AS packed
+          FROM events
+          UNION ALL
+          SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS t,
+                 0 AS tag, CAST(NULL AS BIGINT) AS event_id,
+                 CAST(NULL AS TIMESTAMP) AS ts,
+                 unix_timestamp(o_orderdate) * 10000000 + o_orderkey AS packed
+          FROM orders
+        )
+        SELECT event_id, user_id, ts,
+               best % 10000000 AS asof_orderkey
+        FROM (
+          SELECT *,
+                 MAX(packed) OVER (
+                   PARTITION BY user_id ORDER BY t, tag
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS best
+          FROM u
+        )
+        WHERE tag = 1
         """
     )
 

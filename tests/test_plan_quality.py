@@ -242,3 +242,20 @@ def test_multimodal_decode_single_python_pass(spark):
         .toString()
     )
     assert plan.count("MapInPandas") == 1
+
+
+def test_asof_order_is_joinless_single_window(spark):
+    """The as-of join must stay in its union + running-MAX-window form:
+    one shuffle keyed by user, no events-x-orders join whose fan-out a
+    hot user multiplies (events*orders rows instead of events+orders)."""
+    from dataforge_core_spark.operators import events as E
+
+    plan = (
+        E.events_asof_order(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan, "as-of regressed to the join+argmax form"
+    assert plan.count("Window") >= 1
+    assert "Union" in plan

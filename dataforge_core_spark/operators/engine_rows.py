@@ -510,11 +510,14 @@ JOIN (SELECT lang, COUNT(*) AS lang_docs FROM documents GROUP BY lang) g
 # ---------------------------------------------------------------------------
 # A1 — broad sweep of the 45-function aggregate whitelist
 # ("10 aggregateTable.sql":11-54) through the engine's correlated-aggregate
-# rule path: 16 distinct whitelist functions as rules over a 1-M relation,
-# each with a deterministic DuckDB equivalent.  Excluded from the hash
-# compare by nature: order-dependent picks (first/last/any_value/mode),
-# engine-specific sketches (approx_*, count_min_sketch, schema_of_json_agg)
-# and float-accumulation families (stddev/var/corr/skew/kurtosis) whose
+# rule path: 23 distinct whitelist functions as rules over a 1-M relation
+# (incl. the DISTINCT variants of count/sum/avg, the bool_and/bool_or
+# aliases of every/some, any_value over a group-constant key, and
+# approx_count_distinct compared on a cardinality small enough that HLL++
+# is exact), each with a deterministic DuckDB equivalent.  Excluded from
+# the hash compare by nature: order-dependent picks (first/last/mode),
+# engine-specific sketches (count_min_sketch, schema_of_json_agg) and
+# float-accumulation families (stddev/var/corr/skew/kurtosis) whose
 # last-bit results are reduction-order-dependent on any engine.
 # ---------------------------------------------------------------------------
 
@@ -537,6 +540,7 @@ def engine_agg_whitelist(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "o_custkey long",
                 "o_totalprice double",
                 "o_orderstatus string",
+                "o_orderpriority string",
             ],
             "rules": [
                 {  # exact decimal base for SUM/AVG (aggregate over a rule)
@@ -590,6 +594,35 @@ def engine_agg_whitelist(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"name": "statuses",
                  "expression":
                      "array_sort(collect_set([orders_aw].o_orderstatus))"},
+                {"name": "cnt_statuses_d",
+                 "expression":
+                     "count(DISTINCT [orders_aw].o_orderstatus)"},
+                {"name": "spend_d",
+                 "expression": "sum(DISTINCT [orders_aw].price_dec)"},
+                # DISTINCT avg over bigint keys: the distinct-sum stays
+                # exact in double (< 2^53), one division -> deterministic
+                {"name": "avg_key_d",
+                 "expression": "avg(DISTINCT [orders_aw].o_orderkey)"},
+                {"name": "mean_key",
+                 "expression": "mean([orders_aw].o_orderkey)"},
+                {"name": "all_pos",
+                 "expression": "bool_and([orders_aw].o_totalprice >= 0)"},
+                {"name": "has_big",
+                 "expression": "bool_or([orders_aw].o_totalprice > 200000)"},
+                # any_value over a group-constant column -> deterministic
+                {"name": "one_cust",
+                 "expression": "any_value([orders_aw].o_custkey)"},
+                # exact at this cardinality (<=3 statuses), so HLL++ ==
+                # COUNT(DISTINCT) on both engines
+                {"name": "status_card",
+                 "expression":
+                     "approx_count_distinct([orders_aw].o_orderstatus)"},
+                {"name": "status_list",
+                 "expression":
+                     "array_sort(collect_list([orders_aw].o_orderstatus))"},
+                {"name": "prio_list",
+                 "expression":
+                     "array_sort(array_agg([orders_aw].o_orderpriority))"},
             ],
         }
     )
@@ -645,7 +678,20 @@ WITH g AS (
          MEDIAN(o_totalprice) AS med_price,
          quantile_cont(o_totalprice, 0.5) AS p50_price,
          array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
-           AS statuses
+           AS statuses,
+         COUNT(DISTINCT o_orderstatus) AS cnt_statuses_d,
+         CAST(CAST(SUM(DISTINCT CAST(o_totalprice AS DECIMAL(18,2)))
+              AS VARCHAR) AS DOUBLE) AS spend_d,
+         AVG(DISTINCT o_orderkey) AS avg_key_d,
+         AVG(o_orderkey) AS mean_key,
+         BOOL_AND(o_totalprice >= 0) AS all_pos,
+         BOOL_OR(o_totalprice > 200000) AS has_big,
+         ANY_VALUE(o_custkey) AS one_cust,
+         COUNT(DISTINCT o_orderstatus) AS status_card,
+         array_to_string(list_sort(list(o_orderstatus)), ',')
+           AS status_list,
+         array_to_string(list_sort(list(o_orderpriority)), ',')
+           AS prio_list
   FROM orders GROUP BY o_custkey
 )
 SELECT c.c_custkey, c.c_name,
@@ -654,7 +700,13 @@ SELECT c.c_custkey, c.c_name,
        g.spend, g.avg_price, g.min_price, g.max_price,
        g.first_status, g.last_status, g.all_valid, g.any_big, g.any_huge,
        g.key_or, g.key_xor, g.med_price, g.p50_price,
-       COALESCE(g.statuses, '') AS statuses
+       COALESCE(g.statuses, '') AS statuses,
+       COALESCE(g.cnt_statuses_d, 0) AS cnt_statuses_d,
+       g.spend_d, g.avg_key_d, g.mean_key, g.all_pos, g.has_big,
+       g.one_cust,
+       COALESCE(g.status_card, 0) AS status_card,
+       COALESCE(g.status_list, '') AS status_list,
+       COALESCE(g.prio_list, '') AS prio_list
 FROM customer c LEFT JOIN g ON c.c_custkey = g.o_custkey
 """
 

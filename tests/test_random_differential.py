@@ -1,0 +1,260 @@
+"""Randomized compiler <-> emitter differential test.
+
+Hypothesis generates small random projects within the rule grammar (2-3
+sources over the nation/region/customer tables, random relations and
+rules: arithmetic, string functions, rule-on-rule chains, M-1 lookups, a
+2-hop lookup, 1-M aggregates, validation rules) and asserts the
+DataFrame runner's hub contents equal the contents produced by executing
+the emitted SQL artifact on the same session — the same parity the fixed
+demo project pins, over paths the demo doesn't hit.  Only
+order-independent expressions are generated (no double sums), so any
+mismatch is semantic drift between the two backends, not reduction
+order.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import shutil
+import tempfile
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_uid = itertools.count()
+
+# per-source generation context: (numeric attrs, string attrs)
+_REGION = (["r_regionkey"], ["r_name"])
+_NATION = (["n_nationkey", "n_regionkey"], ["n_name"])
+_CUSTOMER = (["c_custkey", "c_nationkey", "c_acctbal"], ["c_name"])
+
+_NUM_OPS = ["+", "-", "*"]
+
+
+@st.composite
+def _rules_for(draw, ctx, lookups, agg_targets, max_rules=3):
+    """Random rule list for one source.
+
+    ``lookups``: list of "[src].attr" reachable via M-1 paths.
+    ``agg_targets``: list of (num_attr_token, str_attr_token) reachable
+    via 1-M paths (aggregated with count/min/max only — order-free).
+    """
+    nums, strs = ctx
+    rules = []
+    prior_numeric: list[str] = []
+    n = draw(st.integers(min_value=0, max_value=max_rules))
+    for i in range(n):
+        name = f"r{i}"
+        kinds = ["arith", "fn", "str", "valid"]
+        if prior_numeric:
+            kinds.append("prior")
+        if lookups:
+            kinds.append("lookup")
+        if agg_targets:
+            kinds.append("agg")
+        kind = draw(st.sampled_from(kinds))
+        c = draw(st.integers(min_value=1, max_value=9))
+        if kind == "arith":
+            a = draw(st.sampled_from(nums))
+            op = draw(st.sampled_from(_NUM_OPS))
+            expr = f"[This].{a} {op} {c}"
+            prior_numeric.append(name)
+        elif kind == "fn":
+            a = draw(st.sampled_from(nums))
+            expr = f"abs([This].{a} - {c})"
+            prior_numeric.append(name)
+        elif kind == "str":
+            s = draw(st.sampled_from(strs))
+            expr = draw(
+                st.sampled_from(
+                    [f"upper([This].{s})", f"concat([This].{s}, '_{c}')"]
+                )
+            )
+        elif kind == "prior":
+            p = draw(st.sampled_from(prior_numeric))
+            expr = f"[This].{p} + {c}"
+            prior_numeric.append(name)
+        elif kind == "lookup":
+            expr = draw(st.sampled_from(lookups))
+        elif kind == "agg":
+            num_tok, str_tok = draw(st.sampled_from(agg_targets))
+            expr = draw(
+                st.sampled_from(
+                    [
+                        f"count({num_tok})",
+                        f"min({num_tok})",
+                        f"max({num_tok})",
+                        f"max({str_tok})",
+                    ]
+                )
+            )
+        else:  # valid
+            a = draw(st.sampled_from(nums))
+            rules.append(
+                {
+                    "name": name,
+                    "expression": f"[This].{a} >= {c}",
+                    "rule_type": "V",
+                    "validation_action": draw(st.sampled_from(["W", "F"])),
+                }
+            )
+            continue
+        rules.append({"name": name, "expression": expr})
+    return rules
+
+
+@st.composite
+def project_specs(draw):
+    include_cust = draw(st.booleans())
+    rel_nr = draw(st.booleans())
+    rel_cn = include_cust and draw(st.booleans())
+
+    region_rules = draw(
+        _rules_for(
+            _REGION,
+            lookups=[],
+            agg_targets=(
+                [("[nation_r].n_nationkey", "[nation_r].n_name")]
+                if rel_nr
+                else []
+            ),
+        )
+    )
+    nation_lookups = ["[region_r].r_name"] if rel_nr else []
+    nation_aggs = (
+        [("[customer_r].c_custkey", "[customer_r].c_name")] if rel_cn else []
+    )
+    nation_rules = draw(
+        _rules_for(_NATION, lookups=nation_lookups, agg_targets=nation_aggs)
+    )
+    cust_lookups = []
+    if rel_cn:
+        cust_lookups.append("[nation_r].n_name")
+        if rel_nr:
+            cust_lookups.append("[region_r].r_name")  # 2-hop
+    cust_rules = (
+        draw(_rules_for(_CUSTOMER, lookups=cust_lookups, agg_targets=[]))
+        if include_cust
+        else None
+    )
+    return {
+        "include_cust": include_cust,
+        "rel_nr": rel_nr,
+        "rel_cn": rel_cn,
+        "region_rules": region_rules,
+        "nation_rules": nation_rules,
+        "cust_rules": cust_rules,
+    }
+
+
+def _mk_project(sf_dir: str, spec: dict, uid: str):
+    from dataforge_core_spark.loader import (
+        parse_relations_list,
+        parse_source_dict,
+    )
+    from dataforge_core_spark.model import Project
+
+    def src(name, table, attrs, rules):
+        return parse_source_dict(
+            {
+                "source_name": name,
+                "source_table": f"{sf_dir}/{table}.parquet",
+                "target_table": f"rnd_{uid}_{name}",
+                "raw_attributes": attrs,
+                "rules": rules,
+            }
+        )
+
+    sources = [
+        src(
+            "region_r",
+            "region",
+            ["r_regionkey long", "r_name string"],
+            spec["region_rules"],
+        ),
+        src(
+            "nation_r",
+            "nation",
+            ["n_nationkey long", "n_name string", "n_regionkey long"],
+            spec["nation_rules"],
+        ),
+    ]
+    if spec["include_cust"]:
+        sources.append(
+            src(
+                "customer_r",
+                "customer",
+                [
+                    "c_custkey long",
+                    "c_name string",
+                    "c_nationkey long",
+                    "c_acctbal double",
+                ],
+                spec["cust_rules"],
+            )
+        )
+    rels = []
+    if spec["rel_nr"]:
+        rels.append(
+            {
+                "name": "[nation_r]- nr -[region_r]",
+                "expression": "[This].n_regionkey = [Related].r_regionkey",
+                "cardinality": "M-1",
+            }
+        )
+    if spec["rel_cn"]:
+        rels.append(
+            {
+                "name": "[customer_r]- cn -[nation_r]",
+                "expression": "[This].c_nationkey = [Related].n_nationkey",
+                "cardinality": "M-1",
+            }
+        )
+    return Project(
+        sources=sources, relations=parse_relations_list(rels)
+    )
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(repr(r[c]) for c in cols) for r in df.collect())
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.filter_too_much,
+        HealthCheck.data_too_large,
+    ],
+)
+@given(spec=project_specs())
+def test_random_project_sql_matches_dataframe(spark, sf_dir, spec):
+    from dataforge_core_spark.runner import ProjectRunner
+    from dataforge_core_spark.sql_emitter import SqlEmitter, run_statements
+
+    uid = f"{os.getpid()}_{next(_uid)}"
+    project = _mk_project(sf_dir, spec, uid)
+    target = tempfile.mkdtemp(prefix="dfspark_rnd_")
+    try:
+        run_sql = SqlEmitter(project, {}, spark=spark).emit_all(target)
+        run_statements(spark, run_sql)
+        hubs = ProjectRunner(spark, project, persist_hubs=False).build()
+        for s in project.sources:
+            sql_df = spark.table(s.target_table)
+            df = hubs[s.source_name]
+            assert sorted(sql_df.columns) == sorted(df.columns), (
+                s.source_name
+            )
+            assert _rows(sql_df) == _rows(df), s.source_name
+    finally:
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        for s in project.sources:
+            spark.sql(f"DROP TABLE IF EXISTS {s.target_table}")
+            shutil.rmtree(
+                os.path.join(wh, s.target_table), ignore_errors=True
+            )
+        shutil.rmtree(target, ignore_errors=True)

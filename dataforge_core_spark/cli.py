@@ -135,8 +135,21 @@ def main(argv: list[str] | None = None) -> int:
                 if v is not None:
                     cfg[key] = v
             cfg.setdefault("catalog", "hive_metastore")
+            missing = [k for k in DatabricksWarehouse.REQUIRED if k not in cfg]
+            if missing:
+                print(
+                    "Missing required configuration value(s): "
+                    + ", ".join(missing)
+                    + " (set "
+                    + ", ".join(
+                        f"DATAFORGE_DATABRICKS_{k.upper()}" for k in missing
+                    )
+                    + ")"
+                )
+                return 1
         path = _profile_path()
-        os.makedirs(os.path.dirname(path), exist_ok=True)
+        if os.path.dirname(path):
+            os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "w") as f:
             yaml.dump({"databricks": cfg}, f, default_flow_style=False)
         print(f"Profile saved in {path}")

@@ -109,14 +109,23 @@ def build_probe_sql(
     return f"WITH ct AS (SELECT {ct} FROM {VIEW_NAME}) SELECT {body} as col1 FROM ct"
 
 
-# Probe-result cache, keyed by (session, probe SQL).  The probe SQL is a
-# pure function of (expression, param_types) and runs over a constant
-# 2-row literal view, so its result can never change within a session —
-# the reference caches equivalently in its metadata DB (meta.process
-# test results; SURVEY §7.3 "cache by expression hash").  engine_* driver
-# rows rebuild the same project repeatedly; without this every rebuild
-# re-runs identical probe waves (~100 ms Spark job each).
-_probe_cache: dict[tuple[int, str], ProbeResult] = {}
+# Probe-result cache: a per-session dict held in a WeakKeyDictionary
+# keyed by the SparkSession itself, so a stopped session's entries die
+# with it and a new session reusing the old object's address can never
+# read stale results (an ``id(spark)``-keyed dict could collide after
+# GC).  The probe SQL is a pure function of (expression, param_types)
+# and runs over a constant 2-row literal view, so its result can never
+# change within a session — the reference caches equivalently in its
+# metadata DB (meta.process test results; SURVEY §7.3 "cache by
+# expression hash").  engine_* driver rows rebuild the same project
+# repeatedly; without this every rebuild re-runs identical probe waves
+# (~100 ms Spark job each).  Error results are NOT cached: they can be
+# transient session failures, and permanent analysis errors re-raise
+# identically on re-run.
+import weakref
+
+_probe_cache: "weakref.WeakKeyDictionary[SparkSession, dict[str, ProbeResult]]"
+_probe_cache = weakref.WeakKeyDictionary()
 probe_stats = {"runs": 0, "hits": 0}
 
 
@@ -126,15 +135,16 @@ def run_probe(
     param_types: dict[str, str] | None = None,
 ) -> ProbeResult:
     sql = build_probe_sql(expression, param_types)
-    key = (id(spark), sql)
-    cached = _probe_cache.get(key)
+    session_cache = _probe_cache.setdefault(spark, {})
+    cached = session_cache.get(sql)
     if cached is not None:
         probe_stats["hits"] += 1
         return cached
     probe_stats["runs"] += 1
     ensure_datatypes_view(spark)
     res = _run_probe_uncached(spark, sql)
-    _probe_cache[key] = res
+    if res.status != "error":
+        session_cache[sql] = res
     return res
 
 

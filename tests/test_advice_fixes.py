@@ -386,3 +386,62 @@ def test_probe_empty_result_is_error(spark):
         P.VIEW_NAME = orig
     assert res.status == "error"
     assert res.message == "list index out of range"
+
+
+def test_probe_error_results_not_cached(spark):
+    """Error ProbeResults may stem from transient session failures — they
+    must not be pinned in the per-session cache (round-4 advice)."""
+    from dataforge_core_spark import probe
+
+    before = dict(probe.probe_stats)
+    r1 = probe.run_probe(spark, "[This].nonexistent_fn_xyz(")
+    r2 = probe.run_probe(spark, "[This].nonexistent_fn_xyz(")
+    assert r1.status == "error" and r2.status == "error"
+    # both invocations ran (no cache hit for the error result)
+    assert probe.probe_stats["runs"] - before["runs"] == 2
+
+
+def test_probe_cache_is_per_session_object(spark):
+    """The cache keys on the live session object (WeakKeyDictionary), so
+    entries cannot survive into an unrelated session that happens to
+    reuse a GC'd session's address (round-4 advice)."""
+    from dataforge_core_spark import probe
+
+    probe.run_probe(spark, "1 + 1")
+    assert spark in probe._probe_cache
+    assert any(
+        isinstance(v, probe.ProbeResult)
+        for v in probe._probe_cache[spark].values()
+    )
+
+
+def test_configure_nontty_missing_env_errors(tmp_path, monkeypatch):
+    """--configure without a TTY must fail loudly listing the missing
+    DATAFORGE_DATABRICKS_* keys instead of writing an incomplete profile
+    (round-4 advice)."""
+    from dataforge_core_spark.cli import main
+
+    for k in ("HOSTNAME", "HTTP_PATH", "ACCESS_TOKEN", "SCHEMA", "CATALOG"):
+        monkeypatch.delenv(f"DATAFORGE_DATABRICKS_{k}", raising=False)
+    profile = tmp_path / "profile.yaml"
+    rc = main(["--configure", "--profile", str(profile)])
+    assert rc == 1
+    assert not profile.exists()
+
+
+def test_configure_bare_filename_profile(tmp_path, monkeypatch):
+    """--profile with a bare filename (empty dirname) must not crash in
+    makedirs (round-4 advice)."""
+    from dataforge_core_spark.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    for k, v in {
+        "HOSTNAME": "h",
+        "HTTP_PATH": "/p",
+        "ACCESS_TOKEN": "t",
+        "SCHEMA": "s",
+    }.items():
+        monkeypatch.setenv(f"DATAFORGE_DATABRICKS_{k}", v)
+    rc = main(["--configure", "--profile", "profile.yaml"])
+    assert rc == 0
+    assert (tmp_path / "profile.yaml").exists()

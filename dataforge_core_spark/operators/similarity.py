@@ -548,8 +548,16 @@ def _kmeans_assignments(spark: SparkSession, sf_dir: str) -> str:
         )
         name = f"kmeans_assign_{tag}"
         df.createOrReplaceTempView(name)
-        _kmeans_cache[key] = name
-    return _kmeans_cache[key]
+        # keep the final centroid view name too: nprobe>1 search needs
+        # per-query centroid distances at query time
+        _kmeans_cache[key] = (name, cview)
+    return _kmeans_cache[key][0]
+
+
+def _kmeans_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """(assignment view, final centroid view) for the IVF index."""
+    _kmeans_assignments(spark, sf_dir)
+    return _kmeans_cache[(id(spark), sf_dir)]
 
 
 def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -576,6 +584,77 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ranked WHERE rank <= {TOP_K}
         """
     )
+
+
+def ann_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with nprobe=2: each query probes its TWO nearest
+    centroid cells (the recall dial over nprobe=1's single cell).
+
+    The probe assignment reuses the checkpointed 8-row centroid table —
+    a broadcast cross join per query vector, ROW_NUMBER <= 2 — and the
+    cell search is the same cid-keyed equi-join as nprobe=1; a corpus
+    vector lives in exactly one cell, so probing two distinct cells can
+    never produce duplicate pairs."""
+    af, cv = _kmeans_index(spark, sf_dir)
+    qdot = _unrolled_dot("a.emb", "c.emb", "spark")
+    cos = _spark_cosine("q.emb", "c.emb", "q.nrm", "c.nrm")
+    return spark.sql(
+        f"""
+        WITH qp AS (
+          SELECT vec_id, emb, nrm, cid FROM (
+            SELECT a.vec_id, a.emb, a.nrm, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                        ORDER BY (c.cc - (2 * ({qdot}))) ASC, c.cid) AS rn
+            FROM (SELECT * FROM {af} WHERE vec_id < {N_QUERIES}) a
+            CROSS JOIN {cv} c
+          ) t WHERE rn <= 2
+        ),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 {cos} AS score
+          FROM qp q JOIN {af} c ON q.cid = c.cid AND q.vec_id <> c.vec_id
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, neighbor_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id
+        FROM ranked WHERE rank <= {TOP_K}
+        """
+    )
+
+
+def _ivf_probe2_oracle() -> str:
+    qdot = _unrolled_dot("a.emb", "c.emb", "duck")
+    cos = _duck_cosine("q.emb", "c.emb", "q.nrm", "c.nrm")
+    return f"""
+WITH {_duck_v_cte()},
+{_kmeans_ctes('v', 'duck')},
+qp AS (
+  SELECT vec_id, emb, nrm, cid FROM (
+    SELECT a.vec_id, a.emb, a.nrm, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                ORDER BY (c.cc - (2 * ({qdot}))) ASC, c.cid) AS rn
+    FROM (SELECT * FROM af WHERE vec_id < {N_QUERIES}) a
+    CROSS JOIN c{KMEANS_ITERS} c
+  ) t WHERE rn <= 2
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {cos} AS score
+  FROM qp q JOIN af c ON q.cid = c.cid AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id FROM ranked
+WHERE rank <= {TOP_K}
+"""
 
 
 def _ivf_kmeans_oracle() -> str:
@@ -640,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": ann_bruteforce,
         "ann_ivf_label": ann_ivf_label,
         "ann_ivf_kmeans": ann_ivf_kmeans,
+        "ann_ivf_probe2": ann_ivf_probe2,
         "ann_lsh_hyperplane": ann_lsh_hyperplane,
         "ann_rerank": ann_rerank,
         "dedup_embedding": dedup_embedding,
@@ -651,6 +731,7 @@ def oracles() -> dict[str, str]:
         "ann_bruteforce": _bruteforce_oracle(),
         "ann_ivf_label": _ivf_oracle(),
         "ann_ivf_kmeans": _ivf_kmeans_oracle(),
+        "ann_ivf_probe2": _ivf_probe2_oracle(),
         "ann_lsh_hyperplane": _lsh_oracle(),
         "ann_rerank": _rerank_oracle(),
         "dedup_embedding": _dedup_embedding_oracle(),

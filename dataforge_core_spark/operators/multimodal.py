@@ -5,15 +5,15 @@ Design for image/audio/video at 100 TB: payloads travel as parquet
 resize / frame-sample run as Arrow-batched ``mapInPandas`` stages (one
 Python worker per partition, zero driver involvement).
 
-Decode comes in two tiers:
-- ``multimodal_decode`` parses REAL PNG/BMP/WAV headers with stdlib
-  ``struct``/``zlib`` — no imaging library needed; synth payloads are
-  fully valid files and the decode stage sees only bytes.
-- full *pixel* decode (``_decode_image``) remains stubbed behind PIL
-  (not in this container); ``multimodal_meta`` documents that fallback
-  with deterministic fake dimensions.
-Everything around them — schema contract, partitioning, UDF signature,
-Arrow batch shape — is real and oracle-tested.
+All decode paths are REAL stdlib work — no imaging library needed:
+``multimodal_meta``/``multimodal_decode`` parse actual PNG/BMP/WAV
+headers with ``struct``/``zlib`` (the synth payloads are fully valid
+files and the parse stages see only bytes), and ``multimodal_resize``
+does pixel-level resampling.  Schema contract, partitioning, UDF
+signature, and Arrow batch shape are all oracle-tested.  A production
+deployment swaps the stdlib parsers for an imaging/av library inside
+the same mapInPandas stage functions — the Spark-side plumbing is
+format-agnostic.
 
 The binary payload is synthesized from ``documents.text`` (utf-8 bytes) so
 the pipeline runs on driver testdata; a real deployment points the reader
@@ -27,30 +27,11 @@ from collections.abc import Callable, Iterator
 from pyspark.sql import DataFrame, SparkSession
 
 META_SCHEMA = (
-    "doc_id bigint, n_bytes int, content_md5 string, "
-    "fake_width int, fake_height int"
+    "doc_id bigint, source_bytes int, source_md5 string, fmt string, "
+    "width int, height int, channels int, sample_rate int"
 )
 
 FRAME_SCHEMA = "doc_id bigint, frame_no int, frame_md5 string"
-
-
-def _decode_image(payload: bytes):
-    """Real decode path — stub.
-
-    Raises NotImplementedError when no imaging library is available; the
-    pipeline uses deterministic fake dimensions instead (derived from the
-    byte length) so the Spark-side plumbing is fully testable.
-    """
-    try:
-        from PIL import Image  # noqa: F401  (not present in this container)
-        import io
-
-        return Image.open(io.BytesIO(payload))
-    except ImportError:
-        raise NotImplementedError(
-            "media decode requires an imaging library; "
-            "using deterministic fake metadata instead"
-        )
 
 
 def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -60,62 +41,60 @@ def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature-extract over binary payloads via Arrow-batched mapInPandas."""
-    import pandas as pd
+    """Feature-extract over media payloads via Arrow-batched mapInPandas:
+    source-side stats (byte count, md5) plus REAL parsed dimensions from
+    the same stdlib header parsers ``multimodal_decode`` uses — synth and
+    parse fused into one Python pass (generator-to-generator, no second
+    Arrow round-trip)."""
+    synth = media_synth_fn()
+    dec = media_decode_fn()
 
-    # NOTE: the closure must be fully self-contained (no references to
-    # this module's globals) — Python workers unpickle it without the
-    # repo on their sys.path when the driver loads __spark_entry__ by
-    # file path from another working directory.
-    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    def extract(batches):
         import hashlib
 
-        import pandas as pd
-
-        def decode_image(payload: bytes):
-            try:
-                import io
-
-                from PIL import Image  # not present in this container
-
-                return Image.open(io.BytesIO(payload))
-            except ImportError:
-                raise NotImplementedError(
-                    "media decode requires an imaging library"
-                )
-
         for pdf in batches:
-            payloads = pdf["payload"]
-            n_bytes = payloads.map(len)
-            md5s = payloads.map(lambda b: hashlib.md5(b).hexdigest())
-            try:
-                # real path would decode and read true dimensions
-                decode_image(payloads.iloc[0] if len(payloads) else b"")
-                raise AssertionError("unreachable in this container")
-            except NotImplementedError:
-                # deterministic fake dimensions derived from the bytes
-                width = (n_bytes % 640 + 1).astype("int32")
-                height = (n_bytes * 7 % 480 + 1).astype("int32")
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": n_bytes.astype("int32"),
-                    "content_md5": md5s,
-                    "fake_width": width,
-                    "fake_height": height,
-                }
+            parsed = next(dec(synth([pdf])))
+            parsed.insert(
+                1,
+                "source_bytes",
+                pdf["text"]
+                .map(lambda t: len(t.encode("utf-8")))
+                .astype("int32")
+                .values,
             )
+            parsed.insert(
+                2,
+                "source_md5",
+                pdf["text"]
+                .map(lambda t: hashlib.md5(t.encode("utf-8")).hexdigest())
+                .values,
+            )
+            yield parsed
 
-    return _payloads(spark, sf_dir).mapInPandas(extract, META_SCHEMA)
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return df.mapInPandas(extract, META_SCHEMA)
 
 
 _META_ORACLE = """
+WITH d AS (
+  SELECT doc_id, octet_length(encode(text)) AS n,
+         CAST(doc_id % 3 AS INTEGER) AS kind, md5(text) AS m
+  FROM documents
+)
 SELECT doc_id,
-       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-       md5(text) AS content_md5,
-       CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS fake_width,
-       CAST(octet_length(encode(text)) * 7 % 480 + 1 AS INTEGER) AS fake_height
-FROM documents
+       CAST(n AS INTEGER) AS source_bytes,
+       m AS source_md5,
+       CASE kind WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'wav' END AS fmt,
+       CASE kind WHEN 0 THEN CAST(n % 64 + 1 AS INTEGER)
+                 WHEN 1 THEN CAST(n % 16 + 1 AS INTEGER) END AS width,
+       CASE kind WHEN 0 THEN CAST(n % 48 + 1 AS INTEGER)
+                 WHEN 1 THEN CAST(n % 8 + 1 AS INTEGER) END AS height,
+       CASE WHEN kind = 2 THEN CAST(n % 2 + 1 AS INTEGER) END AS channels,
+       CASE WHEN kind = 2
+            THEN CAST(8000 + (n % 8) * 1000 AS INTEGER) END AS sample_rate
+FROM d
 """
 
 

@@ -602,7 +602,7 @@ def ann_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""
         WITH qp AS (
           SELECT vec_id, emb, nrm, cid FROM (
-            SELECT a.vec_id, a.emb, a.nrm, c.cid,
+            SELECT /*+ BROADCAST(c) */ a.vec_id, a.emb, a.nrm, c.cid,
                    ROW_NUMBER() OVER (PARTITION BY a.vec_id
                         ORDER BY (c.cc - (2 * ({qdot}))) ASC, c.cid) AS rn
             FROM (SELECT * FROM {af} WHERE vec_id < {N_QUERIES}) a

@@ -187,9 +187,12 @@ def test_ranked_ann_windows_group_limit(spark):
 
 # queries whose plans are cheap to derive (no eager driver-side loops /
 # streaming execution at construction time); ann_bruteforce is the one
-# intentional all-pairs shape (the re-rank stage scans the corpus against
-# a broadcast query set — a BroadcastNestedLoopJoin on q.vec_id <> c.vec_id)
-_CARTESIAN_EXEMPT = {"ann_bruteforce"}
+# intentional all-pairs shapes: ann_bruteforce's re-rank stage scans the
+# corpus against a broadcast query set (BroadcastNestedLoopJoin on
+# q.vec_id <> c.vec_id); ann_ivf_probe2's probe assignment cross-joins
+# the query set against the K=8-row checkpointed centroid table (always
+# broadcast, K rows) before the cid-keyed equi-join search
+_CARTESIAN_EXEMPT = {"ann_bruteforce", "ann_ivf_probe2"}
 
 
 def test_no_cartesian_products_in_driver_queries(spark):

@@ -901,9 +901,21 @@ class SourceCompiler:
             raise ProjectError(
                 f"Output {output.output_name!r} has no channels"
             )
+        # channels combine left-associatively in declared order: UNION ALL
+        # (O2) by default, INTERSECT / EXCEPT (both DISTINCT — O3
+        # extension) when the channel declares a set_operation.  The
+        # emitter parenthesizes each operand so the SQL artifact gets the
+        # same left-associative grouping (bare SQL would bind INTERSECT
+        # tighter).
         out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)  # UNION ALL across channels (O2)
+        for ch, p in zip(output.channels[1:], parts[1:]):
+            op = (ch.set_operation or "").lower()
+            if op == "intersect":
+                out = out.intersect(p)
+            elif op == "except":
+                out = out.subtract(p)
+            else:
+                out = out.unionByName(p)
         return out
 
     def _channel_filter_sql(self, filter_expr: str, src: Source) -> str:

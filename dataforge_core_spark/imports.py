@@ -209,6 +209,8 @@ def _output_dict(o) -> dict:
             cd["filter"] = ch.filter
         if ch.operation_type:
             cd["operation_type"] = ch.operation_type
+        if ch.set_operation:
+            cd["set_operation"] = ch.set_operation
         if not ch.include_pass:
             cd["include_pass"] = False
         if ch.include_warn:

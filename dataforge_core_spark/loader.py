@@ -148,6 +148,16 @@ def parse_output_dict(d: dict) -> Output:
         cols.append(OutputColumn(name=m.group(1), hive_type=t))
     channels = []
     for ch in d.get("channels", []) or []:
+        set_op = ch.get("set_operation")
+        if set_op is not None:
+            set_op = str(set_op).lower()
+            if set_op == "union":
+                set_op = None
+            elif set_op not in ("intersect", "except"):
+                raise ProjectError(
+                    f"Unknown set_operation {ch['set_operation']!r} "
+                    "(expected union, intersect or except)"
+                )
         channels.append(
             Channel(
                 source_name=ch["source_name"],
@@ -158,6 +168,7 @@ def parse_output_dict(d: dict) -> Output:
                 include_warn=bool(ch.get("include_warn", False)),
                 include_fail=bool(ch.get("include_fail", False)),
                 unpivot=ch.get("unpivot"),
+                set_operation=set_op,
             )
         )
     return Output(

@@ -215,6 +215,11 @@ class Channel:
     mappings: list[Mapping] = field(default_factory=list)
     filter: str | None = None
     operation_type: str | None = None  # None | "Aggregate"
+    # O3 extension (absent in the reference's generator, SURVEY §2.6):
+    # how this channel combines with the channels before it — UNION ALL
+    # (default), INTERSECT or EXCEPT (both DISTINCT, standard SQL).
+    # Ignored on the first channel.
+    set_operation: str | None = None  # None | "intersect" | "except"
     # validation-status routing — 12 outputSourceTable.sql:17-19
     include_pass: bool = True
     include_warn: bool = False

@@ -712,6 +712,85 @@ FROM customer c LEFT JOIN g ON c.c_custkey = g.o_custkey
 
 
 # ---------------------------------------------------------------------------
+# O3 — INTERSECT / EXCEPT output channels (extension; absent from the
+# reference's generator, SURVEY §2.6).  Channels combine
+# left-associatively: (positive-balance customers) INTERSECT (customers
+# appearing in orders) EXCEPT (customers with acctbal > 5000) — both set
+# ops DISTINCT, standard SQL.  The emitted artifact parenthesizes each
+# operand so the SQL grouping matches the DataFrame chain.
+# ---------------------------------------------------------------------------
+
+
+def _set_ops_project(sf_dir: str):
+    from dataforge_core_spark.loader import (
+        parse_output_dict,
+        parse_source_dict,
+    )
+    from dataforge_core_spark.model import Project
+
+    cust = parse_source_dict(
+        {
+            "source_name": "cust_so",
+            "source_table": f"{sf_dir}/customer.parquet",
+            "target_table": "enriched_cust_so",
+            "raw_attributes": ["c_custkey long", "c_acctbal double"],
+        }
+    )
+    orders = parse_source_dict(
+        {
+            "source_name": "orders_so",
+            "source_table": f"{sf_dir}/orders.parquet",
+            "target_table": "enriched_orders_so",
+            "raw_attributes": ["o_orderkey long", "o_custkey long"],
+        }
+    )
+    out = parse_output_dict(
+        {
+            "output_name": "cust_set_ops",
+            "columns": ["cust long"],
+            "channels": [
+                {
+                    "source_name": "cust_so",
+                    "filter": "[This].c_acctbal > 0",
+                    "mappings": ["c_custkey cust"],
+                },
+                {
+                    "source_name": "orders_so",
+                    "set_operation": "intersect",
+                    "mappings": ["o_custkey cust"],
+                },
+                {
+                    "source_name": "cust_so",
+                    "set_operation": "except",
+                    "filter": "[This].c_acctbal > 5000",
+                    "mappings": ["c_custkey cust"],
+                },
+            ],
+        }
+    )
+    return Project(sources=[cust, orders], outputs=[out])
+
+
+def engine_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataforge_core_spark.runner import ProjectRunner
+
+    runner = ProjectRunner(
+        spark, _set_ops_project(sf_dir), persist_hubs=False
+    )
+    return runner.build_outputs()["cust_set_ops"]
+
+
+_SET_OPS_ORACLE = """
+SELECT cust FROM (
+  (SELECT c_custkey AS cust FROM customer WHERE c_acctbal > 0)
+  INTERSECT
+  (SELECT o_custkey AS cust FROM orders)
+) EXCEPT
+(SELECT c_custkey AS cust FROM customer WHERE c_acctbal > 5000)
+"""
+
+
+# ---------------------------------------------------------------------------
 # C8 — the stateful import/diff engine driven end-to-end
 # (impc_execute.sql:1-221 orchestration; u_delete_cascade.sql cascade
 # branches; impc_upsert_enrichments.sql:9-17 rule delete-missing).  A v1
@@ -856,6 +935,7 @@ def queries():
         "engine_agg_whitelist": engine_agg_whitelist,
         "engine_output_sinks": engine_output_sinks,
         "engine_import_diff": engine_import_diff,
+        "engine_set_ops": engine_set_ops,
     }
 
 
@@ -869,4 +949,5 @@ def oracles():
         "engine_agg_whitelist": _AGG_WHITELIST_ORACLE,
         "engine_output_sinks": _OUTPUT_SINKS_ORACLE,
         "engine_import_diff": _IMPORT_DIFF_ORACLE,
+        "engine_set_ops": _SET_OPS_ORACLE,
     }

@@ -376,7 +376,14 @@ class SqlEmitter:
             if is_agg and group_by:
                 q += "\n  GROUP BY " + ", ".join(group_by)
             parts.append(q)
-        body = "\n  UNION ALL\n  ".join(parts)
+        # left-associative like compile_output: every operand is
+        # parenthesized because bare SQL binds INTERSECT tighter than
+        # UNION/EXCEPT, which would regroup mixed chains
+        _OPS = {"intersect": "INTERSECT", "except": "EXCEPT"}
+        body = parts[0]
+        for ch, part in zip(output.channels[1:], parts[1:]):
+            op = _OPS.get((ch.set_operation or "").lower(), "UNION ALL")
+            body = f"({body})\n  {op}\n  ({part})"
         return (
             f"DROP TABLE IF EXISTS {output.output_name};\n"
             f"CREATE TABLE {output.output_name} AS\n  {body};\n"

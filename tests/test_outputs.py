@@ -99,3 +99,73 @@ def test_aggregate_mapping_requires_aggregate_op(spark, sf_dir):
     runner = ProjectRunner(spark, project, persist_hubs=False)
     with pytest.raises(ProjectError, match="operation_type"):
         runner.build_outputs()
+
+
+def test_set_operation_channels_dataframe_and_sql_parity(spark, sf_dir):
+    """O3 extension: INTERSECT/EXCEPT channels must produce the same
+    result through the DataFrame compiler and the emitted SQL artifact
+    (the artifact parenthesizes operands to preserve the left-
+    associative grouping bare SQL precedence would change)."""
+    import tempfile
+
+    from dataforge_core_spark.operators.engine_rows import engine_set_ops
+    from dataforge_core_spark.loader import parse_output_dict
+    from dataforge_core_spark.model import ProjectError
+    from dataforge_core_spark.sql_emitter import SqlEmitter, run_statements
+
+    df = engine_set_ops(spark, sf_dir)
+    got = sorted(r.cust for r in df.collect())
+    # semantic spot-check against direct SQL on the base tables
+    expected = sorted(
+        r.cust
+        for r in spark.sql(
+            f"""
+            SELECT cust FROM (
+              SELECT c_custkey AS cust
+              FROM parquet.`{sf_dir}/customer.parquet` WHERE c_acctbal > 0
+              INTERSECT
+              SELECT o_custkey FROM parquet.`{sf_dir}/orders.parquet`
+            )
+            EXCEPT
+            SELECT c_custkey FROM parquet.`{sf_dir}/customer.parquet`
+            WHERE c_acctbal > 5000
+            """
+        ).collect()
+    )
+    assert got == expected and len(got) > 0
+
+    # the emitted SQL artifact must produce the same table
+    from dataforge_core_spark.operators.engine_rows import _set_ops_project
+
+    project = _set_ops_project(sf_dir)
+    for name in ("enriched_cust_so", "enriched_orders_so", "cust_set_ops"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        import shutil as _sh
+
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        _sh.rmtree(os.path.join(wh, name), ignore_errors=True)
+    run_sql = SqlEmitter(project, {}, spark=spark).emit_all(
+        tempfile.mkdtemp(prefix="dfspark_setops_")
+    )
+    run_statements(spark, run_sql)
+    sql_got = sorted(r.cust for r in spark.table("cust_set_ops").collect())
+    assert sql_got == expected
+
+    # loader rejects unknown set operations
+    with pytest.raises(ProjectError, match="set_operation"):
+        parse_output_dict(
+            {
+                "output_name": "bad",
+                "columns": ["x long"],
+                "channels": [
+                    {"source_name": "s", "mappings": ["a x"]},
+                    {
+                        "source_name": "s",
+                        "set_operation": "minus",
+                        "mappings": ["a x"],
+                    },
+                ],
+            }
+        )

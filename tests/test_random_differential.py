@@ -108,6 +108,13 @@ def project_specs(draw):
     include_cust = draw(st.booleans())
     rel_nr = draw(st.booleans())
     rel_cn = include_cust and draw(st.booleans())
+    # One data-dependency direction per relation: a relation used for a
+    # lookup one way AND an aggregate the other way makes the two
+    # sources mutually dependent, which the engine (correctly, C6)
+    # rejects as "Circular dependencies in sources" — keep generated
+    # projects inside the valid grammar.
+    nr_dir = draw(st.sampled_from(["lookup", "agg"])) if rel_nr else None
+    cn_dir = draw(st.sampled_from(["lookup", "agg"])) if rel_cn else None
 
     region_rules = draw(
         _rules_for(
@@ -115,22 +122,24 @@ def project_specs(draw):
             lookups=[],
             agg_targets=(
                 [("[nation_r].n_nationkey", "[nation_r].n_name")]
-                if rel_nr
+                if nr_dir == "agg"
                 else []
             ),
         )
     )
-    nation_lookups = ["[region_r].r_name"] if rel_nr else []
+    nation_lookups = ["[region_r].r_name"] if nr_dir == "lookup" else []
     nation_aggs = (
-        [("[customer_r].c_custkey", "[customer_r].c_name")] if rel_cn else []
+        [("[customer_r].c_custkey", "[customer_r].c_name")]
+        if cn_dir == "agg"
+        else []
     )
     nation_rules = draw(
         _rules_for(_NATION, lookups=nation_lookups, agg_targets=nation_aggs)
     )
     cust_lookups = []
-    if rel_cn:
+    if cn_dir == "lookup":
         cust_lookups.append("[nation_r].n_name")
-        if rel_nr:
+        if nr_dir == "lookup":
             cust_lookups.append("[region_r].r_name")  # 2-hop
     cust_rules = (
         draw(_rules_for(_CUSTOMER, lookups=cust_lookups, agg_targets=[]))

@@ -594,13 +594,19 @@ def engine_agg_whitelist(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"name": "statuses",
                  "expression":
                      "array_sort(collect_set([orders_aw].o_orderstatus))"},
-                {"name": "cnt_statuses_d",
-                 "expression":
-                     "count(DISTINCT [orders_aw].o_orderstatus)"},
-                {"name": "spend_d",
-                 "expression": "sum(DISTINCT [orders_aw].price_dec)"},
-                # DISTINCT avg over bigint keys: the distinct-sum stays
-                # exact in double (< 2^53), one division -> deterministic
+                # all three DISTINCT variants take the SAME child
+                # (o_orderkey): Spark plans multi-distinct aggregates via
+                # Expand with one extra branch PER DISTINCT CHILD, so
+                # aligning them keeps the expand factor at 2 instead of 4
+                # — the 100 TB-relevant plan shape.  (count(DISTINCT) over
+                # a second column is already driver-exercised by
+                # hub_customer.distinct_status_count.)  Sums of distinct
+                # bigint keys are exact; avg is one exact-sum division ->
+                # deterministic on both engines.
+                {"name": "keys_d",
+                 "expression": "count(DISTINCT [orders_aw].o_orderkey)"},
+                {"name": "key_sum_d",
+                 "expression": "sum(DISTINCT [orders_aw].o_orderkey)"},
                 {"name": "avg_key_d",
                  "expression": "avg(DISTINCT [orders_aw].o_orderkey)"},
                 {"name": "mean_key",
@@ -679,9 +685,8 @@ WITH g AS (
          quantile_cont(o_totalprice, 0.5) AS p50_price,
          array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
            AS statuses,
-         COUNT(DISTINCT o_orderstatus) AS cnt_statuses_d,
-         CAST(CAST(SUM(DISTINCT CAST(o_totalprice AS DECIMAL(18,2)))
-              AS VARCHAR) AS DOUBLE) AS spend_d,
+         COUNT(DISTINCT o_orderkey) AS keys_d,
+         CAST(SUM(DISTINCT o_orderkey) AS BIGINT) AS key_sum_d,
          AVG(DISTINCT o_orderkey) AS avg_key_d,
          AVG(o_orderkey) AS mean_key,
          BOOL_AND(o_totalprice >= 0) AS all_pos,
@@ -701,8 +706,8 @@ SELECT c.c_custkey, c.c_name,
        g.first_status, g.last_status, g.all_valid, g.any_big, g.any_huge,
        g.key_or, g.key_xor, g.med_price, g.p50_price,
        COALESCE(g.statuses, '') AS statuses,
-       COALESCE(g.cnt_statuses_d, 0) AS cnt_statuses_d,
-       g.spend_d, g.avg_key_d, g.mean_key, g.all_pos, g.has_big,
+       COALESCE(g.keys_d, 0) AS keys_d,
+       g.key_sum_d, g.avg_key_d, g.mean_key, g.all_pos, g.has_big,
        g.one_cust,
        COALESCE(g.status_card, 0) AS status_card,
        COALESCE(g.status_list, '') AS status_list,

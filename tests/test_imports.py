@@ -283,3 +283,20 @@ def test_build_from_imported_state_matches_yaml_build(tmp_path):
     a = (t_yaml / "run.sql").read_text()
     b = (t_state / "run.sql").read_text()
     assert a == b
+
+
+def test_set_operation_roundtrips_through_state(tmp_path):
+    """The O3 set_operation channel field must survive the MetaStore
+    body serialization and reconstruct identically via to_project()."""
+    from dataforge_core_spark.imports import MetaStore, import_project
+    from dataforge_core_spark.operators.engine_rows import _set_ops_project
+
+    project = _set_ops_project("/root/testdata/sf0.001")
+    store = MetaStore(str(tmp_path / "state"))
+    report = import_project(store, project)
+    assert "error" not in report
+    rebuilt = MetaStore(str(tmp_path / "state")).to_project()
+    ops = [
+        ch.set_operation for ch in rebuilt.outputs[0].channels
+    ]
+    assert ops == [None, "intersect", "except"]

@@ -31,10 +31,13 @@ Coverage map (SURVEY.md §2 -> query):
   A1-A4 aggregations         -> hub aggregates (sum/count/max/max_by/median/
                                 count DISTINCT/collect_set) +
                                 output_feature_customer (GROUP BY + DISTINCT);
-                                engine_agg_whitelist (16 whitelist functions
-                                through the correlated-aggregate rule path)
+                                engine_agg_whitelist (23 whitelist functions
+                                through the correlated-aggregate rule path,
+                                incl. count/sum/avg DISTINCT variants)
   W1 window functions        -> hub_orders.cust_order_rank
   O2 UNION + typed-null fill -> output_entity_union
+  O3 INTERSECT/EXCEPT (ext.) -> engine_set_ops (set-operation channels,
+                                left-associative, artifact-parity)
   V1-V4 validation rules     -> *_valid rules, s_validation_status_code,
                                 channel pass routing, s_suppkey_str_uv_flag
   §2.11 nested / sub-source  -> nested_roundtrip, nested_aggregate
@@ -48,6 +51,7 @@ Coverage map (SURVEY.md §2 -> query):
                                 dedup_ngram_jaccard / dedup_simhash[_pairs] /
                                 dedup_embedding,
                                 ann_bruteforce / ann_ivf_label /
+                                ann_ivf_kmeans / ann_ivf_probe2 (nprobe=2) /
                                 ann_lsh_hyperplane / ann_rerank,
                                 text_tokens/quality/lang_id/fingerprint,
                                 train_pack / train_top_tokens /

@@ -202,7 +202,11 @@ class SourceCompiler:
         return affected
 
     def recalculate(
-        self, source: Source, existing: DataFrame, hubs: dict[str, DataFrame]
+        self,
+        source: Source,
+        existing: DataFrame,
+        hubs: dict[str, DataFrame],
+        affected: set[str] | None = None,
     ) -> DataFrame:
         """Incremental 'recalculation' run (W4): start from the existing
         hub, drop only the affected columns, recompute them.
@@ -210,9 +214,12 @@ class SourceCompiler:
         Unaffected rule columns are *read back*, not recomputed — the
         point of the mode at scale (window rules must see the full table,
         everything else is reused).  Semantically identical to a full
-        rebuild on unchanged inputs.
+        rebuild on unchanged inputs.  ``affected`` overrides the default
+        keep_current closure (used by :meth:`incremental_append`, which
+        must also refresh uniqueness flags).
         """
-        affected = self.recalculation_closure(source)
+        if affected is None:
+            affected = self.recalculation_closure(source)
         if not affected:
             return existing
         plan = self.plan(source)
@@ -335,6 +342,52 @@ class SourceCompiler:
         changed = existing.join(sel, keys, "left_semi")
         unchanged = existing.join(sel, keys, "left_anti")
         return self.recalculate(source, changed, hubs).unionByName(unchanged)
+
+    def incremental_append(
+        self,
+        source: Source,
+        existing: DataFrame,
+        new_base: DataFrame,
+        hubs: dict[str, DataFrame],
+    ) -> DataFrame:
+        """Append-only incremental build — the daily-ingest path at
+        100 TB (extension; the reference is full-rebuild-only).
+
+        Only the NEW raw rows run through the rule pipeline; the existing
+        hub is reused byte-for-byte except the columns whose semantics
+        span the whole table: the keep_current/window closure (W2/W4) and
+        every uniqueness flag (V4 — an appended duplicate must flip the
+        existing row's ``_uv_flag`` too).  Those are re-derived over the
+        merged frame exactly as a full rebuild would derive them —
+        confined to the touched window partitions when every recomputed
+        window provably partitions by the same raw columns
+        (:meth:`_window_confinement`); with the hub stored
+        partitioned/bucketed by that key, the semi/anti joins below
+        become metadata-only partition pruning.
+
+        Result is semantically identical to a full rebuild over
+        (old ∪ new) raw rows.
+        """
+        appended = self._compile(source, new_base, hubs)
+        merged = existing.unionByName(appended)
+        affected = self.recalculation_closure(source)
+        affected |= {r.name for r in source.rules if r.unique}
+        if not affected:
+            return merged
+        status, keys = self._window_confinement(source, affected)
+        if status == "none":
+            # per-row semantics only — values computed on the new rows
+            # alone equal a whole-table recompute
+            return merged
+        if status == "keys":
+            sel = appended.select(*keys).distinct()
+            changed = merged.join(sel, keys, "left_semi")
+            unchanged = merged.join(sel, keys, "left_anti")
+            changed = self.recalculate(
+                source, changed, hubs, affected=affected
+            )
+            return changed.unionByName(unchanged)
+        return self.recalculate(source, merged, hubs, affected=affected)
 
     def compile_source(
         self, source: Source, base: DataFrame, hubs: dict[str, DataFrame]

@@ -717,6 +717,35 @@ FROM customer c LEFT JOIN g ON c.c_custkey = g.o_custkey
 
 
 # ---------------------------------------------------------------------------
+# Incremental append (extension; the reference is full-rebuild-only) —
+# the daily-ingest path: the orders hub is built from pre-1997 raw rows
+# only, then the 1997+ rows are appended through
+# compiler.incremental_append, which compiles JUST the new rows and
+# re-derives the window closure (cust_order_rank) over the merged frame,
+# partition-pruned to the touched o_custkey groups.  The oracle is the
+# FULL-rebuild orders hub — a green row proves append ≡ rebuild.
+# ---------------------------------------------------------------------------
+
+
+def engine_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataforge_core_spark.runner import ProjectRunner
+    from dataforge_core_spark.sources.readers import read_source
+
+    project, orders = _orders_only_project()
+    runner = ProjectRunner(
+        spark, project, {"DATA_DIR": sf_dir}, persist_hubs=False
+    )
+    raw = read_source(spark, orders, {"DATA_DIR": sf_dir})
+    base_raw = raw.filter("o_orderdate < DATE'1997-01-01'")
+    inc_raw = raw.filter("o_orderdate >= DATE'1997-01-01'")
+    base_hub = runner.compiler.compile_source(orders, base_raw, {})
+    updated = runner.compiler.incremental_append(
+        orders, base_hub, inc_raw, {}
+    )
+    return canonicalize(updated)
+
+
+# ---------------------------------------------------------------------------
 # O3 — INTERSECT / EXCEPT output channels (extension; absent from the
 # reference's generator, SURVEY §2.6).  Channels combine
 # left-associatively: (positive-balance customers) INTERSECT (customers
@@ -941,6 +970,7 @@ def queries():
         "engine_output_sinks": engine_output_sinks,
         "engine_import_diff": engine_import_diff,
         "engine_set_ops": engine_set_ops,
+        "engine_incremental": engine_incremental,
     }
 
 
@@ -955,4 +985,5 @@ def oracles():
         "engine_output_sinks": _OUTPUT_SINKS_ORACLE,
         "engine_import_diff": _IMPORT_DIFF_ORACLE,
         "engine_set_ops": _SET_OPS_ORACLE,
+        "engine_incremental": _ORDERS_HUB_ORACLE,
     }

@@ -133,3 +133,80 @@ def test_partition_pruned_requires_common_keys(spark):
     assert compiler.window_partition_keys(src) is None
     with pytest.raises(ProjectError, match="partition-pruned"):
         compiler.recalculate_pruned(src, None, {}, None)
+
+
+def test_incremental_append_refreshes_uniqueness_flags(spark, tmp_path):
+    """Appending a duplicate of an existing unique-rule value must flip
+    the EXISTING row's _uv_flag too — uniqueness is whole-table
+    semantics, so incremental_append re-derives every flag over the
+    merged frame (the trap a naive append-only build falls into)."""
+    from dataforge_core_spark.compiler import SourceCompiler
+    from dataforge_core_spark.loader import parse_source_dict
+    from dataforge_core_spark.model import Project
+
+    src = parse_source_dict(
+        {
+            "source_name": "u_src",
+            "source_table": "u_src_view",
+            "target_table": "hub_u_src",
+            "raw_attributes": ["id long", "code string"],
+            "rules": [
+                {
+                    "name": "code_up",
+                    "expression": "upper([This].code)",
+                    "unique": True,
+                },
+            ],
+        }
+    )
+    compiler = SourceCompiler(spark, Project(sources=[src]))
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, code string"
+    )
+    inc = spark.createDataFrame([(3, "a")], "id long, code string")
+    existing = compiler.compile_source(src, base, {})
+    flags = {
+        r.id: r.code_up_uv_flag for r in existing.collect()
+    }
+    assert flags == {1: True, 2: True}
+    updated = compiler.incremental_append(src, existing, inc, {})
+    flags = {r.id: r.code_up_uv_flag for r in updated.collect()}
+    # row 1's 'A' is no longer unique once row 3 arrives
+    assert flags == {1: False, 2: True, 3: False}
+
+    # and the merged result equals a full rebuild over (base u inc)
+    full = compiler.compile_source(src, base.unionByName(inc), {})
+    assert sorted(map(tuple, updated.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_incremental_append_equals_full_rebuild_windowed(spark, sf_dir):
+    """Window rule path (pruned recompute): appending late rows must
+    reproduce the full rebuild bit-for-bit, including ranks of
+    pre-existing rows displaced by the new data."""
+    from dataforge_core_spark.runner import ProjectRunner
+    from dataforge_core_spark.sources.readers import read_source
+    from dataforge_core_spark.operators.engine_rows import (
+        _orders_only_project,
+    )
+
+    project, orders = _orders_only_project()
+    runner = ProjectRunner(
+        spark, project, {"DATA_DIR": sf_dir}, persist_hubs=False
+    )
+    raw = read_source(spark, orders, {"DATA_DIR": sf_dir})
+    # split mid-stream so appended orders land BEFORE existing ones in
+    # the rank order for many customers
+    base_raw = raw.filter("o_orderkey % 3 != 0")
+    inc_raw = raw.filter("o_orderkey % 3 = 0")
+    base_hub = runner.compiler.compile_source(orders, base_raw, {})
+    updated = runner.compiler.incremental_append(
+        orders, base_hub, inc_raw, {}
+    )
+    full = runner.compiler.compile_source(orders, raw, {})
+    assert sorted(updated.columns) == sorted(full.columns)
+    cols = sorted(full.columns)
+    a = sorted(map(repr, updated.select(*cols).collect()))
+    b = sorted(map(repr, full.select(*cols).collect()))
+    assert a == b

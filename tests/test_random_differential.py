@@ -146,6 +146,41 @@ def project_specs(draw):
         if include_cust
         else None
     )
+    # optional random output: fixed (k long, s string) columns, channels
+    # over the available sources with random filters and set operations —
+    # widens the differential to the output path (channel filters,
+    # typed-NULL fill, UNION ALL / INTERSECT / EXCEPT combining)
+    output = None
+    if draw(st.booleans()):
+        chans = [
+            {"source_name": "region_r", "mappings": ["r_regionkey k", "r_name s"]}
+        ]
+        if draw(st.booleans()):
+            ch = {
+                "source_name": "nation_r",
+                "mappings": ["n_nationkey k", "n_name s"],
+                "set_operation": draw(
+                    st.sampled_from(["union", "intersect", "except"])
+                ),
+            }
+            if draw(st.booleans()):
+                ch["filter"] = (
+                    f"[This].n_nationkey >= "
+                    f"{draw(st.integers(min_value=0, max_value=20))}"
+                )
+            chans.append(ch)
+        if include_cust and draw(st.booleans()):
+            chans.append(
+                {
+                    "source_name": "customer_r",
+                    "mappings": ["c_custkey k"],  # s -> typed NULL fill
+                    "set_operation": draw(
+                        st.sampled_from(["union", "except"])
+                    ),
+                    "filter": "[This].c_acctbal > 0",
+                }
+            )
+        output = {"columns": ["k long", "s string"], "channels": chans}
     return {
         "include_cust": include_cust,
         "rel_nr": rel_nr,
@@ -153,6 +188,7 @@ def project_specs(draw):
         "region_rules": region_rules,
         "nation_rules": nation_rules,
         "cust_rules": cust_rules,
+        "output": output,
     }
 
 
@@ -219,8 +255,22 @@ def _mk_project(sf_dir: str, spec: dict, uid: str):
                 "cardinality": "M-1",
             }
         )
+    outputs = []
+    if spec["output"]:
+        from dataforge_core_spark.loader import parse_output_dict
+
+        outputs.append(
+            parse_output_dict(
+                {
+                    "output_name": f"rnd_{uid}_out",
+                    **spec["output"],
+                }
+            )
+        )
     return Project(
-        sources=sources, relations=parse_relations_list(rels)
+        sources=sources,
+        relations=parse_relations_list(rels),
+        outputs=outputs,
     )
 
 
@@ -249,7 +299,8 @@ def test_random_project_sql_matches_dataframe(spark, sf_dir, spec):
     try:
         run_sql = SqlEmitter(project, {}, spark=spark).emit_all(target)
         run_statements(spark, run_sql)
-        hubs = ProjectRunner(spark, project, persist_hubs=False).build()
+        runner = ProjectRunner(spark, project, persist_hubs=False)
+        hubs = runner.build()
         for s in project.sources:
             sql_df = spark.table(s.target_table)
             df = hubs[s.source_name]
@@ -257,13 +308,22 @@ def test_random_project_sql_matches_dataframe(spark, sf_dir, spec):
                 s.source_name
             )
             assert _rows(sql_df) == _rows(df), s.source_name
+        if project.outputs:
+            outs = runner.build_outputs(hubs)
+            for o in project.outputs:
+                sql_df = spark.table(o.output_name)
+                df = outs[o.output_name]
+                assert sorted(sql_df.columns) == sorted(df.columns), (
+                    o.output_name
+                )
+                assert _rows(sql_df) == _rows(df), o.output_name
     finally:
         wh = spark.conf.get(
             "spark.sql.warehouse.dir", "spark-warehouse"
         ).removeprefix("file:")
-        for s in project.sources:
-            spark.sql(f"DROP TABLE IF EXISTS {s.target_table}")
-            shutil.rmtree(
-                os.path.join(wh, s.target_table), ignore_errors=True
-            )
+        names = [s.target_table for s in project.sources]
+        names += [o.output_name for o in project.outputs]
+        for name in names:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
         shutil.rmtree(target, ignore_errors=True)

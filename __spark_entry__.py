@@ -17,6 +17,9 @@ Coverage map (SURVEY.md §2 -> query):
   J3 self-join               -> engine_selfjoin (lookup + aggregate over a
                                 self relation), tests/test_selfjoin.py
   W4 recalculation           -> engine_recalc (incremental == full rebuild)
+  W4+ incremental append     -> engine_incremental (new-rows-only compile,
+                                window/uniqueness re-derive; append ==
+                                full rebuild, extension)
   S6/S7 SQL artifact         -> engine_sql_artifact (emitted run.sql
                                 executed, table value-matched)
   P7 struct-key mappings     -> engine_struct_keys

@@ -20,6 +20,9 @@ Coverage map (SURVEY.md §2 -> query):
   W4+ incremental append     -> engine_incremental (new-rows-only compile,
                                 window/uniqueness re-derive; append ==
                                 full rebuild, extension)
+  W4+ incremental upsert     -> engine_upsert (MERGE by key; displaced
+                                window partitions recomputed too;
+                                upsert == full rebuild, extension)
   S6/S7 SQL artifact         -> engine_sql_artifact (emitted run.sql
                                 executed, table value-matched)
   P7 struct-key mappings     -> engine_struct_keys

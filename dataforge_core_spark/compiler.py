@@ -389,6 +389,55 @@ class SourceCompiler:
             return changed.unionByName(unchanged)
         return self.recalculate(source, merged, hubs, affected=affected)
 
+    def incremental_upsert(
+        self,
+        source: Source,
+        existing: DataFrame,
+        new_base: DataFrame,
+        upsert_keys: list[str],
+        hubs: dict[str, DataFrame],
+    ) -> DataFrame:
+        """MERGE-style incremental build: rows of ``new_base`` REPLACE
+        existing hub rows with matching ``upsert_keys`` values and append
+        otherwise (extension; the reference is full-rebuild-only).
+
+        Like :meth:`incremental_append`, only the incoming rows run the
+        rule pipeline and whole-table-scoped columns (window closure +
+        uniqueness flags) are re-derived over the merged frame.  The
+        partition-pruned recompute must cover BOTH sides of a move: a
+        changed row that lands in a new window partition also invalidates
+        the partition its old version leaves (its former group's
+        ranks/aggregates shrink), so the changed-key set is the union of
+        the displaced old rows' window keys and the new rows' window
+        keys.  Result is semantically identical to a full rebuild over
+        the upserted raw input.
+        """
+        replaced = self._compile(source, new_base, hubs)
+        key_sel = replaced.select(*upsert_keys).distinct()
+        displaced = existing.join(key_sel, upsert_keys, "left_semi")
+        kept = existing.join(key_sel, upsert_keys, "left_anti")
+        merged = kept.unionByName(replaced)
+        affected = self.recalculation_closure(source)
+        affected |= {r.name for r in source.rules if r.unique}
+        if not affected:
+            return merged
+        status, keys = self._window_confinement(source, affected)
+        if status == "none":
+            return merged
+        if status == "keys":
+            sel = (
+                replaced.select(*keys)
+                .unionByName(displaced.select(*keys))
+                .distinct()
+            )
+            changed = merged.join(sel, keys, "left_semi")
+            unchanged = merged.join(sel, keys, "left_anti")
+            changed = self.recalculate(
+                source, changed, hubs, affected=affected
+            )
+            return changed.unionByName(unchanged)
+        return self.recalculate(source, merged, hubs, affected=affected)
+
     def compile_source(
         self, source: Source, base: DataFrame, hubs: dict[str, DataFrame]
     ) -> DataFrame:

@@ -746,6 +746,64 @@ def engine_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental upsert (extension) — MERGE semantics: every ~97th order is
+# mutated (price bumped, date shifted, and MOVED to another customer)
+# and upserted by o_orderkey into the hub built from the original rows.
+# Moving a row across window partitions is the trap: the o_custkey group
+# it LEAVES must recompute its ranks too, so the pruned recompute covers
+# displaced-old plus incoming-new window keys
+# (compiler.incremental_upsert).  Oracle = full rebuild on the mutated
+# raw input.
+# ---------------------------------------------------------------------------
+
+_UPSERT_PRED = "o_orderkey % 97 = 0"
+
+
+def engine_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dataforge_core_spark.runner import ProjectRunner
+    from dataforge_core_spark.sources.readers import read_source
+
+    project, orders = _orders_only_project()
+    runner = ProjectRunner(
+        spark, project, {"DATA_DIR": sf_dir}, persist_hubs=False
+    )
+    raw = read_source(spark, orders, {"DATA_DIR": sf_dir})
+    mutated = (
+        raw.filter(_UPSERT_PRED)
+        .withColumn("o_custkey", F.expr("o_custkey + 1"))
+        .withColumn("o_totalprice", F.expr("o_totalprice + 1000"))
+        .withColumn("o_orderdate", F.expr("o_orderdate + INTERVAL 30 DAYS"))
+    )
+    existing = runner.compiler.compile_source(orders, raw, {})
+    updated = runner.compiler.incremental_upsert(
+        orders, existing, mutated, ["o_orderkey"], {}
+    )
+    return canonicalize(updated)
+
+
+# full rebuild over the mutated raw rows: shadow the orders view with the
+# same mutation and reuse the orders-hub oracle body
+_UPSERT_ORACLE = (
+    """
+WITH orders_m AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN o_custkey + 1
+              ELSE o_custkey END AS o_custkey,
+         o_orderstatus,
+         CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1000
+              ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % 97 = 0
+              THEN o_orderdate + INTERVAL 30 DAY
+              ELSE o_orderdate END AS o_orderdate,
+         o_orderpriority
+  FROM orders
+)
+"""
+    + _ORDERS_HUB_ORACLE.replace("FROM orders", "FROM orders_m")
+)
+
+
+# ---------------------------------------------------------------------------
 # O3 — INTERSECT / EXCEPT output channels (extension; absent from the
 # reference's generator, SURVEY §2.6).  Channels combine
 # left-associatively: (positive-balance customers) INTERSECT (customers
@@ -971,6 +1029,7 @@ def queries():
         "engine_import_diff": engine_import_diff,
         "engine_set_ops": engine_set_ops,
         "engine_incremental": engine_incremental,
+        "engine_upsert": engine_upsert,
     }
 
 
@@ -986,4 +1045,5 @@ def oracles():
         "engine_import_diff": _IMPORT_DIFF_ORACLE,
         "engine_set_ops": _SET_OPS_ORACLE,
         "engine_incremental": _ORDERS_HUB_ORACLE,
+        "engine_upsert": _UPSERT_ORACLE,
     }

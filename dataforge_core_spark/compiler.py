@@ -311,6 +311,34 @@ class SourceCompiler:
             return ("unconfined", None)
         return ("keys", list(key_sets[0]))
 
+    @staticmethod
+    def _nullsafe_key_split(
+        df: DataFrame, sel: DataFrame, keys: list[str]
+    ) -> tuple[DataFrame, DataFrame]:
+        """Split ``df`` into (rows whose ``keys`` tuple appears in
+        ``sel``, rows whose tuple does not) using null-safe equality.
+
+        Spark windows place all NULL partition-key values in ONE group,
+        so a NULL-keyed partition that gains or loses rows must be
+        recomputed like any other.  A plain ``join(sel, keys, "left_semi")``
+        uses ``=`` semantics — NULL keys never match, so NULL-key rows
+        would silently land on the "unchanged" side and keep stale window
+        columns.  ``eqNullSafe`` (SQL ``<=>``) keeps them on the correct
+        side; Catalyst still extracts EqualNullSafe conjuncts as hash
+        join keys (coalesced), so this stays a shuffled/broadcast hash
+        join — no plan downgrade at scale.
+        """
+        left = df.alias("_nk_l")
+        right = sel.alias("_nk_r")
+        cond = None
+        for k in keys:
+            c = F.col(f"_nk_l.`{k}`").eqNullSafe(F.col(f"_nk_r.`{k}`"))
+            cond = c if cond is None else (cond & c)
+        return (
+            left.join(right, cond, "left_semi"),
+            left.join(right, cond, "left_anti"),
+        )
+
     def recalculate_pruned(
         self,
         source: Source,
@@ -339,8 +367,7 @@ class SourceCompiler:
                 "partition by the same raw attribute columns"
             )
         sel = changed_keys.select(*keys).distinct()
-        changed = existing.join(sel, keys, "left_semi")
-        unchanged = existing.join(sel, keys, "left_anti")
+        changed, unchanged = self._nullsafe_key_split(existing, sel, keys)
         return self.recalculate(source, changed, hubs).unionByName(unchanged)
 
     def incremental_append(
@@ -381,8 +408,7 @@ class SourceCompiler:
             return merged
         if status == "keys":
             sel = appended.select(*keys).distinct()
-            changed = merged.join(sel, keys, "left_semi")
-            unchanged = merged.join(sel, keys, "left_anti")
+            changed, unchanged = self._nullsafe_key_split(merged, sel, keys)
             changed = self.recalculate(
                 source, changed, hubs, affected=affected
             )
@@ -414,8 +440,12 @@ class SourceCompiler:
         """
         replaced = self._compile(source, new_base, hubs)
         key_sel = replaced.select(*upsert_keys).distinct()
-        displaced = existing.join(key_sel, upsert_keys, "left_semi")
-        kept = existing.join(key_sel, upsert_keys, "left_anti")
+        # Null-safe match: a NULL-keyed incoming row REPLACES the
+        # NULL-keyed existing rows (re-running the same upsert is a
+        # no-op); plain ``=`` would append a fresh copy every run.
+        displaced, kept = self._nullsafe_key_split(
+            existing, key_sel, upsert_keys
+        )
         merged = kept.unionByName(replaced)
         affected = self.recalculation_closure(source)
         affected |= {r.name for r in source.rules if r.unique}
@@ -430,8 +460,7 @@ class SourceCompiler:
                 .unionByName(displaced.select(*keys))
                 .distinct()
             )
-            changed = merged.join(sel, keys, "left_semi")
-            unchanged = merged.join(sel, keys, "left_anti")
+            changed, unchanged = self._nullsafe_key_split(merged, sel, keys)
             changed = self.recalculate(
                 source, changed, hubs, affected=affected
             )

@@ -181,6 +181,97 @@ def test_incremental_append_refreshes_uniqueness_flags(spark, tmp_path):
     )
 
 
+def test_incremental_append_null_partition_key(spark):
+    """Spark windows put every NULL partition-key row in ONE group, so an
+    appended NULL-key row must force recomputation of the existing
+    NULL-key rows' window columns.  Plain ``=`` semi/anti pruning would
+    leave them on the 'unchanged' side with stale values (ADVICE r5)."""
+    from dataforge_core_spark.compiler import SourceCompiler
+    from dataforge_core_spark.loader import parse_source_dict
+    from dataforge_core_spark.model import Project
+
+    src = parse_source_dict(
+        {
+            "source_name": "n_src",
+            "source_table": "n_src_view",
+            "target_table": "hub_n_src",
+            "raw_attributes": ["id long", "grp string", "amt long"],
+            "rules": [
+                {
+                    "name": "grp_total",
+                    "expression": (
+                        "SUM([This].amt) OVER (PARTITION BY [This].grp)"
+                    ),
+                },
+            ],
+        }
+    )
+    compiler = SourceCompiler(spark, Project(sources=[src]))
+    base = spark.createDataFrame(
+        [(1, None, 10), (2, "x", 5)], "id long, grp string, amt long"
+    )
+    inc = spark.createDataFrame(
+        [(3, None, 7)], "id long, grp string, amt long"
+    )
+    # the pruned path must be the one exercised
+    assert compiler._window_confinement(
+        src, compiler.recalculation_closure(src)
+    ) == ("keys", ["grp"])
+    existing = compiler.compile_source(src, base, {})
+    updated = compiler.incremental_append(src, existing, inc, {})
+    totals = {r.id: r.grp_total for r in updated.collect()}
+    # rows 1 and 3 share the NULL group: both must show the merged sum
+    assert totals == {1: 17, 2: 5, 3: 17}
+    full = compiler.compile_source(src, base.unionByName(inc), {})
+    assert sorted(map(tuple, updated.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_incremental_upsert_null_upsert_key(spark):
+    """A NULL-keyed incoming row REPLACES the NULL-keyed existing row
+    (null-safe key match) — re-running the same upsert is a no-op, and
+    the displaced NULL window partition is recomputed."""
+    from dataforge_core_spark.compiler import SourceCompiler
+    from dataforge_core_spark.loader import parse_source_dict
+    from dataforge_core_spark.model import Project
+
+    src = parse_source_dict(
+        {
+            "source_name": "nu_src",
+            "source_table": "nu_src_view",
+            "target_table": "hub_nu_src",
+            "raw_attributes": ["id long", "grp string", "amt long"],
+            "rules": [
+                {
+                    "name": "grp_total",
+                    "expression": (
+                        "SUM([This].amt) OVER (PARTITION BY [This].grp)"
+                    ),
+                },
+            ],
+        }
+    )
+    compiler = SourceCompiler(spark, Project(sources=[src]))
+    base = spark.createDataFrame(
+        [(None, None, 10), (1, "x", 5), (2, None, 3)],
+        "id long, grp string, amt long",
+    )
+    new = spark.createDataFrame(
+        [(None, None, 100)], "id long, grp string, amt long"
+    )
+    existing = compiler.compile_source(src, base, {})
+    updated = compiler.incremental_upsert(src, existing, new, ["id"], {})
+    rows = {r.id: (r.amt, r.grp_total) for r in updated.collect()}
+    # NULL-id row replaced (amt 100), NULL grp partition recomputed
+    assert rows == {None: (100, 103), 1: (5, 5), 2: (3, 103)}
+    # idempotent: same upsert again changes nothing
+    again = compiler.incremental_upsert(src, updated, new, ["id"], {})
+    assert sorted(map(repr, again.collect())) == sorted(
+        map(repr, updated.collect())
+    )
+
+
 def test_incremental_append_equals_full_rebuild_windowed(spark, sf_dir):
     """Window rule path (pruned recompute): appending late rows must
     reproduce the full rebuild bit-for-bit, including ranks of

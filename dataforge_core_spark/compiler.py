@@ -83,7 +83,33 @@ def sub_source_sql(project: Project, graph: RelationGraph, sub: Source) -> str:
     rule composition is resolved by textual substitution in level order
     (lambda scopes have no lateral aliases).  Shared by the DataFrame
     compiler and the SQL emitter — identical artifact semantics.
+
+    Sub-source CHAINS (a sub-source whose parent is itself a
+    sub-source — the reference resolves these with a recursive parent
+    walk, u_enr_query_get_top_most_parent_source_id.sql:19-21) nest as
+    inner ``transform`` lambdas: each child appends a
+    ``'<child_name>', transform(<element array field>, x<d> -> ...)``
+    item to its parent element's named_struct, with one lambda variable
+    per depth so scopes never shadow.  The whole chain stays a single
+    scan-side expression — no explode/re-aggregate, no shuffle, safe at
+    any fan-out.
     """
+    return _sub_source_transform(
+        project, graph, sub, f"`{sub.sub_source_attribute}`", 0
+    )
+
+
+def _sub_source_transform(
+    project: Project,
+    graph: RelationGraph,
+    sub: Source,
+    coll_expr: str,
+    depth: int,
+) -> str:
+    """One level of sub-source enrichment over the collection expression
+    ``coll_expr`` (a column at depth 0, an element field reference
+    inside the enclosing lambda otherwise); recurses into sub-sources of
+    ``sub``."""
     plan = plan_source(project, graph, sub)
     if plan.joins:
         raise ProjectError(
@@ -96,8 +122,9 @@ def sub_source_sql(project: Project, graph: RelationGraph, sub: Source) -> str:
                 f"Sub-source {sub.source_name!r}: window rules are not "
                 f"allowed in element scope ({el.rule.name!r})"
             )
+    var = "x" if depth == 0 else f"x{depth}"
     field_exprs: dict[str, str] = {
-        a.name: f"x.`{a.name}`" for a in sub.raw_attributes
+        a.name: f"{var}.`{a.name}`" for a in sub.raw_attributes
     }
     for level in plan.levels:
         for name in level:
@@ -114,11 +141,27 @@ def sub_source_sql(project: Project, graph: RelationGraph, sub: Source) -> str:
                 )
                 expr = f"CAST({expr} AS {ddl})"
             field_exprs[name] = expr
-    items = ", ".join(f"'{n}', {e}" for n, e in field_exprs.items())
-    return (
-        f"transform(`{sub.sub_source_attribute}`, "
-        f"x -> named_struct({items}))"
-    )
+    items = list(field_exprs.items())
+    for child in project.sources:
+        if child.sub_source_parent != sub.source_name:
+            continue
+        inner_coll = field_exprs.get(child.sub_source_attribute)
+        if inner_coll is None:
+            raise ProjectError(
+                f"Sub-source {child.source_name!r}: parent attribute "
+                f"{child.sub_source_attribute!r} not found on "
+                f"{sub.source_name!r}"
+            )
+        items.append(
+            (
+                child.source_name,
+                _sub_source_transform(
+                    project, graph, child, inner_coll, depth + 1
+                ),
+            )
+        )
+    items_sql = ", ".join(f"'{n}', {e}" for n, e in items)
+    return f"transform({coll_expr}, {var} -> named_struct({items_sql}))"
 
 
 def _rewrite_relation(

@@ -263,6 +263,20 @@ def _validate_references(project: Project) -> None:
                     f"{s.sub_source_attribute!r} not found on "
                     f"{s.sub_source_parent!r}"
                 )
+            # chains must terminate at a non-sub top-most parent (the
+            # reference walks the chain recursively and would loop
+            # forever on a cycle —
+            # u_enr_query_get_top_most_parent_source_id.sql:19-21)
+            seen = {s.source_name}
+            cur = parent
+            while cur is not None and cur.sub_source_parent:
+                if cur.source_name in seen:
+                    raise ProjectError(
+                        f"Sub-source {s.source_name!r}: circular "
+                        "sub-source parent chain"
+                    )
+                seen.add(cur.source_name)
+                cur = by_name.get(cur.sub_source_parent)
     for rel in project.relations:
         left, _, right = rel.decode()
         for s in (left, right):

@@ -313,6 +313,142 @@ FROM net
 """
 
 
+def engine_subsource_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 chains — sub-source OF a sub-source (the reference resolves
+    nested sub-sources via a recursive parent walk,
+    u_enr_query_get_top_most_parent_source_id.sql:19-21): orders ->
+    items -> per-item charges, element rules applied at BOTH depths as
+    nested transform lambdas, then exploded flat for the hashable
+    driver compare."""
+    from dataforge_core_spark.loader import parse_source_dict
+    from dataforge_core_spark.model import Project
+    from dataforge_core_spark.runner import ProjectRunner
+
+    spark.sql(
+        f"""
+        SELECT o.o_orderkey,
+               collect_list(struct(
+                 l.l_linenumber,
+                 CAST(l.l_quantity AS DOUBLE) AS l_quantity,
+                 array(
+                   named_struct('kind', 'tax',
+                                'amount', CAST(l.l_tax AS DOUBLE)),
+                   named_struct('kind', 'disc',
+                                'amount', CAST(l.l_discount AS DOUBLE))
+                 ) AS charges
+               )) AS items
+        FROM parquet.`{sf_dir}/orders.parquet` o
+        JOIN parquet.`{sf_dir}/lineitem.parquet` l
+          ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey
+        """
+    ).createOrReplaceTempView("engine_subsource_chain_src")
+    charges_schema = {
+        "type": "array",
+        "elementType": {
+            "type": "struct",
+            "fields": [
+                {"name": "kind", "type": "string", "nullable": True,
+                 "metadata": {}},
+                {"name": "amount", "type": "double", "nullable": True,
+                 "metadata": {}},
+            ],
+        },
+        "containsNull": True,
+    }
+    items_schema = {
+        "type": "array",
+        "elementType": {
+            "type": "struct",
+            "fields": [
+                {"name": "l_linenumber", "type": "integer",
+                 "nullable": True, "metadata": {}},
+                {"name": "l_quantity", "type": "double",
+                 "nullable": True, "metadata": {}},
+                {"name": "charges", "type": charges_schema,
+                 "nullable": True, "metadata": {}},
+            ],
+        },
+        "containsNull": True,
+    }
+    parent = parse_source_dict(
+        {
+            "source_name": "orders_chain",
+            "source_table": "engine_subsource_chain_src",
+            "target_table": "hub_orders_chain",
+            "raw_attributes": [
+                "o_orderkey long",
+                {"name": "items", "schema": items_schema},
+            ],
+        }
+    )
+    sub = parse_source_dict(
+        {
+            "source_name": "chain_items",
+            "sub_source": {"parent": "orders_chain", "attribute": "items"},
+            "raw_attributes": [
+                "l_linenumber integer",
+                "l_quantity double",
+                {"name": "charges", "schema": charges_schema},
+            ],
+            "rules": [
+                {"name": "qty_x2", "expression": "[This].l_quantity * 2"},
+            ],
+        }
+    )
+    subsub = parse_source_dict(
+        {
+            "source_name": "chain_charges",
+            "sub_source": {"parent": "chain_items", "attribute": "charges"},
+            "raw_attributes": ["kind string", "amount double"],
+            "rules": [
+                {"name": "amount_x2", "expression": "[This].amount * 2"},
+                {"name": "is_tax", "expression": "[This].kind = 'tax'"},
+            ],
+        }
+    )
+    project = Project(sources=[parent, sub, subsub])
+    hub = ProjectRunner(spark, project, persist_hubs=False).build()[
+        "orders_chain"
+    ]
+    return (
+        hub.select("o_orderkey", F.explode("chain_items").alias("it"))
+        .select(
+            "o_orderkey",
+            F.col("it.l_linenumber").alias("l_linenumber"),
+            F.col("it.qty_x2").alias("qty_x2"),
+            F.explode("it.chain_charges").alias("ch"),
+        )
+        .select(
+            "o_orderkey",
+            "l_linenumber",
+            "qty_x2",
+            F.col("ch.kind").alias("kind"),
+            F.col("ch.amount_x2").alias("amount_x2"),
+            F.col("ch.is_tax").alias("is_tax"),
+        )
+    )
+
+
+_SUBSOURCE_CHAIN_ORACLE = """
+WITH charges AS (
+  SELECT l_orderkey, l_linenumber, l_quantity, 'tax' AS kind,
+         CAST(l_tax AS DOUBLE) AS amount
+  FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, l_quantity, 'disc',
+         CAST(l_discount AS DOUBLE)
+  FROM lineitem
+)
+SELECT o.o_orderkey, c.l_linenumber,
+       CAST(c.l_quantity AS DOUBLE) * 2 AS qty_x2,
+       c.kind,
+       c.amount * 2 AS amount_x2,
+       c.kind = 'tax' AS is_tax
+FROM charges c JOIN orders o ON o.o_orderkey = c.l_orderkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # P7 — struct-key output mappings `attr.key col`
 # (impc_parse_mapping.sql:25,39; u_get_struct_key_datatype.sql:1-45) plus
@@ -1023,6 +1159,7 @@ def queries():
         "engine_recalc": engine_recalc,
         "engine_sql_artifact": engine_sql_artifact,
         "engine_subsource": engine_subsource,
+        "engine_subsource_chain": engine_subsource_chain,
         "engine_struct_keys": engine_struct_keys,
         "engine_agg_whitelist": engine_agg_whitelist,
         "engine_output_sinks": engine_output_sinks,
@@ -1039,6 +1176,7 @@ def oracles():
         "engine_recalc": _ORDERS_HUB_ORACLE,
         "engine_sql_artifact": _ORDERS_HUB_ORACLE,
         "engine_subsource": _SUBSOURCE_ORACLE,
+        "engine_subsource_chain": _SUBSOURCE_CHAIN_ORACLE,
         "engine_struct_keys": _STRUCT_KEYS_ORACLE,
         "engine_agg_whitelist": _AGG_WHITELIST_ORACLE,
         "engine_output_sinks": _OUTPUT_SINKS_ORACLE,

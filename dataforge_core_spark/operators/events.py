@@ -170,6 +170,13 @@ def events_asof_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     join+argmax form multiplied the two).  The packing keeps the pick
     total-ordered (max orderkey among date ties), identical to the
     join+argmax semantics the oracle still expresses.
+
+    Assumes event rows are unique: this form emits one output row per
+    event row, while the oracle's GROUP BY (event_id, user_id, ts)
+    would collapse exact-duplicate events into one.  The events table
+    has unique event_ids (asserted by
+    tests/test_events.py::test_events_event_id_unique); an input with
+    duplicated event rows should be exact-deduped first.
     """
     _views(spark, sf_dir)
     return spark.sql(

@@ -148,6 +148,204 @@ def test_sub_source_sql_artifact(spark, nested_parquet, tmp_path):
     assert norm(sql_df) == norm(df)
 
 
+def _chain_project(path):
+    """orders -> items -> charges: a sub-source OF a sub-source."""
+    from dataforge_core_spark.loader import parse_source_dict
+    from dataforge_core_spark.model import Project
+
+    charges_schema = {
+        "type": "array",
+        "elementType": {
+            "type": "struct",
+            "fields": [
+                {"name": "kind", "type": "string", "nullable": True,
+                 "metadata": {}},
+                {"name": "amount", "type": "double", "nullable": True,
+                 "metadata": {}},
+            ],
+        },
+        "containsNull": True,
+    }
+    items_schema = {
+        "type": "array",
+        "elementType": {
+            "type": "struct",
+            "fields": [
+                {"name": "l_linenumber", "type": "integer",
+                 "nullable": True, "metadata": {}},
+                {"name": "l_quantity", "type": "double",
+                 "nullable": True, "metadata": {}},
+                {"name": "charges", "type": charges_schema,
+                 "nullable": True, "metadata": {}},
+            ],
+        },
+        "containsNull": True,
+    }
+    parent = parse_source_dict(
+        {
+            "source_name": "orders_c",
+            "source_table": path,
+            "target_table": "hub_orders_c",
+            "raw_attributes": [
+                "o_orderkey long",
+                {"name": "items", "schema": items_schema},
+            ],
+        }
+    )
+    sub = parse_source_dict(
+        {
+            "source_name": "c_items",
+            "sub_source": {"parent": "orders_c", "attribute": "items"},
+            "raw_attributes": [
+                "l_linenumber integer",
+                "l_quantity double",
+                {"name": "charges", "schema": charges_schema},
+            ],
+            "rules": [
+                {"name": "qty_x2", "expression": "[This].l_quantity * 2"},
+            ],
+        }
+    )
+    subsub = parse_source_dict(
+        {
+            "source_name": "c_charges",
+            "sub_source": {"parent": "c_items", "attribute": "charges"},
+            "raw_attributes": ["kind string", "amount double"],
+            "rules": [
+                {"name": "amount_x2", "expression": "[This].amount * 2"},
+                {"name": "is_tax", "expression": "[This].kind = 'tax'"},
+            ],
+        }
+    )
+    return Project(sources=[parent, sub, subsub])
+
+
+@pytest.fixture(scope="module")
+def chain_parquet(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("subsource_chain") / "orders_chain")
+    spark.sql(
+        f"""
+        SELECT o.o_orderkey,
+               collect_list(struct(
+                 l.l_linenumber,
+                 CAST(l.l_quantity AS DOUBLE) AS l_quantity,
+                 array(
+                   named_struct('kind', 'tax',
+                                'amount', CAST(l.l_tax AS DOUBLE)),
+                   named_struct('kind', 'disc',
+                                'amount', CAST(l.l_discount AS DOUBLE))
+                 ) AS charges
+               )) AS items
+        FROM parquet.`{sf_dir}/orders.parquet` o
+        JOIN parquet.`{sf_dir}/lineitem.parquet` l
+          ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey
+        """
+    ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_sub_source_chain(spark, chain_parquet):
+    """Two-level chain: element rules apply at BOTH depths, each child
+    packed as an extra struct field of its parent element."""
+    from pyspark.sql import functions as F
+
+    from dataforge_core_spark.runner import ProjectRunner
+
+    project = _chain_project(chain_parquet)
+    hub = ProjectRunner(spark, project, persist_hubs=False).build()[
+        "orders_c"
+    ]
+    el = hub.schema["c_items"].dataType.elementType
+    assert [f.name for f in el.fields] == [
+        "l_linenumber", "l_quantity", "charges", "qty_x2", "c_charges",
+    ]
+    inner = el["c_charges"].dataType.elementType
+    assert [f.name for f in inner.fields] == [
+        "kind", "amount", "amount_x2", "is_tax",
+    ]
+    flat = (
+        hub.select("o_orderkey", F.explode("c_items").alias("it"))
+        .select(
+            "o_orderkey",
+            F.col("it.l_linenumber").alias("ln"),
+            F.col("it.qty_x2").alias("qty_x2"),
+            F.explode("it.c_charges").alias("ch"),
+        )
+        .select(
+            "o_orderkey", "ln", "qty_x2",
+            F.col("ch.kind").alias("kind"),
+            F.col("ch.amount_x2").alias("amount_x2"),
+            F.col("ch.is_tax").alias("is_tax"),
+        )
+    )
+    expect = spark.sql(
+        f"""
+        SELECT o_orderkey, it.l_linenumber AS ln,
+               it.l_quantity * 2 AS qty_x2,
+               ch.kind, ch.amount * 2 AS amount_x2,
+               ch.kind = 'tax' AS is_tax
+        FROM parquet.`{chain_parquet}`
+        LATERAL VIEW explode(items) t AS it
+        LATERAL VIEW explode(it.charges) u AS ch
+        """
+    )
+    key = lambda r: (r["o_orderkey"], r["ln"], r["kind"])  # noqa: E731
+    got = {key(r): (r["qty_x2"], r["amount_x2"], r["is_tax"])
+           for r in flat.collect()}
+    want = {key(r): (r["qty_x2"], r["amount_x2"], r["is_tax"])
+            for r in expect.collect()}
+    assert got == want
+
+
+def test_sub_source_chain_sql_artifact(spark, chain_parquet, tmp_path):
+    """The emitted run.sql reproduces the chained DataFrame result."""
+    import shutil
+
+    from dataforge_core_spark.runner import ProjectRunner
+    from dataforge_core_spark.sql_emitter import SqlEmitter, run_statements
+
+    shutil.rmtree("spark-warehouse", ignore_errors=True)
+    project = _chain_project(chain_parquet)
+    emitter = SqlEmitter(project, spark=spark)
+    run_sql = emitter.emit_all(str(tmp_path))
+    run_statements(spark, run_sql)
+    sql_df = spark.table("hub_orders_c")
+    df = ProjectRunner(spark, project, persist_hubs=False).build()[
+        "orders_c"
+    ]
+    cols = sorted(df.columns)
+    norm = lambda d: sorted(  # noqa: E731
+        tuple(repr(r[c]) for c in cols) for r in d.collect()
+    )
+    assert norm(sql_df) == norm(df)
+
+
+def test_sub_source_cycle_rejected(spark):
+    from dataforge_core_spark.loader import parse_source_dict
+    from dataforge_core_spark.model import Project, ProjectError
+
+    a = parse_source_dict(
+        {
+            "source_name": "a",
+            "sub_source": {"parent": "b", "attribute": "arr"},
+            "raw_attributes": ["arr string"],
+        }
+    )
+    b = parse_source_dict(
+        {
+            "source_name": "b",
+            "sub_source": {"parent": "a", "attribute": "arr"},
+            "raw_attributes": ["arr string"],
+        }
+    )
+    with pytest.raises(ProjectError, match="circular"):
+        Project(sources=[a, b]).validate_names()
+        from dataforge_core_spark.loader import _validate_references
+
+        _validate_references(Project(sources=[a, b]))
+
+
 def test_sub_source_rejects_lookups(spark, nested_parquet):
     from dataforge_core_spark.loader import parse_source_dict
     from dataforge_core_spark.model import Project, ProjectError

@@ -177,9 +177,11 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.build:
+        from dataforge_core_spark.probe import ProbeStore, set_probe_store
         from dataforge_core_spark.session import get_spark
         from dataforge_core_spark.sql_emitter import SqlEmitter
 
+        set_probe_store(ProbeStore(args.state))
         project = load_project(args.build)
         # a local session is part of --build, as in the reference (type
         # probes run on local Spark at import time — miniSparky.py)
@@ -204,11 +206,20 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.validate:
-        from dataforge_core_spark.probe import validate_project
+        from dataforge_core_spark.probe import (
+            ProbeStore,
+            set_probe_store,
+            validate_project,
+        )
         from dataforge_core_spark.session import get_spark
 
         project = load_project(args.validate)
         spark = get_spark(app_name="dataforge_validate")
+        # persist inferred types across runs in the MetaStore state dir
+        # (the reference stores them in its metadata DB —
+        # impc_update_test_results.sql:80-83): a re-validate of an
+        # unchanged project issues zero probe jobs
+        set_probe_store(ProbeStore(args.state))
         failures = 0
         for row in validate_project(spark, project):
             if row["status"] == "error":

@@ -94,6 +94,14 @@ class MetaStore:
             json.dump(self.state, f, indent=1, sort_keys=True)
         os.replace(tmp, self.path)  # atomic on POSIX
 
+    def probe_store(self):
+        """Persistent probe-result cache living alongside this store —
+        the analogue of the reference persisting inferred expression
+        types in its metadata DB (impc_update_test_results.sql:80-83)."""
+        from dataforge_core_spark.probe import ProbeStore
+
+        return ProbeStore(self.state_dir)
+
     def to_project(self, name: str = "project") -> Project:
         """Reconstruct the model from stored bodies (stable id order)."""
         from dataforge_core_spark.loader import (

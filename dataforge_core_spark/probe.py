@@ -122,11 +122,88 @@ def build_probe_sql(
 # (~100 ms Spark job each).  Error results are NOT cached: they can be
 # transient session failures, and permanent analysis errors re-raise
 # identically on re-run.
+import hashlib
+import json
+import os
 import weakref
 
 _probe_cache: "weakref.WeakKeyDictionary[SparkSession, dict[str, ProbeResult]]"
 _probe_cache = weakref.WeakKeyDictionary()
-probe_stats = {"runs": 0, "hits": 0}
+probe_stats = {"runs": 0, "hits": 0, "store_hits": 0}
+
+
+class ProbeStore:
+    """CROSS-RUN probe-result persistence: ``probe_cache.json`` in a
+    MetaStore state dir, keyed by sha256 of the probe SQL (which is a
+    pure function of expression + parameter types over a constant
+    literal view).  The reference persists inferred expression types in
+    its metadata DB the same way (impc_update_test_results.sql:80-83);
+    this is its file-backed analogue, so a re-validate / re-build of an
+    unchanged project issues ZERO probe Spark jobs.
+
+    Entries record the Spark version they were probed under and are
+    ignored on mismatch (type-inference rules can change between
+    releases).  Only success/warning results persist — errors may be
+    transient session failures.  Writes are atomic (tmp + rename), one
+    small JSON per project state dir.
+    """
+
+    FILE = "probe_cache.json"
+
+    def __init__(self, state_dir: str):
+        import pyspark
+
+        self.state_dir = state_dir
+        self.path = os.path.join(state_dir, self.FILE)
+        self._version = pyspark.__version__
+        self._data: dict[str, dict] = {}
+        if os.path.isfile(self.path):
+            try:
+                with open(self.path) as f:
+                    self._data = json.load(f)
+            except (OSError, ValueError):
+                self._data = {}
+
+    @staticmethod
+    def _key(sql: str) -> str:
+        return hashlib.sha256(sql.encode()).hexdigest()
+
+    def get(self, sql: str) -> ProbeResult | None:
+        e = self._data.get(self._key(sql))
+        if e is None or e.get("spark") != self._version:
+            return None
+        return ProbeResult(
+            status=e["status"],
+            data_type=e.get("data_type"),
+            schema_json=e.get("schema_json"),
+            message=e.get("message"),
+        )
+
+    def put(self, sql: str, res: ProbeResult) -> None:
+        self._data[self._key(sql)] = {
+            "spark": self._version,
+            "status": res.status,
+            "data_type": res.data_type,
+            "schema_json": res.schema_json,
+            "message": res.message,
+        }
+        os.makedirs(self.state_dir, exist_ok=True)
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._data, f, indent=1, sort_keys=True)
+        os.replace(tmp, self.path)
+
+
+_probe_store: ProbeStore | None = None
+
+
+def set_probe_store(store: ProbeStore | None) -> ProbeStore | None:
+    """Install (or clear) the persistent probe store; returns the
+    previous one so callers can restore it."""
+    global _probe_store
+    prev = _probe_store
+    _probe_store = store
+    return prev
 
 
 def run_probe(
@@ -140,11 +217,19 @@ def run_probe(
     if cached is not None:
         probe_stats["hits"] += 1
         return cached
+    if _probe_store is not None:
+        stored = _probe_store.get(sql)
+        if stored is not None:
+            probe_stats["store_hits"] += 1
+            session_cache[sql] = stored
+            return stored
     probe_stats["runs"] += 1
     ensure_datatypes_view(spark)
     res = _run_probe_uncached(spark, sql)
     if res.status != "error":
         session_cache[sql] = res
+        if _probe_store is not None:
+            _probe_store.put(sql, res)
     return res
 
 

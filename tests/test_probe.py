@@ -109,3 +109,53 @@ def test_probe_cache_no_requery(spark):
     assert probe_stats["runs"] == runs_after_first, "probe re-queried"
     assert probe_stats["hits"] >= len(second)
     assert [r["status"] for r in first] == [r["status"] for r in second]
+
+
+def test_probe_store_cross_run_persistence(spark, tmp_path):
+    """A fresh session (simulated by dropping the per-session cache)
+    resolves an already-probed expression from the file-backed
+    ProbeStore without issuing a probe query (the reference persists
+    inferred types in its metadata DB, impc_update_test_results.sql)."""
+    from dataforge_core_spark import probe
+
+    store = probe.ProbeStore(str(tmp_path))
+    prev = probe.set_probe_store(store)
+    try:
+        probe._probe_cache.pop(spark, None)
+        expr = "concat([This].a, '-', [This].b) || 'probe-store-test'"
+        runs0 = probe.probe_stats["runs"]
+        r1 = probe.run_probe(spark, expr)
+        assert probe.probe_stats["runs"] == runs0 + 1
+        assert r1.status == "success" and r1.data_type == "string"
+        # simulate a brand-new session: session cache gone, store remains
+        probe._probe_cache.pop(spark, None)
+        store2 = probe.ProbeStore(str(tmp_path))  # re-read from disk
+        probe.set_probe_store(store2)
+        hits0 = probe.probe_stats["store_hits"]
+        r2 = probe.run_probe(spark, expr)
+        assert probe.probe_stats["runs"] == runs0 + 1  # no new probe job
+        assert probe.probe_stats["store_hits"] == hits0 + 1
+        assert (r2.status, r2.data_type) == (r1.status, r1.data_type)
+    finally:
+        probe.set_probe_store(prev)
+
+
+def test_validate_cli_second_run_zero_probes(spark, tmp_path):
+    """`--validate --state DIR` twice: the second run issues ZERO probe
+    queries even from a cold session cache — results come from the
+    persisted probe_cache.json."""
+    from dataforge_core_spark import probe
+    from dataforge_core_spark.cli import main
+
+    state = str(tmp_path / "state")
+    prev = probe.set_probe_store(None)
+    try:
+        probe._probe_cache.pop(spark, None)
+        assert main(["--validate", "projects/tpch_demo", "--state", state]) == 0
+        assert probe._probe_store is not None  # CLI installed the store
+        runs_after_first = probe.probe_stats["runs"]
+        probe._probe_cache.pop(spark, None)  # simulate a new session
+        assert main(["--validate", "projects/tpch_demo", "--state", state]) == 0
+        assert probe.probe_stats["runs"] == runs_after_first
+    finally:
+        probe.set_probe_store(prev)

@@ -215,15 +215,22 @@ def _jaccard_verify(ex: DataFrame, cand: DataFrame) -> DataFrame:
 # skew guard: a band bucket holding > MAX_BAND_BUCKET docs contributes
 # O(n^2) candidate pairs while carrying almost no signal (it means 1/BANDS
 # of the signature collided across a huge set — boilerplate/empty docs).
-# Dropping oversized buckets caps the worst key's join fan-out; the same
-# rule is applied in the oracle so results stay engine-identical.
+# Oversized buckets are SALTED: their docs split into ceil(n/MAX)
+# deterministic residue groups (doc_id % nsalt) and pairs generate only
+# within a group, capping the worst key's join fan-out at ~MAX^2 rows
+# while keeping partial recall (a hot-bucket pair survives when both
+# docs share a residue — probability 1/nsalt per band, and the other
+# bands still contribute their full recall).  The same rule is applied
+# in the oracle so results stay engine-identical.
 MAX_BAND_BUCKET = 1000
 
 
 _pairs_cache: dict = {}
 
 
-def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash(
+    spark: SparkSession, sf_dir: str, max_band_bucket: int | None = None
+) -> DataFrame:
     """MinHash/LSH candidate pairs + exact-Jaccard verification.
 
     The verified pair set is persisted per (session, sf): the clustering
@@ -231,7 +238,8 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     both driver rows (at scale: the stored near-dup pair table)."""
     from pyspark.sql import functions as F
 
-    key = (id(spark), sf_dir)
+    cap = MAX_BAND_BUCKET if max_band_bucket is None else max_band_bucket
+    key = (id(spark), sf_dir, cap)
     if key in _pairs_cache:
         return _pairs_cache[key]
 
@@ -250,20 +258,29 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.selectExpr(
         "doc_id", f"explode(array({keys})) AS band_key"
     )
-    # oversized-bucket guard: the heavy-key set is tiny by construction,
-    # so it broadcasts and the exclusion is a map-side anti join
+    # oversized-bucket salting: the heavy-key table is tiny by
+    # construction, so attaching nsalt is a map-side broadcast join;
+    # normal buckets get nsalt 1 (salt 0 both sides — unchanged)
     heavy = (
         bands.groupBy("band_key")
         .count()
-        .filter(F.col("count") > MAX_BAND_BUCKET)
-        .select("band_key")
+        .filter(F.col("count") > cap)
+        .select(
+            "band_key",
+            F.ceil(F.col("count") / cap).alias("nsalt"),
+        )
     )
-    bands = bands.join(F.broadcast(heavy), "band_key", "left_anti")
-    b2 = bands.toDF("band_key_b", "doc_id_b")
+    salted = bands.join(F.broadcast(heavy), "band_key", "left").select(
+        F.col("band_key"),
+        F.col("doc_id"),
+        F.expr("doc_id % coalesce(nsalt, 1)").alias("salt"),
+    )
+    b2 = salted.toDF("band_key_b", "doc_id_b", "salt_b")
     cand = (
-        bands.join(
+        salted.join(
             b2,
             (F.col("band_key") == F.col("band_key_b"))
+            & (F.col("salt") == F.col("salt_b"))
             & (F.col("doc_id") < F.col("doc_id_b")),
         )
         .select(
@@ -276,7 +293,8 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-_DEDUP_MINHASH_ORACLE = f"""
+def _minhash_oracle(max_band_bucket: int = MAX_BAND_BUCKET) -> str:
+    return f"""
 WITH ex AS ({_duck_ex_sql()}),
 hx AS (SELECT doc_id, s % {_P} AS h FROM ex),
 sig AS (
@@ -289,17 +307,20 @@ bands AS (
            AS band_key
   FROM sig
 ),
-ok_bands AS (
-  SELECT doc_id, band_key FROM bands
-  WHERE band_key NOT IN (
-    SELECT band_key FROM bands
-    GROUP BY band_key HAVING COUNT(*) > {MAX_BAND_BUCKET}
-  )
+heavy AS (
+  SELECT band_key,
+         CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / {max_band_bucket}) AS BIGINT)
+           AS nsalt
+  FROM bands GROUP BY band_key HAVING COUNT(*) > {max_band_bucket}
+),
+salted AS (
+  SELECT b.doc_id, b.band_key, b.doc_id % COALESCE(h.nsalt, 1) AS salt
+  FROM bands b LEFT JOIN heavy h ON b.band_key = h.band_key
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM ok_bands a JOIN ok_bands b
-    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+  FROM salted a JOIN salted b
+    ON a.band_key = b.band_key AND a.salt = b.salt AND a.doc_id < b.doc_id
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
 inter AS (
@@ -398,7 +419,7 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 # min-label reachability: lab reaches node along (undirected) edges; the
 # component minimum is MIN over all labels that reach the node
 _DEDUP_CLUSTER_ORACLE = f"""
-WITH RECURSIVE pairs AS ({_DEDUP_MINHASH_ORACLE}),
+WITH RECURSIVE pairs AS ({_minhash_oracle()}),
 nodes AS (SELECT doc_id FROM documents),
 edges AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -507,7 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracles() -> dict[str, str]:
     return {
         "dedup_exact": _DEDUP_EXACT_ORACLE,
-        "dedup_minhash": _DEDUP_MINHASH_ORACLE,
+        "dedup_minhash": _minhash_oracle(),
         "dedup_cluster": _DEDUP_CLUSTER_ORACLE,
         "dedup_ngram_jaccard": _DEDUP_NGRAM_ORACLE,
     }

@@ -21,6 +21,60 @@ def _write_docs(spark, tmp_path):
     return sf
 
 
+def test_hot_band_bucket_salted(spark, tmp_path):
+    """An oversized LSH band bucket is SALTED (pairs within doc_id %
+    ceil(n/cap) residue groups) rather than dropped: partial recall is
+    kept, the per-key fan-out is capped, and the DuckDB oracle applies
+    the identical rule."""
+    from dataforge_core_spark.operators import dedup
+
+    # 10 identical docs -> identical signatures -> every band is one
+    # 10-doc bucket; plus one near-dup pair in a normal-sized bucket
+    docs = [
+        *[(i, "red orange yellow green blue indigo violet")
+          for i in range(1, 11)],
+        # identical pair -> all 4 bands collide deterministically, in a
+        # normal-sized (2-doc) bucket
+        (21, "one two three four five six"),
+        (22, "one two three four five six"),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    cap = 4  # nsalt = ceil(10/4) = 3 for the hot bucket
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.dedup_minhash(spark, sf, max_band_bucket=cap)
+        .collect()
+    }
+    # partial recall: exactly the same-residue pairs of the hot bucket
+    hot = {(a, b) for (a, b) in got if a <= 10 and b <= 10}
+    expect_hot = {
+        (a, b)
+        for a in range(1, 11)
+        for b in range(a + 1, 11)
+        if a % 3 == b % 3
+    }
+    assert hot == expect_hot and len(hot) == 12
+    # normal bucket untouched (salt 0): the real near-dup pair survives
+    assert (21, 22) in got
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    want = {
+        (a, b): j
+        for a, b, j in con.execute(dedup._minhash_oracle(cap)).fetchall()
+    }
+    assert got == want
+
+
 def test_hot_shingle_guard(spark, tmp_path):
     from dataforge_core_spark.operators import dedup
 

@@ -50,6 +50,9 @@ Coverage map (SURVEY.md §2 -> query):
   §2.9 streaming (extension) -> stream_hourly (watermarked window agg on
                                 the streaming engine), stream_attribution
                                 (watermarked stream-stream join),
+                                stream_attribution_outer (LEFT-OUTER
+                                stream-stream join; unmatched clicks
+                                emitted by watermark state expiry),
                                 stream_sessionize (applyInPandasWithState
                                 custom stateful operator);
                                 tests/test_streaming.py (batch parity)

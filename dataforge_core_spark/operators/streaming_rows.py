@@ -118,6 +118,68 @@ WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 """
 
 
+def stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER watermarked stream-stream join: unconverted clicks are
+    emitted with NULL purchase columns by STATE EXPIRY — the engine
+    releases a left row only once the watermark proves no matching
+    purchase can still arrive (click_ts + within < watermark).
+
+    Determinism note (what the oracle must express): each side carries
+    its own watermark over its filtered sub-stream, and the global
+    watermark is their MINIMUM — min(max click ts, max purchase ts) -
+    delay.  Clicks younger than (watermark - within) remain in state at
+    end-of-stream and are deliberately NOT emitted; a live deployment
+    would flush them as later data advances the watermark."""
+    from dataforge_core_spark.streaming import (
+        attribution_join,
+        stream_events,
+    )
+
+    joined = attribution_join(
+        stream_events(spark, sf_dir), how="left_outer"
+    )
+    out = _run_to_memory(
+        joined, "drv_stream_attribution_outer", spark, "append"
+    )
+    return out.select(
+        "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts",
+        F.col("value").cast("double").alias("value"),
+    )
+
+
+_ATTRIBUTION_OUTER_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, value
+  FROM events WHERE event_type = 'purchase'
+),
+m AS (
+  SELECT c.user_id, c.click_id, p.purchase_id, c.click_ts, p.purchase_ts,
+         CAST(p.value AS DOUBLE) AS value
+  FROM c JOIN p
+    ON c.user_id = p.user_id
+   AND p.purchase_ts >= c.click_ts
+   AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+),
+wm AS (
+  SELECT least((SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+               (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'))
+         - INTERVAL 2 HOUR AS w
+)
+SELECT * FROM m
+UNION ALL
+SELECT c.user_id, c.click_id, CAST(NULL AS BIGINT) AS purchase_id,
+       c.click_ts, CAST(NULL AS TIMESTAMP) AS purchase_ts,
+       CAST(NULL AS DOUBLE) AS value
+FROM c, wm
+WHERE c.click_ts + INTERVAL 1 HOUR < wm.w
+  AND NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = c.click_id)
+"""
+
+
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful sessionization (applyInPandasWithState) run to
     completion over the finite stream.
@@ -169,6 +231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stream_hourly": stream_hourly,
         "stream_attribution": stream_attribution,
+        "stream_attribution_outer": stream_attribution_outer,
         "stream_sessionize": stream_sessionize,
     }
 
@@ -177,5 +240,6 @@ def oracles() -> dict[str, str]:
     return {
         "stream_hourly": _HOURLY_ORACLE,
         "stream_attribution": _ATTRIBUTION_ORACLE,
+        "stream_attribution_outer": _ATTRIBUTION_OUTER_ORACLE,
         "stream_sessionize": _SESSIONIZE_ORACLE,
     }

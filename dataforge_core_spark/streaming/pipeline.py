@@ -218,10 +218,19 @@ def stream_stream_join(
     return l.join(r, cond, how)
 
 
-def attribution_join(stream: DataFrame, within: str = "1 hour") -> DataFrame:
+def attribution_join(
+    stream: DataFrame, within: str = "1 hour", how: str = "inner"
+) -> DataFrame:
     """Click-to-purchase attribution: each purchase joined to the same
     user's clicks in the preceding ``within`` interval — the canonical
-    stream-stream join (ad-tech attribution) over the events stream."""
+    stream-stream join (ad-tech attribution) over the events stream.
+
+    ``how='left_outer'`` keeps unconverted clicks: the engine emits a
+    click with NULL purchase columns once the watermark passes the end
+    of its join window (click_ts + within) — state-expiry-driven late
+    emission, the semantics that make outer stream-stream joins safe at
+    scale (state per key stays bounded by the window, and a row is
+    emitted exactly once)."""
     clicks = stream.filter("event_type = 'click'").select(
         F.col("user_id"), F.col("ts").alias("click_ts"),
         F.col("event_id").alias("click_id"),
@@ -237,6 +246,7 @@ def attribution_join(stream: DataFrame, within: str = "1 hour") -> DataFrame:
         left_ts="click_ts",
         right_ts="purchase_ts",
         within=within,
+        how=how,
     ).select(
         "l.user_id", "click_id", "purchase_id", "click_ts", "purchase_ts",
         "value",

@@ -509,6 +509,24 @@ def _kmeans_ctes(v: str, dialect: str) -> str:
 _kmeans_cache: dict = {}
 
 
+def _centroid_literal_sql(rows) -> str:
+    """8-row centroid relation as a SQL literal (cid, emb, cc).
+
+    Each component is emitted via ``repr`` — Python's shortest
+    round-trip decimal — and re-parsed by Spark's Double.parseDouble,
+    which is correctly rounded, so the binary64 values survive the
+    driver round-trip EXACTLY; cc is recomputed in SQL with the same
+    unrolled tree the oracle uses, so it stays bit-identical too."""
+    self_dot = _unrolled_dot("emb", "emb", "spark")
+    selects = " UNION ALL ".join(
+        f"SELECT {int(r['cid'])} AS cid, array("
+        + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in r["emb"])
+        + ") AS emb"
+        for r in rows
+    )
+    return f"SELECT cid, emb, {self_dot} AS cc FROM ({selects}) lit"
+
+
 def _kmeans_assignments(spark: SparkSession, sf_dir: str) -> str:
     """Persisted (vec_id, emb, nrm, cid) view — the 'index build' side.
 
@@ -517,39 +535,54 @@ def _kmeans_assignments(spark: SparkSession, sf_dir: str) -> str:
     stored IVF index: assignments persist alongside the vectors,
     partitioned by cid.  Eager ``localCheckpoint`` (not lazy persist) —
     see ``_normed``: view re-resolution bypassed the cache and re-ran
-    the whole Lloyd chain on every search."""
+    the whole Lloyd chain on every search.
+
+    Centroids live DRIVER-SIDE between iterations (8 x 64 doubles — the
+    canonical k-means driver state, same as MLlib's implementation):
+    each Lloyd iteration is ONE Spark job (assign+update fused) ending
+    in an 8-row collect that is inlined as literals into the next
+    iteration, instead of a checkpoint + temp-view round-trip per
+    iteration.  The math is unchanged — the DuckDB oracle still runs
+    the fully-inlined chain (_kmeans_ctes) and matches bit-for-bit
+    (see _centroid_literal_sql for why the round-trip is exact)."""
     key = (id(spark), sf_dir)
     if key not in _kmeans_cache:
         v = _normed(spark, sf_dir)
-        # One small query per Lloyd iteration (assign+update fused), each
-        # ending in an 8-row checkpointed centroid table, instead of one
-        # monolithic WITH chain: the single-statement form was ~200 KB of
-        # SQL whose parse/analyze alone cost ~2 s *per query touching the
-        # view*.  The math is identical — the DuckDB oracle still runs
-        # the original inlined chain (_kmeans_ctes) and matches
-        # bit-for-bit.
-        self_dot = _unrolled_dot("emb", "emb", "spark")
         tag = abs(hash(key)) % 10**8
         cview = f"kmeans_c_{tag}"
-        spark.sql(
-            f"SELECT vec_id AS cid, emb, {self_dot} AS cc FROM {v} "
-            f"WHERE vec_id < {KMEANS_K}"
-        ).localCheckpoint(eager=True).createOrReplaceTempView(cview)
-        for _ in range(KMEANS_ITERS):
-            assign = _kmeans_assign(v, cview, "spark")
-            update = _kmeans_update(f"({assign}) a_it", "spark")
-            spark.sql(
-                f"SELECT cid, emb, {self_dot} AS cc FROM ({update}) u"
-            ).localCheckpoint(eager=True).createOrReplaceTempView(cview)
-        df = (
-            spark.sql(_kmeans_assign(v, cview, "spark"))
-            .repartition("cid")
-            .localCheckpoint(eager=True)
-        )
+        # the per-iteration frames are K-group aggregates over ~corpus/K
+        # rows — size the build's shuffle width to that, not the session
+        # default (restored after; the checkpointed outputs keep their
+        # own partitioning so queries are unaffected)
+        _sp_key = "spark.sql.shuffle.partitions"
+        _sp_prev = spark.conf.get(_sp_key)
+        spark.conf.set(_sp_key, "8")
+        try:
+            cent = spark.sql(
+                f"SELECT vec_id AS cid, emb FROM {v} "
+                f"WHERE vec_id < {KMEANS_K} ORDER BY cid"
+            ).collect()
+            for _ in range(KMEANS_ITERS):
+                csrc = f"({_centroid_literal_sql(cent)})"
+                assign = _kmeans_assign(v, csrc, "spark")
+                update = _kmeans_update(f"({assign}) a_it", "spark")
+                cent = spark.sql(update).collect()
+            csrc = f"({_centroid_literal_sql(cent)})"
+            df = (
+                spark.sql(_kmeans_assign(v, csrc, "spark"))
+                .repartition("cid")
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            spark.conf.set(_sp_key, _sp_prev)
         name = f"kmeans_assign_{tag}"
         df.createOrReplaceTempView(name)
-        # keep the final centroid view name too: nprobe>1 search needs
-        # per-query centroid distances at query time
+        # keep the final centroid view too: nprobe>1 search needs
+        # per-query centroid distances at query time (literal-backed —
+        # 8 rows of constants, no recompute possible)
+        spark.sql(_centroid_literal_sql(cent)).createOrReplaceTempView(
+            cview
+        )
         _kmeans_cache[key] = (name, cview)
     return _kmeans_cache[key][0]
 

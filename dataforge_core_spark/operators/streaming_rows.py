@@ -28,16 +28,20 @@ from pyspark.sql import functions as F
 
 
 def _run_to_memory(df: DataFrame, name: str, spark: SparkSession,
-                   mode: str) -> DataFrame:
+                   mode: str, partitions: int = 4) -> DataFrame:
     # State-store partition count is fixed at query start from
     # spark.sql.shuffle.partitions; a finite single-file micro-batch
-    # doesn't amortize 32 HDFS-state-store inits, so run the driver row
-    # with a few state partitions and restore the session conf after.
-    # (A production deployment sizes this to the key cardinality once —
-    # it cannot change across restarts of the same checkpoint.)
+    # doesn't amortize 32 HDFS-state-store inits, so each driver row
+    # sizes its state partitions to its operator and the session conf
+    # is restored after.  (A production deployment sizes this to the
+    # key cardinality once — it cannot change across restarts of the
+    # same checkpoint.)  Measured at sf0.1: the stream-stream joins are
+    # dominated by per-store commit fsyncs (fewer partitions win: 4
+    # stores/partition/side), while applyInPandasWithState is dominated
+    # by Python-worker parallelism (more partitions win).
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
-    spark.conf.set(key, "4")
+    spark.conf.set(key, str(partitions))
     try:
         q = (
             df.writeStream.format("memory")
@@ -96,7 +100,9 @@ def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     joined = attribution_join(stream_events(spark, sf_dir))
-    out = _run_to_memory(joined, "drv_stream_attribution", spark, "append")
+    out = _run_to_memory(
+        joined, "drv_stream_attribution", spark, "append", partitions=2
+    )
     return out.select(
         "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts",
         F.col("value").cast("double").alias("value"),
@@ -139,7 +145,8 @@ def stream_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_events(spark, sf_dir), how="left_outer"
     )
     out = _run_to_memory(
-        joined, "drv_stream_attribution_outer", spark, "append"
+        joined, "drv_stream_attribution_outer", spark, "append",
+        partitions=2,
     )
     return out.select(
         "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts",
@@ -197,7 +204,9 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = sessionize_stateful(
         stream_events(spark, sf_dir), use_timeout=False
     )
-    out = _run_to_memory(sess, "drv_stream_sessionize", spark, "append")
+    out = _run_to_memory(
+        sess, "drv_stream_sessionize", spark, "append", partitions=16
+    )
     return out.select("user_id", "session_start", "session_end", "n_events")
 
 

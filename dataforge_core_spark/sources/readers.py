@@ -134,6 +134,14 @@ def write_output(
             if len(df.columns) != 1:
                 raise ProjectError("text output must have exactly one column")
             df.write.mode("overwrite").text(path)
+        elif fmt == "delta":
+            # lakehouse target (classpath-gated — sources/merge_targets):
+            # enables storage-level MERGE for the incremental upsert path
+            from dataforge_core_spark.sources.merge_targets import (
+                write_delta,
+            )
+
+            write_delta(df, path)
         else:
             raise ProjectError(f"Unknown file format {fmt!r}")
     else:

@@ -201,7 +201,16 @@ def _mapping_text(m: Mapping) -> str:
 def _output_dict(o) -> dict:
     d: dict = {
         "output_name": o.output_name,
-        "columns": [f"{c.name} {c.hive_type}" for c in o.columns],
+        "columns": [
+            f"{c.name} {c.hive_type}"
+            if c.partition_ordinal is None
+            else {
+                "name": c.name,
+                "type": c.hive_type,
+                "partition_ordinal": c.partition_ordinal,
+            }
+            for c in o.columns
+        ],
         "channels": [],
     }
     if o.output_type != "table":

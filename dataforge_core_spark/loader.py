@@ -139,13 +139,24 @@ def parse_source_dict(d: dict) -> Source:
 def parse_output_dict(d: dict) -> Output:
     cols = []
     for i, c in enumerate(d.get("columns", [])):
+        # dict form carries writer hints the string form cannot:
+        # {"name":…, "type":…, "partition_ordinal": N} — the reference
+        # schema's partition hint ("9 outputColumnTable.sql":18)
+        part_ord = None
+        if isinstance(c, dict):
+            part_ord = c.get("partition_ordinal")
+            c = f"{c['name']} {c['type']}"
         m = _ATTR_RE.match(c)
         if not m:
             raise ProjectError(f"Cannot parse output column {c!r}")
         t = m.group(2).lower()
         if t not in HIVE_TO_SPARK_DDL:
             raise ProjectError(f"Unknown type {t!r} for output column {c!r}")
-        cols.append(OutputColumn(name=m.group(1), hive_type=t))
+        cols.append(
+            OutputColumn(
+                name=m.group(1), hive_type=t, partition_ordinal=part_ord
+            )
+        )
     channels = []
     for ch in d.get("channels", []) or []:
         set_op = ch.get("set_operation")

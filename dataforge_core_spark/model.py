@@ -240,6 +240,14 @@ class Output:
     output_type: str = "table"  # table | virtual | file (u_validate_output.sql)
     file_format: str | None = None  # parquet | avro | text for output_type=file
 
+    def partition_columns(self) -> list[str]:
+        """Column names with a partition_ordinal, in ordinal order — the
+        writer's partitionBy spec (the reference schema declares the
+        hint, "9 outputColumnTable.sql":18, but its core never reads it;
+        honoring it is the natural Spark mapping)."""
+        hinted = [c for c in self.columns if c.partition_ordinal is not None]
+        return [c.name for c in sorted(hinted, key=lambda c: c.partition_ordinal)]
+
 
 @dataclass
 class Project:

@@ -193,6 +193,7 @@ class ProjectRunner:
                 out.output_type,
                 out.file_format,
                 base_dir=base_dir,
+                partition_by=out.partition_columns() or None,
             )
             if out.output_type in ("table", "file"):
                 paths[out.output_name] = os.path.join(base_dir, out.output_name)

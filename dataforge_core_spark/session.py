@@ -31,7 +31,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local[N] packs every executor thread into the driver JVM, so
+        # this is the WHOLE cluster's heap: 8g caused GC-driven
+        # multi-second outliers late in long bench sessions (cached hub
+        # blocks + checkpointed indexes + shuffle buffers for 32
+        # threads).  16g is still an eighth of the box; a real cluster
+        # sizes executors separately.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
     )

@@ -110,14 +110,26 @@ def write_output(
     output_type: str = "table",
     file_format: str | None = None,
     base_dir: str | None = None,
+    partition_by: list[str] | None = None,
 ) -> None:
     """table -> saveAsTable (overwrite, CREATE-TABLE-AS parity);
-    virtual -> temp view; file -> parquet/avro/text under base_dir."""
+    virtual -> temp view; file -> parquet/avro/text under base_dir.
+
+    ``partition_by``: output columns with a ``partition_ordinal`` hint
+    (Output.partition_columns) — written as hive-style directory
+    partitions, so downstream reads with a filter on the key prune at
+    the directory level (the 100 TB reason the hint exists)."""
+
+    def _w(writer):
+        return writer.partitionBy(*partition_by) if partition_by else writer
+
     if output_type == "table":
         if base_dir:
-            df.write.mode("overwrite").parquet(os.path.join(base_dir, name))
+            _w(df.write.mode("overwrite")).parquet(
+                os.path.join(base_dir, name)
+            )
         else:
-            df.write.mode("overwrite").saveAsTable(name)
+            _w(df.write.mode("overwrite")).saveAsTable(name)
     elif output_type == "virtual":
         df.createOrReplaceTempView(name)
     elif output_type == "file":
@@ -126,7 +138,7 @@ def write_output(
             raise ProjectError("file outputs need base_dir")
         path = os.path.join(base_dir, name)
         if fmt == "parquet":
-            df.write.mode("overwrite").parquet(path)
+            _w(df.write.mode("overwrite")).parquet(path)
         elif fmt == "avro":
             df.write.mode("overwrite").format("avro").save(path)
         elif fmt == "text":

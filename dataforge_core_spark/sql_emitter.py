@@ -384,10 +384,18 @@ class SqlEmitter:
         for ch, part in zip(output.channels[1:], parts[1:]):
             op = _OPS.get((ch.set_operation or "").lower(), "UNION ALL")
             body = f"({body})\n  {op}\n  ({part})"
-        return (
-            f"DROP TABLE IF EXISTS {output.output_name};\n"
-            f"CREATE TABLE {output.output_name} AS\n  {body};\n"
-        )
+        part_cols = output.partition_columns()
+        if part_cols:
+            # partition hint ("9 outputColumnTable.sql":18) -> Spark
+            # partitioned CTAS; directory pruning on the key at read time
+            quoted = ", ".join(f"`{c}`" for c in part_cols)
+            create = (
+                f"CREATE TABLE {output.output_name} USING PARQUET\n"
+                f"PARTITIONED BY ({quoted}) AS\n  {body};\n"
+            )
+        else:
+            create = f"CREATE TABLE {output.output_name} AS\n  {body};\n"
+        return f"DROP TABLE IF EXISTS {output.output_name};\n{create}"
 
     # ------------------------------------------------------------------
     def emit_all(self, target_dir: str) -> str:

@@ -169,3 +169,65 @@ def test_set_operation_channels_dataframe_and_sql_parity(spark, sf_dir):
                 ],
             }
         )
+
+
+def test_partition_ordinal_honored(spark, sf_dir, tmp_path):
+    """Output columns with a partition_ordinal hint ("9
+    outputColumnTable.sql":18 — declared but never read by the
+    reference's core) become hive-style directory partitions in the
+    writer and a PARTITIONED BY clause in the emitted CTAS; values
+    round-trip and the MetaStore preserves the hint."""
+    import shutil
+
+    from dataforge_core_spark.imports import MetaStore, import_project
+    from dataforge_core_spark.loader import parse_output_dict
+    from dataforge_core_spark.runner import ProjectRunner
+    from dataforge_core_spark.sql_emitter import SqlEmitter, run_statements
+
+    project, _ = _mini_project(sf_dir)
+    po = parse_output_dict(
+        {
+            "output_name": "p_nations",
+            "columns": [
+                "nation string",
+                {"name": "key", "type": "int", "partition_ordinal": 1},
+            ],
+            "channels": [
+                {
+                    "source_name": "nation_min",
+                    "mappings": ["n_name nation", "n_nationkey key"],
+                }
+            ],
+        }
+    )
+    assert po.partition_columns() == ["key"]
+    project.outputs = [po]
+    runner = ProjectRunner(spark, project, persist_hubs=False)
+    runner.materialize(str(tmp_path))
+    # hive-style directory partitions on disk
+    subdirs = {d for d in os.listdir(tmp_path / "p_nations") if "=" in d}
+    assert any(d.startswith("key=") for d in subdirs)
+    back = spark.read.parquet(str(tmp_path / "p_nations"))
+    assert back.count() == spark.read.parquet(
+        f"{sf_dir}/nation.parquet"
+    ).count()
+
+    # emitted artifact carries PARTITIONED BY and executes equivalently
+    shutil.rmtree("spark-warehouse", ignore_errors=True)
+    spark.sql("DROP TABLE IF EXISTS p_nations")
+    emitter = SqlEmitter(project, spark=spark)
+    art = emitter.emit_output(po)
+    assert "PARTITIONED BY (`key`)" in art
+    run_sql = emitter.emit_all(str(tmp_path / "target"))
+    run_statements(spark, run_sql)
+    tbl = spark.table("p_nations")
+    a = sorted((r["key"], r["nation"]) for r in tbl.collect())
+    b = sorted((r["key"], r["nation"]) for r in back.collect())
+    assert a == b
+
+    # MetaStore round-trip keeps the hint
+    store = MetaStore(str(tmp_path / "state"))
+    report = import_project(store, project)
+    assert "error" not in report
+    back_proj = store.to_project()
+    assert back_proj.outputs[0].partition_columns() == ["key"]

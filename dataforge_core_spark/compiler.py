@@ -50,6 +50,7 @@ from dataforge_core_spark.parser import (
     equi_conjuncts,
     parse_expression,
     parse_relation_expression,
+    rewrite as _rewrite_spans,
 )
 from dataforge_core_spark.paths import Hop, RelationGraph
 from dataforge_core_spark.plans.planner import (
@@ -99,17 +100,92 @@ def sub_source_sql(project: Project, graph: RelationGraph, sub: Source) -> str:
     )
 
 
+def _sub_ancestors(project: Project, sub: Source) -> dict[str, Source]:
+    """{source_name: Source} for every ancestor up the sub-source parent
+    chain (nearest first; terminates at the top-most real source —
+    cycles are rejected at load time)."""
+    by_name = project.source_by_name()
+    out: dict[str, Source] = {}
+    cur = by_name.get(sub.sub_source_parent or "")
+    while cur is not None and cur.source_name not in out:
+        out[cur.source_name] = cur
+        cur = by_name.get(cur.sub_source_parent or "")
+    return out
+
+
+def _rewrite_ancestor_refs(project: Project, sub: Source) -> Source:
+    """Element rules may reference ANCESTOR attributes —
+    ``[parent_name].attr`` — because every enclosing scope (the parent
+    hub's columns, and each outer lambda's element fields) is lexically
+    visible inside a nested ``transform`` lambda.  Such tokens are
+    rewritten to bare backticked identifiers before planning (the
+    planner would otherwise demand a relation path); the enclosing
+    scope chain then resolves them — outer element fields via the
+    substitution scope in :func:`_sub_source_transform`, top-level hub
+    columns by plain SQL name resolution.  An ancestor attribute that
+    collides with one of the sub's own field names is ambiguous and
+    rejected."""
+    ancestors = _sub_ancestors(project, sub)
+    own = set(sub.raw_by_name()) | set(sub.rule_by_name())
+    new_rules = []
+    changed = False
+    for r in sub.rules:
+        parsed = parse_expression(r.expression, allow_this_agg=True)
+        spans: list[tuple[int, int, str]] = []
+        # only tokens OUTSIDE aggregate calls: an aggregate over an
+        # ancestor ref must keep its tokens so the planner's normal
+        # element-scope rejection still fires (element rules are scalar)
+        for tok in parsed.tokens:
+            if tok.source in ("This", "Related"):
+                continue
+            anc = ancestors.get(tok.source)
+            if anc is None:
+                continue  # planner raises its element-scope error
+            if (
+                tok.attr not in anc.raw_by_name()
+                and tok.attr not in anc.rule_by_name()
+            ):
+                raise ProjectError(
+                    f"Rule {r.name!r}: source [{tok.source}] has no "
+                    f"attribute {tok.attr!r}"
+                )
+            if tok.attr in own:
+                raise ProjectError(
+                    f"Sub-source {sub.source_name!r}: ancestor reference "
+                    f"[{tok.source}].{tok.attr} collides with an element "
+                    "field of the same name"
+                )
+            spans.append((tok.start, tok.end, f"`{tok.attr}`"))
+        if spans:
+            import dataclasses
+
+            r = dataclasses.replace(
+                r, expression=_rewrite_spans(r.expression, spans)
+            )
+            changed = True
+        new_rules.append(r)
+    if not changed:
+        return sub
+    import dataclasses
+
+    return dataclasses.replace(sub, rules=new_rules)
+
+
 def _sub_source_transform(
     project: Project,
     graph: RelationGraph,
     sub: Source,
     coll_expr: str,
     depth: int,
+    outer_exprs: dict[str, str] | None = None,
 ) -> str:
     """One level of sub-source enrichment over the collection expression
     ``coll_expr`` (a column at depth 0, an element field reference
     inside the enclosing lambda otherwise); recurses into sub-sources of
-    ``sub``."""
+    ``sub``.  ``outer_exprs`` is the enclosing lambda scope (outer
+    element fields by name) for ancestor references; innermost names
+    shadow outer ones, mirroring lexical scoping."""
+    sub = _rewrite_ancestor_refs(project, sub)
     plan = plan_source(project, graph, sub)
     if plan.joins:
         raise ProjectError(
@@ -122,19 +198,32 @@ def _sub_source_transform(
                 f"Sub-source {sub.source_name!r}: window rules are not "
                 f"allowed in element scope ({el.rule.name!r})"
             )
+        if el.parsed.aggs:
+            # previously rejected implicitly via the path resolver; the
+            # ancestor-ref rewrite can erase an aggregate's tokens, so
+            # ban it explicitly — element rules are scalar
+            raise ProjectError(
+                f"Sub-source {sub.source_name!r}: aggregate rules are not "
+                f"allowed in element scope ({el.rule.name!r})"
+            )
     var = "x" if depth == 0 else f"x{depth}"
+    scope = dict(outer_exprs or {})
     field_exprs: dict[str, str] = {
         a.name: f"{var}.`{a.name}`" for a in sub.raw_attributes
     }
+
+    def _resolve(m: "re.Match[str]") -> str:
+        n = m.group(1)
+        if n in field_exprs:  # own fields shadow outer scope
+            return f"({field_exprs[n]})"
+        if n in scope:  # outer element fields (ancestor refs)
+            return f"({scope[n]})"
+        return m.group(0)  # top-level hub column — plain SQL resolution
+
     for level in plan.levels:
         for name in level:
             el = plan.rules[name]
-            expr = _BACKTICKED.sub(
-                lambda m: f"({field_exprs[m.group(1)]})"
-                if m.group(1) in field_exprs
-                else m.group(0),
-                el.compiled_sql,
-            )
+            expr = _BACKTICKED.sub(_resolve, el.compiled_sql)
             if el.rule.cast_datatype:
                 ddl = HIVE_TO_SPARK_DDL.get(
                     el.rule.cast_datatype, el.rule.cast_datatype
@@ -156,7 +245,12 @@ def _sub_source_transform(
             (
                 child.source_name,
                 _sub_source_transform(
-                    project, graph, child, inner_coll, depth + 1
+                    project,
+                    graph,
+                    child,
+                    inner_coll,
+                    depth + 1,
+                    outer_exprs={**scope, **field_exprs},
                 ),
             )
         )

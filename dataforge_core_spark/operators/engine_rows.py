@@ -393,6 +393,15 @@ def engine_subsource_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
             "rules": [
                 {"name": "qty_x2", "expression": "[This].l_quantity * 2"},
+                # ancestor ref: the real parent's column is lexically
+                # visible inside the element lambda
+                {
+                    "name": "key_line",
+                    "expression": (
+                        "[orders_chain].o_orderkey * 10 "
+                        "+ [This].l_linenumber"
+                    ),
+                },
             ],
         }
     )
@@ -404,6 +413,13 @@ def engine_subsource_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rules": [
                 {"name": "amount_x2", "expression": "[This].amount * 2"},
                 {"name": "is_tax", "expression": "[This].kind = 'tax'"},
+                # depth-2 ancestor ref: outer element field
+                {
+                    "name": "weighted",
+                    "expression": (
+                        "[This].amount * [chain_items].l_quantity"
+                    ),
+                },
             ],
         }
     )
@@ -417,15 +433,18 @@ def engine_subsource_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             F.col("it.l_linenumber").alias("l_linenumber"),
             F.col("it.qty_x2").alias("qty_x2"),
+            F.col("it.key_line").alias("key_line"),
             F.explode("it.chain_charges").alias("ch"),
         )
         .select(
             "o_orderkey",
             "l_linenumber",
             "qty_x2",
+            "key_line",
             F.col("ch.kind").alias("kind"),
             F.col("ch.amount_x2").alias("amount_x2"),
             F.col("ch.is_tax").alias("is_tax"),
+            F.col("ch.weighted").alias("weighted"),
         )
     )
 
@@ -442,9 +461,11 @@ WITH charges AS (
 )
 SELECT o.o_orderkey, c.l_linenumber,
        CAST(c.l_quantity AS DOUBLE) * 2 AS qty_x2,
+       o.o_orderkey * 10 + c.l_linenumber AS key_line,
        c.kind,
        c.amount * 2 AS amount_x2,
-       c.kind = 'tax' AS is_tax
+       c.kind = 'tax' AS is_tax,
+       c.amount * CAST(c.l_quantity AS DOUBLE) AS weighted
 FROM charges c JOIN orders o ON o.o_orderkey = c.l_orderkey
 """
 

@@ -62,12 +62,17 @@ Coverage map (SURVEY.md §2 -> query):
                                 ann_bruteforce / ann_ivf_label /
                                 ann_ivf_kmeans / ann_ivf_probe2 (nprobe=2) /
                                 ann_lsh_hyperplane / ann_rerank,
-                                text_tokens/quality/lang_id/fingerprint,
+                                text_tokens/quality/lang_id/fingerprint/
+                                tfidf (exact-rational idf — rank-stable
+                                across engines),
                                 train_pack / train_top_tokens /
                                 train_contamination /
                                 train_sample_stratified /
-                                train_pii_redact / train_repetition,
-                                events_hourly/sessionize/json/asof_order,
+                                train_pii_redact / train_repetition /
+                                train_chunk (stride token windows) /
+                                train_cap_per_source (per-domain caps),
+                                events_hourly/sessionize/json/asof_order/
+                                funnel,
                                 multimodal_meta / multimodal_frame_sample /
                                 multimodal_decode (real stdlib header
                                 parse) / multimodal_resize (real stdlib

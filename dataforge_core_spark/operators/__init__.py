@@ -37,12 +37,12 @@ def _modules():
         engine_rows,
         streaming_rows,
         nested,
-        dedup,
-        simhash,
-        similarity,
         events,
         text,
         training,
+        dedup,
+        simhash,
+        similarity,
         multimodal,
     ]
 

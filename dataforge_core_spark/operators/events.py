@@ -282,8 +282,80 @@ GROUP BY user_id
 """
 
 
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel (view -> click -> purchase) per user: first
+    view, first click at-or-after it, first purchase at-or-after that
+    click, plus stage flags.
+
+    Scale shape: three user-keyed conditional MIN aggregates, each with
+    map-side partial aggregation, chained by user-keyed joins whose
+    probe sides are already user-reduced (one row per user) — the fact
+    table itself is scanned per stage but never joined to itself
+    row-to-row, so no stage multiplies events x events; all three
+    exchanges hash on the same key, so AQE reuses the partitioning.
+    """
+    _views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH v AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+          FROM events GROUP BY user_id
+        ),
+        c AS (
+          SELECT e.user_id, MIN(e.ts) AS first_click
+          FROM events e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click' AND e.ts >= v.first_view
+          GROUP BY e.user_id
+        ),
+        p AS (
+          SELECT e.user_id, MIN(e.ts) AS first_purchase
+          FROM events e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= c.first_click
+          GROUP BY e.user_id
+        )
+        SELECT v.user_id, v.first_view, c.first_click, p.first_purchase,
+               v.first_view IS NOT NULL AS viewed,
+               c.first_click IS NOT NULL AS clicked,
+               p.first_purchase IS NOT NULL AS converted
+        FROM v
+        LEFT JOIN c ON c.user_id = v.user_id
+        LEFT JOIN p ON p.user_id = v.user_id
+        """
+    )
+
+
+_FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS first_click
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.first_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS first_purchase
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.first_click
+  GROUP BY e.user_id
+)
+SELECT v.user_id, v.first_view, c.first_click, p.first_purchase,
+       v.first_view IS NOT NULL AS viewed,
+       c.first_click IS NOT NULL AS clicked,
+       p.first_purchase IS NOT NULL AS converted
+FROM v
+LEFT JOIN c ON c.user_id = v.user_id
+LEFT JOIN p ON p.user_id = v.user_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "events_funnel": events_funnel,
         "events_user_stats_salted": events_user_stats_salted,
         "events_hourly": events_hourly,
         "events_sessionize": events_sessionize,
@@ -295,6 +367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracles() -> dict[str, str]:
     return {
+        "events_funnel": _FUNNEL_ORACLE,
         "events_user_stats_salted": _SALTED_ORACLE,
         "events_hourly": _HOURLY_ORACLE,
         "events_sessionize": _SESSIONIZE_ORACLE,

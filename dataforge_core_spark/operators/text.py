@@ -173,8 +173,84 @@ FROM t
 """
 
 
+TFIDF_TOP_K = 5
+
+
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K salient terms per document by tf-idf.
+
+    The idf factor is the exact rational ``(N+1)/(df+1)`` rather than
+    its logarithm: log is monotone, so the per-document RANKING is
+    identical, and every arithmetic step (int->double cast, one
+    multiply, one divide) is a correctly-rounded IEEE op — bit-equal
+    across engines, where ln() implementations may differ in the last
+    ulp and flip near-tie ranks.
+
+    Scale shape: tf is one doc-keyed shuffle with map-side combine; df
+    is term-keyed with map-side combine; N is a 1-row broadcast; the
+    rank window lowers to WindowGroupLimit (per-partition top-K before
+    the merge), so no full per-doc term lists ever gather."""
+    _view(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf
+          FROM (SELECT doc_id, explode({_SPARK_TOK}) AS term
+                FROM documents)
+          GROUP BY doc_id, term
+        ),
+        df AS (
+          SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+        ),
+        n AS (SELECT COUNT(*) AS nd FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term,
+                 (CAST(tf.tf AS DOUBLE) * CAST(n.nd + 1 AS DOUBLE))
+                   / CAST(df.df + 1 AS DOUBLE) AS score
+          FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+        )
+        SELECT doc_id, CAST(rank AS INT) AS rank, term, score
+        FROM (
+          SELECT doc_id, term, score,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, term) AS rank
+          FROM scored
+        )
+        WHERE rank <= {TFIDF_TOP_K}
+        """
+    )
+
+
+_TFIDF_ORACLE = f"""
+WITH tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest({_DUCK_TOK}) AS term FROM documents)
+  GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+),
+n AS (SELECT COUNT(*) AS nd FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         (CAST(tf.tf AS DOUBLE) * CAST(n.nd + 1 AS DOUBLE))
+           / CAST(df.df + 1 AS DOUBLE) AS score
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+)
+SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, score
+FROM (
+  SELECT doc_id, term, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, term) AS rank
+  FROM scored
+)
+WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "text_tfidf": text_tfidf,
         "text_tokens": text_tokens,
         "text_quality": text_quality,
         "text_lang_id": text_lang_id,
@@ -184,6 +260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracles() -> dict[str, str]:
     return {
+        "text_tfidf": _TFIDF_ORACLE,
         "text_tokens": _TOKENS_ORACLE,
         "text_quality": _QUALITY_ORACLE,
         "text_lang_id": _LANGID_ORACLE,

@@ -383,8 +383,115 @@ FROM tri
 """
 
 
+CHUNK_TOKENS = 64  # training-window size
+CHUNK_STRIDE = 48  # overlap = CHUNK_TOKENS - CHUNK_STRIDE
+
+
+def train_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token windows with stride (the chunking step that
+    turns documents into overlapping training examples).
+
+    Chunk starts are ``i*stride`` for ``i < ceil(n/stride)`` — pure
+    per-row array arithmetic (sequence + explode + slice), no shuffle
+    at all: at 100 TB this runs entirely scan-side, and the output is
+    written partitioned however the training job wants it.  chunk_hash
+    gives each window a stable identity for downstream exact dedup."""
+    _view(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH t AS (
+          SELECT doc_id, {_SPARK_TOK} AS tok FROM documents
+        ),
+        c AS (
+          SELECT doc_id, tok,
+                 explode(sequence(
+                   0, CAST(ceil(size(tok) / {CHUNK_STRIDE}.0) AS INT) - 1
+                 )) AS chunk_idx
+          FROM t WHERE size(tok) > 0
+        )
+        SELECT doc_id,
+               chunk_idx,
+               CAST(chunk_idx * {CHUNK_STRIDE} AS INT) AS chunk_start,
+               CAST(size(slice(tok, chunk_idx * {CHUNK_STRIDE} + 1,
+                               {CHUNK_TOKENS})) AS INT) AS n_chunk_tokens,
+               md5(array_join(slice(tok, chunk_idx * {CHUNK_STRIDE} + 1,
+                                    {CHUNK_TOKENS}), ' ')) AS chunk_hash
+        FROM c
+        """
+    )
+
+
+_CHUNK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOK} AS tok FROM documents
+),
+c AS (
+  SELECT doc_id, tok, unnest(generate_series(
+           0, CAST(ceil(len(tok) / {CHUNK_STRIDE}.0) AS BIGINT) - 1
+         )) AS chunk_idx
+  FROM t WHERE len(tok) > 0
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(chunk_idx * {CHUNK_STRIDE} AS INTEGER) AS chunk_start,
+       CAST(len(list_slice(tok, chunk_idx * {CHUNK_STRIDE} + 1,
+                           chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}))
+            AS INTEGER) AS n_chunk_tokens,
+       md5(array_to_string(
+             list_slice(tok, chunk_idx * {CHUNK_STRIDE} + 1,
+                        chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' '))
+         AS chunk_hash
+FROM c
+"""
+
+
+SOURCE_CAP = 15  # max docs kept per source
+
+
+def train_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document caps (standard training-mix control: no
+    single source may dominate the corpus).  Selection is deterministic
+    — md5(doc_id) order within each source — so reruns keep the same
+    docs.  One shuffle keyed by source; a pathologically hot source
+    would use the salted two-phase pattern of events_user_stats_salted,
+    but the rank-then-filter form already parallelizes the scan and
+    Spark lowers it to WindowGroupLimit (per-partition top-K before the
+    merge), so the hot key carries K rows, not its full count."""
+    _view(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT source, doc_id, CAST(rn AS INT) AS rn
+        FROM (
+          SELECT source, doc_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS STRING)), doc_id
+                 ) AS rn
+          FROM documents
+        )
+        WHERE rn <= {SOURCE_CAP}
+        """
+    )
+
+
+_CAP_ORACLE = f"""
+SELECT source, doc_id, CAST(rn AS INTEGER) AS rn
+FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+)
+WHERE rn <= {SOURCE_CAP}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "train_chunk": train_chunk,
+        "train_cap_per_source": train_cap_per_source,
         "train_pack": train_pack,
         "train_top_tokens": train_top_tokens,
         "train_contamination": train_contamination,
@@ -396,6 +503,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracles() -> dict[str, str]:
     return {
+        "train_chunk": _CHUNK_ORACLE,
+        "train_cap_per_source": _CAP_ORACLE,
         "train_pack": _PACK_ORACLE,
         "train_top_tokens": _TOP_TOKENS_ORACLE,
         "train_contamination": _CONTAMINATION_ORACLE,

@@ -187,9 +187,11 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ulp and flip near-tie ranks.
 
     Scale shape: tf is one doc-keyed shuffle with map-side combine; df
-    is term-keyed with map-side combine; N is a 1-row broadcast; the
-    rank window lowers to WindowGroupLimit (per-partition top-K before
-    the merge), so no full per-doc term lists ever gather."""
+    is term-keyed with map-side combine; N is a scalar subquery (one
+    count job, no join node — a 1-row CROSS JOIN would plan a
+    BroadcastNestedLoopJoin); the rank window lowers to
+    WindowGroupLimit (per-partition top-K before the merge), so no
+    full per-doc term lists ever gather."""
     _view(spark, sf_dir)
     return spark.sql(
         f"""
@@ -202,12 +204,12 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         df AS (
           SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
         ),
-        n AS (SELECT COUNT(*) AS nd FROM documents),
         scored AS (
           SELECT tf.doc_id, tf.term,
-                 (CAST(tf.tf AS DOUBLE) * CAST(n.nd + 1 AS DOUBLE))
+                 (CAST(tf.tf AS DOUBLE) *
+                  CAST((SELECT COUNT(*) + 1 FROM documents) AS DOUBLE))
                    / CAST(df.df + 1 AS DOUBLE) AS score
-          FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+          FROM tf JOIN df ON tf.term = df.term
         )
         SELECT doc_id, CAST(rank AS INT) AS rank, term, score
         FROM (
@@ -230,12 +232,12 @@ WITH tf AS (
 df AS (
   SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
 ),
-n AS (SELECT COUNT(*) AS nd FROM documents),
 scored AS (
   SELECT tf.doc_id, tf.term,
-         (CAST(tf.tf AS DOUBLE) * CAST(n.nd + 1 AS DOUBLE))
+         (CAST(tf.tf AS DOUBLE) *
+          CAST((SELECT COUNT(*) + 1 FROM documents) AS DOUBLE))
            / CAST(df.df + 1 AS DOUBLE) AS score
-  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+  FROM tf JOIN df ON tf.term = df.term
 )
 SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, score
 FROM (

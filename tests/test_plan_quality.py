@@ -262,3 +262,32 @@ def test_asof_order_is_joinless_single_window(spark):
     assert "Join" not in plan, "as-of regressed to the join+argmax form"
     assert plan.count("Window") >= 1
     assert "Union" in plan
+
+
+def test_chunk_has_no_exchange(spark):
+    """train_chunk is pure per-row array arithmetic — ANY Exchange in
+    its plan means the chunking stopped being scan-side."""
+    from dataforge_core_spark.operators import training as T
+
+    plan = (
+        T.train_chunk(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, "train_chunk plans a shuffle"
+
+
+def test_cap_and_tfidf_window_group_limit(spark):
+    """Per-group top-K rank filters must lower to WindowGroupLimit so
+    hot groups carry K rows into the window, not their full count."""
+    from dataforge_core_spark.operators import text as X
+    from dataforge_core_spark.operators import training as T
+
+    for name, fn in [
+        ("train_cap_per_source", T.train_cap_per_source),
+        ("text_tfidf", X.text_tfidf),
+    ]:
+        plan = (
+            fn(spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "WindowGroupLimit" in plan, f"{name}: unbounded rank window"

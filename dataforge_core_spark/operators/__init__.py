@@ -39,8 +39,8 @@ def _modules():
         nested,
         events,
         text,
-        training,
         dedup,
+        training,
         simhash,
         similarity,
         multimodal,

@@ -365,9 +365,19 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     changed-rows self-join (which doubled per-round work and issued a
     second blocking job).
     """
+    labels, _ = _cc_min_label(spark, dedup_minhash(spark, sf_dir))
+    return _attach_singletons(spark, sf_dir, labels)
+
+
+def _cc_min_label(spark, pairs, pointer_doubling: bool = False):
+    """Min-label fixed point over the undirected pair graph; returns
+    (labels DataFrame(doc_id, cluster_id) over edge ENDPOINTS only,
+    rounds executed).  ``pointer_doubling=True`` adds the label-of-label
+    hop each round (label[v] also shrinks to label[label[v]]), which
+    squares the propagated distance — O(log diameter) rounds."""
     from pyspark.sql import functions as F
 
-    pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = pairs.select("doc_a", "doc_b")
     edges = (
         pairs.union(pairs.select("doc_b", "doc_a"))
         .toDF("src", "dst")
@@ -385,23 +395,37 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     prev_sum = None
+    rounds = 0
     for _ in range(CC_MAX_ITERS):
+        rounds += 1
         nbr_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        labels = (
-            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
-            .select(
-                labels.doc_id,
+        nxt = labels.join(
+            nbr_min, labels.doc_id == nbr_min.src, "left"
+        ).select(
+            labels.doc_id,
+            F.least(
+                F.col("cluster_id"),
+                F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+            ).alias("cluster_id"),
+        )
+        if pointer_doubling:
+            # label-of-label hop: my label's CURRENT label (labels are
+            # always endpoint ids, so the lookup always resolves)
+            l2 = labels.toDF("pd_doc", "pd_lab")
+            nxt = nxt.join(
+                l2, nxt.cluster_id == F.col("pd_doc"), "left"
+            ).select(
+                "doc_id",
                 F.least(
                     F.col("cluster_id"),
-                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                    F.coalesce(F.col("pd_lab"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
-            .localCheckpoint()
-        )
+        labels = nxt.localCheckpoint()
         cur_sum = labels.agg(
             F.sum(F.col("cluster_id").cast("decimal(38,0)"))
         ).collect()[0][0]
@@ -409,11 +433,31 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         prev_sum = cur_sum
     edges.unpersist()
+    return labels, rounds
+
+
+def _attach_singletons(spark, sf_dir, labels):
+    from pyspark.sql import functions as F
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     return docs.join(labels, "doc_id", "left").select(
         "doc_id",
         F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
     )
+
+
+def dedup_cluster_pd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via POINTER DOUBLING: each round also takes
+    the label of the current label, so propagated distance squares and
+    convergence needs O(log diameter) rounds instead of O(diameter) —
+    the variant for DEEP near-dup graphs (long boilerplate chains),
+    where plain propagation's round count is the wall-clock bottleneck
+    at corpus scale.  Same fixed point (component-min label), same
+    oracle as dedup_cluster."""
+    labels, _ = _cc_min_label(
+        spark, dedup_minhash(spark, sf_dir), pointer_doubling=True
+    )
+    return _attach_singletons(spark, sf_dir, labels)
 
 
 # min-label reachability: lab reaches node along (undirected) edges; the
@@ -521,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_cluster": dedup_cluster,
+        "dedup_cluster_pd": dedup_cluster_pd,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
     }
 
@@ -530,5 +575,6 @@ def oracles() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "dedup_minhash": _minhash_oracle(),
         "dedup_cluster": _DEDUP_CLUSTER_ORACLE,
+        "dedup_cluster_pd": _DEDUP_CLUSTER_ORACLE,
         "dedup_ngram_jaccard": _DEDUP_NGRAM_ORACLE,
     }

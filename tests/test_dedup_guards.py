@@ -109,3 +109,21 @@ def test_hot_shingle_guard(spark, tmp_path):
         ).collect()
     }
     assert any(a >= 10 and b >= 10 for a, b in unguarded)
+
+
+def test_pointer_doubling_converges_logarithmically(spark):
+    """On a path graph of 17 nodes (diameter 16), plain min-label
+    propagation needs ~diameter rounds while the pointer-doubling
+    variant needs O(log diameter) — both reach the same labels."""
+    from dataforge_core_spark.operators.dedup import _cc_min_label
+
+    n = 17
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    plain, r_plain = _cc_min_label(spark, pairs)
+    pd_, r_pd = _cc_min_label(spark, pairs, pointer_doubling=True)
+    want = {(i, 0) for i in range(n)}
+    assert {tuple(r) for r in plain.collect()} == want
+    assert {tuple(r) for r in pd_.collect()} == want
+    assert r_pd <= 7 < r_plain  # log2(16)+slack vs ~diameter

@@ -327,3 +327,211 @@ def test_random_project_sql_matches_dataframe(spark, sf_dir, spec):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
             shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
         shutil.rmtree(target, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Randomized SUB-SOURCE CHAIN differential (§2.11): random element-rule
+# sets at two nesting depths, including ancestor references (parent hub
+# column, outer element field), compiled by the DataFrame path and by the
+# emitted SQL artifact — both must agree row-for-row.
+# ---------------------------------------------------------------------------
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def rnd_chain_parquet(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("rnd_chain") / "orders_nested")
+    spark.sql(
+        f"""
+        SELECT o.o_orderkey,
+               collect_list(struct(
+                 l.l_linenumber,
+                 CAST(l.l_quantity AS DOUBLE) AS l_quantity,
+                 array(
+                   named_struct('kind', 'tax',
+                                'amount', CAST(l.l_tax AS DOUBLE)),
+                   named_struct('kind', 'disc',
+                                'amount', CAST(l.l_discount AS DOUBLE))
+                 ) AS charges
+               )) AS items
+        FROM parquet.`{sf_dir}/orders.parquet` o
+        JOIN parquet.`{sf_dir}/lineitem.parquet` l
+          ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey % 7 = 0
+        GROUP BY o.o_orderkey
+        """
+    ).write.mode("overwrite").parquet(path)
+    return path
+
+
+@st.composite
+def _element_rules(draw, nums, strs, ancestors, max_rules=3):
+    """Random scalar element rules; ``ancestors`` are ready-made
+    '[src].attr' reference strings known numeric."""
+    rules = []
+    prior: list[str] = []
+    n = draw(st.integers(min_value=1, max_value=max_rules))
+    for i in range(n):
+        name = f"e{i}"
+        kinds = ["arith", "abs"]
+        if strs:
+            kinds.append("str")
+        if prior:
+            kinds.append("prior")
+        if ancestors:
+            kinds.append("anc")
+        kind = draw(st.sampled_from(kinds))
+        c = draw(st.integers(min_value=1, max_value=9))
+        if kind == "arith":
+            a = draw(st.sampled_from(nums))
+            op = draw(st.sampled_from(_NUM_OPS))
+            expr = f"[This].{a} {op} {c}"
+            prior.append(name)
+        elif kind == "abs":
+            a = draw(st.sampled_from(nums))
+            expr = f"abs([This].{a} - {c})"
+            prior.append(name)
+        elif kind == "str":
+            s = draw(st.sampled_from(strs))
+            expr = draw(
+                st.sampled_from(
+                    [f"upper([This].{s})", f"concat([This].{s}, '_{c}')"]
+                )
+            )
+        elif kind == "prior":
+            p = draw(st.sampled_from(prior))
+            expr = f"[This].{p} + {c}"
+            prior.append(name)
+        else:  # ancestor reference
+            ref = draw(st.sampled_from(ancestors))
+            expr = f"{ref} * {c}"
+            prior.append(name)
+        rules.append({"name": name, "expression": expr})
+    return rules
+
+
+@st.composite
+def chain_specs(draw):
+    item_rules = draw(
+        _element_rules(
+            nums=["l_linenumber", "l_quantity"],
+            strs=[],
+            ancestors=["[orders_rnd].o_orderkey"],
+        )
+    )
+    charge_ancestors = [
+        "[orders_rnd].o_orderkey",
+        "[items_rnd].l_quantity",
+        "[items_rnd].l_linenumber",
+    ]
+    charge_rules = draw(
+        _element_rules(
+            nums=["amount"], strs=["kind"], ancestors=charge_ancestors
+        )
+    )
+    return {"item_rules": item_rules, "charge_rules": charge_rules}
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.filter_too_much,
+        HealthCheck.data_too_large,
+    ],
+)
+@given(spec=chain_specs())
+def test_random_chain_sql_matches_dataframe(spark, rnd_chain_parquet, spec):
+    from dataforge_core_spark.loader import parse_source_dict
+    from dataforge_core_spark.model import Project
+    from dataforge_core_spark.runner import ProjectRunner
+    from dataforge_core_spark.sql_emitter import SqlEmitter, run_statements
+
+    uid = f"{os.getpid()}_{next(_uid)}"
+    charges_schema = {
+        "type": "array",
+        "elementType": {
+            "type": "struct",
+            "fields": [
+                {"name": "kind", "type": "string", "nullable": True,
+                 "metadata": {}},
+                {"name": "amount", "type": "double", "nullable": True,
+                 "metadata": {}},
+            ],
+        },
+        "containsNull": True,
+    }
+    items_schema = {
+        "type": "array",
+        "elementType": {
+            "type": "struct",
+            "fields": [
+                {"name": "l_linenumber", "type": "integer",
+                 "nullable": True, "metadata": {}},
+                {"name": "l_quantity", "type": "double",
+                 "nullable": True, "metadata": {}},
+                {"name": "charges", "type": charges_schema,
+                 "nullable": True, "metadata": {}},
+            ],
+        },
+        "containsNull": True,
+    }
+    tbl = f"rnd_chain_{uid}"
+    project = Project(
+        sources=[
+            parse_source_dict(
+                {
+                    "source_name": "orders_rnd",
+                    "source_table": rnd_chain_parquet,
+                    "target_table": tbl,
+                    "raw_attributes": [
+                        "o_orderkey long",
+                        {"name": "items", "schema": items_schema},
+                    ],
+                }
+            ),
+            parse_source_dict(
+                {
+                    "source_name": "items_rnd",
+                    "sub_source": {
+                        "parent": "orders_rnd", "attribute": "items",
+                    },
+                    "raw_attributes": [
+                        "l_linenumber integer",
+                        "l_quantity double",
+                        {"name": "charges", "schema": charges_schema},
+                    ],
+                    "rules": spec["item_rules"],
+                }
+            ),
+            parse_source_dict(
+                {
+                    "source_name": "charges_rnd",
+                    "sub_source": {
+                        "parent": "items_rnd", "attribute": "charges",
+                    },
+                    "raw_attributes": ["kind string", "amount double"],
+                    "rules": spec["charge_rules"],
+                }
+            ),
+        ]
+    )
+    target = tempfile.mkdtemp(prefix="dfspark_rndchain_")
+    try:
+        run_sql = SqlEmitter(project, {}, spark=spark).emit_all(target)
+        run_statements(spark, run_sql)
+        df = ProjectRunner(spark, project, persist_hubs=False).build()[
+            "orders_rnd"
+        ]
+        sql_df = spark.table(tbl)
+        assert sorted(sql_df.columns) == sorted(df.columns)
+        assert _rows(sql_df) == _rows(df)
+    finally:
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+        shutil.rmtree(target, ignore_errors=True)

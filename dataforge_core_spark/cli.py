@@ -177,11 +177,12 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.build:
-        from dataforge_core_spark.probe import ProbeStore, set_probe_store
+        from dataforge_core_spark.imports import MetaStore
+        from dataforge_core_spark.probe import set_probe_store
         from dataforge_core_spark.session import get_spark
         from dataforge_core_spark.sql_emitter import SqlEmitter
 
-        set_probe_store(ProbeStore(args.state))
+        set_probe_store(MetaStore(args.state).probe_store())
         project = load_project(args.build)
         # a local session is part of --build, as in the reference (type
         # probes run on local Spark at import time — miniSparky.py)
@@ -206,8 +207,8 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.validate:
+        from dataforge_core_spark.imports import MetaStore
         from dataforge_core_spark.probe import (
-            ProbeStore,
             set_probe_store,
             validate_project,
         )
@@ -219,7 +220,7 @@ def main(argv: list[str] | None = None) -> int:
         # (the reference stores them in its metadata DB —
         # impc_update_test_results.sql:80-83): a re-validate of an
         # unchanged project issues zero probe jobs
-        set_probe_store(ProbeStore(args.state))
+        set_probe_store(MetaStore(args.state).probe_store())
         failures = 0
         for row in validate_project(spark, project):
             if row["status"] == "error":

@@ -96,7 +96,12 @@ def sub_source_sql(project: Project, graph: RelationGraph, sub: Source) -> str:
     any fan-out.
     """
     return _sub_source_transform(
-        project, graph, sub, f"`{sub.sub_source_attribute}`", 0
+        project,
+        graph,
+        sub,
+        f"`{sub.sub_source_attribute}`",
+        0,
+        scopes={sub.sub_source_parent or "": None},
     )
 
 
@@ -113,20 +118,25 @@ def _sub_ancestors(project: Project, sub: Source) -> dict[str, Source]:
     return out
 
 
-def _rewrite_ancestor_refs(project: Project, sub: Source) -> Source:
+_anc_marker_seq = __import__("itertools").count()
+
+
+def _rewrite_ancestor_refs(
+    project: Project, sub: Source
+) -> tuple[Source, dict[str, tuple[str, str]]]:
     """Element rules may reference ANCESTOR attributes —
     ``[parent_name].attr`` — because every enclosing scope (the parent
     hub's columns, and each outer lambda's element fields) is lexically
-    visible inside a nested ``transform`` lambda.  Such tokens are
-    rewritten to bare backticked identifiers before planning (the
-    planner would otherwise demand a relation path); the enclosing
-    scope chain then resolves them — outer element fields via the
-    substitution scope in :func:`_sub_source_transform`, top-level hub
-    columns by plain SQL name resolution.  An ancestor attribute that
-    collides with one of the sub's own field names is ambiguous and
-    rejected."""
+    visible inside a nested ``transform`` lambda.
+
+    Each such token is rewritten to a unique backticked MARKER before
+    planning (the planner would otherwise demand a relation path); the
+    returned ``markers`` map records which (ancestor, attribute) every
+    marker names, so :func:`_sub_source_transform` resolves it against
+    THAT ancestor's scope specifically — a same-named field in a nearer
+    scope can never capture an explicitly qualified reference."""
     ancestors = _sub_ancestors(project, sub)
-    own = set(sub.raw_by_name()) | set(sub.rule_by_name())
+    markers: dict[str, tuple[str, str]] = {}
     new_rules = []
     changed = False
     for r in sub.rules:
@@ -149,13 +159,9 @@ def _rewrite_ancestor_refs(project: Project, sub: Source) -> Source:
                     f"Rule {r.name!r}: source [{tok.source}] has no "
                     f"attribute {tok.attr!r}"
                 )
-            if tok.attr in own:
-                raise ProjectError(
-                    f"Sub-source {sub.source_name!r}: ancestor reference "
-                    f"[{tok.source}].{tok.attr} collides with an element "
-                    "field of the same name"
-                )
-            spans.append((tok.start, tok.end, f"`{tok.attr}`"))
+            mk = f"__anc_{next(_anc_marker_seq)}"
+            markers[mk] = (tok.source, tok.attr)
+            spans.append((tok.start, tok.end, f"`{mk}`"))
         if spans:
             import dataclasses
 
@@ -165,10 +171,10 @@ def _rewrite_ancestor_refs(project: Project, sub: Source) -> Source:
             changed = True
         new_rules.append(r)
     if not changed:
-        return sub
+        return sub, markers
     import dataclasses
 
-    return dataclasses.replace(sub, rules=new_rules)
+    return dataclasses.replace(sub, rules=new_rules), markers
 
 
 def _sub_source_transform(
@@ -177,15 +183,17 @@ def _sub_source_transform(
     sub: Source,
     coll_expr: str,
     depth: int,
-    outer_exprs: dict[str, str] | None = None,
+    scopes: dict[str, dict[str, str] | None] | None = None,
 ) -> str:
     """One level of sub-source enrichment over the collection expression
     ``coll_expr`` (a column at depth 0, an element field reference
     inside the enclosing lambda otherwise); recurses into sub-sources of
-    ``sub``.  ``outer_exprs`` is the enclosing lambda scope (outer
-    element fields by name) for ancestor references; innermost names
-    shadow outer ones, mirroring lexical scoping."""
-    sub = _rewrite_ancestor_refs(project, sub)
+    ``sub``.  ``scopes`` maps each ancestor source name to its lambda
+    scope's field expressions (``None`` for the top-level real source,
+    whose columns resolve by plain SQL name inside the lambdas) —
+    ancestor references resolve against the NAMED ancestor, never a
+    same-named field of a nearer scope."""
+    sub, anc_markers = _rewrite_ancestor_refs(project, sub)
     plan = plan_source(project, graph, sub)
     if plan.joins:
         raise ProjectError(
@@ -207,18 +215,24 @@ def _sub_source_transform(
                 f"allowed in element scope ({el.rule.name!r})"
             )
     var = "x" if depth == 0 else f"x{depth}"
-    scope = dict(outer_exprs or {})
+    scopes = dict(scopes or {})
     field_exprs: dict[str, str] = {
         a.name: f"{var}.`{a.name}`" for a in sub.raw_attributes
     }
 
     def _resolve(m: "re.Match[str]") -> str:
         n = m.group(1)
-        if n in field_exprs:  # own fields shadow outer scope
+        if n in anc_markers:  # qualified ancestor reference
+            src, attr = anc_markers[n]
+            outer = scopes.get(src)
+            if outer is None:
+                # real top-level source: its columns are in plain SQL
+                # scope inside the lambdas
+                return f"`{attr}`"
+            return f"({outer[attr]})"
+        if n in field_exprs:  # own element fields ([This] tokens)
             return f"({field_exprs[n]})"
-        if n in scope:  # outer element fields (ancestor refs)
-            return f"({scope[n]})"
-        return m.group(0)  # top-level hub column — plain SQL resolution
+        return m.group(0)
 
     for level in plan.levels:
         for name in level:
@@ -234,6 +248,14 @@ def _sub_source_transform(
     for child in project.sources:
         if child.sub_source_parent != sub.source_name:
             continue
+        if child.source_name in field_exprs:
+            # the child's struct field would duplicate an existing
+            # element field name — Spark builds the duplicate-field
+            # struct silently and by-name access resolves to the first
+            raise ProjectError(
+                f"Sub-source {child.source_name!r}: name collides with "
+                f"a field of parent {sub.source_name!r}"
+            )
         inner_coll = field_exprs.get(child.sub_source_attribute)
         if inner_coll is None:
             raise ProjectError(
@@ -250,7 +272,7 @@ def _sub_source_transform(
                     child,
                     inner_coll,
                     depth + 1,
-                    outer_exprs={**scope, **field_exprs},
+                    scopes={**scopes, sub.source_name: field_exprs},
                 ),
             )
         )

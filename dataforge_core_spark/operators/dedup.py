@@ -365,11 +365,11 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     changed-rows self-join (which doubled per-round work and issued a
     second blocking job).
     """
-    labels, _ = _cc_min_label(spark, dedup_minhash(spark, sf_dir))
+    labels, _ = _cc_min_label(dedup_minhash(spark, sf_dir))
     return _attach_singletons(spark, sf_dir, labels)
 
 
-def _cc_min_label(spark, pairs, pointer_doubling: bool = False):
+def _cc_min_label(pairs, pointer_doubling: bool = False):
     """Min-label fixed point over the undirected pair graph; returns
     (labels DataFrame(doc_id, cluster_id) over edge ENDPOINTS only,
     rounds executed).  ``pointer_doubling=True`` adds the label-of-label
@@ -455,7 +455,7 @@ def dedup_cluster_pd(spark: SparkSession, sf_dir: str) -> DataFrame:
     at corpus scale.  Same fixed point (component-min label), same
     oracle as dedup_cluster."""
     labels, _ = _cc_min_label(
-        spark, dedup_minhash(spark, sf_dir), pointer_doubling=True
+        dedup_minhash(spark, sf_dir), pointer_doubling=True
     )
     return _attach_singletons(spark, sf_dir, labels)
 

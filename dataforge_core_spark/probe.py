@@ -187,10 +187,22 @@ class ProbeStore:
             "schema_json": res.schema_json,
             "message": res.message,
         }
+        # merge-on-flush: re-read what's on disk and overlay our entries
+        # before the atomic replace, so two concurrent runs sharing a
+        # state dir accumulate instead of last-writer-wins dropping each
+        # other's results (entries are content-addressed and immutable,
+        # so merge order cannot conflict)
         os.makedirs(self.state_dir, exist_ok=True)
+        merged: dict[str, dict] = {}
+        try:
+            with open(self.path) as f:
+                merged = json.load(f)
+        except (OSError, ValueError):
+            pass
+        merged.update(self._data)
         tmp = self.path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(self._data, f, indent=1, sort_keys=True)
+            json.dump(merged, f, indent=1, sort_keys=True)
         os.replace(tmp, self.path)
 
 

@@ -70,38 +70,49 @@ def merge_upsert_delta(
 ) -> None:
     """Storage-level MERGE: rows of ``new_df`` REPLACE target rows with
     null-safely matching ``upsert_keys`` values and append otherwise —
-    the same semantics as ``compiler.incremental_upsert``'s frame-level
-    merge (`<=>` match: a NULL-keyed incoming row replaces the
-    NULL-keyed target row, so re-running the same upsert is a no-op).
+    the same key semantics as ``compiler.incremental_upsert``'s
+    frame-level merge (`<=>` match: a NULL-keyed incoming row replaces
+    the NULL-keyed target row, so re-running the same upsert is a
+    no-op).  One precondition the frame-level path does not have: the
+    ``upsert_keys`` tuple must be UNIQUE within ``new_df`` (the
+    standard SQL MERGE constraint — Delta rejects a target row matched
+    by multiple source rows, where the frame path would keep them all);
+    violating batches raise Delta's multiple-matches error rather than
+    silently diverging.
 
     ``prune_keys``: window partition-key columns of the target table.
     When given, the merge condition is AND-ed with
     ``target.<key> IN (distinct incoming values)`` — a static predicate
     on the table's partition columns, which Delta turns into file-level
     pruning: only displaced partitions' files are rewritten.  The
-    distinct value list is collected driver-side (it is the CHANGED
-    partition set — small by the same argument as the broadcast in the
+    condition is built from Column expressions (``isin`` over the
+    collected Python values), so dates/timestamps/decimals become
+    proper typed literals — never string-formatted SQL.  The distinct
+    value list is collected driver-side (it is the CHANGED partition
+    set — small by the same argument as the broadcast in the
     frame-level path).
     """
     _require_delta(spark)
     from delta.tables import DeltaTable  # noqa: PLC0415
+    from pyspark.sql import functions as F  # noqa: PLC0415
 
     target = DeltaTable.forPath(spark, path)
-    cond = " AND ".join(f"t.`{k}` <=> s.`{k}`" for k in upsert_keys)
+    cond = None
+    for k in upsert_keys:
+        c = F.col(f"t.`{k}`").eqNullSafe(F.col(f"s.`{k}`"))
+        cond = c if cond is None else (cond & c)
     if prune_keys:
         for k in prune_keys:
-            vals = [
-                r[0]
-                for r in new_df.select(k).distinct().collect()
-            ]
-            in_list = ", ".join(
-                "NULL" if v is None else repr(v) for v in vals
-            )
-            if in_list:
-                cond += f" AND (t.`{k}` IN ({in_list})"
-                if any(v is None for v in vals):
-                    cond += f" OR t.`{k}` IS NULL"
-                cond += ")"
+            vals = [r[0] for r in new_df.select(k).distinct().collect()]
+            non_null = [v for v in vals if v is not None]
+            p = None
+            if non_null:
+                p = F.col(f"t.`{k}`").isin(*non_null)
+            if any(v is None for v in vals):
+                isnull = F.col(f"t.`{k}`").isNull()
+                p = isnull if p is None else (p | isnull)
+            if p is not None:
+                cond = cond & p
     (
         target.alias("t")
         .merge(new_df.alias("s"), cond)

@@ -118,10 +118,23 @@ def write_output(
     ``partition_by``: output columns with a ``partition_ordinal`` hint
     (Output.partition_columns) — written as hive-style directory
     partitions, so downstream reads with a filter on the key prune at
-    the directory level (the 100 TB reason the hint exists)."""
+    the directory level (the 100 TB reason the hint exists).  Hive
+    directory caveat for parquet/avro path reads: readers re-infer
+    partition-column types from the directory strings (a numeric-looking
+    ``day=20240101`` string column reads back as INT unless
+    ``spark.sql.sources.partitionColumnTypeInference.enabled`` is off)
+    and partition columns re-appear LAST in the schema — select by name,
+    not position.  Delta/catalog reads keep the declared schema."""
 
     def _w(writer):
         return writer.partitionBy(*partition_by) if partition_by else writer
+
+    if partition_by and output_type == "file" and (
+        (file_format or "parquet").lower() == "text"
+    ):
+        # a text output is single-column; partitioning it by that column
+        # would leave empty files — reject rather than silently ignore
+        raise ProjectError("text outputs cannot be partitioned")
 
     if output_type == "table":
         if base_dir:
@@ -140,7 +153,7 @@ def write_output(
         if fmt == "parquet":
             _w(df.write.mode("overwrite")).parquet(path)
         elif fmt == "avro":
-            df.write.mode("overwrite").format("avro").save(path)
+            _w(df.write.mode("overwrite").format("avro")).save(path)
         elif fmt == "text":
             # text outputs must be single-column (u_validate_output.sql:39-41)
             if len(df.columns) != 1:
@@ -153,7 +166,7 @@ def write_output(
                 write_delta,
             )
 
-            write_delta(df, path)
+            write_delta(df, path, partition_by=partition_by)
         else:
             raise ProjectError(f"Unknown file format {fmt!r}")
     else:

@@ -121,8 +121,8 @@ def test_pointer_doubling_converges_logarithmically(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
     )
-    plain, r_plain = _cc_min_label(spark, pairs)
-    pd_, r_pd = _cc_min_label(spark, pairs, pointer_doubling=True)
+    plain, r_plain = _cc_min_label(pairs)
+    pd_, r_pd = _cc_min_label(pairs, pointer_doubling=True)
     want = {(i, 0) for i in range(n)}
     assert {tuple(r) for r in plain.collect()} == want
     assert {tuple(r) for r in pd_.collect()} == want

@@ -394,47 +394,60 @@ def test_sub_source_ancestor_refs(spark, chain_parquet):
         assert r.weighted == r.amount * r.qty
 
 
-def test_sub_source_ancestor_ref_collision_rejected(spark, chain_parquet):
-    """An ancestor reference whose attribute name is also an element
-    field of the sub is ambiguous."""
+def test_sub_source_ancestor_ref_binds_to_named_ancestor(
+    spark, chain_parquet
+):
+    """A qualified ancestor reference must bind to the NAMED ancestor
+    even when a nearer scope has a same-named field: here the parent
+    hub gains a rule `l_quantity` (= o_orderkey * 1000) while the
+    c_items element struct also has a field l_quantity — a depth-2 rule
+    referencing [orders_c].l_quantity must see the hub rule, and one
+    referencing [c_items].l_quantity must see the element field."""
+    from pyspark.sql import functions as F
+
     from dataforge_core_spark.loader import parse_source_dict
-    from dataforge_core_spark.model import Project, ProjectError
+    from dataforge_core_spark.model import Project
     from dataforge_core_spark.runner import ProjectRunner
 
     project = _chain_project(chain_parquet)
     by_name = project.source_by_name()
-    # c_items itself has l_quantity; referencing [orders_c].l_quantity
-    # would be wrong anyway (orders_c lacks it) — build a real collision:
-    # give the parent a rule named like an element field, then reference
-    # it from the sub
-    parent = by_name["orders_c"]
-    parent.rules.append(
-        parse_source_dict(
-            {
-                "source_name": "tmp",
-                "raw_attributes": ["z long"],
-                "rules": [
-                    {"name": "l_quantity", "expression": "[This].o_orderkey"}
-                ],
-            }
-        ).rules[0]
+    mk = lambda nm, ex: parse_source_dict(  # noqa: E731
+        {
+            "source_name": "tmp",
+            "raw_attributes": ["z long"],
+            "rules": [{"name": nm, "expression": ex}],
+        }
+    ).rules[0]
+    by_name["orders_c"].rules.append(
+        mk("l_quantity", "[This].o_orderkey * 1000")
     )
-    by_name["c_items"].rules.append(
-        parse_source_dict(
-            {
-                "source_name": "tmp2",
-                "raw_attributes": ["z long"],
-                "rules": [
-                    {
-                        "name": "bad",
-                        "expression": "[orders_c].l_quantity + 1",
-                    }
-                ],
-            }
-        ).rules[0]
+    by_name["c_charges"].rules.append(
+        mk("from_hub", "[orders_c].l_quantity + 0")
     )
-    with pytest.raises(ProjectError, match="collides"):
-        ProjectRunner(spark, project, persist_hubs=False).build()
+    by_name["c_charges"].rules.append(
+        mk("from_item", "[c_items].l_quantity + 0")
+    )
+    hub = ProjectRunner(spark, project, persist_hubs=False).build()[
+        "orders_c"
+    ]
+    flat = (
+        hub.select(
+            "o_orderkey", F.explode("c_items").alias("it")
+        )
+        .select(
+            "o_orderkey",
+            F.col("it.l_quantity").alias("qty"),
+            F.explode("it.c_charges").alias("ch"),
+        )
+        .select(
+            "o_orderkey", "qty",
+            F.col("ch.from_hub").alias("from_hub"),
+            F.col("ch.from_item").alias("from_item"),
+        )
+    )
+    for r in flat.collect():
+        assert r.from_hub == r.o_orderkey * 1000  # NOT captured by field
+        assert r.from_item == r.qty
 
 
 def test_sub_source_cycle_rejected(spark):

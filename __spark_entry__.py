@@ -57,6 +57,7 @@ Coverage map (SURVEY.md §2 -> query):
                                 custom stateful operator);
                                 tests/test_streaming.py (batch parity)
   LLM-pipeline operators     -> dedup_exact / dedup_minhash / dedup_cluster /
+                                dedup_cluster_pd (pointer doubling) /
                                 dedup_ngram_jaccard / dedup_simhash[_pairs] /
                                 dedup_embedding,
                                 ann_bruteforce / ann_ivf_label /

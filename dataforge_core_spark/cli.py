@@ -84,6 +84,16 @@ def main(argv: list[str] | None = None) -> int:
         "compile from imported metadata (the reference's flow: --import "
         "into the metadata DB, then build from it)",
     )
+    p.add_argument(
+        "--seed",
+        action="store_true",
+        help="drop and re-initialize the metadata store in --state (the "
+        "reference's --seed drops/recreates its meta+log Postgres "
+        "schemas — mainConfig.py:44, pg.py:38-52; the MetaStore dir is "
+        "their stateless replacement).  Unlike the reference, "
+        "--configure does NOT imply --seed: there is no database to "
+        "re-deploy",
+    )
     p.add_argument("--version", action="store_true")
     p.add_argument("--target", default="target", help="--build output dir")
     p.add_argument("--out", default="out", help="--run materialization dir")
@@ -159,6 +169,32 @@ def main(argv: list[str] | None = None) -> int:
         from dataforge_core_spark import __version__
 
         print(__version__)
+        return 0
+
+    if args.seed:
+        from dataforge_core_spark.imports import _STATE_FILE, MetaStore
+        from dataforge_core_spark.probe import ProbeStore
+
+        state_file = os.path.join(args.state, _STATE_FILE)
+        probe_file = os.path.join(args.state, ProbeStore.FILE)
+        existing = [f for f in (state_file, probe_file) if os.path.isfile(f)]
+        if existing:
+            # confirm-before-drop parity (pg.py:42-44)
+            try:
+                reply = input(
+                    f"All objects in state dir {args.state} will be "
+                    "deleted. Do you want to continue (y/n)? "
+                )
+            except EOFError:
+                reply = "n"
+            if reply.strip().lower() not in ("y", "yes"):
+                return 1
+            for f in existing:
+                os.remove(f)
+        # verbatim progress messages (pg.py:49,52)
+        print("Initializing database..")
+        MetaStore(args.state).save()
+        print("Database initialized")
         return 0
 
     if args.init:

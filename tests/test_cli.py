@@ -45,3 +45,46 @@ def test_configure_writes_profile_from_env(tmp_path, monkeypatch):
     assert cfg["hostname"] == "dbc.example.com"
     assert cfg["catalog"] == "hive_metastore"  # reference default
     assert cfg["schema"] == "demo"
+
+
+def test_seed_initializes_and_resets_state(tmp_path, monkeypatch, capsys):
+    """--seed creates a fresh MetaStore (no prompt on an empty dir),
+    prompts before wiping an existing one (reference pg.py:42-44), and
+    a 'y' reply drops every imported object."""
+    import json
+
+    from dataforge_core_spark.cli import main
+
+    state = str(tmp_path / "state")
+    assert main(["--seed", "--state", state]) == 0
+    out = capsys.readouterr().out
+    assert "Initializing database.." in out
+    assert "Database initialized" in out
+    ms = json.load(open(f"{state}/metastore.json"))
+    assert ms["sources"] == {}
+
+    # put an object in, then refuse the prompt -> untouched
+    from dataforge_core_spark.imports import MetaStore, import_project
+    from dataforge_core_spark.loader import parse_source_dict
+    from dataforge_core_spark.model import Project
+
+    proj = Project(
+        sources=[
+            parse_source_dict(
+                {
+                    "source_name": "s1",
+                    "source_table": "t",
+                    "raw_attributes": ["a long"],
+                }
+            )
+        ]
+    )
+    assert "error" not in import_project(MetaStore(state), proj)
+    monkeypatch.setattr("builtins.input", lambda *_: "n")
+    assert main(["--seed", "--state", state]) == 1
+    assert "s1" in json.load(open(f"{state}/metastore.json"))["sources"]
+
+    # accept -> state reset to empty
+    monkeypatch.setattr("builtins.input", lambda *_: "y")
+    assert main(["--seed", "--state", state]) == 0
+    assert json.load(open(f"{state}/metastore.json"))["sources"] == {}

@@ -353,9 +353,64 @@ LEFT JOIN p ON p.user_id = v.user_id
 """
 
 
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their first
+    event; for each (cohort week, week offset), how many of the cohort
+    were active.
+
+    Scale shape: the cohort assignment and the distinct activity
+    relation are both single user-keyed aggregates with map-side
+    partials; the join probe side is one row per user (broadcastable at
+    moderate user counts, hash join otherwise) and the final rollup
+    groups on the low-cardinality (cohort_week, week_offset) key — no
+    step carries more than one row per (user, week)."""
+    _views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH f AS (
+          SELECT user_id,
+                 MIN(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+          FROM events GROUP BY user_id
+        ),
+        a AS (
+          SELECT DISTINCT user_id,
+                 CAST(date_trunc('week', ts) AS DATE) AS week
+          FROM events
+        )
+        SELECT f.cohort_week,
+               CAST(datediff(a.week, f.cohort_week) DIV 7 AS INT)
+                 AS week_offset,
+               COUNT(DISTINCT a.user_id) AS n_users
+        FROM a JOIN f ON a.user_id = f.user_id
+        GROUP BY f.cohort_week, week_offset
+        """
+    )
+
+
+_RETENTION_ORACLE = """
+WITH f AS (
+  SELECT user_id,
+         MIN(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+a AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.week) // 7 AS INTEGER)
+         AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM a JOIN f ON a.user_id = f.user_id
+GROUP BY f.cohort_week, week_offset
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "events_funnel": events_funnel,
+        "events_retention": events_retention,
         "events_user_stats_salted": events_user_stats_salted,
         "events_hourly": events_hourly,
         "events_sessionize": events_sessionize,
@@ -368,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracles() -> dict[str, str]:
     return {
         "events_funnel": _FUNNEL_ORACLE,
+        "events_retention": _RETENTION_ORACLE,
         "events_user_stats_salted": _SALTED_ORACLE,
         "events_hourly": _HOURLY_ORACLE,
         "events_sessionize": _SESSIONIZE_ORACLE,

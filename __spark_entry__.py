@@ -56,7 +56,17 @@ Coverage map (SURVEY.md §2 -> query):
                                 stream_sessionize (applyInPandasWithState
                                 custom stateful operator);
                                 tests/test_streaming.py (batch parity)
-  LLM-pipeline operators     -> dedup_exact / dedup_minhash / dedup_cluster /
+  LLM-pipeline operators     -> events_quantiles (exact interpolated
+                                percentiles, 1e-6-quantized) /
+                                events_anomaly (decimal-exact per-user
+                                z-scores),
+                                text_bigram_lm (corpus bigram LM quality
+                                scoring, quantized log-probs),
+                                train_mix_domains (domain-mixture
+                                resampling, integer rates + md5 draw),
+                                ann_outliers (distance to own-label
+                                centroid, fixed-point centroid sums),
+                                dedup_exact / dedup_minhash / dedup_cluster /
                                 dedup_cluster_pd (pointer doubling) /
                                 dedup_ngram_jaccard / dedup_simhash[_pairs] /
                                 dedup_embedding,

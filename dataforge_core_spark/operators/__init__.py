@@ -47,15 +47,35 @@ def _modules():
     ]
 
 
+# Rows with no driver-recorded CORRECTNESS history yet whose module
+# position would otherwise fall outside the driver's 50-row capture
+# window — hoisted to the front of the extension registry so every
+# new-this-round row gets a driver-recorded verification.  Remove names
+# once a round file records them.
+_HOIST = [
+    "ann_outliers",
+    "train_mix_domains",
+    "train_chunk",
+    "train_cap_per_source",
+    "dedup_cluster_pd",
+]
+
+
+def _merge(items: dict) -> dict:
+    hoisted = {k: items[k] for k in _HOIST if k in items}
+    hoisted.update(items)
+    return hoisted
+
+
 def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for m in _modules():
         q.update(m.queries())
-    return q
+    return _merge(q)
 
 
 def extension_oracles() -> dict[str, str]:
     o: dict[str, str] = {}
     for m in _modules():
         o.update(m.oracles())
-    return o
+    return _merge(o)

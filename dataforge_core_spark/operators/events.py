@@ -407,8 +407,118 @@ GROUP BY f.cohort_week, week_offset
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact latency/value quantiles per (event_type, day).
+#
+# Spark's percentile() and DuckDB's quantile_cont() both compute the
+# exact linearly-interpolated quantile, but may associate the
+# interpolation arithmetic differently — outputs are quantized to 1e-6
+# (FLOOR(q * 1e6) BIGINT) so last-ulp formula differences cannot flip a
+# value; at ~1e-13 absolute error the flip window is ~1e-7 of the
+# quantization step.
+#
+# Scale shape: one group-keyed shuffle; exact percentiles buffer each
+# group's values, so the group key must bound group size — (type, day)
+# does; for unbounded groups swap percentile() -> approx_percentile()
+# (same plan, sketch-mergeable, no oracle equivalence).
+# ---------------------------------------------------------------------------
+
+
+def events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of value per (event_type, day)."""
+    _views(spark, sf_dir)
+    qs = ", ".join(
+        f"CAST(FLOOR(percentile(value, {p}) * 1000000) AS BIGINT)"
+        f" AS p{n}_q"
+        for n, p in (("50", "0.5"), ("90", "0.9"), ("99", "0.99"))
+    )
+    return spark.sql(
+        f"""
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               COUNT(value) AS n, {qs}
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+        """
+    )
+
+
+_QUANTILES_ORACLE = """
+SELECT event_type, CAST(ts AS DATE) AS day, COUNT(value) AS n,
+       CAST(FLOOR(quantile_cont(value, 0.5) * 1000000) AS BIGINT) AS p50_q,
+       CAST(FLOOR(quantile_cont(value, 0.9) * 1000000) AS BIGINT) AS p90_q,
+       CAST(FLOOR(quantile_cont(value, 0.99) * 1000000) AS BIGINT) AS p99_q
+FROM events GROUP BY event_type, CAST(ts AS DATE)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-user anomaly flags: |z-score| of value against the user's own
+# mean/stddev.  The monitoring-grade outlier primitive over event streams.
+#
+# Determinism: sums and sums-of-squares go through DECIMAL (exact,
+# associative, order-free — double SUM would differ run-to-run with
+# partitioning); mean/variance/z are then scalar double expressions with
+# identical association on both engines, so z is bit-identical.  DuckDB's
+# DECIMAL->DOUBLE cast double-rounds once value*10^scale > 2^53, so the
+# oracle routes the sum-of-squares through VARCHAR (the repo-wide
+# workaround; Spark's BigDecimal->double is correctly rounded already).
+#
+# Scale shape: one user-keyed aggregate (map-side combinable) joined back
+# to the event scan — the aggregate side is one row per user (usually
+# broadcastable after aggregation); no window, no sort.
+# ---------------------------------------------------------------------------
+
+ANOMALY_Z = 2.5
+ANOMALY_MIN_N = 30
+
+
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value is > ANOMALY_Z stddevs from the user mean."""
+    _views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH s AS (
+          SELECT user_id,
+                 CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+                 CAST(SUM(CAST(value AS DECIMAL(18,6))
+                          * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS svv,
+                 COUNT(value) AS n
+          FROM events GROUP BY user_id
+        )
+        SELECT event_id, e.user_id, value,
+               (value - sv / n) / sqrt((svv - sv * sv / n) / n) AS z
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE n >= {ANOMALY_MIN_N}
+          AND (svv - sv * sv / n) / n > 0
+          AND abs((value - sv / n) / sqrt((svv - sv * sv / n) / n))
+              > {ANOMALY_Z}
+        """
+    )
+
+
+_ANOMALY_ORACLE = f"""
+WITH s AS (
+  SELECT user_id,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR)
+              AS DOUBLE) AS sv,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))
+                       * CAST(value AS DECIMAL(18,6))) AS VARCHAR)
+              AS DOUBLE) AS svv,
+         COUNT(value) AS n
+  FROM events GROUP BY user_id
+)
+SELECT event_id, e.user_id, value,
+       (value - sv / n) / sqrt((svv - sv * sv / n) / n) AS z
+FROM events e JOIN s ON e.user_id = s.user_id
+WHERE n >= {ANOMALY_MIN_N}
+  AND (svv - sv * sv / n) / n > 0
+  AND abs((value - sv / n) / sqrt((svv - sv * sv / n) / n)) > {ANOMALY_Z}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "events_quantiles": events_quantiles,
+        "events_anomaly": events_anomaly,
         "events_funnel": events_funnel,
         "events_retention": events_retention,
         "events_user_stats_salted": events_user_stats_salted,
@@ -422,6 +532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracles() -> dict[str, str]:
     return {
+        "events_quantiles": _QUANTILES_ORACLE,
+        "events_anomaly": _ANOMALY_ORACLE,
         "events_funnel": _FUNNEL_ORACLE,
         "events_retention": _RETENTION_ORACLE,
         "events_user_stats_salted": _SALTED_ORACLE,

@@ -747,8 +747,86 @@ WHERE {cos} >= {COSINE_DUP_THRESHOLD}
 """
 
 
+# ---------------------------------------------------------------------------
+# Embedding outlier detection: distance to the own-class centroid.
+# A training-data curation primitive — mislabeled / corrupted vectors sit
+# far from their class mean.  Centroids use the same order-free
+# fixed-point integer sums as the k-means quantizer (bit-deterministic
+# regardless of partitioning); the per-vector distance is then
+# ||a||^2 - 2 a.c + ||c||^2 with every dot product on the shared unrolled
+# balanced tree, so ranking is reproducible across engines.  At scale:
+# the centroid relation is |labels| rows (broadcast), the corpus side
+# never shuffles for the join; the only shuffles are the map-side
+# combinable centroid aggregate and the per-label top-k window, which
+# Spark executes as WindowGroupLimit (per-partition pre-limit to K before
+# the label shuffle).
+# ---------------------------------------------------------------------------
+
+OUTLIER_TOP_K = 5
+
+
+def _centroid_by_label(src: str, dialect: str) -> str:
+    """Per-label fixed-point centroid: exact integer sums per dimension
+    (same construction as :func:`_kmeans_update`, keyed by label)."""
+    off = 0 if dialect == "spark" else 1
+    arr_open, arr_close = ("array(", ")") if dialect == "spark" else ("[", "]")
+    elems = ",\n       ".join(
+        f"CAST(SUM(CAST(FLOOR(emb[{d + off}] * {_FP_SCALE}) AS BIGINT))"
+        f" AS DOUBLE) / (COUNT(*) * {_FP_SCALE})"
+        for d in range(DIM)
+    )
+    return (
+        f"SELECT label, {arr_open}{elems}{arr_close} AS emb"
+        f" FROM {src} GROUP BY label"
+    )
+
+
+def ann_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K farthest vectors from their own label's centroid."""
+    v = _normed(spark, sf_dir)
+    aa = _unrolled_dot("a.emb", "a.emb", "spark")
+    ac = _unrolled_dot("a.emb", "c.emb", "spark")
+    cc = _unrolled_dot("emb", "emb", "spark")
+    return spark.sql(
+        f"""
+        WITH cent AS (
+          SELECT label, emb, {cc} AS cc
+          FROM ({_centroid_by_label(v, 'spark')})
+        )
+        SELECT label, CAST(rank AS INTEGER) AS rank, vec_id FROM (
+          SELECT /*+ BROADCAST(c) */ a.label, a.vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY a.label
+                      ORDER BY (({aa}) - (2 * ({ac})) + c.cc) DESC,
+                               a.vec_id) AS rank
+          FROM {v} a JOIN cent c ON a.label = c.label
+        ) t WHERE rank <= {OUTLIER_TOP_K}
+        """
+    )
+
+
+def _outliers_oracle() -> str:
+    aa = _unrolled_dot("a.emb", "a.emb", "duck")
+    ac = _unrolled_dot("a.emb", "c.emb", "duck")
+    cc = _unrolled_dot("emb", "emb", "duck")
+    return f"""
+WITH {_duck_v_cte()},
+cent AS (
+  SELECT label, emb, {cc} AS cc
+  FROM ({_centroid_by_label('v', 'duck')})
+)
+SELECT label, rank, vec_id FROM (
+  SELECT a.label, a.vec_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY a.label
+              ORDER BY (({aa}) - (2 * ({ac})) + c.cc) DESC,
+                       a.vec_id) AS INTEGER) AS rank
+  FROM v a JOIN cent c ON a.label = c.label
+) t WHERE rank <= {OUTLIER_TOP_K}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "ann_outliers": ann_outliers,
         "ann_bruteforce": ann_bruteforce,
         "ann_ivf_label": ann_ivf_label,
         "ann_ivf_kmeans": ann_ivf_kmeans,
@@ -761,6 +839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracles() -> dict[str, str]:
     return {
+        "ann_outliers": _outliers_oracle(),
         "ann_bruteforce": _bruteforce_oracle(),
         "ann_ivf_label": _ivf_oracle(),
         "ann_ivf_kmeans": _ivf_kmeans_oracle(),

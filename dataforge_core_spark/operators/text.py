@@ -173,6 +173,97 @@ FROM t
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus bigram language model (add-one smoothed) scoring each document by
+# its mean log2 bigram probability — the classic cheap quality/fluency
+# filter for pretraining corpora (gibberish and boilerplate both score
+# far from the corpus mode).
+#
+# Determinism: per-bigram log-probs are quantized to 1e-4 via
+# FLOOR(log2(p) * 10000) BEFORE summation, so the per-document total is
+# an exact BIGINT sum — associative, order-free, identical across engines
+# and partitionings.  log2() implementations may differ in the last ulp
+# between Spark (JVM) and DuckDB (libm), but a 1-ulp error ~1e-15 flips
+# the floor only within ~1e-15 of a 1e-4 boundary — vanishing even at
+# corpus scale.  p itself is a single correctly-rounded division of
+# exact integer-valued doubles.
+#
+# Scale shape: the bigram explode is linear in token count; dbg
+# (per-doc distinct bigram + count) pre-aggregates with map-side combine
+# so the model join touches one row per distinct (doc, bigram), not per
+# occurrence; cnt/uni are term-keyed shuffles with map-side combine; V
+# is a scalar subquery (one count job, no join node).  Hot bigrams
+# ("of the") skew the dbg-cnt join key — AQE skew-join splits them; both
+# sides arrive pre-aggregated so no row explosion is possible.
+# ---------------------------------------------------------------------------
+
+_LM_SCALE = 10000
+
+
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean log2 bigram probability under the corpus LM."""
+    _view(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH t AS (SELECT doc_id, {_SPARK_TOK} AS tok FROM documents),
+        bg AS (
+          SELECT doc_id, element_at(tok, i) AS w1,
+                 element_at(tok, i + 1) AS w2
+          FROM t LATERAL VIEW explode(sequence(1, size(tok) - 1)) s AS i
+          WHERE size(tok) >= 2
+        ),
+        dbg AS (
+          SELECT doc_id, w1, w2, COUNT(*) AS k
+          FROM bg GROUP BY doc_id, w1, w2
+        ),
+        cnt AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+        uni AS (SELECT w1, COUNT(*) AS cu FROM bg GROUP BY w1),
+        scored AS (
+          SELECT d.doc_id, d.k,
+                 CAST(FLOOR(log2(
+                   CAST(cnt.c + 1 AS DOUBLE) /
+                   CAST(uni.cu + (SELECT COUNT(DISTINCT w2) FROM cnt)
+                        AS DOUBLE)) * {_LM_SCALE}) AS BIGINT) AS s
+          FROM dbg d
+          JOIN cnt ON d.w1 = cnt.w1 AND d.w2 = cnt.w2
+          JOIN uni ON d.w1 = uni.w1
+        )
+        SELECT doc_id, SUM(k) AS n_bigrams, SUM(k * s) AS lp_sum_q,
+               CAST(SUM(k * s) AS DOUBLE) / SUM(k) / {_LM_SCALE}
+                 AS avg_log2_prob
+        FROM scored GROUP BY doc_id
+        """
+    )
+
+
+_BIGRAM_LM_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOK} AS tok FROM documents),
+bg AS (
+  SELECT doc_id, tok[i] AS w1, tok[i + 1] AS w2
+  FROM t, unnest(generate_series(1, len(tok) - 1)) AS s(i)
+  WHERE len(tok) >= 2
+),
+dbg AS (
+  SELECT doc_id, w1, w2, COUNT(*) AS k FROM bg GROUP BY doc_id, w1, w2
+),
+cnt AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+uni AS (SELECT w1, COUNT(*) AS cu FROM bg GROUP BY w1),
+scored AS (
+  SELECT d.doc_id, d.k,
+         CAST(FLOOR(log2(
+           CAST(cnt.c + 1 AS DOUBLE) /
+           CAST(uni.cu + (SELECT COUNT(DISTINCT w2) FROM cnt)
+                AS DOUBLE)) * {_LM_SCALE}) AS BIGINT) AS s
+  FROM dbg d
+  JOIN cnt ON d.w1 = cnt.w1 AND d.w2 = cnt.w2
+  JOIN uni ON d.w1 = uni.w1
+)
+SELECT doc_id, SUM(k) AS n_bigrams, SUM(k * s) AS lp_sum_q,
+       CAST(SUM(k * s) AS DOUBLE) / SUM(k) / {_LM_SCALE} AS avg_log2_prob
+FROM scored GROUP BY doc_id
+"""
+
+
 TFIDF_TOP_K = 5
 
 
@@ -252,6 +343,7 @@ WHERE rank <= {TFIDF_TOP_K}
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "text_bigram_lm": text_bigram_lm,
         "text_tfidf": text_tfidf,
         "text_tokens": text_tokens,
         "text_quality": text_quality,
@@ -262,6 +354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracles() -> dict[str, str]:
     return {
+        "text_bigram_lm": _BIGRAM_LM_ORACLE,
         "text_tfidf": _TFIDF_ORACLE,
         "text_tokens": _TOKENS_ORACLE,
         "text_quality": _QUALITY_ORACLE,

@@ -488,8 +488,77 @@ WHERE rn <= {SOURCE_CAP}
 """
 
 
+# ---------------------------------------------------------------------------
+# Domain-mixture resampling: down-sample each domain so the kept corpus
+# approaches a target mixture (the "data mixture weights" step of a
+# pretraining pipeline — e.g. 50% web / 30% books / 20% code).
+#
+# Per-domain keep rate (basis points) is pure integer arithmetic from the
+# observed domain counts — rate_bp = min(10000, total*weight*1000 DIV
+# cnt) with weights in tenths — and the keep decision reuses the
+# engine-identical md5 draw, so the sample is deterministic across
+# engines, runs and partitionings.  Rates are exact only in expectation:
+# hash sampling approaches the target mixture, it does not hit it
+# row-exactly (that would need a global sort/rank).
+#
+# Scale shape: the rate relation is |domains| rows (a broadcast join
+# onto the scan — hinted); the only shuffle is the domain-count
+# aggregate, map-side combinable.  The keep filter itself is scan-side.
+# ---------------------------------------------------------------------------
+
+# target mixture in tenths: domain 0 -> 50%, 1 -> 30%, 2 -> 20%
+MIX_WEIGHTS_TENTHS: dict[int, int] = {0: 5, 1: 3, 2: 2}
+_N_DOMAINS = len(MIX_WEIGHTS_TENTHS)
+
+
+def _mix_weight_case() -> str:
+    whens = " ".join(
+        f"WHEN {d} THEN {w}" for d, w in MIX_WEIGHTS_TENTHS.items()
+    )
+    return f"CASE domain {whens} END"
+
+
+def _mix_sql(dialect: str) -> str:
+    intdiv = "DIV" if dialect == "spark" else "//"
+    u = _SPARK_U if dialect == "spark" else _DUCK_U
+    cast_int = "INT" if dialect == "spark" else "INTEGER"
+    hint = "/*+ BROADCAST(r) */ " if dialect == "spark" else ""
+    return f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(regexp_extract(source, '([0-9]+)', 1) AS {cast_int})
+           % {_N_DOMAINS} AS domain
+  FROM documents
+),
+c AS (SELECT domain, COUNT(*) AS cnt FROM d GROUP BY domain),
+r AS (
+  SELECT domain,
+         LEAST(10000,
+               ((SELECT SUM(cnt) FROM c) * ({_mix_weight_case()}) * 1000)
+                 {intdiv} cnt)
+           AS rate_bp
+  FROM c
+)
+SELECT {hint}d.doc_id, d.source, d.domain,
+       CAST(r.rate_bp AS {cast_int}) AS rate_bp,
+       CAST({u} AS {cast_int}) AS draw_bp
+FROM d JOIN r ON d.domain = r.domain
+WHERE {u} < r.rate_bp
+"""
+
+
+def train_mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic resampling toward the target domain mixture."""
+    _view(spark, sf_dir)
+    return spark.sql(_mix_sql("spark"))
+
+
+_MIX_ORACLE = _mix_sql("duck")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "train_mix_domains": train_mix_domains,
         "train_chunk": train_chunk,
         "train_cap_per_source": train_cap_per_source,
         "train_pack": train_pack,
@@ -503,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracles() -> dict[str, str]:
     return {
+        "train_mix_domains": _MIX_ORACLE,
         "train_chunk": _CHUNK_ORACLE,
         "train_cap_per_source": _CAP_ORACLE,
         "train_pack": _PACK_ORACLE,

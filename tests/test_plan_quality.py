@@ -291,3 +291,46 @@ def test_cap_and_tfidf_window_group_limit(spark):
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "WindowGroupLimit" in plan, f"{name}: unbounded rank window"
+
+
+def test_outliers_broadcast_and_group_limit(spark):
+    """ann_outliers: the |labels|-row centroid relation must broadcast
+    onto the corpus scan (no corpus-side shuffle for the join) and the
+    per-label top-K must lower to WindowGroupLimit."""
+    from dataforge_core_spark.operators import similarity as S
+
+    plan = (
+        S.ann_outliers(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, "centroid join is not broadcast"
+    assert "WindowGroupLimit" in plan, "outlier rank window unbounded"
+
+
+def test_mix_domains_scan_side_filter(spark):
+    """train_mix_domains: the |domains|-row rate relation broadcasts and
+    the total is a scalar subquery — a 1-row CROSS JOIN would plan a
+    BroadcastNestedLoopJoin; the keep filter stays scan-side."""
+    from dataforge_core_spark.operators import training as T
+
+    plan = (
+        T.train_mix_domains(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_anomaly_stats_side_aggregated(spark):
+    """events_anomaly: the per-user stats side must be an aggregate
+    (partial+final) joined back by user_id — no window over raw events
+    (a window would re-sort the full event stream per user)."""
+    from dataforge_core_spark.operators import events as E
+
+    plan = (
+        E.events_anomaly(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "HashAggregate" in plan
+    assert "WindowExec" not in plan and "Window\n" not in plan

@@ -26,7 +26,11 @@ Coverage map (SURVEY.md §2 -> query):
   S6/S7 SQL artifact         -> engine_sql_artifact (emitted run.sql
                                 executed, table value-matched)
   P7 struct-key mappings     -> engine_struct_keys
-  §2.11 engine sub-source    -> engine_subsource (element rules re-packed)
+  §2.11 engine sub-source    -> engine_subsource (element rules re-packed),
+                                engine_subsource_chain (nested levels +
+                                ancestor refs), engine_subsource_siblings
+                                ([sibling].attr arrays across sub-sources
+                                of one parent)
   C8 import/diff engine      -> engine_import_diff (v1 import, mutated v2
                                 re-import: rename + in-place upsert +
                                 source-drop cascade, compile --from-state)

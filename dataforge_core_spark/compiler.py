@@ -121,21 +121,39 @@ def _sub_ancestors(project: Project, sub: Source) -> dict[str, Source]:
 _anc_marker_seq = __import__("itertools").count()
 
 
+def _sub_siblings(project: Project, sub: Source) -> dict[str, Source]:
+    """{source_name: Source} for the OTHER sub-sources sharing this
+    sub-source's parent."""
+    return {
+        s.source_name: s
+        for s in project.sources
+        if s.sub_source_parent == (sub.sub_source_parent or "")
+        and s.source_name != sub.source_name
+    }
+
+
 def _rewrite_ancestor_refs(
     project: Project, sub: Source
 ) -> tuple[Source, dict[str, tuple[str, str]]]:
     """Element rules may reference ANCESTOR attributes —
     ``[parent_name].attr`` — because every enclosing scope (the parent
     hub's columns, and each outer lambda's element fields) is lexically
-    visible inside a nested ``transform`` lambda.
+    visible inside a nested ``transform`` lambda.  They may also
+    reference SIBLING sub-sources of the same parent — ``[sibling].attr``
+    yields the ARRAY of that attribute over the sibling's enriched
+    elements (the sibling's whole transform is a pure expression over
+    the shared parent scope, so it is embeddable wherever the rule's
+    own lambda body lives).
 
     Each such token is rewritten to a unique backticked MARKER before
     planning (the planner would otherwise demand a relation path); the
-    returned ``markers`` map records which (ancestor, attribute) every
+    returned ``markers`` map records which (source, attribute) every
     marker names, so :func:`_sub_source_transform` resolves it against
-    THAT ancestor's scope specifically — a same-named field in a nearer
-    scope can never capture an explicitly qualified reference."""
+    THAT ancestor's scope (or sibling's transform) specifically — a
+    same-named field in a nearer scope can never capture an explicitly
+    qualified reference."""
     ancestors = _sub_ancestors(project, sub)
+    siblings = _sub_siblings(project, sub)
     markers: dict[str, tuple[str, str]] = {}
     new_rules = []
     changed = False
@@ -148,7 +166,7 @@ def _rewrite_ancestor_refs(
         for tok in parsed.tokens:
             if tok.source in ("This", "Related"):
                 continue
-            anc = ancestors.get(tok.source)
+            anc = ancestors.get(tok.source) or siblings.get(tok.source)
             if anc is None:
                 continue  # planner raises its element-scope error
             if (
@@ -177,6 +195,9 @@ def _rewrite_ancestor_refs(
     return dataclasses.replace(sub, rules=new_rules), markers
 
 
+_sib_var_seq = __import__("itertools").count()
+
+
 def _sub_source_transform(
     project: Project,
     graph: RelationGraph,
@@ -184,6 +205,7 @@ def _sub_source_transform(
     coll_expr: str,
     depth: int,
     scopes: dict[str, dict[str, str] | None] | None = None,
+    visiting: frozenset = frozenset(),
 ) -> str:
     """One level of sub-source enrichment over the collection expression
     ``coll_expr`` (a column at depth 0, an element field reference
@@ -222,14 +244,51 @@ def _sub_source_transform(
 
     def _resolve(m: "re.Match[str]") -> str:
         n = m.group(1)
-        if n in anc_markers:  # qualified ancestor reference
+        if n in anc_markers:  # qualified ancestor or sibling reference
             src, attr = anc_markers[n]
-            outer = scopes.get(src)
-            if outer is None:
-                # real top-level source: its columns are in plain SQL
-                # scope inside the lambdas
-                return f"`{attr}`"
-            return f"({outer[attr]})"
+            if src in scopes:  # ancestor
+                outer = scopes.get(src)
+                if outer is None:
+                    # real top-level source: its columns are in plain SQL
+                    # scope inside the lambdas
+                    return f"`{attr}`"
+                return f"({outer[attr]})"
+            # sibling sub-source of the same parent: embed the sibling's
+            # full transform (a pure expression over the shared parent
+            # scope, lexically visible here) and project the attribute —
+            # the reference yields array<attr-type> over the sibling's
+            # enriched elements.  The sibling's inner lambda vars shadow
+            # this rule's only inside the embedded expression, so no
+            # capture is possible.
+            if src in visiting or src == sub.source_name:
+                chain = " -> ".join([*sorted(visiting), sub.source_name, src])
+                raise ProjectError(
+                    f"Circular sibling reference: {chain}"
+                )
+            sib = project.source_by_name()[src]
+            parent_scope = scopes.get(sub.sub_source_parent or "")
+            if parent_scope is None:
+                sib_coll = f"`{sib.sub_source_attribute}`"
+            else:
+                sib_coll_expr = parent_scope.get(sib.sub_source_attribute)
+                if sib_coll_expr is None:
+                    raise ProjectError(
+                        f"Sub-source {src!r}: parent attribute "
+                        f"{sib.sub_source_attribute!r} not found on "
+                        f"{sub.sub_source_parent!r}"
+                    )
+                sib_coll = f"({sib_coll_expr})"
+            sib_expr = _sub_source_transform(
+                project,
+                graph,
+                sib,
+                sib_coll,
+                depth,
+                scopes=scopes,
+                visiting=visiting | {sub.source_name},
+            )
+            sv = f"sb{next(_sib_var_seq)}"
+            return f"transform({sib_expr}, {sv} -> {sv}.`{attr}`)"
         if n in field_exprs:  # own element fields ([This] tokens)
             return f"({field_exprs[n]})"
         return m.group(0)

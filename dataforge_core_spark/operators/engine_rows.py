@@ -470,6 +470,157 @@ FROM charges c JOIN orders o ON o.o_orderkey = c.l_orderkey
 """
 
 
+def engine_subsource_siblings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 sibling references — an element rule in one sub-source
+    referencing ANOTHER sub-source of the same parent ([sibling].attr
+    resolves to the array of the sibling's enriched attribute values;
+    the sibling's transform is a pure expression over the shared parent
+    scope, so the whole construct stays one scan-side expression).
+    Extension beyond the reference's recursive parent walk
+    (u_enr_query_get_top_most_parent_source_id.sql:1-30), which only
+    reaches ancestors."""
+    from dataforge_core_spark.loader import parse_source_dict
+    from dataforge_core_spark.model import Project
+    from dataforge_core_spark.runner import ProjectRunner
+
+    spark.sql(
+        f"""
+        SELECT o.o_orderkey,
+               collect_list(struct(
+                 l.l_linenumber,
+                 CAST(l.l_quantity AS DOUBLE) AS l_quantity,
+                 CAST(l.l_extendedprice AS DOUBLE) AS l_extendedprice
+               )) AS items,
+               array(
+                 named_struct('kind', 'tax',
+                              'rate', CAST(max(l.l_tax) AS DOUBLE)),
+                 named_struct('kind', 'disc',
+                              'rate', CAST(max(l.l_discount) AS DOUBLE))
+               ) AS fees
+        FROM parquet.`{sf_dir}/orders.parquet` o
+        JOIN parquet.`{sf_dir}/lineitem.parquet` l
+          ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey
+        """
+    ).createOrReplaceTempView("engine_subsource_sib_src")
+    items_schema = {
+        "type": "array",
+        "elementType": {
+            "type": "struct",
+            "fields": [
+                {"name": "l_linenumber", "type": "integer",
+                 "nullable": True, "metadata": {}},
+                {"name": "l_quantity", "type": "double",
+                 "nullable": True, "metadata": {}},
+                {"name": "l_extendedprice", "type": "double",
+                 "nullable": True, "metadata": {}},
+            ],
+        },
+        "containsNull": True,
+    }
+    fees_schema = {
+        "type": "array",
+        "elementType": {
+            "type": "struct",
+            "fields": [
+                {"name": "kind", "type": "string", "nullable": True,
+                 "metadata": {}},
+                {"name": "rate", "type": "double", "nullable": True,
+                 "metadata": {}},
+            ],
+        },
+        "containsNull": True,
+    }
+    parent = parse_source_dict(
+        {
+            "source_name": "orders_sib",
+            "source_table": "engine_subsource_sib_src",
+            "target_table": "hub_orders_sib",
+            "raw_attributes": [
+                "o_orderkey long",
+                {"name": "items", "schema": items_schema},
+                {"name": "fees", "schema": fees_schema},
+            ],
+        }
+    )
+    items = parse_source_dict(
+        {
+            "source_name": "sib_items",
+            "sub_source": {"parent": "orders_sib", "attribute": "items"},
+            "raw_attributes": [
+                "l_linenumber integer",
+                "l_quantity double",
+                "l_extendedprice double",
+            ],
+            "rules": [
+                {
+                    "name": "gross",
+                    "expression": (
+                        "[This].l_quantity * [This].l_extendedprice"
+                    ),
+                },
+            ],
+        }
+    )
+    fees = parse_source_dict(
+        {
+            "source_name": "sib_fees",
+            "sub_source": {"parent": "orders_sib", "attribute": "fees"},
+            "raw_attributes": ["kind string", "rate double"],
+            "rules": [
+                # sibling RAW attribute -> array, sized
+                {
+                    "name": "n_items",
+                    "expression": "size([sib_items].l_linenumber)",
+                },
+                # sibling RULE (enriched field) -> array, reduced
+                {
+                    "name": "fee_on_max_gross",
+                    "expression": (
+                        "[This].rate * array_max([sib_items].gross)"
+                    ),
+                },
+            ],
+        }
+    )
+    project = Project(sources=[parent, items, fees])
+    hub = ProjectRunner(spark, project, persist_hubs=False).build()[
+        "orders_sib"
+    ]
+    return hub.select(
+        "o_orderkey", F.explode("sib_fees").alias("f")
+    ).select(
+        "o_orderkey",
+        F.col("f.kind").alias("kind"),
+        F.col("f.rate").alias("rate"),
+        F.col("f.n_items").alias("n_items"),
+        F.col("f.fee_on_max_gross").alias("fee_on_max_gross"),
+    )
+
+
+_SUBSOURCE_SIBLINGS_ORACLE = """
+WITH g AS (
+  SELECT l.l_orderkey,
+         COUNT(*) AS n_items,
+         MAX(CAST(l.l_quantity AS DOUBLE)
+             * CAST(l.l_extendedprice AS DOUBLE)) AS max_gross,
+         CAST(MAX(l.l_tax) AS DOUBLE) AS tax_rate,
+         CAST(MAX(l.l_discount) AS DOUBLE) AS disc_rate
+  FROM lineitem l GROUP BY l.l_orderkey
+),
+f AS (
+  SELECT l_orderkey, 'tax' AS kind, tax_rate AS rate, n_items, max_gross
+  FROM g
+  UNION ALL
+  SELECT l_orderkey, 'disc', disc_rate, n_items, max_gross FROM g
+)
+SELECT o.o_orderkey, f.kind, f.rate,
+       CAST(f.n_items AS INTEGER) AS n_items,
+       f.rate * f.max_gross AS fee_on_max_gross
+FROM f JOIN orders o ON o.o_orderkey = f.l_orderkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # P7 — struct-key output mappings `attr.key col`
 # (impc_parse_mapping.sql:25,39; u_get_struct_key_datatype.sql:1-45) plus
@@ -1181,6 +1332,7 @@ def queries():
         "engine_sql_artifact": engine_sql_artifact,
         "engine_subsource": engine_subsource,
         "engine_subsource_chain": engine_subsource_chain,
+        "engine_subsource_siblings": engine_subsource_siblings,
         "engine_struct_keys": engine_struct_keys,
         "engine_agg_whitelist": engine_agg_whitelist,
         "engine_output_sinks": engine_output_sinks,
@@ -1198,6 +1350,7 @@ def oracles():
         "engine_sql_artifact": _ORDERS_HUB_ORACLE,
         "engine_subsource": _SUBSOURCE_ORACLE,
         "engine_subsource_chain": _SUBSOURCE_CHAIN_ORACLE,
+        "engine_subsource_siblings": _SUBSOURCE_SIBLINGS_ORACLE,
         "engine_struct_keys": _STRUCT_KEYS_ORACLE,
         "engine_agg_whitelist": _AGG_WHITELIST_ORACLE,
         "engine_output_sinks": _OUTPUT_SINKS_ORACLE,

@@ -488,3 +488,210 @@ def test_sub_source_rejects_lookups(spark, nested_parquet):
     runner = ProjectRunner(spark, project, persist_hubs=False)
     with pytest.raises(ProjectError):
         runner.build()
+
+
+# ---------------------------------------------------------------------------
+# Sibling sub-source references: a rule in sub-source B may reference
+# [A].attr where A is another sub-source of the SAME parent — the token
+# resolves to the array of A's enriched attribute values (A's transform
+# is a pure expression over the shared parent scope).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def sibling_parquet(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("subsource_sib") / "orders_sib")
+    spark.sql(
+        f"""
+        SELECT o.o_orderkey,
+               collect_list(struct(
+                 l.l_linenumber,
+                 CAST(l.l_quantity AS DOUBLE) AS l_quantity,
+                 CAST(l.l_extendedprice AS DOUBLE) AS l_extendedprice
+               )) AS items,
+               array(
+                 named_struct('kind', 'tax',
+                              'rate', CAST(max(l.l_tax) AS DOUBLE)),
+                 named_struct('kind', 'disc',
+                              'rate', CAST(max(l.l_discount) AS DOUBLE))
+               ) AS fees
+        FROM parquet.`{sf_dir}/orders.parquet` o
+        JOIN parquet.`{sf_dir}/lineitem.parquet` l
+          ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey
+        """
+    ).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _sibling_project(path, fee_rules=None, item_rules=None):
+    from dataforge_core_spark.loader import parse_source_dict
+    from dataforge_core_spark.model import Project
+
+    items_schema = {
+        "type": "array",
+        "elementType": {
+            "type": "struct",
+            "fields": [
+                {"name": "l_linenumber", "type": "integer",
+                 "nullable": True, "metadata": {}},
+                {"name": "l_quantity", "type": "double",
+                 "nullable": True, "metadata": {}},
+                {"name": "l_extendedprice", "type": "double",
+                 "nullable": True, "metadata": {}},
+            ],
+        },
+        "containsNull": True,
+    }
+    fees_schema = {
+        "type": "array",
+        "elementType": {
+            "type": "struct",
+            "fields": [
+                {"name": "kind", "type": "string", "nullable": True,
+                 "metadata": {}},
+                {"name": "rate", "type": "double", "nullable": True,
+                 "metadata": {}},
+            ],
+        },
+        "containsNull": True,
+    }
+    parent = parse_source_dict(
+        {
+            "source_name": "orders_s",
+            "source_table": path,
+            "target_table": "hub_orders_s",
+            "raw_attributes": [
+                "o_orderkey long",
+                {"name": "items", "schema": items_schema},
+                {"name": "fees", "schema": fees_schema},
+            ],
+        }
+    )
+    items = parse_source_dict(
+        {
+            "source_name": "s_items",
+            "sub_source": {"parent": "orders_s", "attribute": "items"},
+            "raw_attributes": [
+                "l_linenumber integer",
+                "l_quantity double",
+                "l_extendedprice double",
+            ],
+            "rules": item_rules or [
+                {
+                    "name": "gross",
+                    "expression": "[This].l_quantity * [This].l_extendedprice",
+                },
+            ],
+        }
+    )
+    fees = parse_source_dict(
+        {
+            "source_name": "s_fees",
+            "sub_source": {"parent": "orders_s", "attribute": "fees"},
+            "raw_attributes": ["kind string", "rate double"],
+            "rules": fee_rules or [
+                # sibling RAW attribute -> array, sized
+                {"name": "n_items", "expression": "size([s_items].l_linenumber)"},
+                # sibling RULE (enriched field) -> array, reduced
+                {
+                    "name": "fee_on_max_gross",
+                    "expression": "[This].rate * array_max([s_items].gross)",
+                },
+            ],
+        }
+    )
+    return Project(sources=[parent, items, fees])
+
+
+def test_sub_source_sibling_refs(spark, sibling_parquet):
+    from pyspark.sql import functions as F
+
+    from dataforge_core_spark.runner import ProjectRunner
+
+    project = _sibling_project(sibling_parquet)
+    hub = ProjectRunner(spark, project, persist_hubs=False).build()[
+        "orders_s"
+    ]
+    el = hub.schema["s_fees"].dataType.elementType
+    assert [f.name for f in el.fields] == [
+        "kind", "rate", "n_items", "fee_on_max_gross",
+    ]
+    flat = hub.select(
+        "o_orderkey", F.explode("s_fees").alias("f")
+    ).select(
+        "o_orderkey",
+        F.col("f.kind").alias("kind"),
+        F.col("f.n_items").alias("n_items"),
+        F.col("f.fee_on_max_gross").alias("fmg"),
+    )
+    expect = spark.sql(
+        f"""
+        SELECT o_orderkey, f.kind,
+               size(items) AS n_items,
+               f.rate * array_max(
+                 transform(items, x -> x.l_quantity * x.l_extendedprice)
+               ) AS fmg
+        FROM parquet.`{sibling_parquet}`
+        LATERAL VIEW explode(fees) t AS f
+        """
+    )
+    key = lambda r: (r["o_orderkey"], r["kind"])  # noqa: E731
+    got = {key(r): (r["n_items"], r["fmg"]) for r in flat.collect()}
+    want = {key(r): (r["n_items"], r["fmg"]) for r in expect.collect()}
+    assert got == want
+
+
+def test_sub_source_sibling_sql_artifact(spark, sibling_parquet, tmp_path):
+    """The emitted run.sql reproduces the sibling-ref DataFrame result
+    (shared sub_source_sql path)."""
+    import shutil
+
+    from dataforge_core_spark.runner import ProjectRunner
+    from dataforge_core_spark.sql_emitter import SqlEmitter, run_statements
+
+    shutil.rmtree("spark-warehouse", ignore_errors=True)
+    project = _sibling_project(sibling_parquet)
+    emitter = SqlEmitter(project, spark=spark)
+    run_sql = emitter.emit_all(str(tmp_path))
+    run_statements(spark, run_sql)
+    sql_df = spark.table("hub_orders_s")
+    df = ProjectRunner(spark, project, persist_hubs=False).build()[
+        "orders_s"
+    ]
+    cols = sorted(df.columns)
+    norm = lambda d: sorted(  # noqa: E731
+        tuple(repr(r[c]) for c in cols) for r in d.collect()
+    )
+    assert norm(sql_df) == norm(df)
+
+
+def test_sub_source_sibling_cycle_rejected(spark, sibling_parquet):
+    from dataforge_core_spark.model import ProjectError
+    from dataforge_core_spark.runner import ProjectRunner
+
+    project = _sibling_project(
+        sibling_parquet,
+        item_rules=[
+            {"name": "n_fees", "expression": "size([s_fees].kind)"},
+        ],
+        fee_rules=[
+            {"name": "n_items", "expression": "size([s_items].l_quantity)"},
+        ],
+    )
+    with pytest.raises(ProjectError, match="[Cc]ircular sibling"):
+        ProjectRunner(spark, project, persist_hubs=False).build()
+
+
+def test_sub_source_sibling_unknown_attr(spark, sibling_parquet):
+    from dataforge_core_spark.model import ProjectError
+    from dataforge_core_spark.runner import ProjectRunner
+
+    project = _sibling_project(
+        sibling_parquet,
+        fee_rules=[
+            {"name": "bad", "expression": "size([s_items].nope)"},
+        ],
+    )
+    with pytest.raises(ProjectError, match="no\\s+attribute 'nope'"):
+        ProjectRunner(spark, project, persist_hubs=False).build()

@@ -70,6 +70,9 @@ Coverage map (SURVEY.md §2 -> query):
                                 resampling, integer rates + md5 draw),
                                 ann_outliers (distance to own-label
                                 centroid, fixed-point centroid sums),
+                                events_transitions (event-type Markov
+                                matrix), dedup_keep_best (canonical doc
+                                per near-dup cluster),
                                 dedup_exact / dedup_minhash / dedup_cluster /
                                 dedup_cluster_pd (pointer doubling) /
                                 dedup_ngram_jaccard / dedup_simhash[_pairs] /

@@ -61,6 +61,7 @@ def _clear_operator_caches(spark) -> None:
         cache.clear()
     similarity._v_cache.clear()
     similarity._kmeans_cache.clear()
+    similarity._centroid_cache.clear()
     entry._hub_cache.clear()
     spark.catalog.clearCache()
 
@@ -85,6 +86,10 @@ def _index_builders():
         (
             "ann_ivf_kmeans_index",
             lambda s: similarity._kmeans_assignments(s, SF_DIR),
+        ),
+        (
+            "ann_outlier_centroids",
+            lambda s: similarity._label_centroids(s, SF_DIR),
         ),
     ]
 

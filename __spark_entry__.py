@@ -70,6 +70,8 @@ Coverage map (SURVEY.md §2 -> query):
                                 resampling, integer rates + md5 draw),
                                 ann_outliers (distance to own-label
                                 centroid, fixed-point centroid sums),
+                                ann_recall_eval (recall@K of IVF vs
+                                exact; nprobe dial via ann_ivf_search),
                                 events_transitions (event-type Markov
                                 matrix), dedup_keep_best (canonical doc
                                 per near-dup cluster),

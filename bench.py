@@ -52,6 +52,7 @@ def _clear_operator_caches(spark) -> None:
     import __spark_entry__ as entry
     from dataforge_core_spark.operators import dedup, simhash, similarity
 
+    dedup._labels_cache.clear()
     for cache in (dedup._ex_cache, dedup._pairs_cache, simhash._sig_cache):
         for df in cache.values():
             try:
@@ -74,6 +75,10 @@ def _index_builders():
     return [
         ("engine_hub_compile", lambda s: entry._build(s, SF_DIR)),
         ("dedup_shingles", lambda s: dedup._ex_df(s, SF_DIR).count()),
+        (
+            "dedup_cluster_labels",
+            lambda s: dedup._cluster_labels(s, SF_DIR, False).count(),
+        ),
         (
             "dedup_minhash_pairs",
             lambda s: dedup.dedup_minhash(s, SF_DIR).count(),

@@ -54,6 +54,7 @@ def _modules():
 # once a round file records them.
 _HOIST = [
     "ann_outliers",
+    "ann_recall_eval",
     "dedup_keep_best",
     "events_transitions",
     "train_mix_domains",

@@ -365,8 +365,28 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     changed-rows self-join (which doubled per-round work and issued a
     second blocking job).
     """
-    labels, _ = _cc_min_label(dedup_minhash(spark, sf_dir))
+    labels = _cluster_labels(spark, sf_dir, pointer_doubling=False)
     return _attach_singletons(spark, sf_dir, labels)
+
+
+_labels_cache: dict = {}
+
+
+def _cluster_labels(
+    spark: SparkSession, sf_dir: str, pointer_doubling: bool
+) -> DataFrame:
+    """Cached fixed-point label frame per (session, sf, variant) — the
+    cluster assignment is the near-dup pipeline's 'index': every
+    downstream consumer (cluster rows, keep-best selection) reads the
+    same checkpointed frame instead of re-running the propagation
+    loop."""
+    key = (id(spark), sf_dir, pointer_doubling)
+    if key not in _labels_cache:
+        labels, _ = _cc_min_label(
+            dedup_minhash(spark, sf_dir), pointer_doubling=pointer_doubling
+        )
+        _labels_cache[key] = labels
+    return _labels_cache[key]
 
 
 def _cc_min_label(pairs, pointer_doubling: bool = False):
@@ -425,7 +445,14 @@ def _cc_min_label(pairs, pointer_doubling: bool = False):
                     F.coalesce(F.col("pd_lab"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
+        superseded = labels
         labels = nxt.localCheckpoint()
+        # the new checkpoint no longer references the old one's blocks —
+        # free them NOW instead of waiting for the async ContextCleaner
+        # (accumulated superseded label blocks were measurably degrading
+        # everything that ran after repeated cluster builds in one
+        # session)
+        superseded.unpersist()
         cur_sum = labels.agg(
             F.sum(F.col("cluster_id").cast("decimal(38,0)"))
         ).collect()[0][0]
@@ -454,9 +481,7 @@ def dedup_cluster_pd(spark: SparkSession, sf_dir: str) -> DataFrame:
     where plain propagation's round count is the wall-clock bottleneck
     at corpus scale.  Same fixed point (component-min label), same
     oracle as dedup_cluster."""
-    labels, _ = _cc_min_label(
-        dedup_minhash(spark, sf_dir), pointer_doubling=True
-    )
+    labels = _cluster_labels(spark, sf_dir, pointer_doubling=True)
     return _attach_singletons(spark, sf_dir, labels)
 
 

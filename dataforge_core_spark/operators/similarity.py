@@ -619,33 +619,42 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ann_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF search with nprobe=2: each query probes its TWO nearest
-    centroid cells (the recall dial over nprobe=1's single cell).
-
-    The probe assignment reuses the checkpointed 8-row centroid table —
-    a broadcast cross join per query vector, ROW_NUMBER <= 2 — and the
-    cell search is the same cid-keyed equi-join as nprobe=1; a corpus
-    vector lives in exactly one cell, so probing two distinct cells can
-    never produce duplicate pairs."""
+def ann_ivf_search(
+    spark: SparkSession, sf_dir: str, nprobe: int = 1
+) -> DataFrame:
+    """IVF search with a configurable probe count — THE recall dial of
+    an IVF index.  Each query probes its ``nprobe`` nearest centroid
+    cells: the probe assignment is a broadcast cross join against the
+    checkpointed K-row centroid table (ROW_NUMBER <= nprobe), and the
+    cell search is the same cid-keyed equi-join for every nprobe; a
+    corpus vector lives in exactly one cell, so probing distinct cells
+    can never produce duplicate pairs.  nprobe=1 short-circuits the
+    probe stage entirely (a vector's nearest centroid IS its assigned
+    cell, so the assignment column already holds the answer)."""
+    if nprobe < 1 or nprobe > KMEANS_K:
+        raise ValueError(f"nprobe must be in [1, {KMEANS_K}]")
     af, cv = _kmeans_index(spark, sf_dir)
-    qdot = _unrolled_dot("a.emb", "c.emb", "spark")
     cos = _spark_cosine("q.emb", "c.emb", "q.nrm", "c.nrm")
-    return spark.sql(
-        f"""
-        WITH qp AS (
+    if nprobe == 1:
+        qsrc = f"(SELECT * FROM {af} WHERE vec_id < {N_QUERIES})"
+    else:
+        qdot = _unrolled_dot("a.emb", "c.emb", "spark")
+        qsrc = f"""(
           SELECT vec_id, emb, nrm, cid FROM (
             SELECT /*+ BROADCAST(c) */ a.vec_id, a.emb, a.nrm, c.cid,
                    ROW_NUMBER() OVER (PARTITION BY a.vec_id
                         ORDER BY (c.cc - (2 * ({qdot}))) ASC, c.cid) AS rn
             FROM (SELECT * FROM {af} WHERE vec_id < {N_QUERIES}) a
             CROSS JOIN {cv} c
-          ) t WHERE rn <= 2
-        ),
-        scored AS (
+          ) t WHERE rn <= {nprobe}
+        )"""
+    return spark.sql(
+        f"""
+        WITH scored AS (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                  {cos} AS score
-          FROM qp q JOIN {af} c ON q.cid = c.cid AND q.vec_id <> c.vec_id
+          FROM {qsrc} q
+          JOIN {af} c ON q.cid = c.cid AND q.vec_id <> c.vec_id
         ),
         ranked AS (
           SELECT query_id, neighbor_id,
@@ -657,6 +666,12 @@ def ann_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ranked WHERE rank <= {TOP_K}
         """
     )
+
+
+def ann_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with nprobe=2 — the driver-checked instantiation of
+    :func:`ann_ivf_search`'s probe dial."""
+    return ann_ivf_search(spark, sf_dir, nprobe=2)
 
 
 def _ivf_probe2_oracle() -> str:
@@ -762,6 +777,86 @@ WHERE {cos} >= {COSINE_DUP_THRESHOLD}
 # the label shuffle).
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Recall evaluation: how much of the EXACT top-K does the IVF index
+# recover per query?  The metric every ANN deployment tunes nprobe
+# against; here computed engine-side so the recall/latency trade-off is
+# measurable inside the same pipeline that serves the search.
+#
+# Determinism: both rankings are already engine-identical (shared
+# unrolled dot trees); hits and totals are exact integer counts, recall
+# one division.  Scale shape: the exact side is the (small) query set
+# vs corpus scan the bruteforce row already plans; the overlap join is
+# keyed (query_id, neighbor_id) — K rows per query on each side.
+# ---------------------------------------------------------------------------
+
+
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@K of the IVF (k-means, nprobe=1) search vs the
+    exact brute-force top-K."""
+    from pyspark.sql import functions as F
+
+    brute = ann_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = (
+        ann_ivf_search(spark, sf_dir, nprobe=1)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        brute.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("hit").alias("n_hits"),
+            (
+                F.count("hit").cast("double") / F.count(F.lit(1))
+            ).alias("recall"),
+        )
+    )
+
+
+def _recall_eval_oracle() -> str:
+    cos = _duck_cosine("q.emb", "c.emb", "q.nrm", "c.nrm")
+    return f"""
+WITH {_duck_v_cte()},
+{_kmeans_ctes('v', 'duck')},
+bscored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS score
+  FROM (SELECT * FROM v WHERE vec_id < {N_QUERIES}) q
+  JOIN v c ON q.vec_id <> c.vec_id
+),
+brute AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS rank
+    FROM bscored
+  ) t WHERE rank <= {TOP_K}
+),
+iscored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS score
+  FROM (SELECT * FROM af WHERE vec_id < {N_QUERIES}) q
+  JOIN af c ON q.cid = c.cid AND q.vec_id <> c.vec_id
+),
+ivf AS (
+  SELECT query_id, neighbor_id, 1 AS hit FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS rank
+    FROM iscored
+  ) t WHERE rank <= {TOP_K}
+)
+SELECT b.query_id,
+       COUNT(*) AS n_exact,
+       COUNT(i.hit) AS n_hits,
+       CAST(COUNT(i.hit) AS DOUBLE) / COUNT(*) AS recall
+FROM brute b
+LEFT JOIN ivf i
+  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+GROUP BY b.query_id
+"""
+
+
 OUTLIER_TOP_K = 5
 
 
@@ -849,6 +944,7 @@ SELECT label, rank, vec_id FROM (
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ann_outliers": ann_outliers,
+        "ann_recall_eval": ann_recall_eval,
         "ann_bruteforce": ann_bruteforce,
         "ann_ivf_label": ann_ivf_label,
         "ann_ivf_kmeans": ann_ivf_kmeans,
@@ -862,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracles() -> dict[str, str]:
     return {
         "ann_outliers": _outliers_oracle(),
+        "ann_recall_eval": _recall_eval_oracle(),
         "ann_bruteforce": _bruteforce_oracle(),
         "ann_ivf_label": _ivf_oracle(),
         "ann_ivf_kmeans": _ivf_kmeans_oracle(),

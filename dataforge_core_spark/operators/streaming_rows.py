@@ -27,6 +27,38 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def rocksdb_available(spark: SparkSession) -> bool:
+    """True if the RocksDB state-store provider (bundled with Spark 4,
+    but dependent on a loadable native rocksdbjni) can be used."""
+    try:
+        spark._jvm.java.lang.Class.forName(_ROCKSDB_PROVIDER)
+        spark._jvm.org.rocksdb.RocksDB.loadLibrary()
+        return True
+    except Exception:
+        return False
+
+
+def _state_provider_override(spark: SparkSession) -> str | None:
+    """Large-state deployments (multi-day stream-stream join state,
+    high-cardinality sessionization) overflow the default HDFS-backed
+    in-memory store; ``DATAFORGE_STREAM_STATE_PROVIDER=rocksdb`` swaps
+    in the RocksDB provider for every streaming driver row.  Off by
+    default: at driver-testdata scale the in-memory store's per-batch
+    commit is faster than RocksDB's SST churn."""
+    import os
+
+    choice = os.environ.get("DATAFORGE_STREAM_STATE_PROVIDER", "").lower()
+    if choice == "rocksdb" and rocksdb_available(spark):
+        return _ROCKSDB_PROVIDER
+    return None
+
+
 def _run_to_memory(df: DataFrame, name: str, spark: SparkSession,
                    mode: str, partitions: int = 4) -> DataFrame:
     # State-store partition count is fixed at query start from
@@ -40,8 +72,13 @@ def _run_to_memory(df: DataFrame, name: str, spark: SparkSession,
     # stores/partition/side), while applyInPandasWithState is dominated
     # by Python-worker parallelism (more partitions win).
     key = "spark.sql.shuffle.partitions"
+    pkey = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(key)
+    prev_provider = spark.conf.get(pkey, None)
     spark.conf.set(key, str(partitions))
+    provider = _state_provider_override(spark)
+    if provider:
+        spark.conf.set(pkey, provider)
     try:
         q = (
             df.writeStream.format("memory")
@@ -60,6 +97,11 @@ def _run_to_memory(df: DataFrame, name: str, spark: SparkSession,
             )
     finally:
         spark.conf.set(key, prev)
+        if provider:
+            if prev_provider is None:
+                spark.conf.unset(pkey)
+            else:
+                spark.conf.set(pkey, prev_provider)
     return spark.table(name)
 
 

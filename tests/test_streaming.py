@@ -426,3 +426,23 @@ def test_stream_schema_derived_from_footer(spark, tmp_path):
     r = rows[0]
     assert r["user_id"] == 7 and abs(r["value"] - 1.5) < 1e-6
     assert r["ts"] == base
+
+
+def test_rocksdb_state_store_option(spark, sf_dir, monkeypatch):
+    """DATAFORGE_STREAM_STATE_PROVIDER=rocksdb swaps the state store for
+    the streaming driver rows and produces the identical result; the
+    session provider config is restored afterward."""
+    from dataforge_core_spark.operators import streaming_rows as SR
+
+    if not SR.rocksdb_available(spark):
+        pytest.skip("RocksDB state store provider not loadable")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    base = rows(SR.stream_hourly(spark, sf_dir))
+    monkeypatch.setenv("DATAFORGE_STREAM_STATE_PROVIDER", "rocksdb")
+    got = rows(SR.stream_hourly(spark, sf_dir))
+    assert got == base
+    pkey = "spark.sql.streaming.stateStore.providerClass"
+    assert spark.conf.get(pkey, None) in (None, "")

@@ -132,6 +132,22 @@ def main() -> None:
         GROUP BY a.s
         """
     ).write.format("noop").mode("overwrite").save()
+    # ...and the object-hash / typed-imperative aggregate machinery the
+    # wide engine rows hit (median/percentile/collect/min_by + the
+    # multi-distinct Expand path): without this, the FIRST engine
+    # aggregate row pays ~20s+ of Janino+JIT inside its timed cold run.
+    spark.sql(
+        """
+        WITH t AS (SELECT id, id % 13 AS g, CAST(id % 7 AS STRING) s
+                   FROM range(1000))
+        SELECT g, median(id), percentile(id, 0.5), collect_set(s),
+               collect_list(s), min_by(s, id), max_by(s, id),
+               count(DISTINCT id), sum(DISTINCT id), avg(DISTINCT id),
+               count_if(id > 3), every(id >= 0), bit_or(id), bit_xor(id),
+               approx_count_distinct(id), any_value(s)
+        FROM t GROUP BY g
+        """
+    ).write.format("noop").mode("overwrite").save()
 
     # Phase 2: shared index builds, timed cold.
     _clear_operator_caches(spark)

@@ -535,3 +535,191 @@ def test_random_chain_sql_matches_dataframe(spark, rnd_chain_parquet, spec):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
         shutil.rmtree(target, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Sibling sub-source references, randomized: a parent with TWO array
+# attributes; the second sub-source's element rules may reference the
+# first sibling's raw attrs AND enriched rules (all numeric by
+# construction), composed with its own scalar arithmetic.  DataFrame
+# runner vs emitted-SQL artifact, same parity as the chain test.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def rnd_sibling_parquet(spark, sf_dir, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("rnd_sib") / "orders_sib")
+    spark.sql(
+        f"""
+        SELECT o.o_orderkey,
+               collect_list(struct(
+                 l.l_linenumber,
+                 CAST(l.l_quantity AS DOUBLE) AS l_quantity
+               )) AS items,
+               array(
+                 named_struct('kind', 'tax',
+                              'rate', CAST(max(l.l_tax) AS DOUBLE)),
+                 named_struct('kind', 'disc',
+                              'rate', CAST(max(l.l_discount) AS DOUBLE))
+               ) AS fees
+        FROM parquet.`{sf_dir}/orders.parquet` o
+        JOIN parquet.`{sf_dir}/lineitem.parquet` l
+          ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey % 7 = 0
+        GROUP BY o.o_orderkey
+        """
+    ).write.mode("overwrite").parquet(path)
+    return path
+
+
+@st.composite
+def _fee_rules(draw, sib, item_rule_names, max_rules=3):
+    """Element rules for the fees sub-source: own-scope arithmetic plus
+    sibling-array references (size / array_max over the sibling's raw
+    attrs and its — numeric by construction — enriched rules)."""
+    rules = []
+    prior: list[str] = []
+    n = draw(st.integers(min_value=1, max_value=max_rules))
+    sib_numeric = ["l_linenumber", "l_quantity", *item_rule_names]
+    for i in range(n):
+        name = f"f{i}"
+        kinds = ["arith", "sib_size", "sib_max"]
+        if prior:
+            kinds.append("prior")
+        kind = draw(st.sampled_from(kinds))
+        c = draw(st.integers(min_value=1, max_value=9))
+        if kind == "arith":
+            expr = f"[This].rate * {c}"
+        elif kind == "sib_size":
+            a = draw(st.sampled_from(sib_numeric))
+            expr = f"size([{sib}].{a}) + {c}"
+        elif kind == "sib_max":
+            a = draw(st.sampled_from(sib_numeric))
+            expr = f"array_max([{sib}].{a}) * {c}"
+        else:  # prior
+            p = draw(st.sampled_from(prior))
+            expr = f"[This].{p} + {c}"
+        prior.append(name)
+        rules.append({"name": name, "expression": expr})
+    return rules
+
+
+@st.composite
+def sibling_specs(draw):
+    # strs=[] -> every item rule is numeric, so fee rules may reference
+    # any of them through array_max
+    item_rules = draw(
+        _element_rules(
+            nums=["l_linenumber", "l_quantity"],
+            strs=[],
+            ancestors=["[orders_rs].o_orderkey"],
+        )
+    )
+    fee_rules = draw(
+        _fee_rules("items_rs", [r["name"] for r in item_rules])
+    )
+    return {"item_rules": item_rules, "fee_rules": fee_rules}
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.filter_too_much,
+        HealthCheck.data_too_large,
+    ],
+)
+@given(spec=sibling_specs())
+def test_random_sibling_sql_matches_dataframe(
+    spark, rnd_sibling_parquet, spec
+):
+    from dataforge_core_spark.loader import parse_source_dict
+    from dataforge_core_spark.model import Project
+    from dataforge_core_spark.runner import ProjectRunner
+    from dataforge_core_spark.sql_emitter import SqlEmitter, run_statements
+
+    uid = f"{os.getpid()}_{next(_uid)}"
+    items_schema = {
+        "type": "array",
+        "elementType": {
+            "type": "struct",
+            "fields": [
+                {"name": "l_linenumber", "type": "integer",
+                 "nullable": True, "metadata": {}},
+                {"name": "l_quantity", "type": "double",
+                 "nullable": True, "metadata": {}},
+            ],
+        },
+        "containsNull": True,
+    }
+    fees_schema = {
+        "type": "array",
+        "elementType": {
+            "type": "struct",
+            "fields": [
+                {"name": "kind", "type": "string", "nullable": True,
+                 "metadata": {}},
+                {"name": "rate", "type": "double", "nullable": True,
+                 "metadata": {}},
+            ],
+        },
+        "containsNull": True,
+    }
+    tbl = f"rnd_sib_{uid}"
+    project = Project(
+        sources=[
+            parse_source_dict(
+                {
+                    "source_name": "orders_rs",
+                    "source_table": rnd_sibling_parquet,
+                    "target_table": tbl,
+                    "raw_attributes": [
+                        "o_orderkey long",
+                        {"name": "items", "schema": items_schema},
+                        {"name": "fees", "schema": fees_schema},
+                    ],
+                }
+            ),
+            parse_source_dict(
+                {
+                    "source_name": "items_rs",
+                    "sub_source": {
+                        "parent": "orders_rs", "attribute": "items",
+                    },
+                    "raw_attributes": [
+                        "l_linenumber integer",
+                        "l_quantity double",
+                    ],
+                    "rules": spec["item_rules"],
+                }
+            ),
+            parse_source_dict(
+                {
+                    "source_name": "fees_rs",
+                    "sub_source": {
+                        "parent": "orders_rs", "attribute": "fees",
+                    },
+                    "raw_attributes": ["kind string", "rate double"],
+                    "rules": spec["fee_rules"],
+                }
+            ),
+        ]
+    )
+    target = tempfile.mkdtemp(prefix="dfspark_rndsib_")
+    try:
+        run_sql = SqlEmitter(project, {}, spark=spark).emit_all(target)
+        run_statements(spark, run_sql)
+        df = ProjectRunner(spark, project, persist_hubs=False).build()[
+            "orders_rs"
+        ]
+        sql_df = spark.table(tbl)
+        assert sorted(sql_df.columns) == sorted(df.columns)
+        assert _rows(sql_df) == _rows(df)
+    finally:
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+        shutil.rmtree(target, ignore_errors=True)

@@ -75,6 +75,10 @@ Coverage map (SURVEY.md §2 -> query):
                                 events_transitions (event-type Markov
                                 matrix), dedup_keep_best (canonical doc
                                 per near-dup cluster),
+                                dedup_semantic_cluster (CC over
+                                embedding near-dup pairs),
+                                train_curriculum (sharded quality-tier
+                                ordering),
                                 dedup_exact / dedup_minhash / dedup_cluster /
                                 dedup_cluster_pd (pointer doubling) /
                                 dedup_ngram_jaccard / dedup_simhash[_pairs] /

@@ -55,8 +55,10 @@ def _modules():
 _HOIST = [
     "ann_outliers",
     "ann_recall_eval",
+    "dedup_semantic_cluster",
     "dedup_keep_best",
     "events_transitions",
+    "train_curriculum",
     "train_mix_domains",
     "train_chunk",
     "train_cap_per_source",

@@ -762,6 +762,61 @@ WHERE {cos} >= {COSINE_DUP_THRESHOLD}
 """
 
 
+def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic duplicate clusters: connected components over the
+    embedding near-duplicate pair graph — the same min-label
+    propagation the text-side ``dedup_cluster`` uses, applied to the
+    LSH+cosine pair list (dedup is modality-agnostic once pairs exist).
+    cluster_id = min vec_id of the component; singletons map to
+    themselves.  Labels cached per (session, sf) like every other index
+    artifact."""
+    from pyspark.sql import functions as F
+
+    from dataforge_core_spark.operators.dedup import (
+        _cc_min_label,
+        _labels_cache,
+    )
+
+    key = (id(spark), sf_dir, "embedding")
+    if key not in _labels_cache:
+        pairs = dedup_embedding(spark, sf_dir).selectExpr(
+            "vec_a AS doc_a", "vec_b AS doc_b"
+        )
+        _labels_cache[key] = _cc_min_label(pairs)[0]
+    labels = _labels_cache[key]
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id")
+    return vecs.join(
+        labels, vecs.vec_id == labels.doc_id, "left"
+    ).select(
+        "vec_id",
+        F.coalesce("cluster_id", "vec_id").alias("cluster_id"),
+    )
+
+
+def _semantic_cluster_oracle() -> str:
+    cos = _duck_cosine("a.emb", "b.emb", "a.nrm", "b.nrm")
+    return f"""
+WITH RECURSIVE {_duck_v_cte()},
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM v a JOIN v b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE {cos} >= {COSINE_DUP_THRESHOLD}
+),
+edges AS (
+  SELECT vec_a AS a, vec_b AS b FROM pairs
+  UNION ALL
+  SELECT vec_b AS a, vec_a AS b FROM pairs
+),
+reach AS (
+  SELECT vec_id AS node, vec_id AS lab FROM embeddings
+  UNION
+  SELECT e.b AS node, r.lab FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS vec_id, MIN(lab) AS cluster_id FROM reach GROUP BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # Embedding outlier detection: distance to the own-class centroid.
 # A training-data curation primitive — mislabeled / corrupted vectors sit
@@ -952,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_hyperplane": ann_lsh_hyperplane,
         "ann_rerank": ann_rerank,
         "dedup_embedding": dedup_embedding,
+        "dedup_semantic_cluster": dedup_semantic_cluster,
     }
 
 
@@ -966,4 +1022,5 @@ def oracles() -> dict[str, str]:
         "ann_lsh_hyperplane": _lsh_oracle(),
         "ann_rerank": _rerank_oracle(),
         "dedup_embedding": _dedup_embedding_oracle(),
+        "dedup_semantic_cluster": _semantic_cluster_oracle(),
     }

@@ -547,6 +547,57 @@ WHERE {u} < r.rate_bp
 """
 
 
+# ---------------------------------------------------------------------------
+# Curriculum ordering: a deterministic global training order — easy/high-
+# quality documents first, shuffled within quality tiers.  Like
+# train_pack, the order is SHARDED (doc_id % N_SHARDS): each shard gets
+# its own rank sequence, so no global sort exists anywhere in the plan;
+# a trainer reading shards round-robin sees the curriculum without any
+# single-partition bottleneck.  Tier (exact integer CASE), md5 draw and
+# doc_id tie-break give a total order both engines agree on.
+# ---------------------------------------------------------------------------
+
+
+def train_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded curriculum rank: quality tier desc, then hash-shuffled."""
+    _view(spark, sf_dir)
+    tok = f"size({_SPARK_TOK})"
+    return spark.sql(
+        f"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(doc_id % {N_SHARDS} AS INT) AS shard,
+                 CASE WHEN {tok} BETWEEN 20 AND 1000 THEN 2
+                      WHEN {tok} >= 10 THEN 1 ELSE 0 END AS tier,
+                 CAST({_SPARK_U} AS INT) AS draw
+          FROM documents
+        )
+        SELECT doc_id, shard, tier,
+               CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                    ORDER BY tier DESC, draw, doc_id) AS INT)
+                 AS curriculum_rank
+        FROM t
+        """
+    )
+
+
+_CURRICULUM_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(doc_id % {N_SHARDS} AS INTEGER) AS shard,
+         CASE WHEN len({_DUCK_TOK}) BETWEEN 20 AND 1000 THEN 2
+              WHEN len({_DUCK_TOK}) >= 10 THEN 1 ELSE 0 END AS tier,
+         CAST({_DUCK_U} AS INTEGER) AS draw
+  FROM documents
+)
+SELECT doc_id, shard, CAST(tier AS INTEGER) AS tier,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard
+            ORDER BY tier DESC, draw, doc_id) AS INTEGER)
+         AS curriculum_rank
+FROM t
+"""
+
+
 def train_mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic resampling toward the target domain mixture."""
     _view(spark, sf_dir)
@@ -558,6 +609,7 @@ _MIX_ORACLE = _mix_sql("duck")
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "train_curriculum": train_curriculum,
         "train_mix_domains": train_mix_domains,
         "train_chunk": train_chunk,
         "train_cap_per_source": train_cap_per_source,
@@ -572,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracles() -> dict[str, str]:
     return {
+        "train_curriculum": _CURRICULUM_ORACLE,
         "train_mix_domains": _MIX_ORACLE,
         "train_chunk": _CHUNK_ORACLE,
         "train_cap_per_source": _CAP_ORACLE,

@@ -238,7 +238,7 @@ class Output:
     columns: list[OutputColumn] = field(default_factory=list)
     channels: list[Channel] = field(default_factory=list)
     output_type: str = "table"  # table | virtual | file (u_validate_output.sql)
-    file_format: str | None = None  # parquet | avro | text for output_type=file
+    file_format: str | None = None  # parquet|avro|text (+csv|json ext.) for output_type=file
 
     def partition_columns(self) -> list[str]:
         """Column names with a partition_ordinal, in ordinal order — the

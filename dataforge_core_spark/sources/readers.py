@@ -159,6 +159,15 @@ def write_output(
             if len(df.columns) != 1:
                 raise ProjectError("text output must have exactly one column")
             df.write.mode("overwrite").text(path)
+        elif fmt == "csv":
+            # extension beyond the reference's parquet/avro/text: header
+            # row for interchange; complex columns rejected by Spark's
+            # CSV writer itself (arrays/structs have no CSV encoding)
+            _w(df.write.mode("overwrite").option("header", "true")).csv(path)
+        elif fmt == "json":
+            # extension: JSON-lines — the interchange format most
+            # downstream training-data tooling ingests directly
+            _w(df.write.mode("overwrite")).json(path)
         elif fmt == "delta":
             # lakehouse target (classpath-gated — sources/merge_targets):
             # enables storage-level MERGE for the incremental upsert path

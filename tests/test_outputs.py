@@ -231,3 +231,21 @@ def test_partition_ordinal_honored(spark, sf_dir, tmp_path):
     assert "error" not in report
     back_proj = store.to_project()
     assert back_proj.outputs[0].partition_columns() == ["key"]
+
+
+def test_csv_and_json_file_outputs(spark, sf_dir, tmp_path):
+    """Extension file sub-types beyond the reference's parquet/avro/text:
+    csv (with header) and json-lines round-trip the output rows."""
+    from dataforge_core_spark.runner import ProjectRunner
+
+    project, out = _mini_project(sf_dir)
+    project.outputs = [
+        out("c_nations", "file", "csv"),
+        out("j_nations", "file", "json"),
+    ]
+    runner = ProjectRunner(spark, project, persist_hubs=False)
+    runner.materialize(str(tmp_path))
+    csv = spark.read.option("header", "true").csv(str(tmp_path / "c_nations"))
+    js = spark.read.json(str(tmp_path / "j_nations"))
+    assert csv.count() == js.count() > 0
+    assert sorted(csv.columns) == sorted(js.columns)

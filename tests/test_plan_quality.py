@@ -192,7 +192,9 @@ def test_ranked_ann_windows_group_limit(spark):
 # q.vec_id <> c.vec_id); ann_ivf_probe2's probe assignment cross-joins
 # the query set against the K=8-row checkpointed centroid table (always
 # broadcast, K rows) before the cid-keyed equi-join search
-_CARTESIAN_EXEMPT = {"ann_bruteforce", "ann_ivf_probe2"}
+# ann_recall_eval embeds ann_bruteforce as its exact side, so it carries
+# the same intentional BNLJ
+_CARTESIAN_EXEMPT = {"ann_bruteforce", "ann_ivf_probe2", "ann_recall_eval"}
 
 
 def test_no_cartesian_products_in_driver_queries(spark):

@@ -52,7 +52,10 @@ Coverage map (SURVEY.md §2 -> query):
                                 channel pass routing, s_suppkey_str_uv_flag
   §2.11 nested / sub-source  -> nested_roundtrip, nested_aggregate
   §2.9 streaming (extension) -> stream_hourly (watermarked window agg on
-                                the streaming engine), stream_attribution
+                                the streaming engine), stream_anomaly
+                                (stream-STATIC join: live events scored
+                                against a batch stats table),
+                                stream_attribution
                                 (watermarked stream-stream join),
                                 stream_attribution_outer (LEFT-OUTER
                                 stream-stream join; unmatched clicks

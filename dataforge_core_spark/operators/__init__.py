@@ -63,6 +63,8 @@ _HOIST = [
     "train_chunk",
     "train_cap_per_source",
     "dedup_cluster_pd",
+    "text_tfidf",
+    "text_bigram_lm",
 ]
 
 

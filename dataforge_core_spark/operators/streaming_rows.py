@@ -133,6 +133,71 @@ GROUP BY date_trunc('hour', ts), event_type
 """
 
 
+def stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join: the live event stream scored against a
+    batch-computed per-user stats table (mean/stddev from decimal-exact
+    sums — the same construction as the batch ``events_anomaly`` row,
+    which shares this oracle).
+
+    This is the §2.9 shape the reference's intended semantics allow for
+    stream sources — lookups against static hubs — as a driver-checked
+    row: the static side is computed once per query start and
+    broadcast/hashed against every micro-batch, STATELESS on the stream
+    side (no watermark, no state store), so at production scale the
+    join cost is per-batch and the static table refreshes on restart.
+    """
+    from dataforge_core_spark.streaming import stream_events
+
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
+        "stream_anomaly_batch_events"
+    )
+    stats = spark.sql(
+        """
+        SELECT user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))
+                        * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS svv,
+               COUNT(value) AS n
+        FROM stream_anomaly_batch_events GROUP BY user_id
+        """
+    )
+    stream = stream_events(spark, sf_dir)
+    z = "(value - sv / n) / sqrt((svv - sv * sv / n) / n)"
+    joined = (
+        stream.join(stats, "user_id")
+        .where(
+            f"n >= 30 AND (svv - sv * sv / n) / n > 0 AND abs({z}) > 2.5"
+        )
+        .selectExpr("event_id", "user_id", "value", f"{z} AS z")
+    )
+    return _run_to_memory(
+        joined, "drv_stream_anomaly", spark, "append", partitions=2
+    )
+
+
+# identical to the batch events_anomaly oracle (same thresholds, same
+# decimal-exact construction) — the streaming row must reproduce the
+# batch result exactly because the stream-static join is stateless
+_STREAM_ANOMALY_ORACLE = """
+WITH s AS (
+  SELECT user_id,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR)
+              AS DOUBLE) AS sv,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))
+                       * CAST(value AS DECIMAL(18,6))) AS VARCHAR)
+              AS DOUBLE) AS svv,
+         COUNT(value) AS n
+  FROM events GROUP BY user_id
+)
+SELECT event_id, e.user_id, value,
+       (value - sv / n) / sqrt((svv - sv * sv / n) / n) AS z
+FROM events e JOIN s ON e.user_id = s.user_id
+WHERE n >= 30
+  AND (svv - sv * sv / n) / n > 0
+  AND abs((value - sv / n) / sqrt((svv - sv * sv / n) / n)) > 2.5
+"""
+
+
 def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Click-to-purchase attribution via a watermarked stream-stream
     join with a bounded time-range condition (state evictable at scale)."""
@@ -281,6 +346,7 @@ WHERE sn < (SELECT MAX(sn) FROM sess m WHERE m.user_id = s.user_id)
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stream_hourly": stream_hourly,
+        "stream_anomaly": stream_anomaly,
         "stream_attribution": stream_attribution,
         "stream_attribution_outer": stream_attribution_outer,
         "stream_sessionize": stream_sessionize,
@@ -290,6 +356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracles() -> dict[str, str]:
     return {
         "stream_hourly": _HOURLY_ORACLE,
+        "stream_anomaly": _STREAM_ANOMALY_ORACLE,
         "stream_attribution": _ATTRIBUTION_ORACLE,
         "stream_attribution_outer": _ATTRIBUTION_OUTER_ORACLE,
         "stream_sessionize": _SESSIONIZE_ORACLE,

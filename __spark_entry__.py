@@ -81,7 +81,8 @@ Coverage map (SURVEY.md §2 -> query):
                                 dedup_semantic_cluster (CC over
                                 embedding near-dup pairs),
                                 train_curriculum (sharded quality-tier
-                                ordering),
+                                ordering), train_span_corruption
+                                (T5-style mask spans, scan-side),
                                 dedup_exact / dedup_minhash / dedup_cluster /
                                 dedup_cluster_pd (pointer doubling) /
                                 dedup_ngram_jaccard / dedup_simhash[_pairs] /

@@ -58,6 +58,7 @@ _HOIST = [
     "dedup_semantic_cluster",
     "dedup_keep_best",
     "events_transitions",
+    "train_span_corruption",
     "train_curriculum",
     "train_mix_domains",
     "train_chunk",

@@ -548,6 +548,69 @@ WHERE {u} < r.rate_bp
 
 
 # ---------------------------------------------------------------------------
+# Span-corruption masks (T5-style denoising objective): ~15% of token
+# positions start a mask span of 1-3 tokens.  Spans are drawn from
+# md5(doc_id:position) — deterministic across engines, runs and
+# partitionings, so the SAME corruption pattern can be regenerated
+# anywhere without storing it.  The plan is pure scan-side explode +
+# filter: NO shuffle, no state — at 100 TB this runs at scan speed
+# alongside tokenization.  Spans may overlap (consumers coalesce), and
+# a span is clipped at the document end.
+# ---------------------------------------------------------------------------
+
+SPAN_RATE_PCT = 15
+SPAN_MAX = 3
+
+
+def train_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mask-span starts and lengths per document."""
+    _view(spark, sf_dir)
+    h = (
+        "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':', "
+        "CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+    )
+    return spark.sql(
+        f"""
+        WITH t AS (
+          SELECT doc_id, size({_SPARK_TOK}) AS n FROM documents
+        ),
+        pos AS (
+          SELECT doc_id, n, explode(sequence(1, n)) AS i
+          FROM t WHERE n >= 1
+        ),
+        draws AS (
+          SELECT doc_id, n, i, {h} AS h FROM pos
+        )
+        SELECT doc_id, CAST(i AS INT) AS span_start,
+               CAST(LEAST(1 + (h DIV 100) % {SPAN_MAX}, n - i + 1) AS INT)
+                 AS span_len
+        FROM draws WHERE h % 100 < {SPAN_RATE_PCT}
+        """
+    )
+
+
+_SPAN_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, len({_DUCK_TOK}) AS n FROM documents
+),
+pos AS (
+  SELECT doc_id, n, unnest(generate_series(1, n)) AS i
+  FROM t WHERE n >= 1
+),
+draws AS (
+  SELECT doc_id, n, i,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                             CAST(i AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM pos
+)
+SELECT doc_id, CAST(i AS INTEGER) AS span_start,
+       CAST(LEAST(1 + (h // 100) % {SPAN_MAX}, n - i + 1) AS INTEGER)
+         AS span_len
+FROM draws WHERE h % 100 < {SPAN_RATE_PCT}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Curriculum ordering: a deterministic global training order — easy/high-
 # quality documents first, shuffled within quality tiers.  Like
 # train_pack, the order is SHARDED (doc_id % N_SHARDS): each shard gets
@@ -609,6 +672,7 @@ _MIX_ORACLE = _mix_sql("duck")
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "train_span_corruption": train_span_corruption,
         "train_curriculum": train_curriculum,
         "train_mix_domains": train_mix_domains,
         "train_chunk": train_chunk,
@@ -624,6 +688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracles() -> dict[str, str]:
     return {
+        "train_span_corruption": _SPAN_ORACLE,
         "train_curriculum": _CURRICULUM_ORACLE,
         "train_mix_domains": _MIX_ORACLE,
         "train_chunk": _CHUNK_ORACLE,

@@ -336,3 +336,15 @@ def test_anomaly_stats_side_aggregated(spark):
     )
     assert "HashAggregate" in plan
     assert "WindowExec" not in plan and "Window\n" not in plan
+
+
+def test_span_corruption_has_no_exchange(spark):
+    """train_span_corruption is pure scan-side explode+filter — ANY
+    Exchange means the mask generation stopped running at scan speed."""
+    from dataforge_core_spark.operators import training as T
+
+    plan = (
+        T.train_span_corruption(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, "span corruption plans a shuffle"

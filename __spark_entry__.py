@@ -75,6 +75,8 @@ Coverage map (SURVEY.md §2 -> query):
                                 centroid, fixed-point centroid sums),
                                 ann_recall_eval (recall@K of IVF vs
                                 exact; nprobe dial via ann_ivf_search),
+                                ann_knn_graph (bucket-keyed kNN edge
+                                list, WindowGroupLimit top-k),
                                 events_transitions (event-type Markov
                                 matrix), dedup_keep_best (canonical doc
                                 per near-dup cluster),

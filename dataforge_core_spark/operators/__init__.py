@@ -55,6 +55,7 @@ def _modules():
 _HOIST = [
     "ann_outliers",
     "ann_recall_eval",
+    "ann_knn_graph",
     "dedup_semantic_cluster",
     "dedup_keep_best",
     "events_transitions",

@@ -762,6 +762,51 @@ WHERE {cos} >= {COSINE_DUP_THRESHOLD}
 """
 
 
+# ---------------------------------------------------------------------------
+# k-NN graph construction: EVERY vector's top-k neighbors within its
+# coarse bucket — the build step of graph-based dedup/cluster/ANN
+# methods (kNN-graph clustering, NN-Descent seeding).  Unlike the ann_*
+# search rows (a small query set against the corpus), this is
+# corpus x corpus, made tractable the IVF way: pairs exist only within
+# a bucket, so the join is bucket-keyed (shuffle by bucket, quadratic
+# only in bucket size — bounded by the quantizer), and the per-vector
+# top-k lowers to WindowGroupLimit.  Output is the directed edge list.
+# ---------------------------------------------------------------------------
+
+KNN_K = 5
+
+
+def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed kNN edges (vec -> its KNN_K nearest in its label cell)."""
+    v = _normed(spark, sf_dir)
+    cos = _spark_cosine("a.emb", "b.emb", "a.nrm", "b.nrm")
+    return spark.sql(
+        f"""
+        SELECT src, CAST(rank AS INTEGER) AS rank, dst FROM (
+          SELECT a.vec_id AS src, b.vec_id AS dst,
+                 ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                      ORDER BY ({cos}) DESC, b.vec_id) AS rank
+          FROM {v} a JOIN {v} b
+            ON a.label = b.label AND a.vec_id <> b.vec_id
+        ) t WHERE rank <= {KNN_K}
+        """
+    )
+
+
+def _knn_graph_oracle() -> str:
+    cos = _duck_cosine("a.emb", "b.emb", "a.nrm", "b.nrm")
+    return f"""
+WITH {_duck_v_cte()}
+SELECT src, rank, dst FROM (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
+              ORDER BY ({cos}) DESC, b.vec_id) AS INTEGER) AS rank
+  FROM v a JOIN v b
+    ON a.label = b.label AND a.vec_id <> b.vec_id
+) t WHERE rank <= {KNN_K}
+"""
+
+
 def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic duplicate clusters: connected components over the
     embedding near-duplicate pair graph — the same min-label
@@ -1000,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ann_outliers": ann_outliers,
         "ann_recall_eval": ann_recall_eval,
+        "ann_knn_graph": ann_knn_graph,
         "ann_bruteforce": ann_bruteforce,
         "ann_ivf_label": ann_ivf_label,
         "ann_ivf_kmeans": ann_ivf_kmeans,
@@ -1015,6 +1061,7 @@ def oracles() -> dict[str, str]:
     return {
         "ann_outliers": _outliers_oracle(),
         "ann_recall_eval": _recall_eval_oracle(),
+        "ann_knn_graph": _knn_graph_oracle(),
         "ann_bruteforce": _bruteforce_oracle(),
         "ann_ivf_label": _ivf_oracle(),
         "ann_ivf_kmeans": _ivf_kmeans_oracle(),

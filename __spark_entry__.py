@@ -78,7 +78,10 @@ Coverage map (SURVEY.md §2 -> query):
                                 ann_knn_graph (bucket-keyed kNN edge
                                 list, WindowGroupLimit top-k),
                                 events_transitions (event-type Markov
-                                matrix), dedup_keep_best (canonical doc
+                                matrix), events_sliding_active (3h/1h
+                                sliding windows),
+                                text_tokens_bpe (BPE-style regex piece
+                                stats), dedup_keep_best (canonical doc
                                 per near-dup cluster),
                                 dedup_semantic_cluster (CC over
                                 embedding near-dup pairs),

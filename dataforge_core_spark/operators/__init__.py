@@ -59,6 +59,7 @@ _HOIST = [
     "dedup_semantic_cluster",
     "dedup_keep_best",
     "events_transitions",
+    "events_sliding_active",
     "train_span_corruption",
     "train_curriculum",
     "train_mix_domains",
@@ -67,6 +68,7 @@ _HOIST = [
     "dedup_cluster_pd",
     "text_tfidf",
     "text_bigram_lm",
+    "text_tokens_bpe",
 ]
 
 

@@ -516,6 +516,60 @@ WHERE n >= {ANOMALY_MIN_N}
 
 
 # ---------------------------------------------------------------------------
+# SLIDING-window active users: 3-hour windows sliding by 1 hour — the
+# batch analogue of Structured Streaming's window(ts, '3 hours',
+# '1 hour') (events_hourly/stream_hourly cover the tumbling case).
+# Each event replicates into its 3 covering windows via an explode on
+# exact epoch-hour integer arithmetic (no interval math — engines
+# disagree on interval edge semantics; integers cannot), then one
+# window-keyed distinct aggregate.  Spark plans COUNT(DISTINCT) as the
+# two-level partial aggregate, so the per-window user sets never gather.
+# ---------------------------------------------------------------------------
+
+SLIDE_WINDOW_HOURS = 3
+
+
+def events_sliding_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct active users + event count per 3h/1h sliding window."""
+    _views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH e AS (
+          -- ts reads as TIMESTAMP_NTZ; the session is pinned UTC, so
+          -- the TIMESTAMP hop gives the same epoch DuckDB's epoch() does
+          SELECT user_id,
+                 CAST(CAST(ts AS TIMESTAMP) AS BIGINT) DIV 3600 AS h
+          FROM events
+        ),
+        w AS (
+          SELECT user_id, (h - k) * 3600 AS ws
+          FROM e LATERAL VIEW explode(
+            sequence(0, {SLIDE_WINDOW_HOURS - 1})) s AS k
+        )
+        SELECT timestamp_seconds(ws) AS window_start,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM w GROUP BY ws
+        """
+    )
+
+
+_SLIDING_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h FROM events
+),
+w AS (
+  SELECT user_id, (h - k) * 3600 AS ws
+  FROM e, unnest(generate_series(0, {SLIDE_WINDOW_HOURS - 1})) AS s(k)
+)
+SELECT to_timestamp(ws) AS window_start,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM w GROUP BY ws
+"""
+
+
+# ---------------------------------------------------------------------------
 # Event-type transition matrix (first-order Markov counts): for each
 # user-ordered consecutive event pair, count (from_type, to_type) and the
 # conditional transition probability.  The behavioral-model primitive
@@ -562,6 +616,7 @@ _TRANSITIONS_ORACLE = _TRANSITIONS_SQL
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "events_sliding_active": events_sliding_active,
         "events_transitions": events_transitions,
         "events_quantiles": events_quantiles,
         "events_anomaly": events_anomaly,
@@ -578,6 +633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracles() -> dict[str, str]:
     return {
+        "events_sliding_active": _SLIDING_ORACLE,
         "events_transitions": _TRANSITIONS_ORACLE,
         "events_quantiles": _QUANTILES_ORACLE,
         "events_anomaly": _ANOMALY_ORACLE,

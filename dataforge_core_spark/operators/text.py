@@ -264,6 +264,64 @@ FROM scored GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# BPE-ish regex tokenization: GPT-2-style piece splitting (letter runs,
+# digit runs, punctuation runs) — the pre-tokenizer pass every BPE
+# vocabulary trains over.  The pattern stays in the Java/RE2 common
+# subset (character classes + alternation, no lookaround), so Spark and
+# DuckDB produce the identical piece sequence; all outputs are exact
+# integer counts plus one ratio division.  Pure scan-side expression —
+# no shuffle, no UDF.
+# ---------------------------------------------------------------------------
+
+_BPE_RE_SPARK = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]+"
+_BPE_RE_DUCK = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Piece statistics under BPE-style regex pre-tokenization."""
+    _view(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH p AS (
+          SELECT doc_id,
+                 regexp_extract_all(text, '{_BPE_RE_SPARK}', 0) AS pieces,
+                 size({_SPARK_TOK}) AS n_words
+          FROM documents
+        )
+        SELECT doc_id,
+               size(pieces) AS n_pieces,
+               size(filter(pieces, x -> x RLIKE '^[A-Za-z]+$')) AS n_alpha,
+               size(filter(pieces, x -> x RLIKE '^[0-9]+$')) AS n_num,
+               size(filter(pieces,
+                    x -> NOT x RLIKE '^[A-Za-z0-9]')) AS n_punct,
+               CAST(size(pieces) AS DOUBLE) / n_words AS pieces_per_word
+        FROM p WHERE n_words > 0
+        """
+    )
+
+
+_TOKENS_BPE_ORACLE = f"""
+WITH p AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '{_BPE_RE_DUCK}') AS pieces,
+         len({_DUCK_TOK}) AS n_words
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(pieces) AS INTEGER) AS n_pieces,
+       CAST(len(list_filter(pieces, x -> regexp_matches(x, '^[A-Za-z]+$')))
+            AS INTEGER) AS n_alpha,
+       CAST(len(list_filter(pieces, x -> regexp_matches(x, '^[0-9]+$')))
+            AS INTEGER) AS n_num,
+       CAST(len(list_filter(pieces,
+            x -> NOT regexp_matches(x, '^[A-Za-z0-9]')))
+            AS INTEGER) AS n_punct,
+       CAST(len(pieces) AS DOUBLE) / n_words AS pieces_per_word
+FROM p WHERE n_words > 0
+"""
+
+
 TFIDF_TOP_K = 5
 
 
@@ -343,6 +401,7 @@ WHERE rank <= {TFIDF_TOP_K}
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "text_tokens_bpe": text_tokens_bpe,
         "text_bigram_lm": text_bigram_lm,
         "text_tfidf": text_tfidf,
         "text_tokens": text_tokens,
@@ -354,6 +413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracles() -> dict[str, str]:
     return {
+        "text_tokens_bpe": _TOKENS_BPE_ORACLE,
         "text_bigram_lm": _BIGRAM_LM_ORACLE,
         "text_tfidf": _TFIDF_ORACLE,
         "text_tokens": _TOKENS_ORACLE,

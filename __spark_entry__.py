@@ -106,6 +106,9 @@ Coverage map (SURVEY.md §2 -> query):
                                 train_cap_per_source (per-domain caps),
                                 events_hourly/sessionize/json/asof_order/
                                 funnel,
+                                multimodal_audio_features (int16
+                                waveform -> RIFF round-trip -> integer
+                                loudness/zero-crossings) /
                                 multimodal_meta / multimodal_frame_sample /
                                 multimodal_decode (real stdlib header
                                 parse) / multimodal_resize (real stdlib

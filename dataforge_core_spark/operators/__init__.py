@@ -69,6 +69,7 @@ _HOIST = [
     "text_tfidf",
     "text_bigram_lm",
     "text_tokens_bpe",
+    "multimodal_audio_features",
 ]
 
 

@@ -545,8 +545,161 @@ FROM d
 """
 
 
+# ---------------------------------------------------------------------------
+# Audio feature extraction: a deterministic int16 waveform (samples are
+# a pure function of doc_id, so the oracle can recompute them in SQL),
+# packed into a REAL RIFF/WAVE file by the synth stage, then parsed back
+# by the feature stage — struct-level chunk walk, int16 unpack, integer
+# sum-of-abs ("loudness") and sign-change zero-crossing count.  Every
+# output is an exact integer, so the feature math is oracle-verified
+# end-to-end through the binary round-trip.  Same fused single-pass
+# mapInPandas shape as the other media rows.
+# ---------------------------------------------------------------------------
+
+AUDIO_N_FRAMES = 16
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_frames int, "
+    "sum_abs bigint, zero_crossings int"
+)
+
+
+def audio_synth_fn():
+    """mapInPandas stage: (doc_id, text) -> deterministic-waveform WAV."""
+
+    def synth(batches):
+        import struct
+
+        import pandas as pd
+
+        def wav(doc_id: int, n: int) -> bytes:
+            rate = 8000 + (n % 8) * 1000
+            samples = [
+                ((doc_id * 31 + i * 17) % 65536) - 32768
+                for i in range(AUDIO_N_FRAMES)
+            ]
+            data = b"".join(struct.pack("<h", s) for s in samples)
+            fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+            return (
+                struct.pack(
+                    "<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data),
+                    b"WAVE",
+                )
+                + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+                + struct.pack("<4sI", b"data", len(data)) + data
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        wav(int(d), len(t.encode("utf-8")))
+                        for d, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    return synth
+
+
+def audio_features_fn():
+    """mapInPandas stage: (doc_id, payload) -> integer audio features."""
+
+    def feats(batches):
+        import struct
+
+        import pandas as pd
+
+        def parse(b: bytes):
+            if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                return None
+            pos, rate, data = 12, None, None
+            while pos + 8 <= len(b):
+                cid = b[pos:pos + 4]
+                (ln,) = struct.unpack("<I", b[pos + 4:pos + 8])
+                body = b[pos + 8:pos + 8 + ln]
+                if cid == b"fmt ":
+                    rate = struct.unpack("<HHIIHH", body[:16])[2]
+                elif cid == b"data":
+                    data = body
+                pos += 8 + ln + (ln % 2)
+            if rate is None or data is None:
+                return None
+            n = len(data) // 2
+            ss = struct.unpack(f"<{n}h", data[: 2 * n])
+            sum_abs = sum(abs(s) for s in ss)
+            zc = sum(1 for a, b2 in zip(ss, ss[1:]) if a * b2 < 0)
+            return rate, n, sum_abs, zc
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = parse(bytes(payload))
+                rows.append(
+                    (int(doc_id), *(p if p else (None, None, None, None)))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_frames",
+                    "sum_abs", "zero_crossings",
+                ],
+            )
+
+    return feats
+
+
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synth -> feature-extract fused into one mapInPandas pass."""
+
+    def fused(*stages):
+        def fn(batches):
+            for s in stages:
+                batches = s(batches)
+            return batches
+
+        return fn
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return docs.mapInPandas(
+        fused(audio_synth_fn(), audio_features_fn()), AUDIO_FEATURES_SCHEMA
+    )
+
+
+_AUDIO_FEATURES_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+),
+s AS (
+  SELECT doc_id, i,
+         ((doc_id * 31 + i * 17) % 65536) - 32768 AS v
+  FROM d, unnest(generate_series(0, {AUDIO_N_FRAMES - 1})) AS u(i)
+),
+z AS (
+  SELECT doc_id, v,
+         lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+  FROM s
+),
+agg AS (
+  SELECT doc_id,
+         SUM(ABS(v)) AS sum_abs,
+         COUNT(CASE WHEN pv * v < 0 THEN 1 END) AS zc
+  FROM z GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(8000 + (d.n % 8) * 1000 AS INTEGER) AS sample_rate,
+       CAST({AUDIO_N_FRAMES} AS INTEGER) AS n_frames,
+       CAST(a.sum_abs AS BIGINT) AS sum_abs,
+       CAST(a.zc AS INTEGER) AS zero_crossings
+FROM d JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "multimodal_audio_features": multimodal_audio_features,
         "multimodal_meta": multimodal_meta,
         "multimodal_frame_sample": multimodal_frame_sample,
         "multimodal_decode": multimodal_decode,
@@ -556,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracles() -> dict[str, str]:
     return {
+        "multimodal_audio_features": _AUDIO_FEATURES_ORACLE,
         "multimodal_meta": _META_ORACLE,
         "multimodal_frame_sample": _FRAME_ORACLE,
         "multimodal_decode": _DECODE_ORACLE,

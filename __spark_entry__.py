@@ -81,7 +81,10 @@ Coverage map (SURVEY.md §2 -> query):
                                 matrix), events_sliding_active (3h/1h
                                 sliding windows),
                                 text_tokens_bpe (BPE-style regex piece
-                                stats), dedup_keep_best (canonical doc
+                                stats), text_entropy (quantized-log
+                                Shannon entropy),
+                                dedup_report (one-row corpus dedup
+                                summary), dedup_keep_best (canonical doc
                                 per near-dup cluster),
                                 dedup_semantic_cluster (CC over
                                 embedding near-dup pairs),

@@ -586,6 +586,77 @@ _DEDUP_NGRAM_ORACLE = _ngram_oracle()
 
 
 # ---------------------------------------------------------------------------
+# Corpus dedup report: the one-row summary a pipeline run logs — how
+# much of the corpus is exact-duplicate, how much near-duplicate, and
+# how many groups/clusters there are.  Composed from the shared exact
+# and cluster frames (both cached/indexed upstream); every metric is an
+# exact integer count and every ratio a single integer division, all
+# computed via scalar subqueries (no join node — two 1-row frames
+# cross-joined would plan a BroadcastNestedLoopJoin).
+# ---------------------------------------------------------------------------
+
+
+def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus dedup summary (exact + near-dup coverage)."""
+    dedup_exact(spark, sf_dir).createOrReplaceTempView("dedup_report_exact")
+    dedup_cluster(spark, sf_dir).createOrReplaceTempView(
+        "dedup_report_cluster"
+    )
+    return spark.sql(
+        """
+        WITH s AS (
+          SELECT cluster_id, COUNT(*) AS sz
+          FROM dedup_report_cluster GROUP BY cluster_id
+        )
+        SELECT
+          (SELECT COUNT(*) FROM dedup_report_exact) AS n_docs,
+          (SELECT COUNT(*) FROM dedup_report_exact WHERE is_dup)
+            AS n_exact_dups,
+          (SELECT COUNT(DISTINCT canonical_id) FROM dedup_report_exact
+           WHERE group_size > 1) AS n_exact_groups,
+          (SELECT COALESCE(SUM(sz), 0) FROM s WHERE sz > 1) AS n_near_docs,
+          (SELECT COUNT(*) FROM s WHERE sz > 1) AS n_near_clusters,
+          CAST((SELECT COUNT(*) FROM dedup_report_exact WHERE is_dup)
+               AS DOUBLE)
+            / (SELECT COUNT(*) FROM dedup_report_exact) AS exact_dup_ratio,
+          CAST((SELECT COALESCE(SUM(sz), 0) FROM s WHERE sz > 1) AS DOUBLE)
+            / (SELECT COUNT(*) FROM dedup_report_exact) AS near_dup_ratio
+        """
+    )
+
+
+def _report_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+nodes AS (SELECT doc_id FROM documents),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT doc_id AS node, doc_id AS lab FROM nodes
+  UNION
+  SELECT e.b AS node, r.lab FROM reach r JOIN edges e ON e.a = r.node
+),
+c AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+s AS (SELECT cluster_id, COUNT(*) AS sz FROM c GROUP BY cluster_id),
+e AS ({_DEDUP_EXACT_ORACLE})
+SELECT
+  (SELECT COUNT(*) FROM e) AS n_docs,
+  (SELECT COUNT(*) FROM e WHERE is_dup) AS n_exact_dups,
+  (SELECT COUNT(DISTINCT canonical_id) FROM e WHERE group_size > 1)
+    AS n_exact_groups,
+  (SELECT COALESCE(SUM(sz), 0) FROM s WHERE sz > 1) AS n_near_docs,
+  (SELECT COUNT(*) FROM s WHERE sz > 1) AS n_near_clusters,
+  CAST((SELECT COUNT(*) FROM e WHERE is_dup) AS DOUBLE)
+    / (SELECT COUNT(*) FROM e) AS exact_dup_ratio,
+  CAST((SELECT COALESCE(SUM(sz), 0) FROM s WHERE sz > 1) AS DOUBLE)
+    / (SELECT COUNT(*) FROM e) AS near_dup_ratio
+"""
+
+
+# ---------------------------------------------------------------------------
 # Canonical-document selection: within each near-duplicate cluster keep
 # the single "best" document (longest token count; doc_id breaks ties) —
 # the step that turns a cluster assignment into an actual deduplicated
@@ -652,6 +723,7 @@ FROM c JOIN t ON c.doc_id = t.doc_id
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_keep_best": dedup_keep_best,
+        "dedup_report": dedup_report,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_cluster": dedup_cluster,
@@ -663,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracles() -> dict[str, str]:
     return {
         "dedup_keep_best": _keep_best_oracle(),
+        "dedup_report": _report_oracle(),
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "dedup_minhash": _minhash_oracle(),
         "dedup_cluster": _DEDUP_CLUSTER_ORACLE,

@@ -265,6 +265,60 @@ FROM scored GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# Token-distribution entropy: H = log2(n) - (1/n) * sum c_i*log2(c_i)
+# over per-document token frequencies — near-zero for degenerate
+# repetition, high for diverse text; the information-theoretic quality
+# signal next to type-token ratio.  Same determinism treatment as the
+# bigram LM: per-term log2 AND the final log2(n) are both quantized to
+# 1e-4 (an unquantized closing log2(n) differed in the last ulp between
+# JVM and libm), so every sum is an order-free BIGINT sum and the
+# remaining double ops are scalar and engine-identical.  One doc-keyed shuffle with map-side combine.
+# ---------------------------------------------------------------------------
+
+
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token entropy (bits), quantized-log construction."""
+    _view(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH tf AS (
+          SELECT doc_id, term, COUNT(*) AS c
+          FROM (SELECT doc_id, explode({_SPARK_TOK}) AS term
+                FROM documents)
+          GROUP BY doc_id, term
+        )
+        SELECT doc_id, SUM(c) AS n_tokens,
+               SUM(c * CAST(FLOOR(log2(CAST(c AS DOUBLE)) * {_LM_SCALE})
+                            AS BIGINT)) AS clogc_q,
+               (CAST(CAST(FLOOR(log2(CAST(SUM(c) AS DOUBLE)) * {_LM_SCALE})
+                     AS BIGINT) AS DOUBLE)
+                 - CAST(SUM(c * CAST(FLOOR(log2(CAST(c AS DOUBLE))
+                            * {_LM_SCALE}) AS BIGINT)) AS DOUBLE) / SUM(c))
+                 / {_LM_SCALE} AS entropy_bits
+        FROM tf GROUP BY doc_id
+        """
+    )
+
+
+_ENTROPY_ORACLE = f"""
+WITH tf AS (
+  SELECT doc_id, term, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest({_DUCK_TOK}) AS term FROM documents)
+  GROUP BY doc_id, term
+)
+SELECT doc_id, SUM(c) AS n_tokens,
+       SUM(c * CAST(FLOOR(log2(CAST(c AS DOUBLE)) * {_LM_SCALE})
+                    AS BIGINT)) AS clogc_q,
+       (CAST(CAST(FLOOR(log2(CAST(SUM(c) AS DOUBLE)) * {_LM_SCALE})
+             AS BIGINT) AS DOUBLE)
+         - CAST(SUM(c * CAST(FLOOR(log2(CAST(c AS DOUBLE))
+                    * {_LM_SCALE}) AS BIGINT)) AS DOUBLE) / SUM(c))
+         / {_LM_SCALE} AS entropy_bits
+FROM tf GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # BPE-ish regex tokenization: GPT-2-style piece splitting (letter runs,
 # digit runs, punctuation runs) — the pre-tokenizer pass every BPE
 # vocabulary trains over.  The pattern stays in the Java/RE2 common
@@ -401,6 +455,7 @@ WHERE rank <= {TFIDF_TOP_K}
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "text_entropy": text_entropy,
         "text_tokens_bpe": text_tokens_bpe,
         "text_bigram_lm": text_bigram_lm,
         "text_tfidf": text_tfidf,
@@ -413,6 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracles() -> dict[str, str]:
     return {
+        "text_entropy": _ENTROPY_ORACLE,
         "text_tokens_bpe": _TOKENS_BPE_ORACLE,
         "text_bigram_lm": _BIGRAM_LM_ORACLE,
         "text_tfidf": _TFIDF_ORACLE,

@@ -77,6 +77,8 @@ Coverage map (SURVEY.md §2 -> query):
                                 exact; nprobe dial via ann_ivf_search),
                                 ann_knn_graph (bucket-keyed kNN edge
                                 list, WindowGroupLimit top-k),
+                                embeddings_quantize (int8 codes +
+                                reconstruction-error round-trip),
                                 events_transitions (event-type Markov
                                 matrix), events_sliding_active (3h/1h
                                 sliding windows),

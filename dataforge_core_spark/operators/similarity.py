@@ -763,6 +763,85 @@ WHERE {cos} >= {COSINE_DUP_THRESHOLD}
 
 
 # ---------------------------------------------------------------------------
+# int8 scalar quantization: per-vector symmetric quantization to 8 bits
+# (q_i = floor(v_i * 127 / max|v|)) — the 4x storage/bandwidth
+# compression every large vector store applies before (or instead of)
+# PQ.  Emitted per vector: an exact integer checksum of the codes and
+# the 1e-6-quantized max reconstruction error, so the full
+# quantize -> dequantize round-trip is oracle-verified.
+#
+# Determinism: max|v| is an unrolled GREATEST tree (max of doubles is
+# exact, any shape works — same shape emitted for both engines anyway);
+# scale and per-element floor/mults are scalar double ops with identical
+# association; code sums are integer.  All scan-side, no shuffle.
+# ---------------------------------------------------------------------------
+
+
+def _q8_exprs(a: str, dialect: str) -> tuple[str, str, str]:
+    """(max_abs, code_sum, max_err) unrolled expression trees."""
+    off = 0 if dialect == "spark" else 1
+    cast_int = "INT" if dialect == "spark" else "INTEGER"
+    els = [f"{a}[{i + off}]" for i in range(DIM)]
+
+    def tree(terms, op):
+        while len(terms) > 1:
+            terms = [
+                f"{op}({terms[i]}, {terms[i + 1]})"
+                if i + 1 < len(terms) else terms[i]
+                for i in range(0, len(terms), 2)
+            ]
+        return terms[0]
+
+    max_abs = tree([f"ABS({e})" for e in els], "GREATEST")
+    code = [
+        f"CAST(FLOOR({e} * (127.0 / __m)) AS {cast_int})" for e in els
+    ]
+    # sum tree: plain + over bigints
+    terms = [f"CAST({c} AS BIGINT)" for c in code]
+    while len(terms) > 1:
+        terms = [
+            f"({terms[i]} + {terms[i + 1]})"
+            if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    code_sum = terms[0]
+    err = [
+        f"ABS({e} - {c} * (__m / 127.0))" for e, c in zip(els, code)
+    ]
+    max_err = tree(err, "GREATEST")
+    return max_abs, code_sum, max_err
+
+
+def embeddings_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization checksum + max reconstruction error."""
+    v = _normed(spark, sf_dir)
+    max_abs, code_sum, max_err = _q8_exprs("emb", "spark")
+    return spark.sql(
+        f"""
+        SELECT vec_id, code_sum,
+               CAST(FLOOR(max_err * 1000000) AS BIGINT) AS max_err_q
+        FROM (
+          SELECT vec_id, {code_sum} AS code_sum, {max_err} AS max_err
+          FROM (SELECT vec_id, emb, {max_abs} AS __m FROM {v})
+        )
+        """
+    )
+
+
+def _quantize_oracle() -> str:
+    max_abs, code_sum, max_err = _q8_exprs("emb", "duck")
+    return f"""
+WITH {_duck_v_cte()}
+SELECT vec_id, code_sum,
+       CAST(FLOOR(max_err * 1000000) AS BIGINT) AS max_err_q
+FROM (
+  SELECT vec_id, {code_sum} AS code_sum, {max_err} AS max_err
+  FROM (SELECT vec_id, emb, {max_abs} AS __m FROM v)
+)
+"""
+
+
+# ---------------------------------------------------------------------------
 # k-NN graph construction: EVERY vector's top-k neighbors within its
 # coarse bucket — the build step of graph-based dedup/cluster/ANN
 # methods (kNN-graph clustering, NN-Descent seeding).  Unlike the ann_*
@@ -1046,6 +1125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_outliers": ann_outliers,
         "ann_recall_eval": ann_recall_eval,
         "ann_knn_graph": ann_knn_graph,
+        "embeddings_quantize": embeddings_quantize,
         "ann_bruteforce": ann_bruteforce,
         "ann_ivf_label": ann_ivf_label,
         "ann_ivf_kmeans": ann_ivf_kmeans,
@@ -1062,6 +1142,7 @@ def oracles() -> dict[str, str]:
         "ann_outliers": _outliers_oracle(),
         "ann_recall_eval": _recall_eval_oracle(),
         "ann_knn_graph": _knn_graph_oracle(),
+        "embeddings_quantize": _quantize_oracle(),
         "ann_bruteforce": _bruteforce_oracle(),
         "ann_ivf_label": _ivf_oracle(),
         "ann_ivf_kmeans": _ivf_kmeans_oracle(),

@@ -93,6 +93,9 @@ Coverage map (SURVEY.md §2 -> query):
                                 train_curriculum (sharded quality-tier
                                 ordering), train_span_corruption
                                 (T5-style mask spans, scan-side),
+                                train_dataset_card (one-row corpus
+                                summary), train_length_histogram
+                                (power-of-two length buckets),
                                 dedup_exact / dedup_minhash / dedup_cluster /
                                 dedup_cluster_pd (pointer doubling) /
                                 dedup_ngram_jaccard / dedup_simhash[_pairs] /

@@ -548,6 +548,82 @@ WHERE {u} < r.rate_bp
 
 
 # ---------------------------------------------------------------------------
+# Dataset card: the one-row corpus summary a dataset release documents —
+# sizes, language spread, source spread.  Every value is an exact count
+# or a single integer-ratio division; the top-language argmax is an
+# ORDER BY ... LIMIT 1 scalar subquery with a total order (count desc,
+# code asc), so both engines pick the same language.  All scalar
+# subqueries — no join node in the plan.
+# ---------------------------------------------------------------------------
+
+
+def _card_sql(dialect: str) -> str:
+    tok = _SPARK_TOK if dialect == "spark" else _DUCK_TOK
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, source,
+         {'size' if dialect == 'spark' else 'len'}({tok}) AS n
+  FROM documents
+),
+lc AS (SELECT lang, COUNT(*) AS c FROM t GROUP BY lang)
+SELECT
+  (SELECT COUNT(*) FROM t) AS n_docs,
+  (SELECT SUM(n) FROM t) AS n_tokens,
+  CAST((SELECT SUM(n) FROM t) AS DOUBLE)
+    / (SELECT COUNT(*) FROM t) AS mean_tokens,
+  (SELECT COUNT(*) FROM lc) AS n_langs,
+  (SELECT lang FROM lc ORDER BY c DESC, lang LIMIT 1) AS top_lang,
+  CAST((SELECT MAX(c) FROM lc) AS DOUBLE)
+    / (SELECT COUNT(*) FROM t) AS top_lang_share,
+  (SELECT COUNT(DISTINCT source) FROM t) AS n_sources
+"""
+
+
+def train_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card (sizes, language and source spread)."""
+    _view(spark, sf_dir)
+    return spark.sql(_card_sql("spark"))
+
+
+_CARD_ORACLE = _card_sql("duck")
+
+
+# ---------------------------------------------------------------------------
+# Token-length histogram on power-of-two buckets — the corpus length
+# distribution every data release documents.  bucket = FLOOR(log2(n)) is
+# engine-deterministic here because log2 of an INTEGER is either exact
+# (powers of two) or bounded safely away from the next integer — a
+# flip would need log2(n) within one ulp of an integer, impossible for
+# non-power-of-two n.  One small aggregate, map-side combinable.
+# ---------------------------------------------------------------------------
+
+
+def train_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc counts and token totals per power-of-two length bucket."""
+    _view(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH t AS (
+          SELECT size({_SPARK_TOK}) AS n FROM documents
+        )
+        SELECT CAST(FLOOR(log2(CAST(n AS DOUBLE))) AS INT) AS bucket,
+               COUNT(*) AS n_docs, SUM(n) AS n_tokens
+        FROM t WHERE n > 0 GROUP BY 1
+        """
+    )
+
+
+_LENGTH_HIST_ORACLE = f"""
+WITH t AS (
+  SELECT len({_DUCK_TOK}) AS n FROM documents
+)
+SELECT CAST(FLOOR(log2(CAST(n AS DOUBLE))) AS INTEGER) AS bucket,
+       COUNT(*) AS n_docs, SUM(n) AS n_tokens
+FROM t WHERE n > 0 GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Span-corruption masks (T5-style denoising objective): ~15% of token
 # positions start a mask span of 1-3 tokens.  Spans are drawn from
 # md5(doc_id:position) — deterministic across engines, runs and
@@ -672,6 +748,8 @@ _MIX_ORACLE = _mix_sql("duck")
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "train_dataset_card": train_dataset_card,
+        "train_length_histogram": train_length_histogram,
         "train_span_corruption": train_span_corruption,
         "train_curriculum": train_curriculum,
         "train_mix_domains": train_mix_domains,
@@ -688,6 +766,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracles() -> dict[str, str]:
     return {
+        "train_dataset_card": _CARD_ORACLE,
+        "train_length_histogram": _LENGTH_HIST_ORACLE,
         "train_span_corruption": _SPAN_ORACLE,
         "train_curriculum": _CURRICULUM_ORACLE,
         "train_mix_domains": _MIX_ORACLE,

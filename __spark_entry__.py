@@ -81,7 +81,8 @@ Coverage map (SURVEY.md §2 -> query):
                                 reconstruction-error round-trip),
                                 events_transitions (event-type Markov
                                 matrix), events_sliding_active (3h/1h
-                                sliding windows),
+                                sliding windows), events_dau_wau
+                                (DAU/WAU stickiness),
                                 text_tokens_bpe (BPE-style regex piece
                                 stats), text_entropy (quantized-log
                                 Shannon entropy),

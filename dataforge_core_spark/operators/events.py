@@ -516,6 +516,59 @@ WHERE n >= {ANOMALY_MIN_N}
 
 
 # ---------------------------------------------------------------------------
+# DAU / WAU stickiness: daily active users over trailing-7-day weekly
+# active users — the engagement ratio every product dashboard tracks.
+# The rolling DISTINCT is made associative the replication way (a
+# (day, user) activity row counts toward the WAU of days d..d+6), on
+# exact epoch-day integers; both sides are distinct aggregates with
+# partial combine, the final join is day-keyed and tiny.
+# ---------------------------------------------------------------------------
+
+
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day DAU, trailing-7-day WAU, and DAU/WAU stickiness."""
+    _views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH d AS (
+          SELECT DISTINCT
+                 datediff(CAST(ts AS DATE), DATE'1970-01-01') AS dd,
+                 user_id
+          FROM events
+        ),
+        dau AS (SELECT dd, COUNT(*) AS c FROM d GROUP BY dd),
+        w AS (
+          SELECT user_id, dd + k AS wd
+          FROM d LATERAL VIEW explode(sequence(0, 6)) s AS k
+        ),
+        wau AS (SELECT wd, COUNT(DISTINCT user_id) AS c FROM w GROUP BY wd)
+        SELECT date_add(DATE'1970-01-01', CAST(dau.dd AS INT)) AS day,
+               dau.c AS dau, wau.c AS wau,
+               CAST(dau.c AS DOUBLE) / wau.c AS stickiness
+        FROM dau JOIN wau ON dau.dd = wau.wd
+        """
+    )
+
+
+_DAU_WAU_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT CAST(ts AS DATE) - DATE '1970-01-01' AS dd, user_id
+  FROM events
+),
+dau AS (SELECT dd, COUNT(*) AS c FROM d GROUP BY dd),
+w AS (
+  SELECT user_id, dd + k AS wd
+  FROM d, unnest(generate_series(0, 6)) AS s(k)
+),
+wau AS (SELECT wd, COUNT(DISTINCT user_id) AS c FROM w GROUP BY wd)
+SELECT DATE '1970-01-01' + CAST(dau.dd AS INTEGER) AS day,
+       dau.c AS dau, wau.c AS wau,
+       CAST(dau.c AS DOUBLE) / wau.c AS stickiness
+FROM dau JOIN wau ON dau.dd = wau.wd
+"""
+
+
+# ---------------------------------------------------------------------------
 # SLIDING-window active users: 3-hour windows sliding by 1 hour — the
 # batch analogue of Structured Streaming's window(ts, '3 hours',
 # '1 hour') (events_hourly/stream_hourly cover the tumbling case).
@@ -616,6 +669,7 @@ _TRANSITIONS_ORACLE = _TRANSITIONS_SQL
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "events_dau_wau": events_dau_wau,
         "events_sliding_active": events_sliding_active,
         "events_transitions": events_transitions,
         "events_quantiles": events_quantiles,
@@ -633,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracles() -> dict[str, str]:
     return {
+        "events_dau_wau": _DAU_WAU_ORACLE,
         "events_sliding_active": _SLIDING_ORACLE,
         "events_transitions": _TRANSITIONS_ORACLE,
         "events_quantiles": _QUANTILES_ORACLE,

@@ -616,11 +616,14 @@ def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
            WHERE group_size > 1) AS n_exact_groups,
           (SELECT COALESCE(SUM(sz), 0) FROM s WHERE sz > 1) AS n_near_docs,
           (SELECT COUNT(*) FROM s WHERE sz > 1) AS n_near_clusters,
-          CAST((SELECT COUNT(*) FROM dedup_report_exact WHERE is_dup)
-               AS DOUBLE)
-            / (SELECT COUNT(*) FROM dedup_report_exact) AS exact_dup_ratio,
-          CAST((SELECT COALESCE(SUM(sz), 0) FROM s WHERE sz > 1) AS DOUBLE)
-            / (SELECT COUNT(*) FROM dedup_report_exact) AS near_dup_ratio
+          CAST((1000000 * (SELECT COUNT(*) FROM dedup_report_exact
+                           WHERE is_dup))
+            DIV (SELECT COUNT(*) FROM dedup_report_exact) AS BIGINT)
+            AS exact_dup_ppm,
+          CAST((1000000 * (SELECT COALESCE(SUM(sz), 0) FROM s
+                           WHERE sz > 1))
+            DIV (SELECT COUNT(*) FROM dedup_report_exact) AS BIGINT)
+            AS near_dup_ppm
         """
     )
 
@@ -649,10 +652,10 @@ SELECT
     AS n_exact_groups,
   (SELECT COALESCE(SUM(sz), 0) FROM s WHERE sz > 1) AS n_near_docs,
   (SELECT COUNT(*) FROM s WHERE sz > 1) AS n_near_clusters,
-  CAST((SELECT COUNT(*) FROM e WHERE is_dup) AS DOUBLE)
-    / (SELECT COUNT(*) FROM e) AS exact_dup_ratio,
-  CAST((SELECT COALESCE(SUM(sz), 0) FROM s WHERE sz > 1) AS DOUBLE)
-    / (SELECT COUNT(*) FROM e) AS near_dup_ratio
+  CAST((1000000 * (SELECT COUNT(*) FROM e WHERE is_dup))
+    // (SELECT COUNT(*) FROM e) AS BIGINT) AS exact_dup_ppm,
+  CAST((1000000 * (SELECT COALESCE(SUM(sz), 0) FROM s WHERE sz > 1))
+    // (SELECT COUNT(*) FROM e) AS BIGINT) AS near_dup_ppm
 """
 
 

@@ -599,7 +599,11 @@ def events_sliding_active(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM e LATERAL VIEW explode(
             sequence(0, {SLIDE_WINDOW_HOURS - 1})) s AS k
         )
-        SELECT timestamp_seconds(ws) AS window_start,
+        -- window start stays an epoch-seconds BIGINT: Spark's
+        -- timestamp_seconds() is TIMESTAMP while recent DuckDB's
+        -- to_timestamp() is TIMESTAMPTZ, so a timestamp-typed column
+        -- schema-mismatches across engines; integers cannot.
+        SELECT ws AS window_start_s,
                COUNT(*) AS n_events,
                COUNT(DISTINCT user_id) AS n_users
         FROM w GROUP BY ws
@@ -615,7 +619,7 @@ w AS (
   SELECT user_id, (h - k) * 3600 AS ws
   FROM e, unnest(generate_series(0, {SLIDE_WINDOW_HOURS - 1})) AS s(k)
 )
-SELECT to_timestamp(ws) AS window_start,
+SELECT ws AS window_start_s,
        COUNT(*) AS n_events,
        COUNT(DISTINCT user_id) AS n_users
 FROM w GROUP BY ws

@@ -32,6 +32,57 @@ _SPARK_TOK = "split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' ')"
 _DUCK_TOK = "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
 
 
+# ---------------------------------------------------------------------------
+# Quantized log2 WITHOUT libm.  FLOOR(log2(x) * 1e4) called through each
+# engine's math library was the round-6 driver-red cause: libm builds
+# disagree in the last ulp exactly where the floor flips.  Instead the
+# fractional part comes from a Python-generated lookup array (math.log2
+# runs ONCE here — a single source of truth pasted into BOTH dialects as
+# integer literals), and the integer part from the bit length:
+#
+#   qlog2(n) = LUT[n >> max(bitlen(n)-10, 0)] + 10000 * max(bitlen(n)-10, 0)
+#
+# i.e. log2 of the top-10-bit truncation of n, scaled by 1e4 — pure
+# integer shift + array index, identical on any engine.  Truncating to a
+# 10-bit mantissa bounds the error at log2(1+2^-9) ~ 0.0028 bits; this
+# is the operator's *defined* quantization, applied identically in query
+# and oracle.  The array is a 1023-int literal (~6 KB of SQL) that
+# Catalyst folds once; no join node, no shuffle.
+# ---------------------------------------------------------------------------
+
+_QL_SCALE = 10000
+_QL_BITS = 10
+
+
+def _ql_lut() -> str:
+    import math
+
+    return ",".join(
+        str(math.floor(math.log2(m) * _QL_SCALE))
+        for m in range(1, 1 << _QL_BITS)
+    )
+
+
+def _qlog2(dialect: str, n: str) -> str:
+    """SQL for the quantized log2 of integer expression ``n`` (>= 1)."""
+    arr = _ql_lut()
+    if dialect == "spark":
+        b = f"length(bin(CAST({n} AS BIGINT)))"
+        e = f"greatest({b} - {_QL_BITS}, 0)"
+        m = f"shiftright(CAST({n} AS BIGINT), {e})"
+        return (
+            f"(element_at(array({arr}), CAST({m} AS INT))"
+            f" + {_QL_SCALE} * CAST({e} AS BIGINT))"
+        )
+    b = f"length(printf('%b', CAST({n} AS BIGINT)))"
+    e = f"greatest({b} - {_QL_BITS}, 0)"
+    m = f"(CAST({n} AS BIGINT) >> {e})"
+    return (
+        f"(([{arr}])[CAST({m} AS INT)]"
+        f" + {_QL_SCALE} * CAST({e} AS BIGINT))"
+    )
+
+
 def _count_in(tokens_expr: str, words: list[str], dialect: str) -> str:
     """# of tokens that are in `words` (exact membership)."""
     lst = ", ".join(f"'{w}'" for w in words)
@@ -179,14 +230,13 @@ FROM t
 # filter for pretraining corpora (gibberish and boilerplate both score
 # far from the corpus mode).
 #
-# Determinism: per-bigram log-probs are quantized to 1e-4 via
-# FLOOR(log2(p) * 10000) BEFORE summation, so the per-document total is
-# an exact BIGINT sum — associative, order-free, identical across engines
-# and partitionings.  log2() implementations may differ in the last ulp
-# between Spark (JVM) and DuckDB (libm), but a 1-ulp error ~1e-15 flips
-# the floor only within ~1e-15 of a 1e-4 boundary — vanishing even at
-# corpus scale.  p itself is a single correctly-rounded division of
-# exact integer-valued doubles.
+# Determinism: per-bigram log-probs are quantized to 1e-4 BEFORE
+# summation via the libm-free ``_qlog2`` construction (bit length +
+# Python-generated lookup — see its comment; the round-6 driver proved
+# that engine-libm FLOOR(log2 ...) flips on real boundaries), so the
+# per-document total is an exact BIGINT sum — associative, order-free,
+# identical across engines and partitionings — and the output carries
+# no floating point at all.
 #
 # Scale shape: the bigram explode is linear in token count; dbg
 # (per-doc distinct bigram + count) pre-aggregates with map-side combine
@@ -197,71 +247,62 @@ FROM t
 # sides arrive pre-aggregated so no row explosion is possible.
 # ---------------------------------------------------------------------------
 
-_LM_SCALE = 10000
+_LM_SCALE = _QL_SCALE
 
 
-def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document mean log2 bigram probability under the corpus LM."""
-    _view(spark, sf_dir)
-    return spark.sql(
-        f"""
-        WITH t AS (SELECT doc_id, {_SPARK_TOK} AS tok FROM documents),
-        bg AS (
+def _bigram_lm_sql(dialect: str) -> str:
+    """Add-one bigram LM score, all-integer output.
+
+    The per-bigram score is s = qlog2(c+1) - qlog2(cu+V) — the
+    quantized log of the smoothed conditional probability, built
+    entirely from the libm-free ``_qlog2`` construction, so ``lp_sum_q``
+    (the document's summed quantized log-prob, scaled by 1e4) is a pure
+    BIGINT sum that cannot hash-differ across engines.  Consumers divide
+    lp_sum_q / n_bigrams / 1e4 for the mean log2 probability."""
+    if dialect == "spark":
+        t = f"SELECT doc_id, {_SPARK_TOK} AS tok FROM documents"
+        bg = """
           SELECT doc_id, element_at(tok, i) AS w1,
                  element_at(tok, i + 1) AS w2
           FROM t LATERAL VIEW explode(sequence(1, size(tok) - 1)) s AS i
           WHERE size(tok) >= 2
-        ),
-        dbg AS (
-          SELECT doc_id, w1, w2, COUNT(*) AS k
-          FROM bg GROUP BY doc_id, w1, w2
-        ),
-        cnt AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
-        uni AS (SELECT w1, COUNT(*) AS cu FROM bg GROUP BY w1),
-        scored AS (
-          SELECT d.doc_id, d.k,
-                 CAST(FLOOR(log2(
-                   CAST(cnt.c + 1 AS DOUBLE) /
-                   CAST(uni.cu + (SELECT COUNT(DISTINCT w2) FROM cnt)
-                        AS DOUBLE)) * {_LM_SCALE}) AS BIGINT) AS s
-          FROM dbg d
-          JOIN cnt ON d.w1 = cnt.w1 AND d.w2 = cnt.w2
-          JOIN uni ON d.w1 = uni.w1
-        )
-        SELECT doc_id, SUM(k) AS n_bigrams, SUM(k * s) AS lp_sum_q,
-               CAST(SUM(k * s) AS DOUBLE) / SUM(k) / {_LM_SCALE}
-                 AS avg_log2_prob
-        FROM scored GROUP BY doc_id
         """
-    )
-
-
-_BIGRAM_LM_ORACLE = f"""
-WITH t AS (SELECT doc_id, {_DUCK_TOK} AS tok FROM documents),
-bg AS (
-  SELECT doc_id, tok[i] AS w1, tok[i + 1] AS w2
-  FROM t, unnest(generate_series(1, len(tok) - 1)) AS s(i)
-  WHERE len(tok) >= 2
-),
+    else:
+        t = f"SELECT doc_id, {_DUCK_TOK} AS tok FROM documents"
+        bg = """
+          SELECT doc_id, tok[i] AS w1, tok[i + 1] AS w2
+          FROM t, unnest(generate_series(1, len(tok) - 1)) AS s(i)
+          WHERE len(tok) >= 2
+        """
+    return f"""
+WITH t AS ({t}),
+bg AS ({bg}),
 dbg AS (
   SELECT doc_id, w1, w2, COUNT(*) AS k FROM bg GROUP BY doc_id, w1, w2
 ),
 cnt AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
-uni AS (SELECT w1, COUNT(*) AS cu FROM bg GROUP BY w1),
-scored AS (
-  SELECT d.doc_id, d.k,
-         CAST(FLOOR(log2(
-           CAST(cnt.c + 1 AS DOUBLE) /
-           CAST(uni.cu + (SELECT COUNT(DISTINCT w2) FROM cnt)
-                AS DOUBLE)) * {_LM_SCALE}) AS BIGINT) AS s
-  FROM dbg d
-  JOIN cnt ON d.w1 = cnt.w1 AND d.w2 = cnt.w2
-  JOIN uni ON d.w1 = uni.w1
+uni AS (
+  SELECT w1, COUNT(*) + (SELECT COUNT(DISTINCT w2) FROM cnt) AS cuv
+  FROM bg GROUP BY w1
+),
+model AS (
+  SELECT c.w1, c.w2,
+         ({_qlog2(dialect, 'c.c + 1')} - {_qlog2(dialect, 'u.cuv')}) AS s
+  FROM cnt c JOIN uni u ON c.w1 = u.w1
 )
-SELECT doc_id, SUM(k) AS n_bigrams, SUM(k * s) AS lp_sum_q,
-       CAST(SUM(k * s) AS DOUBLE) / SUM(k) / {_LM_SCALE} AS avg_log2_prob
-FROM scored GROUP BY doc_id
+SELECT d.doc_id, SUM(d.k) AS n_bigrams, SUM(d.k * m.s) AS lp_sum_q
+FROM dbg d JOIN model m ON d.w1 = m.w1 AND d.w2 = m.w2
+GROUP BY d.doc_id
 """
+
+
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document summed quantized log2 bigram probability (corpus LM)."""
+    _view(spark, sf_dir)
+    return spark.sql(_bigram_lm_sql("spark"))
+
+
+_BIGRAM_LM_ORACLE = _bigram_lm_sql("duck")
 
 
 # ---------------------------------------------------------------------------
@@ -269,53 +310,45 @@ FROM scored GROUP BY doc_id
 # over per-document token frequencies — near-zero for degenerate
 # repetition, high for diverse text; the information-theoretic quality
 # signal next to type-token ratio.  Same determinism treatment as the
-# bigram LM: per-term log2 AND the final log2(n) are both quantized to
-# 1e-4 (an unquantized closing log2(n) differed in the last ulp between
-# JVM and libm), so every sum is an order-free BIGINT sum and the
-# remaining double ops are scalar and engine-identical.  One doc-keyed shuffle with map-side combine.
+# bigram LM: every log2 goes through the libm-free ``_qlog2``
+# construction, so clogc_q and nlog_q are exact BIGINT sums/values and
+# the closing entropy figure is emitted as INTEGER MILLI-BITS via
+# integer division (truncation of non-negative integers — qlog2 is
+# monotone, so nlog_q * n >= clogc_q always).  No floating point in the
+# output row.  One doc-keyed shuffle with map-side combine.
 # ---------------------------------------------------------------------------
 
 
-def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document token entropy (bits), quantized-log construction."""
-    _view(spark, sf_dir)
-    return spark.sql(
-        f"""
-        WITH tf AS (
-          SELECT doc_id, term, COUNT(*) AS c
-          FROM (SELECT doc_id, explode({_SPARK_TOK}) AS term
-                FROM documents)
-          GROUP BY doc_id, term
-        )
-        SELECT doc_id, SUM(c) AS n_tokens,
-               SUM(c * CAST(FLOOR(log2(CAST(c AS DOUBLE)) * {_LM_SCALE})
-                            AS BIGINT)) AS clogc_q,
-               (CAST(CAST(FLOOR(log2(CAST(SUM(c) AS DOUBLE)) * {_LM_SCALE})
-                     AS BIGINT) AS DOUBLE)
-                 - CAST(SUM(c * CAST(FLOOR(log2(CAST(c AS DOUBLE))
-                            * {_LM_SCALE}) AS BIGINT)) AS DOUBLE) / SUM(c))
-                 / {_LM_SCALE} AS entropy_bits
-        FROM tf GROUP BY doc_id
-        """
-    )
-
-
-_ENTROPY_ORACLE = f"""
+def _entropy_sql(dialect: str) -> str:
+    if dialect == "spark":
+        flat = f"SELECT doc_id, explode({_SPARK_TOK}) AS term FROM documents"
+        idiv = "DIV"
+    else:
+        flat = f"SELECT doc_id, unnest({_DUCK_TOK}) AS term FROM documents"
+        idiv = "//"
+    return f"""
 WITH tf AS (
-  SELECT doc_id, term, COUNT(*) AS c
-  FROM (SELECT doc_id, unnest({_DUCK_TOK}) AS term FROM documents)
-  GROUP BY doc_id, term
+  SELECT doc_id, term, COUNT(*) AS c FROM ({flat}) GROUP BY doc_id, term
+),
+agg AS (
+  SELECT doc_id, SUM(c) AS n_tokens,
+         SUM(c * {_qlog2(dialect, 'c')}) AS clogc_q
+  FROM tf GROUP BY doc_id
 )
-SELECT doc_id, SUM(c) AS n_tokens,
-       SUM(c * CAST(FLOOR(log2(CAST(c AS DOUBLE)) * {_LM_SCALE})
-                    AS BIGINT)) AS clogc_q,
-       (CAST(CAST(FLOOR(log2(CAST(SUM(c) AS DOUBLE)) * {_LM_SCALE})
-             AS BIGINT) AS DOUBLE)
-         - CAST(SUM(c * CAST(FLOOR(log2(CAST(c AS DOUBLE))
-                    * {_LM_SCALE}) AS BIGINT)) AS DOUBLE) / SUM(c))
-         / {_LM_SCALE} AS entropy_bits
-FROM tf GROUP BY doc_id
+SELECT doc_id, n_tokens, clogc_q,
+       CAST((1000 * ({_qlog2(dialect, 'n_tokens')} * n_tokens - clogc_q))
+            {idiv} ({_QL_SCALE} * n_tokens) AS BIGINT) AS entropy_mbits
+FROM agg
 """
+
+
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token entropy (milli-bits), quantized-log construction."""
+    _view(spark, sf_dir)
+    return spark.sql(_entropy_sql("spark"))
+
+
+_ENTROPY_ORACLE = _entropy_sql("duck")
 
 
 # ---------------------------------------------------------------------------

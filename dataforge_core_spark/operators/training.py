@@ -550,15 +550,18 @@ WHERE {u} < r.rate_bp
 # ---------------------------------------------------------------------------
 # Dataset card: the one-row corpus summary a dataset release documents —
 # sizes, language spread, source spread.  Every value is an exact count
-# or a single integer-ratio division; the top-language argmax is an
-# ORDER BY ... LIMIT 1 scalar subquery with a total order (count desc,
-# code asc), so both engines pick the same language.  All scalar
-# subqueries — no join node in the plan.
+# or an exact INTEGER ratio (parts-per-million via integer division —
+# truncation of non-negative integers is identical on both engines, and
+# an all-integer row cannot hash-differ across float formatters); the
+# top-language argmax is an ORDER BY ... LIMIT 1 scalar subquery with a
+# total order (count desc, code asc), so both engines pick the same
+# language.  All scalar subqueries — no join node in the plan.
 # ---------------------------------------------------------------------------
 
 
 def _card_sql(dialect: str) -> str:
     tok = _SPARK_TOK if dialect == "spark" else _DUCK_TOK
+    idiv = "DIV" if dialect == "spark" else "//"
     return f"""
 WITH t AS (
   SELECT doc_id, lang, source,
@@ -569,12 +572,12 @@ lc AS (SELECT lang, COUNT(*) AS c FROM t GROUP BY lang)
 SELECT
   (SELECT COUNT(*) FROM t) AS n_docs,
   (SELECT SUM(n) FROM t) AS n_tokens,
-  CAST((SELECT SUM(n) FROM t) AS DOUBLE)
-    / (SELECT COUNT(*) FROM t) AS mean_tokens,
+  CAST((1000000 * (SELECT SUM(n) FROM t))
+    {idiv} (SELECT COUNT(*) FROM t) AS BIGINT) AS mean_tokens_ppm,
   (SELECT COUNT(*) FROM lc) AS n_langs,
   (SELECT lang FROM lc ORDER BY c DESC, lang LIMIT 1) AS top_lang,
-  CAST((SELECT MAX(c) FROM lc) AS DOUBLE)
-    / (SELECT COUNT(*) FROM t) AS top_lang_share,
+  CAST((1000000 * (SELECT MAX(c) FROM lc))
+    {idiv} (SELECT COUNT(*) FROM t) AS BIGINT) AS top_lang_share_ppm,
   (SELECT COUNT(DISTINCT source) FROM t) AS n_sources
 """
 
@@ -590,11 +593,12 @@ _CARD_ORACLE = _card_sql("duck")
 
 # ---------------------------------------------------------------------------
 # Token-length histogram on power-of-two buckets — the corpus length
-# distribution every data release documents.  bucket = FLOOR(log2(n)) is
-# engine-deterministic here because log2 of an INTEGER is either exact
-# (powers of two) or bounded safely away from the next integer — a
-# flip would need log2(n) within one ulp of an integer, impossible for
-# non-power-of-two n.  One small aggregate, map-side combinable.
+# distribution every data release documents.  bucket = floor(log2(n))
+# computed as BIT LENGTH MINUS ONE (length of the binary rendering of
+# n) — pure integer/string ops, no libm anywhere: a libm log2 that
+# returns 2.9999999999999996 for n=8 would floor to the wrong bucket,
+# and different libm builds disagree on exactly those boundaries.  One
+# small aggregate, map-side combinable.
 # ---------------------------------------------------------------------------
 
 
@@ -606,7 +610,7 @@ def train_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH t AS (
           SELECT size({_SPARK_TOK}) AS n FROM documents
         )
-        SELECT CAST(FLOOR(log2(CAST(n AS DOUBLE))) AS INT) AS bucket,
+        SELECT CAST(length(bin(n)) - 1 AS INT) AS bucket,
                COUNT(*) AS n_docs, SUM(n) AS n_tokens
         FROM t WHERE n > 0 GROUP BY 1
         """
@@ -617,7 +621,7 @@ _LENGTH_HIST_ORACLE = f"""
 WITH t AS (
   SELECT len({_DUCK_TOK}) AS n FROM documents
 )
-SELECT CAST(FLOOR(log2(CAST(n AS DOUBLE))) AS INTEGER) AS bucket,
+SELECT CAST(length(printf('%b', n)) - 1 AS INTEGER) AS bucket,
        COUNT(*) AS n_docs, SUM(n) AS n_tokens
 FROM t WHERE n > 0 GROUP BY 1
 """

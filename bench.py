@@ -22,10 +22,10 @@ Protocol (three phases):
    are recorded separately per query.
 
 The final stdout line is kept deliberately COMPACT (the round driver's
-tail capture clipped r4's full-detail line): medians rounded to 2dp, no
-spread dict.  Full detail — per-query cold/warm/spread/raw runs, the
-index-build split, and totals — is written to BENCH_DETAIL.json next to
-this file.
+tail capture is ~2000 chars; the full 89-query map overflowed it in
+r6): totals + the 15 slowest lanes only, medians rounded to 2dp.  Full
+detail — per-query cold/warm/spread/raw runs, the index-build split,
+and totals — is written to BENCH_DETAIL.json next to this file.
 """
 
 from __future__ import annotations
@@ -45,6 +45,16 @@ DETAIL_PATH = os.path.join(
 )
 
 EXCLUDE: set[str] = set()
+
+# Lanes whose r6 spread exceeded their median (driver record): 5 runs
+# instead of 3 so the median is trustworthy for regression calls.
+NOISY_LANES = {
+    "dedup_simhash_pairs",
+    "engine_subsource",
+    "engine_subsource_chain",
+    "engine_sql_artifact",
+}
+NOISY_RUNS = 5
 
 
 def _clear_operator_caches(spark) -> None:
@@ -164,7 +174,8 @@ def main() -> None:
     for name in sorted(queries):
         q = queries[name]
         runs: list[float] = []
-        for _ in range(N_RUNS):
+        n_runs = max(N_RUNS, NOISY_RUNS) if name in NOISY_LANES else N_RUNS
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             df = q(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
@@ -206,7 +217,14 @@ def main() -> None:
         )
         f.write("\n")
 
-    # Final line LAST and compact — see module docstring.
+    # Final line LAST and compact.  The round driver captures only the
+    # last ~2000 chars of stdout; the full 89-query map overflowed that
+    # window in r6 (BENCH_r06 parsed: null), so the final line carries
+    # the totals plus only the TOP-15 slowest lanes — the complete
+    # per-query map lives in BENCH_DETAIL.json.
+    top = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:15]
+    )
     sys.stdout.flush()
     print(
         json.dumps(
@@ -214,7 +232,12 @@ def main() -> None:
                 "metric": "headline_queries_total_runtime",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": {k: round(v, 2) for k, v in timings.items()},
+                "queries": {k: round(v, 2) for k, v in top.items()},
+                "n_queries": len(timings),
+                "cold_total_s": round(cold_total, 3),
+                "warm_total_s": round(warm_total, 3),
+                "index_build_s": round(sum(index_build.values()), 3),
+                "detail": "BENCH_DETAIL.json",
                 "sf": float(sf),
                 "runs_per_query": N_RUNS,
             }

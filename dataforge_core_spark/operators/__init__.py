@@ -48,29 +48,51 @@ def _modules():
 
 
 def _recorded_names() -> set:
-    """Names already present in the LATEST driver CORRECTNESS record.
+    """Names PROVEN by the driver CORRECTNESS records.
 
     The round driver truncates its per-query record at 50 rows, so the
-    registry orders least-proven-first: rows with NO driver-recorded
-    history are hoisted ahead of long-driver-green rows, which are the
-    ones safely relegated past the capture window (all of them stay
-    value-checked locally by tests/test_oracle.py regardless of
-    position).  Reading the in-repo record keeps this automatic as the
-    inventory grows; with no record present every row keeps its module
-    order."""
+    registry orders least-proven-first: rows with no driver-recorded
+    history — and rows whose most recent driver appearance FAILED — are
+    hoisted ahead of driver-green rows, which are the ones safely
+    relegated past the capture window (all of them stay value-checked
+    locally by tests/test_oracle.py regardless of position).  Records
+    are ordered by the NUMERIC round in the filename (lexicographic
+    order breaks at r100), and a name counts as proven only if its
+    latest appearance passed every recorded check — a row that failed
+    last round must be re-captured, not relegated."""
     import glob
     import json
     import os
+    import re
 
     repo = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
-    files = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
-    if not files:
-        return set()
-    try:
-        with open(files[-1]) as f:
-            return set(json.load(f))
-    except Exception:
-        return set()
+
+    def _round(path: str) -> int:
+        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
+        return int(m.group(1)) if m else -1
+
+    latest: dict[str, dict] = {}
+    for path in sorted(
+        glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")), key=_round
+    ):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except Exception:
+            continue
+        if isinstance(rec, dict):
+            for name, row in rec.items():
+                latest[name] = row if isinstance(row, dict) else {}
+
+    def _passed(row: dict) -> bool:
+        return (
+            row.get("rows_match") is True
+            and row.get("schema_match") is not False
+            and row.get("hash_match") is not False
+            and not row.get("err")
+        )
+
+    return {name for name, row in latest.items() if _passed(row)}
 
 
 def _merge(items: dict) -> dict:

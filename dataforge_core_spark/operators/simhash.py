@@ -110,36 +110,58 @@ def _hamming(dialect: str, a: str, b: str) -> str:
     return " + ".join(terms)
 
 
-def _pairs_sql(dialect: str) -> str:
-    blocks = ", ".join(
-        f"substr(simhash, {i * 4 + 1}, 4)" for i in range(4)
+# skew guard (mirrors dedup.MAX_BAND_BUCKET for the minhash path): only
+# 4 * 65536 distinct (bno, blk) buckets exist REGARDLESS of corpus size,
+# so a hot 16-bit block (boilerplate-heavy corpora, all-zero signatures)
+# goes quadratic in the band self-join.  Buckets over the cap are SALTED
+# into ceil(n/cap) deterministic residue groups (doc_id % nsalt) and
+# pairs generate only within a group — capping the worst key's fan-out
+# at ~cap^2 while the other three bands keep their full recall.  Applied
+# identically in the DuckDB oracle.
+MAX_BLOCK_BUCKET = 1000
+
+
+def _pairs_sql(dialect: str, max_block_bucket: int = None) -> str:
+    cap = (
+        MAX_BLOCK_BUCKET if max_block_bucket is None else max_block_bucket
     )
     if dialect == "spark":
+        blocks = ", ".join(
+            f"substr(simhash, {i * 4 + 1}, 4)" for i in range(4)
+        )
         band = (
             f"SELECT doc_id, simhash, posexplode(array({blocks})) AS (bno, blk)"
             " FROM sig"
         )
     else:
-        unnests = " UNION ALL ".join(
+        band = " UNION ALL ".join(
             f"SELECT doc_id, simhash, {i} AS bno, "
             f"substr(simhash, {i * 4 + 1}, 4) AS blk FROM sig"
             for i in range(4)
         )
-        band = unnests
     ham = _hamming(dialect, "a.simhash", "b.simhash")
     return f"""
         WITH sig AS ({_sig_sql(dialect)}),
         bands AS ({band}),
-        cand AS (
-          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 a.simhash AS sig_a, b.simhash AS sig_b
-          FROM bands a JOIN bands b
-            ON a.bno = b.bno AND a.blk = b.blk AND a.doc_id < b.doc_id
+        heavy AS (
+          SELECT bno, blk,
+                 CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / {cap})
+                      AS BIGINT) AS nsalt
+          FROM bands GROUP BY bno, blk
+          HAVING COUNT(*) > {cap}
+        ),
+        salted AS (
+          SELECT b.doc_id, b.simhash, b.bno, b.blk,
+                 b.doc_id % COALESCE(h.nsalt, 1) AS salt
+          FROM bands b LEFT JOIN heavy h
+            ON b.bno = h.bno AND b.blk = h.blk
         )
-        SELECT doc_a, doc_b,
-               CAST({_hamming(dialect, 'sig_a', 'sig_b')} AS INT) AS hamming
-        FROM cand
-        WHERE {_hamming(dialect, 'sig_a', 'sig_b')} <= {HAMMING_MAX}
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST({ham} AS INT) AS hamming
+        FROM salted a JOIN salted b
+          ON a.bno = b.bno AND a.blk = b.blk AND a.salt = b.salt
+             AND a.doc_id < b.doc_id
+        WHERE {ham} <= {HAMMING_MAX}
         """
 
 
@@ -165,10 +187,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sig_df(spark, sf_dir)
 
 
-def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Block-banded near-dup candidate pairs with exact hamming verify."""
+def dedup_simhash_pairs(
+    spark: SparkSession, sf_dir: str, max_block_bucket: int | None = None
+) -> DataFrame:
+    """Block-banded near-dup candidate pairs with exact hamming verify.
+
+    The hamming distance is computed and filtered IN the band join's
+    select (it is functionally dependent on the pair, so evaluating it
+    once per matching band instead of once per pair costs only cheap
+    integer bit ops) — the DISTINCT then shuffles narrow
+    (doc_a, doc_b, hamming) rows, not two 16-char signature strings,
+    and non-near pairs are dropped before the exchange."""
     from pyspark.sql import functions as F
 
+    cap = (
+        MAX_BLOCK_BUCKET if max_block_bucket is None else max_block_bucket
+    )
     sig = _sig_df(spark, sf_dir)
     bands = sig.select(
         "doc_id",
@@ -179,27 +213,43 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bno", "blk"),
     )
-    b2 = bands.toDF("doc_id_b", "simhash_b", "bno_b", "blk_b")
-    cand = (
-        bands.join(
+    # oversized-bucket salting: the heavy-key table is tiny by
+    # construction (<= 4*65536 rows), so attaching nsalt is a map-side
+    # broadcast join; normal buckets get nsalt 1 (salt 0 both sides)
+    heavy = (
+        bands.groupBy("bno", "blk")
+        .count()
+        .filter(F.col("count") > cap)
+        .select(
+            "bno",
+            "blk",
+            F.ceil(F.col("count") / cap).alias("nsalt"),
+        )
+    )
+    salted = bands.join(F.broadcast(heavy), ["bno", "blk"], "left").select(
+        "bno",
+        "blk",
+        "doc_id",
+        "simhash",
+        F.expr("doc_id % coalesce(nsalt, 1)").alias("salt"),
+    )
+    b2 = salted.toDF("bno_b", "blk_b", "doc_id_b", "simhash_b", "salt_b")
+    ham = _hamming("spark", "simhash", "simhash_b")
+    return (
+        salted.join(
             b2,
             (F.col("bno") == F.col("bno_b"))
             & (F.col("blk") == F.col("blk_b"))
+            & (F.col("salt") == F.col("salt_b"))
             & (F.col("doc_id") < F.col("doc_id_b")),
         )
         .select(
             F.col("doc_id").alias("doc_a"),
             F.col("doc_id_b").alias("doc_b"),
-            F.col("simhash").alias("sig_a"),
-            F.col("simhash_b").alias("sig_b"),
+            F.expr(f"CAST({ham} AS INT)").alias("hamming"),
         )
-        .distinct()
-    )
-    ham = _hamming("spark", "sig_a", "sig_b")
-    return (
-        cand.withColumn("hamming", F.expr(f"CAST({ham} AS INT)"))
         .filter(F.col("hamming") <= HAMMING_MAX)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 

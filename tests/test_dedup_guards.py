@@ -127,3 +127,65 @@ def test_pointer_doubling_converges_logarithmically(spark):
     assert {tuple(r) for r in plain.collect()} == want
     assert {tuple(r) for r in pd_.collect()} == want
     assert r_pd <= 7 < r_plain  # log2(16)+slack vs ~diameter
+
+
+def test_simhash_hot_block_bucket_salted(spark, tmp_path):
+    """An oversized simhash block bucket is SALTED exactly like the
+    minhash band path: only 4*65536 (bno, blk) buckets exist regardless
+    of corpus size, so a hot block must not go quadratic.  Same-residue
+    pairs survive (partial recall), normal buckets are untouched, and
+    the DuckDB oracle applies the identical rule."""
+    from dataforge_core_spark.operators import simhash
+
+    # 10 identical docs -> identical signatures -> all 4 blocks form one
+    # 10-doc bucket; plus an identical pair in a normal (2-doc) bucket
+    docs = [
+        *[(i, "red orange yellow green blue indigo violet")
+          for i in range(1, 11)],
+        (21, "one two three four five six"),
+        (22, "one two three four five six"),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    cap = 4  # nsalt = ceil(10/4) = 3 for the hot buckets
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash.dedup_simhash_pairs(
+            spark, sf, max_block_bucket=cap
+        ).collect()
+    }
+    hot = {(a, b) for (a, b) in got if a <= 10 and b <= 10}
+    expect_hot = {
+        (a, b)
+        for a in range(1, 11)
+        for b in range(a + 1, 11)
+        if a % 3 == b % 3
+    }
+    assert hot == expect_hot and len(hot) == 12
+    assert got[(21, 22)] == 0  # normal bucket untouched (salt 0)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    want = {
+        (a, b): h
+        for a, b, h in con.execute(
+            simhash._pairs_sql("duck", cap)
+        ).fetchall()
+    }
+    assert got == want
+
+    # with the cap above the hot bucket's size, all 45 pairs come back
+    simhash._sig_cache.clear()
+    unguarded = {
+        (r.doc_a, r.doc_b)
+        for r in simhash.dedup_simhash_pairs(
+            spark, sf, max_block_bucket=100
+        ).collect()
+    }
+    assert len({p for p in unguarded if p[0] <= 10 and p[1] <= 10}) == 45

@@ -234,6 +234,24 @@ def test_simhash_signature_integer_bits(spark):
     assert "partial" in plan.lower(), "no map-side combine on signature agg"
 
 
+def test_simhash_pairs_bucket_salted(spark):
+    """The simhash band self-join must carry the oversized-bucket salt:
+    a 16-bit block key space is 65536 buckets REGARDLESS of corpus size,
+    so without the salt conjunct a hot block goes quadratic at scale.
+    The heavy-bucket relation must attach via broadcast (its cardinality
+    is bounded by the block key space, never the corpus)."""
+    from dataforge_core_spark.operators import simhash as S
+
+    plan = (
+        S.dedup_simhash_pairs(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "salt" in plan, "band join lost the bucket-salt conjunct"
+    assert "BroadcastHashJoin" in plan, "heavy-bucket attach not broadcast"
+
+
 def test_multimodal_decode_single_python_pass(spark):
     """The synth and decode stages must stay FUSED into one mapInPandas
     pass — two MapInPandas nodes means the intermediate payload batches

@@ -461,6 +461,16 @@ KMEANS_K = 8
 KMEANS_ITERS = 2
 _FP_SCALE = "4294967296.0"  # 2^32 — exact double multiply
 
+# Cell-size guard for the per-cell candidate joins: the IVF assignment
+# index carries a per-cell rank (``cellrn``, ROW_NUMBER by vec_id,
+# computed ONCE at index build on the cid partitioning the checkpoint
+# already pays for) and every cell search filters ``cellrn <= cap`` —
+# so a skewed centroid cell contributes at most cap candidates per
+# probe instead of going quadratic at 100x data.  Deterministic
+# (vec_id order) and applied identically in the DuckDB oracles; far
+# above any balanced cell size, so it binds only on pathological skew.
+IVF_CELL_CAP = 100_000
+
 
 def _kmeans_update(src: str, dialect: str) -> str:
     """Fixed-point centroid recompute: exact integer sums per dimension."""
@@ -502,7 +512,11 @@ def _kmeans_ctes(v: str, dialect: str) -> str:
             f"c{i} AS (SELECT cid, emb, {self_dot} AS cc FROM u{i})"
         )
         prev = f"c{i}"
-    parts.append(f"af AS ({_kmeans_assign(v, prev, dialect)})")
+    parts.append(
+        "af AS (SELECT vec_id, emb, nrm, cid,"
+        " ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id) AS cellrn"
+        f" FROM ({_kmeans_assign(v, prev, dialect)}) af_in)"
+    )
     return ",\n".join(parts)
 
 
@@ -568,8 +582,16 @@ def _kmeans_assignments(spark: SparkSession, sf_dir: str) -> str:
                 update = _kmeans_update(f"({assign}) a_it", "spark")
                 cent = spark.sql(update).collect()
             csrc = f"({_centroid_literal_sql(cent)})"
+            # cellrn rides the cid repartition the checkpoint pays
+            # anyway — the cell-size cap is then a free query-time
+            # filter (see IVF_CELL_CAP)
             df = (
-                spark.sql(_kmeans_assign(v, csrc, "spark"))
+                spark.sql(
+                    "SELECT vec_id, emb, nrm, cid,"
+                    " ROW_NUMBER() OVER (PARTITION BY cid"
+                    " ORDER BY vec_id) AS cellrn"
+                    f" FROM ({_kmeans_assign(v, csrc, 'spark')}) af_in"
+                )
                 .repartition("cid")
                 .localCheckpoint(eager=True)
             )
@@ -605,7 +627,7 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                  {cos} AS score
           FROM (SELECT * FROM {af} WHERE vec_id < {N_QUERIES}) q
-          JOIN {af} c ON q.cid = c.cid AND q.vec_id <> c.vec_id
+          JOIN {af} c ON q.cid = c.cid AND c.cellrn <= {IVF_CELL_CAP} AND q.vec_id <> c.vec_id
         ),
         ranked AS (
           SELECT query_id, neighbor_id,
@@ -654,7 +676,7 @@ def ann_ivf_search(
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                  {cos} AS score
           FROM {qsrc} q
-          JOIN {af} c ON q.cid = c.cid AND q.vec_id <> c.vec_id
+          JOIN {af} c ON q.cid = c.cid AND c.cellrn <= {IVF_CELL_CAP} AND q.vec_id <> c.vec_id
         ),
         ranked AS (
           SELECT query_id, neighbor_id,
@@ -692,7 +714,7 @@ qp AS (
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          {cos} AS score
-  FROM qp q JOIN af c ON q.cid = c.cid AND q.vec_id <> c.vec_id
+  FROM qp q JOIN af c ON q.cid = c.cid AND c.cellrn <= {IVF_CELL_CAP} AND q.vec_id <> c.vec_id
 ),
 ranked AS (
   SELECT query_id, neighbor_id,
@@ -714,7 +736,7 @@ scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          {cos} AS score
   FROM (SELECT * FROM af WHERE vec_id < {N_QUERIES}) q
-  JOIN af c ON q.cid = c.cid AND q.vec_id <> c.vec_id
+  JOIN af c ON q.cid = c.cid AND c.cellrn <= {IVF_CELL_CAP} AND q.vec_id <> c.vec_id
 ),
 ranked AS (
   SELECT query_id, neighbor_id,
@@ -733,32 +755,61 @@ WHERE rank <= {TOP_K}
 COSINE_DUP_THRESHOLD = 0.40
 
 
-def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+# skew guard for the hyperplane-bucket self-join (same rule as the
+# minhash/simhash band paths): the bucket key space is fixed by the
+# plane count regardless of corpus size, so an oversized bucket is
+# SALTED into ceil(n/cap) deterministic vec_id residue groups and pairs
+# generate only within a group — partial recall, bounded fan-out.
+EMB_BUCKET_CAP = 1000
+
+
+def _emb_pairs_sql(dialect: str, v: str, cap: int) -> str:
+    """Salted bucket self-join emitting (vec_a, vec_b) near-dup pairs.
+
+    ``v`` is the normed relation's name (Spark temp view or the
+    oracle's ``v`` CTE); identical construction in both dialects."""
+    cosf = _spark_cosine if dialect == "spark" else _duck_cosine
+    cos = cosf("a.emb", "b.emb", "a.nrm", "b.nrm")
+    return f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM (
+  SELECT vv.*, vv.vec_id % COALESCE(h.nsalt, 1) AS salt
+  FROM {v} vv LEFT JOIN (
+    SELECT bucket,
+           CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / {cap}) AS BIGINT) AS nsalt
+    FROM {v} GROUP BY bucket HAVING COUNT(*) > {cap}
+  ) h ON vv.bucket = h.bucket
+) a JOIN (
+  SELECT vv.*, vv.vec_id % COALESCE(h.nsalt, 1) AS salt
+  FROM {v} vv LEFT JOIN (
+    SELECT bucket,
+           CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / {cap}) AS BIGINT) AS nsalt
+    FROM {v} GROUP BY bucket HAVING COUNT(*) > {cap}
+  ) h ON vv.bucket = h.bucket
+) b
+  ON a.bucket = b.bucket AND a.salt = b.salt AND a.vec_id < b.vec_id
+WHERE {cos} >= {COSINE_DUP_THRESHOLD}
+"""
+
+
+def dedup_embedding(
+    spark: SparkSession, sf_dir: str, bucket_cap: int | None = None
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH buckets as the recall
     stage (near-identical vectors share every hyperplane side), exact
     cosine as the verifier.  Output is the candidate duplicate pair list;
     clustering (connected components) is a driver-side/iterative step
     downstream."""
+    cap = EMB_BUCKET_CAP if bucket_cap is None else bucket_cap
     v = _normed(spark, sf_dir)
-    cos = _spark_cosine("a.emb", "b.emb", "a.nrm", "b.nrm")
-    return spark.sql(
-        f"""
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-        FROM {v} a JOIN {v} b
-          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        WHERE {cos} >= {COSINE_DUP_THRESHOLD}
-        """
-    )
+    return spark.sql(_emb_pairs_sql("spark", v, cap))
 
 
-def _dedup_embedding_oracle() -> str:
-    cos = _duck_cosine("a.emb", "b.emb", "a.nrm", "b.nrm")
+def _dedup_embedding_oracle(bucket_cap: int | None = None) -> str:
+    cap = EMB_BUCKET_CAP if bucket_cap is None else bucket_cap
     return f"""
 WITH {_duck_v_cte()}
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-FROM v a JOIN v b
-  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE {cos} >= {COSINE_DUP_THRESHOLD}
+{_emb_pairs_sql("duck", "v", cap)}
 """
 
 
@@ -854,9 +905,19 @@ FROM (
 
 KNN_K = 5
 
+# corpus x corpus cell guard: the candidate (b) side of the kNN-graph
+# join keeps at most this many vectors per label cell (deterministic —
+# lowest vec_id first, ROW_NUMBER lowers to WindowGroupLimit), so a
+# skewed label cannot make the self-join quadratic in its cell size.
+# Identical rule in the DuckDB oracle; far above balanced cell sizes.
+KNN_CELL_CAP = 100_000
 
-def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def ann_knn_graph(
+    spark: SparkSession, sf_dir: str, cell_cap: int | None = None
+) -> DataFrame:
     """Directed kNN edges (vec -> its KNN_K nearest in its label cell)."""
+    cap = KNN_CELL_CAP if cell_cap is None else cell_cap
     v = _normed(spark, sf_dir)
     cos = _spark_cosine("a.emb", "b.emb", "a.nrm", "b.nrm")
     return spark.sql(
@@ -865,14 +926,20 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT a.vec_id AS src, b.vec_id AS dst,
                  ROW_NUMBER() OVER (PARTITION BY a.vec_id
                       ORDER BY ({cos}) DESC, b.vec_id) AS rank
-          FROM {v} a JOIN {v} b
+          FROM {v} a JOIN (
+            SELECT * FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                   ORDER BY vec_id) AS lrn FROM {v}
+            ) cb WHERE lrn <= {cap}
+          ) b
             ON a.label = b.label AND a.vec_id <> b.vec_id
         ) t WHERE rank <= {KNN_K}
         """
     )
 
 
-def _knn_graph_oracle() -> str:
+def _knn_graph_oracle(cell_cap: int | None = None) -> str:
+    cap = KNN_CELL_CAP if cell_cap is None else cell_cap
     cos = _duck_cosine("a.emb", "b.emb", "a.nrm", "b.nrm")
     return f"""
 WITH {_duck_v_cte()}
@@ -880,7 +947,12 @@ SELECT src, rank, dst FROM (
   SELECT a.vec_id AS src, b.vec_id AS dst,
          CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
               ORDER BY ({cos}) DESC, b.vec_id) AS INTEGER) AS rank
-  FROM v a JOIN v b
+  FROM v a JOIN (
+    SELECT * FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+           ORDER BY vec_id) AS lrn FROM v
+    ) cb WHERE lrn <= {cap}
+  ) b
     ON a.label = b.label AND a.vec_id <> b.vec_id
 ) t WHERE rank <= {KNN_K}
 """
@@ -918,15 +990,9 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semantic_cluster_oracle() -> str:
-    cos = _duck_cosine("a.emb", "b.emb", "a.nrm", "b.nrm")
     return f"""
 WITH RECURSIVE {_duck_v_cte()},
-pairs AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM v a JOIN v b
-    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-  WHERE {cos} >= {COSINE_DUP_THRESHOLD}
-),
+pairs AS ({_emb_pairs_sql("duck", "v", EMB_BUCKET_CAP)}),
 edges AS (
   SELECT vec_a AS a, vec_b AS b FROM pairs
   UNION ALL
@@ -1015,7 +1081,7 @@ brute AS (
 iscored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS score
   FROM (SELECT * FROM af WHERE vec_id < {N_QUERIES}) q
-  JOIN af c ON q.cid = c.cid AND q.vec_id <> c.vec_id
+  JOIN af c ON q.cid = c.cid AND c.cellrn <= {IVF_CELL_CAP} AND q.vec_id <> c.vec_id
 ),
 ivf AS (
   SELECT query_id, neighbor_id, 1 AS hit FROM (

@@ -34,6 +34,40 @@ def delta_available(spark: SparkSession) -> bool:
         return False
 
 
+# Upper bound on the driver-collected changed-partition value list used
+# for MERGE file pruning.  Date-like window keys (the intended use) have
+# at most a few thousand distinct values; a high-cardinality key would
+# otherwise pull an unbounded list into the driver, so past the cap the
+# key contributes no pruning predicate (full MERGE — correct, just
+# unpruned).
+MAX_PRUNE_VALUES = 10_000
+
+
+def _prune_condition(new_df: DataFrame, key: str):
+    """Static Column predicate ``t.<key> IN (changed values)``, or None
+    when the key's distinct changed-value count exceeds
+    ``MAX_PRUNE_VALUES`` (see the cap comment above)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    vals = [
+        r[0]
+        for r in new_df.select(key)
+        .distinct()
+        .limit(MAX_PRUNE_VALUES + 1)
+        .collect()
+    ]
+    if len(vals) > MAX_PRUNE_VALUES:
+        return None  # high-cardinality key: full MERGE, no pruning
+    non_null = [v for v in vals if v is not None]
+    p = None
+    if non_null:
+        p = F.col(f"t.`{key}`").isin(*non_null)
+    if any(v is None for v in vals):
+        isnull = F.col(f"t.`{key}`").isNull()
+        p = isnull if p is None else (p | isnull)
+    return p
+
+
 def _require_delta(spark: SparkSession) -> None:
     if not delta_available(spark):
         raise ProjectError(
@@ -88,9 +122,13 @@ def merge_upsert_delta(
     condition is built from Column expressions (``isin`` over the
     collected Python values), so dates/timestamps/decimals become
     proper typed literals — never string-formatted SQL.  The distinct
-    value list is collected driver-side (it is the CHANGED partition
-    set — small by the same argument as the broadcast in the
-    frame-level path).
+    value list is collected driver-side — BOUNDED: at most
+    ``MAX_PRUNE_VALUES + 1`` values are fetched (a ``limit`` before the
+    collect), and a key whose changed-value set exceeds the cap simply
+    skips pruning for that key (correct, just unpruned) instead of
+    pulling an unbounded list into the driver.  Date-like partition
+    keys stay far under the cap; a caller who passes a
+    high-cardinality key degrades to a full MERGE rather than an OOM.
     """
     _require_delta(spark)
     from delta.tables import DeltaTable  # noqa: PLC0415
@@ -103,14 +141,7 @@ def merge_upsert_delta(
         cond = c if cond is None else (cond & c)
     if prune_keys:
         for k in prune_keys:
-            vals = [r[0] for r in new_df.select(k).distinct().collect()]
-            non_null = [v for v in vals if v is not None]
-            p = None
-            if non_null:
-                p = F.col(f"t.`{k}`").isin(*non_null)
-            if any(v is None for v in vals):
-                isnull = F.col(f"t.`{k}`").isNull()
-                p = isnull if p is None else (p | isnull)
+            p = _prune_condition(new_df, k)
             if p is not None:
                 cond = cond & p
     (

@@ -75,3 +75,28 @@ def test_delta_merge_prunes_partitions(spark, tmp_path):
         for r in spark.read.format("delta").load(path).collect()
     }
     assert got == {(1, "a"): 99, (2, "b"): 20, (3, "a"): 30}
+
+
+def test_prune_value_collect_is_capped(spark):
+    """The changed-partition value list for MERGE pruning is bounded:
+    a high-cardinality prune key yields NO pruning predicate (full
+    MERGE) instead of collecting an unbounded list to the driver; a
+    normal key still yields the typed IN predicate, nulls included."""
+    from dataforge_core_spark.sources import merge_targets as mt
+
+    # the limit(cap+1) means at most cap+1 rows ever reach the driver
+    wide = spark.range(0, 50_000).selectExpr("id AS k")
+    old_cap = mt.MAX_PRUNE_VALUES
+    try:
+        mt.MAX_PRUNE_VALUES = 100
+        assert mt._prune_condition(wide, "k") is None
+        narrow = spark.sql(
+            "SELECT CASE WHEN id = 3 THEN NULL ELSE id % 3 END AS k "
+            "FROM range(10)"
+        )
+        p = mt._prune_condition(narrow, "k")
+        assert p is not None
+        s = str(p)
+        assert "in(t.k" in s and "isNull(t.k)" in s
+    finally:
+        mt.MAX_PRUNE_VALUES = old_cap

@@ -41,8 +41,10 @@ Coverage map (SURVEY.md §2 -> query):
   A1-A4 aggregations         -> hub aggregates (sum/count/max/max_by/median/
                                 count DISTINCT/collect_set) +
                                 output_feature_customer (GROUP BY + DISTINCT);
-                                engine_agg_whitelist (23 whitelist functions
-                                through the correlated-aggregate rule path,
+                                engine_agg_numeric / engine_agg_ordered /
+                                engine_agg_collect (26 whitelist-function
+                                rules through the correlated-aggregate
+                                rule path, split by aggregate family,
                                 incl. count/sum/avg DISTINCT variants)
   W1 window functions        -> hub_orders.cust_order_rank
   O2 UNION + typed-null fill -> output_entity_union

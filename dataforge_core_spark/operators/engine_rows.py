@@ -818,19 +818,76 @@ JOIN (SELECT lang, COUNT(*) AS lang_docs FROM documents GROUP BY lang) g
 # ---------------------------------------------------------------------------
 # A1 — broad sweep of the 45-function aggregate whitelist
 # ("10 aggregateTable.sql":11-54) through the engine's correlated-aggregate
-# rule path: 23 distinct whitelist functions as rules over a 1-M relation
-# (incl. the DISTINCT variants of count/sum/avg, the bool_and/bool_or
-# aliases of every/some, any_value over a group-constant key, and
+# rule path: 26 whitelist-function rules over a 1-M relation (incl. the
+# DISTINCT variants of count/sum/avg, the bool_and/bool_or aliases of
+# every/some, any_value over a group-constant key, and
 # approx_count_distinct compared on a cardinality small enough that HLL++
 # is exact), each with a deterministic DuckDB equivalent.  Excluded from
 # the hash compare by nature: order-dependent picks (first/last/mode),
 # engine-specific sketches (count_min_sketch, schema_of_json_agg) and
 # float-accumulation families (stddev/var/corr/skew/kurtosis) whose
 # last-bit results are reduction-order-dependent on any engine.
+#
+# The sweep is split into THREE driver rows by aggregate family —
+# numeric (hash-aggregate path), ordered/boolean picks (typed-imperative
+# / HLL path) and collections (ObjectHashAggregate path).  One combined
+# row compiled all 26 into a single groupBy+join whose Janino codegen
+# width dominated the whole bench (4.1s warm, the heaviest engine row);
+# the three narrow rows cover the identical 26 functions with ~1/3 the
+# generated-code width each, and each exercises its own aggregate
+# execution path in isolation.
 # ---------------------------------------------------------------------------
 
+_AGG_RULES = {
+    "numeric": [
+        ("order_cnt", "count([O].o_orderkey)"),
+        ("big_cnt", "count_if([O].o_totalprice > 100000)"),
+        ("spend", "sum([O].price_dec)"),
+        ("avg_price", "avg([O].price_dec)"),
+        ("min_price", "min([O].o_totalprice)"),
+        ("max_price", "max([O].o_totalprice)"),
+        ("key_or", "bit_or([O].o_orderkey)"),
+        ("key_xor", "bit_xor([O].o_orderkey)"),
+        # all three DISTINCT variants take the SAME child (o_orderkey):
+        # Spark plans multi-distinct aggregates via Expand with one extra
+        # branch PER DISTINCT CHILD, so aligning them keeps the expand
+        # factor at 2 instead of 4 — the 100 TB-relevant plan shape.
+        # (count(DISTINCT) over a second column is already
+        # driver-exercised by hub_customer.distinct_status_count.)  Sums
+        # of distinct bigint keys are exact; avg is one exact-sum
+        # division -> deterministic on both engines.
+        ("keys_d", "count(DISTINCT [O].o_orderkey)"),
+        ("key_sum_d", "sum(DISTINCT [O].o_orderkey)"),
+        ("avg_key_d", "avg(DISTINCT [O].o_orderkey)"),
+        ("mean_key", "mean([O].o_orderkey)"),
+    ],
+    "ordered": [
+        ("first_status", "min_by([O].o_orderstatus, [O].o_orderkey)"),
+        ("last_status", "max_by([O].o_orderstatus, [O].o_orderkey)"),
+        ("all_valid", "every([O].o_totalprice >= 0)"),
+        ("any_big", "some([O].o_totalprice > 200000)"),
+        ("any_huge", "any([O].o_totalprice > 300000)"),
+        ("all_pos", "bool_and([O].o_totalprice >= 0)"),
+        ("has_big", "bool_or([O].o_totalprice > 200000)"),
+        ("med_price", "median([O].o_totalprice)"),
+        ("p50_price", "percentile([O].o_totalprice, 0.5)"),
+        # any_value over a group-constant column -> deterministic
+        ("one_cust", "any_value([O].o_custkey)"),
+        # exact at this cardinality (<=3 statuses), so HLL++ ==
+        # COUNT(DISTINCT) on both engines
+        ("status_card", "approx_count_distinct([O].o_orderstatus)"),
+    ],
+    "collection": [
+        ("statuses", "array_sort(collect_set([O].o_orderstatus))"),
+        ("status_list", "array_sort(collect_list([O].o_orderstatus))"),
+        ("prio_list", "array_sort(array_agg([O].o_orderpriority))"),
+    ],
+}
 
-def engine_agg_whitelist(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def _agg_family_row(
+    spark: SparkSession, sf_dir: str, family: str
+) -> DataFrame:
     from dataforge_core_spark.loader import (
         parse_relations_list,
         parse_source_dict,
@@ -838,11 +895,13 @@ def engine_agg_whitelist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataforge_core_spark.model import Project
     from dataforge_core_spark.runner import ProjectRunner
 
+    osrc = f"orders_aw_{family}"
+    csrc = f"customer_aw_{family}"
     orders = parse_source_dict(
         {
-            "source_name": "orders_aw",
+            "source_name": osrc,
             "source_table": f"{sf_dir}/orders.parquet",
-            "target_table": "enriched_orders_aw",
+            "target_table": f"enriched_{osrc}",
             "raw_attributes": [
                 "o_orderkey long",
                 "o_custkey long",
@@ -862,98 +921,43 @@ def engine_agg_whitelist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     customer = parse_source_dict(
         {
-            "source_name": "customer_aw",
+            "source_name": csrc,
             "source_table": f"{sf_dir}/customer.parquet",
-            "target_table": "enriched_customer_aw",
+            "target_table": f"enriched_{csrc}",
             "raw_attributes": ["c_custkey long", "c_name string"],
             "rules": [
-                {"name": "order_cnt",
-                 "expression": "count([orders_aw].o_orderkey)"},
-                {"name": "big_cnt",
-                 "expression": "count_if([orders_aw].o_totalprice > 100000)"},
-                {"name": "spend",
-                 "expression": "sum([orders_aw].price_dec)"},
-                {"name": "avg_price",
-                 "expression": "avg([orders_aw].price_dec)"},
-                {"name": "min_price",
-                 "expression": "min([orders_aw].o_totalprice)"},
-                {"name": "max_price",
-                 "expression": "max([orders_aw].o_totalprice)"},
-                {"name": "first_status",
-                 "expression": "min_by([orders_aw].o_orderstatus,"
-                               " [orders_aw].o_orderkey)"},
-                {"name": "last_status",
-                 "expression": "max_by([orders_aw].o_orderstatus,"
-                               " [orders_aw].o_orderkey)"},
-                {"name": "all_valid",
-                 "expression": "every([orders_aw].o_totalprice >= 0)"},
-                {"name": "any_big",
-                 "expression": "some([orders_aw].o_totalprice > 200000)"},
-                {"name": "any_huge",
-                 "expression": "any([orders_aw].o_totalprice > 300000)"},
-                {"name": "key_or",
-                 "expression": "bit_or([orders_aw].o_orderkey)"},
-                {"name": "key_xor",
-                 "expression": "bit_xor([orders_aw].o_orderkey)"},
-                {"name": "med_price",
-                 "expression": "median([orders_aw].o_totalprice)"},
-                {"name": "p50_price",
-                 "expression": "percentile([orders_aw].o_totalprice, 0.5)"},
-                {"name": "statuses",
-                 "expression":
-                     "array_sort(collect_set([orders_aw].o_orderstatus))"},
-                # all three DISTINCT variants take the SAME child
-                # (o_orderkey): Spark plans multi-distinct aggregates via
-                # Expand with one extra branch PER DISTINCT CHILD, so
-                # aligning them keeps the expand factor at 2 instead of 4
-                # — the 100 TB-relevant plan shape.  (count(DISTINCT) over
-                # a second column is already driver-exercised by
-                # hub_customer.distinct_status_count.)  Sums of distinct
-                # bigint keys are exact; avg is one exact-sum division ->
-                # deterministic on both engines.
-                {"name": "keys_d",
-                 "expression": "count(DISTINCT [orders_aw].o_orderkey)"},
-                {"name": "key_sum_d",
-                 "expression": "sum(DISTINCT [orders_aw].o_orderkey)"},
-                {"name": "avg_key_d",
-                 "expression": "avg(DISTINCT [orders_aw].o_orderkey)"},
-                {"name": "mean_key",
-                 "expression": "mean([orders_aw].o_orderkey)"},
-                {"name": "all_pos",
-                 "expression": "bool_and([orders_aw].o_totalprice >= 0)"},
-                {"name": "has_big",
-                 "expression": "bool_or([orders_aw].o_totalprice > 200000)"},
-                # any_value over a group-constant column -> deterministic
-                {"name": "one_cust",
-                 "expression": "any_value([orders_aw].o_custkey)"},
-                # exact at this cardinality (<=3 statuses), so HLL++ ==
-                # COUNT(DISTINCT) on both engines
-                {"name": "status_card",
-                 "expression":
-                     "approx_count_distinct([orders_aw].o_orderstatus)"},
-                {"name": "status_list",
-                 "expression":
-                     "array_sort(collect_list([orders_aw].o_orderstatus))"},
-                {"name": "prio_list",
-                 "expression":
-                     "array_sort(array_agg([orders_aw].o_orderpriority))"},
+                {"name": name, "expression": expr.replace("[O]", f"[{osrc}]")}
+                for name, expr in _AGG_RULES[family]
             ],
         }
     )
     rels = parse_relations_list(
         [
             {
-                "name": "[customer_aw]- aw -[orders_aw]",
+                "name": f"[{csrc}]- aw -[{osrc}]",
                 "expression": "[This].c_custkey = [Related].o_custkey",
                 "cardinality": "1-M",
             }
         ]
     )
     project = Project(sources=[customer, orders], relations=rels)
-    hub = ProjectRunner(spark, project, persist_hubs=False).build()[
-        "customer_aw"
-    ]
+    hub = ProjectRunner(spark, project, persist_hubs=False).build()[csrc]
     return canonicalize(hub)
+
+
+def engine_agg_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric aggregate family (count/sum/avg/min/max/bit + DISTINCT)."""
+    return _agg_family_row(spark, sf_dir, "numeric")
+
+
+def engine_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered/boolean-pick family (min_by/max_by/every/median/HLL...)."""
+    return _agg_family_row(spark, sf_dir, "ordered")
+
+
+def engine_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection family (collect_set/collect_list/array_agg)."""
+    return _agg_family_row(spark, sf_dir, "collection")
 
 
 # The engine's P3 pass normalizes decimal rules to DECIMAL(38,12): avg
@@ -965,61 +969,79 @@ def engine_agg_whitelist(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scale-12 boundary), rendered as the exact scale-12 decimal string and
 # CAST to DOUBLE — correctly rounded like Spark's BigDecimal.doubleValue,
 # bit-identical at the comparison boundary.
-_AGG_WHITELIST_ORACLE = """
-WITH g AS (
-  SELECT o_custkey,
-         COUNT(o_orderkey) AS order_cnt,
-         COUNT(*) FILTER (WHERE o_totalprice > 100000) AS big_cnt,
-         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
-              AS DOUBLE) AS spend,
-         CAST(printf('%d.%012d',
+_DUCK_AVG_DEC = """CAST(printf('%d.%012d',
            CAST(((2 * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
                           AS HUGEINT) * 10000000000 + COUNT(*))
                  // (2 * COUNT(*))) // 1000000000000 AS BIGINT),
            CAST(((2 * CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
                           AS HUGEINT) * 10000000000 + COUNT(*))
                  // (2 * COUNT(*))) % 1000000000000 AS BIGINT))
-           AS DOUBLE) AS avg_price,
-         MIN(o_totalprice) AS min_price,
-         MAX(o_totalprice) AS max_price,
-         ARG_MIN(o_orderstatus, o_orderkey) AS first_status,
-         ARG_MAX(o_orderstatus, o_orderkey) AS last_status,
-         BOOL_AND(o_totalprice >= 0) AS all_valid,
-         BOOL_OR(o_totalprice > 200000) AS any_big,
-         BOOL_OR(o_totalprice > 300000) AS any_huge,
-         BIT_OR(o_orderkey) AS key_or,
-         BIT_XOR(o_orderkey) AS key_xor,
-         MEDIAN(o_totalprice) AS med_price,
-         quantile_cont(o_totalprice, 0.5) AS p50_price,
-         array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
-           AS statuses,
-         COUNT(DISTINCT o_orderkey) AS keys_d,
-         CAST(SUM(DISTINCT o_orderkey) AS BIGINT) AS key_sum_d,
-         AVG(DISTINCT o_orderkey) AS avg_key_d,
-         AVG(o_orderkey) AS mean_key,
-         BOOL_AND(o_totalprice >= 0) AS all_pos,
-         BOOL_OR(o_totalprice > 200000) AS has_big,
-         ANY_VALUE(o_custkey) AS one_cust,
-         COUNT(DISTINCT o_orderstatus) AS status_card,
-         array_to_string(list_sort(list(o_orderstatus)), ',')
-           AS status_list,
-         array_to_string(list_sort(list(o_orderpriority)), ',')
-           AS prio_list
+           AS DOUBLE)"""
+
+# (duck aggregate expression, outer default for customers with no orders:
+# None -> NULL passthrough, "0" -> COALESCE 0, "''" -> COALESCE '')
+_AGG_DUCK = {
+    "order_cnt": ("COUNT(o_orderkey)", "0"),
+    "big_cnt": ("COUNT(*) FILTER (WHERE o_totalprice > 100000)", "0"),
+    "spend": (
+        "CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)"
+        " AS DOUBLE)",
+        None,
+    ),
+    "avg_price": (_DUCK_AVG_DEC, None),
+    "min_price": ("MIN(o_totalprice)", None),
+    "max_price": ("MAX(o_totalprice)", None),
+    "key_or": ("BIT_OR(o_orderkey)", None),
+    "key_xor": ("BIT_XOR(o_orderkey)", None),
+    "keys_d": ("COUNT(DISTINCT o_orderkey)", "0"),
+    "key_sum_d": ("CAST(SUM(DISTINCT o_orderkey) AS BIGINT)", None),
+    "avg_key_d": ("AVG(DISTINCT o_orderkey)", None),
+    "mean_key": ("AVG(o_orderkey)", None),
+    "first_status": ("ARG_MIN(o_orderstatus, o_orderkey)", None),
+    "last_status": ("ARG_MAX(o_orderstatus, o_orderkey)", None),
+    "all_valid": ("BOOL_AND(o_totalprice >= 0)", None),
+    "any_big": ("BOOL_OR(o_totalprice > 200000)", None),
+    "any_huge": ("BOOL_OR(o_totalprice > 300000)", None),
+    "all_pos": ("BOOL_AND(o_totalprice >= 0)", None),
+    "has_big": ("BOOL_OR(o_totalprice > 200000)", None),
+    "med_price": ("MEDIAN(o_totalprice)", None),
+    "p50_price": ("quantile_cont(o_totalprice, 0.5)", None),
+    "one_cust": ("ANY_VALUE(o_custkey)", None),
+    "status_card": ("COUNT(DISTINCT o_orderstatus)", "0"),
+    "statuses": (
+        "array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')",
+        "''",
+    ),
+    "status_list": (
+        "array_to_string(list_sort(list(o_orderstatus)), ',')",
+        "''",
+    ),
+    "prio_list": (
+        "array_to_string(list_sort(list(o_orderpriority)), ',')",
+        "''",
+    ),
+}
+
+
+def _agg_family_oracle(family: str) -> str:
+    names = [name for name, _ in _AGG_RULES[family]]
+    inner = ",\n         ".join(
+        f"{_AGG_DUCK[n][0]} AS {n}" for n in names
+    )
+    outer = ",\n       ".join(
+        f"COALESCE(g.{n}, {_AGG_DUCK[n][1]}) AS {n}"
+        if _AGG_DUCK[n][1] is not None
+        else f"g.{n}"
+        for n in names
+    )
+    return f"""
+WITH g AS (
+  SELECT o_custkey,
+         {inner}
   FROM orders GROUP BY o_custkey
 )
 SELECT c.c_custkey, c.c_name,
-       COALESCE(g.order_cnt, 0) AS order_cnt,
-       COALESCE(g.big_cnt, 0) AS big_cnt,
-       g.spend, g.avg_price, g.min_price, g.max_price,
-       g.first_status, g.last_status, g.all_valid, g.any_big, g.any_huge,
-       g.key_or, g.key_xor, g.med_price, g.p50_price,
-       COALESCE(g.statuses, '') AS statuses,
-       COALESCE(g.keys_d, 0) AS keys_d,
-       g.key_sum_d, g.avg_key_d, g.mean_key, g.all_pos, g.has_big,
-       g.one_cust,
-       COALESCE(g.status_card, 0) AS status_card,
-       COALESCE(g.status_list, '') AS status_list,
-       COALESCE(g.prio_list, '') AS prio_list
+       {outer}
 FROM customer c LEFT JOIN g ON c.c_custkey = g.o_custkey
 """
 
@@ -1334,7 +1356,9 @@ def queries():
         "engine_subsource_chain": engine_subsource_chain,
         "engine_subsource_siblings": engine_subsource_siblings,
         "engine_struct_keys": engine_struct_keys,
-        "engine_agg_whitelist": engine_agg_whitelist,
+        "engine_agg_numeric": engine_agg_numeric,
+        "engine_agg_ordered": engine_agg_ordered,
+        "engine_agg_collect": engine_agg_collect,
         "engine_output_sinks": engine_output_sinks,
         "engine_import_diff": engine_import_diff,
         "engine_set_ops": engine_set_ops,
@@ -1352,7 +1376,9 @@ def oracles():
         "engine_subsource_chain": _SUBSOURCE_CHAIN_ORACLE,
         "engine_subsource_siblings": _SUBSOURCE_SIBLINGS_ORACLE,
         "engine_struct_keys": _STRUCT_KEYS_ORACLE,
-        "engine_agg_whitelist": _AGG_WHITELIST_ORACLE,
+        "engine_agg_numeric": _agg_family_oracle("numeric"),
+        "engine_agg_ordered": _agg_family_oracle("ordered"),
+        "engine_agg_collect": _agg_family_oracle("collection"),
         "engine_output_sinks": _OUTPUT_SINKS_ORACLE,
         "engine_import_diff": _IMPORT_DIFF_ORACLE,
         "engine_set_ops": _SET_OPS_ORACLE,

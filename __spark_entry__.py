@@ -134,6 +134,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from dataforge_core_spark.session import session_key
+
 _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:  # robust under by-path module loading
     sys.path.insert(0, _REPO)
@@ -143,7 +145,7 @@ _hub_cache: dict = {}
 
 
 def _build(spark: SparkSession, sf_dir: str):
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if key not in _hub_cache:
         from dataforge_core_spark import ProjectRunner, load_project
 

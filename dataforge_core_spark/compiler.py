@@ -197,6 +197,12 @@ def _rewrite_ancestor_refs(
 
 _sib_var_seq = __import__("itertools").count()
 
+# bound on [sibling].attr reference chains (A -> B -> C -> ...): each hop
+# embeds the referenced sibling's complete transform inline (SQL lambdas
+# have no let-binding), so expression size grows with chain depth — the
+# same class of bound as dedup.CC_MAX_ITERS
+SIB_CHAIN_MAX = 8
+
 
 def _sub_source_transform(
     project: Project,
@@ -241,6 +247,11 @@ def _sub_source_transform(
     field_exprs: dict[str, str] = {
         a.name: f"{var}.`{a.name}`" for a in sub.raw_attributes
     }
+    # the embedded transform of each referenced sibling, memoized per
+    # rule-set compile: N references to one sibling (or a chain where
+    # several rules hop through the same intermediate) build the
+    # recursive embedding ONCE instead of re-deriving it per occurrence
+    sib_memo: dict[str, str] = {}
 
     def _resolve(m: "re.Match[str]") -> str:
         n = m.group(1)
@@ -265,28 +276,43 @@ def _sub_source_transform(
                 raise ProjectError(
                     f"Circular sibling reference: {chain}"
                 )
-            sib = project.source_by_name()[src]
-            parent_scope = scopes.get(sub.sub_source_parent or "")
-            if parent_scope is None:
-                sib_coll = f"`{sib.sub_source_attribute}`"
-            else:
-                sib_coll_expr = parent_scope.get(sib.sub_source_attribute)
-                if sib_coll_expr is None:
-                    raise ProjectError(
-                        f"Sub-source {src!r}: parent attribute "
-                        f"{sib.sub_source_attribute!r} not found on "
-                        f"{sub.sub_source_parent!r}"
+            if len(visiting) >= SIB_CHAIN_MAX:
+                raise ProjectError(
+                    f"Sibling-reference chain deeper than "
+                    f"{SIB_CHAIN_MAX} (at {sub.source_name!r} -> "
+                    f"{src!r}): each hop embeds the referenced "
+                    "sibling's full transform inline, so deep chains "
+                    "grow the generated expression multiplicatively — "
+                    "flatten the rule chain or materialize an "
+                    "intermediate source"
+                )
+            sib_expr = sib_memo.get(src)
+            if sib_expr is None:
+                sib = project.source_by_name()[src]
+                parent_scope = scopes.get(sub.sub_source_parent or "")
+                if parent_scope is None:
+                    sib_coll = f"`{sib.sub_source_attribute}`"
+                else:
+                    sib_coll_expr = parent_scope.get(
+                        sib.sub_source_attribute
                     )
-                sib_coll = f"({sib_coll_expr})"
-            sib_expr = _sub_source_transform(
-                project,
-                graph,
-                sib,
-                sib_coll,
-                depth,
-                scopes=scopes,
-                visiting=visiting | {sub.source_name},
-            )
+                    if sib_coll_expr is None:
+                        raise ProjectError(
+                            f"Sub-source {src!r}: parent attribute "
+                            f"{sib.sub_source_attribute!r} not found on "
+                            f"{sub.sub_source_parent!r}"
+                        )
+                    sib_coll = f"({sib_coll_expr})"
+                sib_expr = _sub_source_transform(
+                    project,
+                    graph,
+                    sib,
+                    sib_coll,
+                    depth,
+                    scopes=scopes,
+                    visiting=visiting | {sub.source_name},
+                )
+                sib_memo[src] = sib_expr
             sv = f"sb{next(_sib_var_seq)}"
             return f"transform({sib_expr}, {sv} -> {sv}.`{attr}`)"
         if n in field_exprs:  # own element fields ([This] tokens)

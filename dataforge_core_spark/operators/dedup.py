@@ -28,6 +28,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from dataforge_core_spark.session import (
+    free_local_checkpoint,
+    session_key,
+)
+
 MINHASH_N = 12  # signature length
 MINHASH_BANDS = 4  # bands of r = N/BANDS rows
 MINHASH_R = MINHASH_N // MINHASH_BANDS
@@ -155,7 +160,7 @@ def _ex_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     real multi-file corpus the scan is already parallel.  At 100 TB the
     persist becomes a parquet checkpoint keyed by doc partition.
     """
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if key not in _ex_cache:
         from pyspark.sql import functions as F
         from pyspark.sql.window import Window
@@ -239,7 +244,7 @@ def dedup_minhash(
     from pyspark.sql import functions as F
 
     cap = MAX_BAND_BUCKET if max_band_bucket is None else max_band_bucket
-    key = (id(spark), sf_dir, cap)
+    key = (session_key(spark), sf_dir, cap)
     if key in _pairs_cache:
         return _pairs_cache[key]
 
@@ -380,7 +385,7 @@ def _cluster_labels(
     downstream consumer (cluster rows, keep-best selection) reads the
     same checkpointed frame instead of re-running the propagation
     loop."""
-    key = (id(spark), sf_dir, pointer_doubling)
+    key = (session_key(spark), sf_dir, pointer_doubling)
     if key not in _labels_cache:
         labels, _ = _cc_min_label(
             dedup_minhash(spark, sf_dir), pointer_doubling=pointer_doubling
@@ -451,8 +456,11 @@ def _cc_min_label(pairs, pointer_doubling: bool = False):
         # free them NOW instead of waiting for the async ContextCleaner
         # (accumulated superseded label blocks were measurably degrading
         # everything that ran after repeated cluster builds in one
-        # session)
-        superseded.unpersist()
+        # session).  DataFrame.unpersist() would be a no-op here (it
+        # only clears CacheManager entries, not local-checkpoint
+        # blocks) — free_local_checkpoint unpersists the underlying
+        # checkpointed RDD itself.
+        free_local_checkpoint(superseded)
         cur_sum = labels.agg(
             F.sum(F.col("cluster_id").cast("decimal(38,0)"))
         ).collect()[0][0]

@@ -23,6 +23,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from dataforge_core_spark.session import session_key
+
 SESSION_GAP_MIN = 30
 
 
@@ -32,9 +34,9 @@ _views_done: set = set()
 def _views(spark: SparkSession, sf_dir: str) -> None:
     from pyspark.sql import functions as F, types as T
 
-    if (id(spark), sf_dir) in _views_done:
+    if (session_key(spark), sf_dir) in _views_done:
         return
-    _views_done.add((id(spark), sf_dir))
+    _views_done.add((session_key(spark), sf_dir))
 
     # Old driver testdata carried TIMESTAMP(NANOS) which Spark's vectorized
     # parquet reader rejects; only those files need nanosAsLong + a

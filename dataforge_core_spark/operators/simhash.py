@@ -18,6 +18,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from dataforge_core_spark.session import session_key
+
 HAMMING_MAX = 12
 _HEX = "0123456789abcdef"
 
@@ -172,7 +174,7 @@ def _sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Persisted signature relation — the band self-join references it
     twice; without the persist Spark recomputes the full signature
     pipeline per reference (CTEs are inlined)."""
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if key not in _sig_cache:
         par = spark.sparkContext.defaultParallelism
         spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(

@@ -22,6 +22,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from dataforge_core_spark.session import session_key
+
 TOP_K = 10
 N_QUERIES = 8  # vec_id < N_QUERIES form the query set
 DIM = 64  # embedding dimensionality of the testdata corpus
@@ -97,7 +99,7 @@ def _normed(spark: SparkSession, sf_dir: str) -> str:
     be recomputed.  On a cluster, a reliable checkpoint dir / written
     parquet index replaces it.
     """
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if key not in _v_cache:
         par = spark.sparkContext.defaultParallelism
         spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
@@ -559,7 +561,7 @@ def _kmeans_assignments(spark: SparkSession, sf_dir: str) -> str:
     iteration.  The math is unchanged — the DuckDB oracle still runs
     the fully-inlined chain (_kmeans_ctes) and matches bit-for-bit
     (see _centroid_literal_sql for why the round-trip is exact)."""
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if key not in _kmeans_cache:
         v = _normed(spark, sf_dir)
         tag = abs(hash(key)) % 10**8
@@ -612,7 +614,7 @@ def _kmeans_assignments(spark: SparkSession, sf_dir: str) -> str:
 def _kmeans_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """(assignment view, final centroid view) for the IVF index."""
     _kmeans_assignments(spark, sf_dir)
-    return _kmeans_cache[(id(spark), sf_dir)]
+    return _kmeans_cache[(session_key(spark), sf_dir)]
 
 
 def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -973,7 +975,7 @@ def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         _labels_cache,
     )
 
-    key = (id(spark), sf_dir, "embedding")
+    key = (session_key(spark), sf_dir, "embedding")
     if key not in _labels_cache:
         pairs = dedup_embedding(spark, sf_dir).selectExpr(
             "vec_a AS doc_a", "vec_b AS doc_b"
@@ -1130,7 +1132,7 @@ def _label_centroids(spark: SparkSession, sf_dir: str) -> str:
     rows round-trip the driver as ``repr`` literals (exactly — see
     _centroid_literal_sql), so re-running the query costs one broadcast
     of constants, not a re-aggregation plus a fresh 64-wide codegen."""
-    key = (id(spark), sf_dir)
+    key = (session_key(spark), sf_dir)
     if key not in _centroid_cache:
         v = _normed(spark, sf_dir)
         rows = spark.sql(

@@ -46,3 +46,31 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def session_key(spark: SparkSession) -> str:
+    """Stable per-session cache key.
+
+    ``id(spark)`` is unsafe: after a session is stopped and
+    garbage-collected, a NEW session object can land at the same id and
+    inherit cached DataFrames/temp-view names bound to the dead
+    context.  The Spark application id is unique per context and lives
+    exactly as long as it does."""
+    return spark.sparkContext.applicationId
+
+
+def free_local_checkpoint(df) -> None:
+    """Eagerly drop a ``localCheckpoint``'ed frame's storage blocks.
+
+    ``DataFrame.unpersist()`` only removes CacheManager entries — it
+    does NOT free a local checkpoint's blocks (verified: RDD storage
+    info unchanged after ``unpersist(blocking=True)``); those are
+    otherwise freed only by the async ContextCleaner after driver GC.
+    The checkpointed RDD is held by the plan's ``LogicalRDD``;
+    unpersisting THAT rdd frees the blocks immediately.  Only call on
+    frames whose lineage is never consumed again — a locally
+    checkpointed RDD cannot be recomputed."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # best-effort: freeing falls back to the ContextCleaner

@@ -673,8 +673,85 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRANSITIONS_ORACLE = _TRANSITIONS_SQL
 
 
+# ---------------------------------------------------------------------------
+# Banded RANGE JOIN (the J8-family range member, batch form of the
+# stream attribution join): for every 'view' event, the 'purchase'
+# events of the same user inside the following hour.  A naive
+# inequality join (user equal + ts range) degenerates to per-user
+# cross products; the scalable form buckets both sides by hour and
+# equi-joins on (user, hour-bucket) with the view side exploded into
+# the <=2 buckets its window can touch, then applies the exact range
+# as a post-filter — shuffle keys stay equi, fan-out is bounded by
+# events-per-user-hour.  Exactly the bin-then-filter plan Spark's own
+# range-join hints (and every streaming interval join) lower to.
+#
+# Determinism: counts are exact integers; first_purchase_ts is a MIN
+# over parquet-exact timestamps.  A purchase matches exactly one of a
+# view's bucket rows, so the explode cannot double-count.
+# ---------------------------------------------------------------------------
+
+RANGE_JOIN_FROM = "view"
+RANGE_JOIN_TO = "purchase"
+
+
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases within 1h after each view (banded equi-join form)."""
+    _views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH v AS (
+          SELECT event_id, user_id, ts,
+                 CAST(CAST(ts AS TIMESTAMP) AS BIGINT) DIV 3600 AS h
+          FROM events WHERE event_type = '{RANGE_JOIN_FROM}'
+        ),
+        p AS (
+          SELECT user_id, ts,
+                 CAST(CAST(ts AS TIMESTAMP) AS BIGINT) DIV 3600 AS h
+          FROM events WHERE event_type = '{RANGE_JOIN_TO}'
+        ),
+        vb AS (
+          SELECT v.event_id, v.user_id, v.ts, v.h + k AS hb
+          FROM v LATERAL VIEW explode(sequence(0, 1)) s AS k
+        )
+        SELECT vb.event_id, vb.user_id, vb.ts AS view_ts,
+               COUNT(p.ts) AS n_purchases,
+               MIN(p.ts) AS first_purchase_ts
+        FROM vb LEFT JOIN p
+          ON p.user_id = vb.user_id AND p.h = vb.hb
+             AND p.ts > vb.ts AND p.ts <= vb.ts + INTERVAL 1 HOUR
+        GROUP BY vb.event_id, vb.user_id, vb.ts
+        """
+    )
+
+
+_RANGE_JOIN_ORACLE = f"""
+WITH v AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h
+  FROM events WHERE event_type = '{RANGE_JOIN_FROM}'
+),
+p AS (
+  SELECT user_id, ts,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h
+  FROM events WHERE event_type = '{RANGE_JOIN_TO}'
+),
+vb AS (
+  SELECT v.event_id, v.user_id, v.ts, v.h + k AS hb
+  FROM v, unnest(generate_series(0, 1)) AS s(k)
+)
+SELECT vb.event_id, vb.user_id, vb.ts AS view_ts,
+       COUNT(p.ts) AS n_purchases,
+       MIN(p.ts) AS first_purchase_ts
+FROM vb LEFT JOIN p
+  ON p.user_id = vb.user_id AND p.h = vb.hb
+     AND p.ts > vb.ts AND p.ts <= vb.ts + INTERVAL 1 HOUR
+GROUP BY vb.event_id, vb.user_id, vb.ts
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "events_range_join": events_range_join,
         "events_dau_wau": events_dau_wau,
         "events_sliding_active": events_sliding_active,
         "events_transitions": events_transitions,
@@ -693,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracles() -> dict[str, str]:
     return {
+        "events_range_join": _RANGE_JOIN_ORACLE,
         "events_dau_wau": _DAU_WAU_ORACLE,
         "events_sliding_active": _SLIDING_ORACLE,
         "events_transitions": _TRANSITIONS_ORACLE,

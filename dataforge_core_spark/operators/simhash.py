@@ -112,6 +112,34 @@ def _hamming(dialect: str, a: str, b: str) -> str:
     return " + ".join(terms)
 
 
+def _parse_halves(dialect: str) -> str:
+    """(h_hi, h_lo) 32-bit halves of the 16-hex simhash — parsed ONCE
+    per band row so the pair verify is two integer xor+popcounts
+    instead of a 32-call instr/substr hex walk per candidate."""
+    if dialect == "spark":
+        return (
+            "CAST(conv(substr(simhash, 1, 8), 16, 10) AS BIGINT) AS h_hi,"
+            " CAST(conv(substr(simhash, 9, 8), 16, 10) AS BIGINT) AS h_lo"
+        )
+    return (
+        "('0x' || substr(simhash, 1, 8))::BIGINT AS h_hi,"
+        " ('0x' || substr(simhash, 9, 8))::BIGINT AS h_lo"
+    )
+
+
+def _hamming_int(dialect: str, a: str, b: str) -> str:
+    """Hamming distance from the pre-parsed integer halves."""
+    if dialect == "spark":
+        return (
+            f"(bit_count({a}.h_hi ^ {b}.h_hi)"
+            f" + bit_count({a}.h_lo ^ {b}.h_lo))"
+        )
+    return (
+        f"(bit_count(xor({a}.h_hi, {b}.h_hi))"
+        f" + bit_count(xor({a}.h_lo, {b}.h_lo)))"
+    )
+
+
 # skew guard (mirrors dedup.MAX_BAND_BUCKET for the minhash path): only
 # 4 * 65536 distinct (bno, blk) buckets exist REGARDLESS of corpus size,
 # so a hot 16-bit block (boilerplate-heavy corpora, all-zero signatures)
@@ -127,21 +155,23 @@ def _pairs_sql(dialect: str, max_block_bucket: int = None) -> str:
     cap = (
         MAX_BLOCK_BUCKET if max_block_bucket is None else max_block_bucket
     )
+    halves = _parse_halves(dialect)
     if dialect == "spark":
         blocks = ", ".join(
             f"substr(simhash, {i * 4 + 1}, 4)" for i in range(4)
         )
         band = (
-            f"SELECT doc_id, simhash, posexplode(array({blocks})) AS (bno, blk)"
+            f"SELECT doc_id, {halves},"
+            f" posexplode(array({blocks})) AS (bno, blk)"
             " FROM sig"
         )
     else:
         band = " UNION ALL ".join(
-            f"SELECT doc_id, simhash, {i} AS bno, "
+            f"SELECT doc_id, {halves}, {i} AS bno, "
             f"substr(simhash, {i * 4 + 1}, 4) AS blk FROM sig"
             for i in range(4)
         )
-    ham = _hamming(dialect, "a.simhash", "b.simhash")
+    ham = _hamming_int(dialect, "a", "b")
     return f"""
         WITH sig AS ({_sig_sql(dialect)}),
         bands AS ({band}),
@@ -153,7 +183,7 @@ def _pairs_sql(dialect: str, max_block_bucket: int = None) -> str:
           HAVING COUNT(*) > {cap}
         ),
         salted AS (
-          SELECT b.doc_id, b.simhash, b.bno, b.blk,
+          SELECT b.doc_id, b.h_hi, b.h_lo, b.bno, b.blk,
                  b.doc_id % COALESCE(h.nsalt, 1) AS salt
           FROM bands b LEFT JOIN heavy h
             ON b.bno = h.bno AND b.blk = h.blk
@@ -194,26 +224,24 @@ def dedup_simhash_pairs(
 ) -> DataFrame:
     """Block-banded near-dup candidate pairs with exact hamming verify.
 
-    The hamming distance is computed and filtered IN the band join's
-    select (it is functionally dependent on the pair, so evaluating it
-    once per matching band instead of once per pair costs only cheap
-    integer bit ops) — the DISTINCT then shuffles narrow
-    (doc_a, doc_b, hamming) rows, not two 16-char signature strings,
-    and non-near pairs are dropped before the exchange."""
+    The hamming verify runs on two 32-bit integer halves parsed ONCE
+    per band row (two xor+popcounts per candidate, not a 32-call hex
+    string walk), is evaluated IN the band join's select and filtered
+    before the DISTINCT — the exchange carries narrow
+    (doc_a, doc_b, hamming) integer rows only."""
     from pyspark.sql import functions as F
 
     cap = (
         MAX_BLOCK_BUCKET if max_block_bucket is None else max_block_bucket
     )
     sig = _sig_df(spark, sf_dir)
-    bands = sig.select(
+    bands = sig.selectExpr(
         "doc_id",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[F.substring("simhash", i * 4 + 1, 4) for i in range(4)]
-            )
-        ).alias("bno", "blk"),
+        "CAST(conv(substr(simhash, 1, 8), 16, 10) AS BIGINT) AS h_hi",
+        "CAST(conv(substr(simhash, 9, 8), 16, 10) AS BIGINT) AS h_lo",
+        "posexplode(array("
+        + ", ".join(f"substr(simhash, {i * 4 + 1}, 4)" for i in range(4))
+        + ")) AS (bno, blk)",
     )
     # oversized-bucket salting: the heavy-key table is tiny by
     # construction (<= 4*65536 rows), so attaching nsalt is a map-side
@@ -232,11 +260,16 @@ def dedup_simhash_pairs(
         "bno",
         "blk",
         "doc_id",
-        "simhash",
+        "h_hi",
+        "h_lo",
         F.expr("doc_id % coalesce(nsalt, 1)").alias("salt"),
     )
-    b2 = salted.toDF("bno_b", "blk_b", "doc_id_b", "simhash_b", "salt_b")
-    ham = _hamming("spark", "simhash", "simhash_b")
+    b2 = salted.toDF(
+        "bno_b", "blk_b", "doc_id_b", "h_hi_b", "h_lo_b", "salt_b"
+    )
+    ham = (
+        "(bit_count(h_hi ^ h_hi_b) + bit_count(h_lo ^ h_lo_b))"
+    )
     return (
         salted.join(
             b2,

@@ -1188,8 +1188,44 @@ SELECT label, rank, vec_id FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF index balance report: per-cell population plus how much of the
+# cell a capped probe actually searches (IVF_CELL_CAP) — the operational
+# health check of any IVF deployment (skewed cells = slow probes AND
+# degraded recall; this is what you alert on before re-training the
+# quantizer).  K rows of exact integers over the stored assignment
+# index; the aggregate is map-side combinable on the cid partitioning
+# the index is already stored in.
+# ---------------------------------------------------------------------------
+
+
+def ann_ivf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-IVF-cell population and searched-candidate count."""
+    af = _kmeans_assignments(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT cid, COUNT(*) AS n_vecs,
+               LEAST(COUNT(*), {IVF_CELL_CAP}) AS n_searched,
+               MIN(vec_id) AS min_vec_id, MAX(vec_id) AS max_vec_id
+        FROM {af} GROUP BY cid
+        """
+    )
+
+
+def _ivf_stats_oracle() -> str:
+    return f"""
+WITH {_duck_v_cte()},
+{_kmeans_ctes('v', 'duck')}
+SELECT cid, COUNT(*) AS n_vecs,
+       LEAST(COUNT(*), {IVF_CELL_CAP}) AS n_searched,
+       MIN(vec_id) AS min_vec_id, MAX(vec_id) AS max_vec_id
+FROM af GROUP BY cid
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "ann_ivf_stats": ann_ivf_stats,
         "ann_outliers": ann_outliers,
         "ann_recall_eval": ann_recall_eval,
         "ann_knn_graph": ann_knn_graph,
@@ -1208,6 +1244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracles() -> dict[str, str]:
     return {
         "ann_outliers": _outliers_oracle(),
+        "ann_ivf_stats": _ivf_stats_oracle(),
         "ann_recall_eval": _recall_eval_oracle(),
         "ann_knn_graph": _knn_graph_oracle(),
         "embeddings_quantize": _quantize_oracle(),

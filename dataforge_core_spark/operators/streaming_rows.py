@@ -343,8 +343,39 @@ WHERE sn < (SELECT MAX(sn) FROM sess m WHERE m.user_id = s.user_id)
 """
 
 
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once ingestion dedup: the event stream is
+    DUPLICATE-INJECTED (two file sources over the same parquet,
+    unioned — the at-least-once delivery every real ingestion pipeline
+    must assume), then ``dropDuplicates`` keyed by event_id with a
+    watermark bounding the dedup state, then a per-type count.  The
+    result equals the distinct-event counts regardless of arrival order
+    or duplication factor, which is exactly what the batch oracle
+    states.  At scale the dedup state is hash-partitioned by event_id
+    and the watermark evicts ids older than the lateness bound — state
+    is bounded by the id arrival rate x horizon, not stream length."""
+    from dataforge_core_spark.streaming import stream_events
+
+    dup = stream_events(spark, sf_dir).unionByName(
+        stream_events(spark, sf_dir)
+    )
+    deduped = dup.withWatermark("ts", "2 hours").dropDuplicates(
+        ["event_id"]
+    )
+    agg = deduped.groupBy("event_type").agg(
+        F.count("*").alias("n_events")
+    )
+    return _run_to_memory(agg, "drv_stream_dedup", spark, "complete")
+
+
+_STREAM_DEDUP_ORACLE = """
+SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "stream_dedup": stream_dedup,
         "stream_hourly": stream_hourly,
         "stream_anomaly": stream_anomaly,
         "stream_attribution": stream_attribution,
@@ -355,6 +386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracles() -> dict[str, str]:
     return {
+        "stream_dedup": _STREAM_DEDUP_ORACLE,
         "stream_hourly": _HOURLY_ORACLE,
         "stream_anomaly": _STREAM_ANOMALY_ORACLE,
         "stream_attribution": _ATTRIBUTION_ORACLE,

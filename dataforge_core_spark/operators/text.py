@@ -409,6 +409,68 @@ FROM p WHERE n_words > 0
 """
 
 
+# ---------------------------------------------------------------------------
+# Vocabulary candidate list: the top-V BPE pre-tokenization pieces by
+# corpus frequency — the seed list every tokenizer build starts from
+# (and the sanity check against an existing vocab's coverage).
+#
+# Determinism: counts are exact integers and the order (count DESC,
+# piece ASC) is total, so both engines emit the identical ranked list.
+# Scale shape: one piece-keyed aggregate with map-side combine (hot
+# pieces like "the" pre-combine per partition), then a global
+# top-V — Spark plans the LIMIT subquery as TakeOrderedAndProject
+# (per-partition heap of V, no global sort of the vocabulary); the
+# rank window runs over the V surviving rows only.
+# ---------------------------------------------------------------------------
+
+VOCAB_TOP = 256
+
+
+def train_tokenizer_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-V BPE pieces by corpus count (rank, piece, n, n_docs)."""
+    _view(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH pc AS (
+          SELECT piece, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+          FROM (
+            SELECT doc_id,
+                   explode(regexp_extract_all(text, '{_BPE_RE_SPARK}', 0))
+                     AS piece
+            FROM documents
+          )
+          GROUP BY piece
+        ),
+        top AS (
+          SELECT * FROM pc ORDER BY n DESC, piece LIMIT {VOCAB_TOP}
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, piece) AS INT)
+                 AS rank,
+               piece, n, n_docs
+        FROM top
+        """
+    )
+
+
+_VOCAB_ORACLE = f"""
+WITH pc AS (
+  SELECT piece, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+  FROM (
+    SELECT doc_id, unnest(regexp_extract_all(text, '{_BPE_RE_DUCK}'))
+      AS piece
+    FROM documents
+  )
+  GROUP BY piece
+),
+top AS (
+  SELECT * FROM pc ORDER BY n DESC, piece LIMIT {VOCAB_TOP}
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, piece) AS INTEGER) AS rank,
+       piece, n, n_docs
+FROM top
+"""
+
+
 TFIDF_TOP_K = 5
 
 
@@ -496,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text_quality,
         "text_lang_id": text_lang_id,
         "text_fingerprint": text_fingerprint,
+        "train_tokenizer_vocab": train_tokenizer_vocab,
     }
 
 
@@ -509,4 +572,5 @@ def oracles() -> dict[str, str]:
         "text_quality": _QUALITY_ORACLE,
         "text_lang_id": _LANGID_ORACLE,
         "text_fingerprint": _FINGERPRINT_ORACLE,
+        "train_tokenizer_vocab": _VOCAB_ORACLE,
     }

@@ -63,7 +63,10 @@ Coverage map (SURVEY.md §2 -> query):
                                 stream-stream join; unmatched clicks
                                 emitted by watermark state expiry),
                                 stream_sessionize (applyInPandasWithState
-                                custom stateful operator);
+                                custom stateful operator),
+                                stream_dedup (duplicate-injected
+                                at-least-once stream -> watermarked
+                                dropDuplicates exactly-once counts);
                                 tests/test_streaming.py (batch parity)
   LLM-pipeline operators     -> events_quantiles (exact interpolated
                                 percentiles, 1e-6-quantized) /
@@ -79,14 +82,19 @@ Coverage map (SURVEY.md §2 -> query):
                                 exact; nprobe dial via ann_ivf_search),
                                 ann_knn_graph (bucket-keyed kNN edge
                                 list, WindowGroupLimit top-k),
+                                ann_ivf_stats (per-cell index balance
+                                + capped search coverage),
                                 embeddings_quantize (int8 codes +
                                 reconstruction-error round-trip),
                                 events_transitions (event-type Markov
                                 matrix), events_sliding_active (3h/1h
                                 sliding windows), events_dau_wau
-                                (DAU/WAU stickiness),
+                                (DAU/WAU stickiness), events_range_join
+                                (banded hour-bucket range join:
+                                purchases within 1h of each view),
                                 text_tokens_bpe (BPE-style regex piece
-                                stats), text_entropy (quantized-log
+                                stats), train_tokenizer_vocab (top-256
+                                BPE pieces, vocabulary seed list), text_entropy (quantized-log
                                 Shannon entropy),
                                 dedup_report (one-row corpus dedup
                                 summary), dedup_keep_best (canonical doc

@@ -107,6 +107,8 @@ Coverage map (SURVEY.md §2 -> query):
                                 train_dataset_card (one-row corpus
                                 summary), train_length_histogram
                                 (power-of-two length buckets),
+                                dedup_boilerplate (cross-document
+                                repeated-span table),
                                 dedup_exact / dedup_minhash / dedup_cluster /
                                 dedup_cluster_pd (pointer doubling) /
                                 dedup_ngram_jaccard / dedup_simhash[_pairs] /
@@ -125,6 +127,9 @@ Coverage map (SURVEY.md §2 -> query):
                                 train_cap_per_source (per-domain caps),
                                 events_hourly/sessionize/json/asof_order/
                                 funnel,
+                                multimodal_patches (deterministic BMP ->
+                                ViT-style 8x8 patch grid, integer
+                                stats through the byte round-trip) /
                                 multimodal_audio_features (int16
                                 waveform -> RIFF round-trip -> integer
                                 loudness/zero-crossings) /

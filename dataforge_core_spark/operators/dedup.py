@@ -731,8 +731,83 @@ FROM c JOIN t ON c.doc_id = t.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Boilerplate span detection: fixed-size NON-overlapping token windows
+# hashed and counted across the corpus — a span hash seen in more than
+# one document is repeated boilerplate (headers, license blocks,
+# navigation chrome), the sub-document granularity exact dedup misses
+# (two docs sharing a header are not doc-level duplicates).  The output
+# is the boilerplate span table downstream cleaning joins against.
+#
+# Scale shape: the window explode is pure scan-side array arithmetic
+# (same plan family as train_chunk: no shuffle until the aggregate);
+# the span aggregate keys on a 32-char md5 with map-side combine, and
+# only multi-doc spans survive the HAVING.  Integer-only output.
+# ---------------------------------------------------------------------------
+
+BOILERPLATE_SPAN = 16  # tokens per span window
+
+
+def dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated span table (span_hash, occurrence stats)."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    w = BOILERPLATE_SPAN
+    return spark.sql(
+        f"""
+        WITH t AS (SELECT doc_id, {_SPARK_TOKENS} AS tok FROM documents),
+        c AS (
+          SELECT doc_id, tok,
+                 explode(sequence(
+                   0, CAST(ceil(size(tok) / {w}.0) AS INT) - 1
+                 )) AS i
+          FROM t WHERE size(tok) > 0
+        ),
+        h AS (
+          SELECT doc_id,
+                 md5(array_join(slice(tok, i * {w} + 1, {w}), ' ')) AS h
+          FROM c WHERE size(slice(tok, i * {w} + 1, {w})) = {w}
+        )
+        SELECT h AS span_hash,
+               COUNT(*) AS n_occurrences,
+               COUNT(DISTINCT doc_id) AS n_docs,
+               MIN(doc_id) AS first_doc
+        FROM h GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+        """
+    )
+
+
+_BOILERPLATE_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tok FROM documents),
+c AS (
+  SELECT doc_id, tok,
+         unnest(generate_series(
+           0, CAST(ceil(len(tok) / {BOILERPLATE_SPAN}.0) AS BIGINT) - 1
+         )) AS i
+  FROM t WHERE len(tok) > 0
+),
+h AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(tok,
+           i * {BOILERPLATE_SPAN} + 1,
+           i * {BOILERPLATE_SPAN} + {BOILERPLATE_SPAN}), ' ')) AS h
+  FROM c
+  WHERE len(list_slice(tok, i * {BOILERPLATE_SPAN} + 1,
+            i * {BOILERPLATE_SPAN} + {BOILERPLATE_SPAN}))
+        = {BOILERPLATE_SPAN}
+)
+SELECT h AS span_hash,
+       COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       MIN(doc_id) AS first_doc
+FROM h GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "dedup_boilerplate": dedup_boilerplate,
         "dedup_keep_best": dedup_keep_best,
         "dedup_report": dedup_report,
         "dedup_exact": dedup_exact,
@@ -745,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracles() -> dict[str, str]:
     return {
+        "dedup_boilerplate": _BOILERPLATE_ORACLE,
         "dedup_keep_best": _keep_best_oracle(),
         "dedup_report": _report_oracle(),
         "dedup_exact": _DEDUP_EXACT_ORACLE,

@@ -697,8 +697,161 @@ FROM d JOIN agg a ON d.doc_id = a.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# ViT-style patch extraction: a deterministic 16x16 24-bit BMP (pixel
+# value (x*7 + y*13 + doc_id) % 256 in all three channels — a pure
+# function of position and doc, so the oracle recomputes it in SQL),
+# packed into a REAL bottom-up BMP by the synth stage, then split into
+# the 2x2 grid of 8x8 patches by the patch stage — byte-offset
+# arithmetic over the pixel array, exactly what a ViT/image-encoder
+# pre-processing stage does before embedding.  Integer-only per-patch
+# stats, oracle-verified through the binary round-trip (a row-order or
+# stride bug anywhere breaks the sums).  Same fused single-pass
+# mapInPandas shape as the other media rows.
+# ---------------------------------------------------------------------------
+
+PATCH_IMG = 16  # synthesized image side (pixels)
+PATCH_SIDE = 8  # patch side -> a 2x2 grid
+PATCHES_SCHEMA = (
+    "doc_id bigint, patch_x int, patch_y int, "
+    "px_sum bigint, px_min int, px_max int"
+)
+
+
+def image_synth_fn():
+    """mapInPandas stage: (doc_id) -> (doc_id, payload 16x16 BMP)."""
+
+    def synth(batches):
+        import struct
+
+        import pandas as pd
+
+        w = h = PATCH_IMG
+        stride = (w * 3 + 3) // 4 * 4
+
+        def bmp(doc_id: int) -> bytes:
+            pix = bytearray()
+            for sy in range(h):  # stored bottom-up
+                y = h - 1 - sy
+                row = bytearray()
+                for x in range(w):
+                    v = (x * 7 + y * 13 + doc_id) % 256
+                    row += bytes((v, v, v))
+                row += b"\x00" * (stride - len(row))
+                pix += row
+            info = struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835,
+                0, 0,
+            )
+            header = struct.pack(
+                "<2sIHHI", b"BM", 14 + 40 + len(pix), 0, 0, 14 + 40
+            )
+            return header + info + bytes(pix)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [bmp(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return synth
+
+
+def image_patch_fn():
+    """mapInPandas stage: (doc_id, payload) -> per-8x8-patch stats."""
+
+    def patches(batches):
+        import struct
+
+        import pandas as pd
+
+        def parse(doc_id: int, b: bytes):
+            (data_off,) = struct.unpack("<I", b[10:14])
+            w, h = struct.unpack("<ii", b[18:26])
+            stride = (w * 3 + 3) // 4 * 4
+            out = []
+            for py in range(h // PATCH_SIDE):
+                for px in range(w // PATCH_SIDE):
+                    vals = []
+                    for y in range(py * PATCH_SIDE, (py + 1) * PATCH_SIDE):
+                        sy = h - 1 - y  # bottom-up rows
+                        base = data_off + sy * stride
+                        for x in range(
+                            px * PATCH_SIDE, (px + 1) * PATCH_SIDE
+                        ):
+                            vals.append(b[base + x * 3])
+                    out.append(
+                        (doc_id, px, py, sum(vals), min(vals), max(vals))
+                    )
+            return out
+
+        for pdf in batches:
+            rows = [
+                r
+                for doc_id, b in zip(pdf["doc_id"], pdf["payload"])
+                for r in parse(int(doc_id), b)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": [r[0] for r in rows],
+                    "patch_x": pd.array(
+                        [r[1] for r in rows], dtype="Int32"
+                    ),
+                    "patch_y": pd.array(
+                        [r[2] for r in rows], dtype="Int32"
+                    ),
+                    "px_sum": [r[3] for r in rows],
+                    "px_min": pd.array(
+                        [r[4] for r in rows], dtype="Int32"
+                    ),
+                    "px_max": pd.array(
+                        [r[5] for r in rows], dtype="Int32"
+                    ),
+                }
+            )
+
+    return patches
+
+
+def multimodal_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synth BMP -> 8x8 patch grid stats, fused into one Python pass."""
+
+    def fused(synth, patch):
+        def fn(batches):
+            return patch(synth(batches))
+
+        return fn
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.mapInPandas(
+        fused(image_synth_fn(), image_patch_fn()), PATCHES_SCHEMA
+    )
+
+
+_PATCHES_ORACLE = f"""
+WITH px AS (
+  SELECT d.doc_id, x.x, y.y,
+         (x.x * 7 + y.y * 13 + d.doc_id) % 256 AS v
+  FROM documents d,
+       (SELECT unnest(generate_series(0, {PATCH_IMG - 1})) AS x) x,
+       (SELECT unnest(generate_series(0, {PATCH_IMG - 1})) AS y) y
+)
+SELECT doc_id,
+       CAST(x // {PATCH_SIDE} AS INTEGER) AS patch_x,
+       CAST(y // {PATCH_SIDE} AS INTEGER) AS patch_y,
+       SUM(v) AS px_sum,
+       CAST(MIN(v) AS INTEGER) AS px_min,
+       CAST(MAX(v) AS INTEGER) AS px_max
+FROM px
+GROUP BY doc_id, x // {PATCH_SIDE}, y // {PATCH_SIDE}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "multimodal_patches": multimodal_patches,
         "multimodal_audio_features": multimodal_audio_features,
         "multimodal_meta": multimodal_meta,
         "multimodal_frame_sample": multimodal_frame_sample,
@@ -709,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracles() -> dict[str, str]:
     return {
+        "multimodal_patches": _PATCHES_ORACLE,
         "multimodal_audio_features": _AUDIO_FEATURES_ORACLE,
         "multimodal_meta": _META_ORACLE,
         "multimodal_frame_sample": _FRAME_ORACLE,

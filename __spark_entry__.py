@@ -164,7 +164,17 @@ def _build(spark: SparkSession, sf_dir: str):
 
         project = load_project(_PROJECT_DIR)
         runner = ProjectRunner(spark, project, {"DATA_DIR": sf_dir})
-        hubs = runner.build()
+        raw = runner.build()
+        # materialize each hub as a local checkpoint and DROP the
+        # build-time persists: the reference's run.sql materializes
+        # every hub table, and checkpointed frames are plain LogicalRDD
+        # scans — persisted (CacheManager) hubs instead tax EVERY later
+        # query in the session with canonicalized-plan cache-match
+        # passes over 7 wide hub plans (measured: ~10s across the bench
+        # phase, concentrated in the widest engine-row plans)
+        hubs = {k: df.localCheckpoint(eager=True) for k, df in raw.items()}
+        for df in raw.values():
+            df.unpersist()
         outs = runner.build_outputs(hubs)
         _hub_cache[key] = (hubs, outs)
     return _hub_cache[key]

@@ -61,7 +61,11 @@ def _clear_operator_caches(spark) -> None:
     """Drop every operator-level cache so index builds measure cold."""
     import __spark_entry__ as entry
     from dataforge_core_spark.operators import dedup, simhash, similarity
+    from dataforge_core_spark.session import free_local_checkpoint
 
+    for hubs, _outs in entry._hub_cache.values():
+        for df in hubs.values():
+            free_local_checkpoint(df)
     dedup._labels_cache.clear()
     for cache in (dedup._ex_cache, dedup._pairs_cache, simhash._sig_cache):
         for df in cache.values():
@@ -83,6 +87,9 @@ def _index_builders():
     from dataforge_core_spark.operators import dedup, simhash, similarity
 
     return [
+        # entry._build checkpoints every hub eagerly (see its comment),
+        # so this build IS the materialization — hub/output query lanes
+        # then read checkpointed blocks
         ("engine_hub_compile", lambda s: entry._build(s, SF_DIR)),
         ("dedup_shingles", lambda s: dedup._ex_df(s, SF_DIR).count()),
         (
@@ -98,6 +105,10 @@ def _index_builders():
             lambda s: simhash._sig_df(s, SF_DIR).count(),
         ),
         ("ann_normed", lambda s: similarity._normed(s, SF_DIR)),
+        (
+            "embedding_cluster_labels",
+            lambda s: similarity.dedup_semantic_cluster(s, SF_DIR).count(),
+        ),
         (
             "ann_ivf_kmeans_index",
             lambda s: similarity._kmeans_assignments(s, SF_DIR),
@@ -158,6 +169,20 @@ def main() -> None:
         FROM t GROUP BY g
         """
     ).write.format("noop").mode("overwrite").save()
+    # ...and the Python-worker / Arrow lane (mapInPandas): worker spawn,
+    # Arrow serde init and the numpy import otherwise land inside the
+    # first mapInPandas row's timed cold run (ann_rerank in sorted order)
+
+    def _py_warm(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame({"x": np.asarray(pdf["id"]) * 2})
+
+    spark.range(1000).mapInPandas(_py_warm, "x long").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     # Phase 2: shared index builds, timed cold.
     _clear_operator_caches(spark)

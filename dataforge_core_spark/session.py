@@ -40,6 +40,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # the generated-class cache defaults to 100 entries; a session
+        # running the ~100-query inventory (or any long-lived mixed
+        # workload) evicts constantly, and re-Janino-compiling a WIDE
+        # aggregate class costs seconds — measured as 4-6s attaching
+        # nondeterministically to whichever wide row got evicted
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -445,3 +445,33 @@ def test_configure_bare_filename_profile(tmp_path, monkeypatch):
     rc = main(["--configure", "--profile", "profile.yaml"])
     assert rc == 0
     assert (tmp_path / "profile.yaml").exists()
+
+
+def test_free_local_checkpoint_frees_blocks(spark):
+    """DataFrame.unpersist() does NOT free a local checkpoint's storage
+    blocks (round-6 advice — verified no-op); free_local_checkpoint
+    unpersists the underlying LogicalRDD rdd, which does."""
+    from dataforge_core_spark.session import free_local_checkpoint
+
+    sc = spark.sparkContext
+
+    def rdd_ids():
+        return {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+
+    before = rdd_ids()
+    df = spark.range(50_000).selectExpr("id", "id * 2 AS x").localCheckpoint(
+        eager=True
+    )
+    mine = rdd_ids() - before
+    assert mine, "localCheckpoint produced no storage blocks"
+    df.unpersist(True)
+    assert mine <= rdd_ids(), "plain unpersist unexpectedly freed blocks"
+    free_local_checkpoint(df)
+    assert not (mine & rdd_ids()), "checkpoint blocks not freed"
+
+
+def test_session_key_is_application_id(spark):
+    from dataforge_core_spark.session import session_key
+
+    assert session_key(spark) == spark.sparkContext.applicationId
+    assert isinstance(session_key(spark), str)

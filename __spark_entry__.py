@@ -109,6 +109,8 @@ Coverage map (SURVEY.md §2 -> query):
                                 (power-of-two length buckets),
                                 dedup_boilerplate (cross-document
                                 repeated-span table),
+                                dedup_cluster_stats (cluster-size
+                                histogram — the dedup QA metric),
                                 dedup_exact / dedup_minhash / dedup_cluster /
                                 dedup_cluster_pd (pointer doubling) /
                                 dedup_ngram_jaccard / dedup_simhash[_pairs] /
@@ -124,7 +126,9 @@ Coverage map (SURVEY.md §2 -> query):
                                 train_sample_stratified /
                                 train_pii_redact / train_repetition /
                                 train_chunk (stride token windows) /
-                                train_cap_per_source (per-domain caps),
+                                train_cap_per_source (per-domain caps) /
+                                train_shard_assign (deterministic md5
+                                doc->shard map + balance report),
                                 events_hourly/sessionize/json/asof_order/
                                 funnel,
                                 multimodal_patches (deterministic BMP ->

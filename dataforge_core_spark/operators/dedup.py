@@ -512,6 +512,45 @@ SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node
 """
 
 
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram (the dedup QA metric: how many
+    singletons / pairs / giant clusters).  Two map-side-combinable
+    aggregates over the shared cached labels — the giant-cluster row of
+    this histogram is what you alert on before a 100 TB dedup run goes
+    quadratic somewhere downstream."""
+    from pyspark.sql import functions as F
+
+    labels = _attach_singletons(
+        spark, sf_dir, _cluster_labels(spark, sf_dir, False)
+    )
+    return (
+        labels.groupBy("cluster_id")
+        .agg(F.count("*").alias("sz"))
+        .groupBy("sz")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(F.col("sz").alias("cluster_size"), "n_clusters")
+    )
+
+
+_CLUSTER_STATS_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+nodes AS (SELECT doc_id FROM documents),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT doc_id AS node, doc_id AS lab FROM nodes
+  UNION
+  SELECT e.b AS node, r.lab FROM reach r JOIN edges e ON e.a = r.node
+),
+c AS (SELECT node, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+s AS (SELECT cluster_id, COUNT(*) AS sz FROM c GROUP BY cluster_id)
+SELECT sz AS cluster_size, COUNT(*) AS n_clusters FROM s GROUP BY sz
+"""
+
+
 # hot-shingle guard: a boilerplate shingle shared by d documents fans the
 # per-shingle pair generation out to O(d^2) — one header line in 1M docs
 # is 10^12 candidates at 100 TB.  Shingles with document frequency above
@@ -808,6 +847,7 @@ FROM h GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_boilerplate": dedup_boilerplate,
+        "dedup_cluster_stats": dedup_cluster_stats,
         "dedup_keep_best": dedup_keep_best,
         "dedup_report": dedup_report,
         "dedup_exact": dedup_exact,
@@ -821,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracles() -> dict[str, str]:
     return {
         "dedup_boilerplate": _BOILERPLATE_ORACLE,
+        "dedup_cluster_stats": _CLUSTER_STATS_ORACLE,
         "dedup_keep_best": _keep_best_oracle(),
         "dedup_report": _report_oracle(),
         "dedup_exact": _DEDUP_EXACT_ORACLE,

@@ -750,8 +750,52 @@ def train_mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIX_ORACLE = _mix_sql("duck")
 
 
+# ---------------------------------------------------------------------------
+# Shard assignment: the deterministic doc -> shard map every distributed
+# training job needs (data loaders read disjoint shards; re-runs must
+# assign identically).  shard = md5(doc_id) mod N — content-independent,
+# uniform, reproducible on any engine; emitted as the per-shard balance
+# report (doc/token counts) that validates the split before writing.
+# At scale the same expression is the DataFrameWriter's partitionBy
+# column: assignment and write are one scan, zero shuffles beyond the
+# write itself; this report is one map-side-combinable aggregate.
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 32
+
+
+def train_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard balance report of the deterministic md5 shard map."""
+    _view(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH s AS (
+          SELECT size({_SPARK_TOK}) AS n,
+                 CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 14),
+                           16, 10) AS BIGINT) % {N_SHARDS} AS shard
+          FROM documents
+        )
+        SELECT shard AS shard_id, COUNT(*) AS n_docs, SUM(n) AS n_tokens
+        FROM s GROUP BY shard
+        """
+    )
+
+
+_SHARD_ORACLE = f"""
+WITH s AS (
+  SELECT len({_DUCK_TOK}) AS n,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+           % {N_SHARDS} AS shard
+  FROM documents
+)
+SELECT shard AS shard_id, COUNT(*) AS n_docs, SUM(n) AS n_tokens
+FROM s GROUP BY shard
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "train_shard_assign": train_shard_assign,
         "train_dataset_card": train_dataset_card,
         "train_length_histogram": train_length_histogram,
         "train_span_corruption": train_span_corruption,
@@ -770,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracles() -> dict[str, str]:
     return {
+        "train_shard_assign": _SHARD_ORACLE,
         "train_dataset_card": _CARD_ORACLE,
         "train_length_histogram": _LENGTH_HIST_ORACLE,
         "train_span_corruption": _SPAN_ORACLE,

@@ -366,3 +366,44 @@ def test_span_corruption_has_no_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, "span corruption plans a shuffle"
+
+
+def test_vocab_top_v_is_take_ordered(spark):
+    """train_tokenizer_vocab's global top-V must plan as
+    TakeOrderedAndProject (per-partition heap of V) — a global Sort of
+    the whole vocabulary is the 100 TB failure mode."""
+    from dataforge_core_spark.operators import text as X
+
+    plan = (
+        X.train_tokenizer_vocab(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan, "vocab top-V is a global sort"
+
+
+def test_range_join_is_equi_bucketed(spark):
+    """events_range_join must execute as an equi join on the
+    (user, hour-bucket) keys — the banded form.  A raw inequality join
+    would plan BroadcastNestedLoopJoin (per-user cross products)."""
+    from dataforge_core_spark.operators import events as E
+
+    plan = (
+        E.events_range_join(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), "range join lost its equi-join form"
+
+
+def test_shard_assign_partial_final(spark):
+    """train_shard_assign is one map-side-combinable aggregate."""
+    from dataforge_core_spark.operators import training as T
+
+    plan = (
+        T.train_shard_assign(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "HashAggregate" in plan and "partial" in plan.lower()

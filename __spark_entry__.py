@@ -84,6 +84,8 @@ Coverage map (SURVEY.md §2 -> query):
                                 list, WindowGroupLimit top-k),
                                 ann_ivf_stats (per-cell index balance
                                 + capped search coverage),
+                                ann_pq_encode (product-quantization
+                                codes: per-subspace codeword argmin),
                                 embeddings_quantize (int8 codes +
                                 reconstruction-error round-trip),
                                 events_transitions (event-type Markov

@@ -1189,6 +1189,93 @@ SELECT label, rank, vec_id FROM (
 
 
 # ---------------------------------------------------------------------------
+# Product-quantization encode: split each vector into PQ_M subvectors
+# and assign every subvector to its nearest codeword — the encode stage
+# of IVF-PQ, the index family behind billion-scale ANN (the int8 row
+# ``embeddings_quantize`` is the scalar sibling).  The codebook here is
+# externally supplied (the first PQ_K vectors' subvectors — in
+# production the codebook is trained offline and loaded, exactly like
+# this); the encode itself is the full PQ machinery: per-subspace
+# squared-L2 argmin over the codebook, deterministic code tie-break.
+#
+# Scale shape: the codebook is PQ_K whole vectors (a broadcast literal
+# relation in any deployment); the corpus side explodes x PQ_M and
+# scans — no shuffle except the argmin window, which lowers to
+# WindowGroupLimit on the (vec_id, subspace) key.  The squared-distance
+# expression is the same balanced unrolled tree both engines emit, so
+# the argmin is bit-deterministic; only integer codes are emitted.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_K = 16  # codewords per subspace
+_PQ_SUBDIM = DIM // PQ_M
+
+
+def _pq_dist(dialect: str, a: str, c: str, m: str) -> str:
+    """Unrolled squared L2 between subvectors m of ``a`` and ``c``."""
+    off = 0 if dialect == "spark" else 1
+    terms = [
+        f"(({a}[{m} * {_PQ_SUBDIM} + {i + off}]"
+        f" - {c}[{m} * {_PQ_SUBDIM} + {i + off}])"
+        f" * ({a}[{m} * {_PQ_SUBDIM} + {i + off}]"
+        f" - {c}[{m} * {_PQ_SUBDIM} + {i + off}]))"
+        for i in range(_PQ_SUBDIM)
+    ]
+    while len(terms) > 1:
+        terms = [
+            f"({terms[i]} + {terms[i + 1]})"
+            if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
+
+
+def ann_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codes: nearest codeword per (vector, subspace)."""
+    v = _normed(spark, sf_dir)
+    dist = _pq_dist("spark", "s.emb", "cb.cemb", "s.m")
+    return spark.sql(
+        f"""
+        WITH cb AS (
+          SELECT vec_id AS code, emb AS cemb FROM {v}
+          WHERE vec_id < {PQ_K}
+        ),
+        sub AS (
+          SELECT vec_id, emb, explode(sequence(0, {PQ_M - 1})) AS m
+          FROM {v}
+        )
+        SELECT vec_id, CAST(m AS INT) AS subspace, CAST(code AS INT) AS code
+        FROM (
+          SELECT s.vec_id, s.m, cb.code,
+                 ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                      ORDER BY ({dist}) ASC, cb.code) AS rn
+          FROM sub s CROSS JOIN cb
+        ) t WHERE rn = 1
+        """
+    )
+
+
+def _pq_encode_oracle() -> str:
+    dist = _pq_dist("duck", "s.emb", "cb.cemb", "s.m")
+    return f"""
+WITH {_duck_v_cte()},
+cb AS (
+  SELECT vec_id AS code, emb AS cemb FROM v WHERE vec_id < {PQ_K}
+),
+sub AS (
+  SELECT vec_id, emb, unnest(generate_series(0, {PQ_M - 1})) AS m FROM v
+)
+SELECT vec_id, CAST(m AS INTEGER) AS subspace, CAST(code AS INTEGER) AS code
+FROM (
+  SELECT s.vec_id, s.m, cb.code,
+         ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+              ORDER BY ({dist}) ASC, cb.code) AS rn
+  FROM sub s CROSS JOIN cb
+) t WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # IVF index balance report: per-cell population plus how much of the
 # cell a capped probe actually searches (IVF_CELL_CAP) — the operational
 # health check of any IVF deployment (skewed cells = slow probes AND
@@ -1225,6 +1312,7 @@ FROM af GROUP BY cid
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "ann_pq_encode": ann_pq_encode,
         "ann_ivf_stats": ann_ivf_stats,
         "ann_outliers": ann_outliers,
         "ann_recall_eval": ann_recall_eval,
@@ -1244,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracles() -> dict[str, str]:
     return {
         "ann_outliers": _outliers_oracle(),
+        "ann_pq_encode": _pq_encode_oracle(),
         "ann_ivf_stats": _ivf_stats_oracle(),
         "ann_recall_eval": _recall_eval_oracle(),
         "ann_knn_graph": _knn_graph_oracle(),

@@ -194,7 +194,13 @@ def test_ranked_ann_windows_group_limit(spark):
 # broadcast, K rows) before the cid-keyed equi-join search
 # ann_recall_eval embeds ann_bruteforce as its exact side, so it carries
 # the same intentional BNLJ
-_CARTESIAN_EXEMPT = {"ann_bruteforce", "ann_ivf_probe2", "ann_recall_eval"}
+_CARTESIAN_EXEMPT = {
+    "ann_bruteforce",
+    "ann_ivf_probe2",
+    "ann_recall_eval",
+    # intentional: PQ codebook is a PQ_K-row broadcast relation
+    "ann_pq_encode",
+}
 
 
 def test_no_cartesian_products_in_driver_queries(spark):

@@ -674,6 +674,53 @@ _TRANSITIONS_ORACLE = _TRANSITIONS_SQL
 
 
 # ---------------------------------------------------------------------------
+# Per-event rolling user features: trailing-1h event count and seconds
+# since the previous event — the feature-engineering primitive behind
+# rate limiting, fraud scoring and behavioral models.  Value-based
+# RANGE frames (not ROWS) so same-timestamp ties resolve identically on
+# both engines; the trailing sum is decimal-exact and emitted as
+# integer cents; seconds-since-prev is an integer difference of
+# truncated epochs.  One user-keyed window shuffle — the same
+# partitioning the sessionize/funnel family already uses.
+# ---------------------------------------------------------------------------
+
+
+def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1h count/value + gap-to-previous per event."""
+    _views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               COUNT(*) OVER wr - 1 AS n_prev_1h,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER wr * 100
+                    AS BIGINT) AS value_1h_cents,
+               unix_timestamp(ts)
+                 - unix_timestamp(lag(ts) OVER wo) AS secs_since_prev
+        FROM events
+        WINDOW
+          wr AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
+          wo AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """
+    )
+
+
+_USER_FEATURES_ORACLE = """
+SELECT event_id, user_id,
+       COUNT(*) OVER wr - 1 AS n_prev_1h,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER wr * 100
+            AS BIGINT) AS value_1h_cents,
+       CAST(floor(epoch(ts)) AS BIGINT)
+         - CAST(floor(epoch(lag(ts) OVER wo)) AS BIGINT) AS secs_since_prev
+FROM events
+WINDOW
+  wr AS (PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
+  wo AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Banded RANGE JOIN (the J8-family range member, batch form of the
 # stream attribution join): for every 'view' event, the 'purchase'
 # events of the same user inside the following hour.  A naive
@@ -751,6 +798,7 @@ GROUP BY vb.event_id, vb.user_id, vb.ts
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "events_user_features": events_user_features,
         "events_range_join": events_range_join,
         "events_dau_wau": events_dau_wau,
         "events_sliding_active": events_sliding_active,
@@ -770,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracles() -> dict[str, str]:
     return {
+        "events_user_features": _USER_FEATURES_ORACLE,
         "events_range_join": _RANGE_JOIN_ORACLE,
         "events_dau_wau": _DAU_WAU_ORACLE,
         "events_sliding_active": _SLIDING_ORACLE,

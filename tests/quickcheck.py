@@ -14,10 +14,13 @@ from tests.test_oracle import _duck, _normalize_rows  # noqa: E402
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     sf_dir = "/root/testdata/sf0.001"
-    if "--sf" in sys.argv:
-        sf_dir = sys.argv[sys.argv.index("--sf") + 1]
+    if "--sf" in argv:
+        i = argv.index("--sf")
+        sf_dir = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    args = [a for a in argv if not a.startswith("--")]
 
     from pyspark.sql import SparkSession
 

@@ -1230,48 +1230,141 @@ def _pq_dist(dialect: str, a: str, c: str, m: str) -> str:
     return terms[0]
 
 
+def _pq_codes_ctes(dialect: str, v: str) -> str:
+    """The shared ``cb`` / ``sub`` / ``codes`` CTE chain: per-subspace
+    squared-L2 argmin of every vector's subvectors over the codebook.
+    ``codes`` has raw (vec_id, m, code) — callers cast for output."""
+    dist = _pq_dist(dialect, "s.emb", "cb.cemb", "s.m")
+    enum = (
+        f"explode(sequence(0, {PQ_M - 1}))"
+        if dialect == "spark"
+        else f"unnest(generate_series(0, {PQ_M - 1}))"
+    )
+    return f"""cb AS (
+  SELECT vec_id AS code, emb AS cemb FROM {v} WHERE vec_id < {PQ_K}
+),
+sub AS (
+  SELECT vec_id, emb, {enum} AS m FROM {v}
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT s.vec_id, s.m, cb.code,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                ORDER BY ({dist}) ASC, cb.code) AS rn
+    FROM sub s CROSS JOIN cb
+  ) t WHERE rn = 1
+)"""
+
+
 def ann_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ codes: nearest codeword per (vector, subspace)."""
     v = _normed(spark, sf_dir)
-    dist = _pq_dist("spark", "s.emb", "cb.cemb", "s.m")
     return spark.sql(
         f"""
-        WITH cb AS (
-          SELECT vec_id AS code, emb AS cemb FROM {v}
-          WHERE vec_id < {PQ_K}
-        ),
-        sub AS (
-          SELECT vec_id, emb, explode(sequence(0, {PQ_M - 1})) AS m
-          FROM {v}
-        )
+        WITH {_pq_codes_ctes('spark', v)}
         SELECT vec_id, CAST(m AS INT) AS subspace, CAST(code AS INT) AS code
-        FROM (
-          SELECT s.vec_id, s.m, cb.code,
-                 ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
-                      ORDER BY ({dist}) ASC, cb.code) AS rn
-          FROM sub s CROSS JOIN cb
-        ) t WHERE rn = 1
+        FROM codes
         """
     )
 
 
 def _pq_encode_oracle() -> str:
-    dist = _pq_dist("duck", "s.emb", "cb.cemb", "s.m")
     return f"""
 WITH {_duck_v_cte()},
-cb AS (
-  SELECT vec_id AS code, emb AS cemb FROM v WHERE vec_id < {PQ_K}
-),
-sub AS (
-  SELECT vec_id, emb, unnest(generate_series(0, {PQ_M - 1})) AS m FROM v
-)
+{_pq_codes_ctes('duck', 'v')}
 SELECT vec_id, CAST(m AS INTEGER) AS subspace, CAST(code AS INTEGER) AS code
+FROM codes
+"""
+
+
+# ---------------------------------------------------------------------------
+# PQ asymmetric-distance search (ADC) — the query stage of IVF-PQ: the
+# query vector stays full-precision, every corpus vector is its PQ_M
+# one-byte codes, and the approximate distance is a sum of PQ_M lookups
+# into a per-query table of query-subvector -> codeword distances.  This
+# is how billion-scale indexes answer queries without touching raw
+# vectors (Jégou et al., "Product Quantization for Nearest Neighbor
+# Search").
+#
+# Scale shape: the LUT is N_QUERIES x PQ_M x PQ_K rows — a broadcast
+# literal in any deployment; the codes relation (the stored index,
+# PQ_M rows/vector) joins it broadcast-side, and the per-(query, vector)
+# ADC reduce is a map-side-combinable aggregate on the key the index is
+# already laid out on.  No raw-vector scan in the query path at all.
+#
+# Determinism: the PQ_M partial distances are pivoted into fixed columns
+# (conditional MAX over the m key) and summed in the same balanced tree
+# on both engines, so the ADC double is bit-identical and only integer
+# ranks are emitted.
+# ---------------------------------------------------------------------------
+
+
+def _pq_adc_tree() -> str:
+    """Fixed balanced-tree sum of the PQ_M pivoted partials."""
+    terms = [f"s{i}" for i in range(PQ_M)]
+    while len(terms) > 1:
+        terms = [
+            f"({terms[i]} + {terms[i + 1]})"
+            if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
+
+
+def _pq_search_body(dialect: str) -> str:
+    """Shared post-``codes`` SQL: LUT, pivot, ADC rank, top-K."""
+    qdist = _pq_dist(dialect, "q.qemb", "cb.cemb", "mm.m")
+    enum = (
+        f"explode(sequence(0, {PQ_M - 1}))"
+        if dialect == "spark"
+        else f"unnest(generate_series(0, {PQ_M - 1}))"
+    )
+    pivots = ",\n         ".join(
+        f"MAX(CASE WHEN c.m = {i} THEN l.d END) AS s{i}"
+        for i in range(PQ_M)
+    )
+    int_t = "INT" if dialect == "spark" else "INTEGER"
+    return f"""qs AS (
+  SELECT vec_id AS query_id, emb AS qemb FROM {{v}}
+  WHERE vec_id < {N_QUERIES}
+),
+mm AS (SELECT {enum} AS m),
+lut AS (
+  SELECT q.query_id, mm.m, cb.code, ({qdist}) AS d
+  FROM qs q CROSS JOIN mm CROSS JOIN cb
+),
+adc AS (
+  SELECT {"/*+ BROADCAST(l) */" if dialect == "spark" else ""} l.query_id, c.vec_id,
+         {pivots}
+  FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.code
+  WHERE c.vec_id <> l.query_id
+  GROUP BY l.query_id, c.vec_id
+)
+SELECT query_id, CAST(rank AS {int_t}) AS rank, vec_id AS neighbor_id
 FROM (
-  SELECT s.vec_id, s.m, cb.code,
-         ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
-              ORDER BY ({dist}) ASC, cb.code) AS rn
-  FROM sub s CROSS JOIN cb
-) t WHERE rn = 1
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY ({_pq_adc_tree()}) ASC, vec_id) AS rank
+  FROM adc
+) t WHERE rank <= {TOP_K}"""
+
+
+def ann_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-K per query over the PQ-coded corpus."""
+    v = _normed(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH {_pq_codes_ctes('spark', v)},
+        {_pq_search_body('spark').format(v=v)}
+        """
+    )
+
+
+def _pq_search_oracle() -> str:
+    return f"""
+WITH {_duck_v_cte()},
+{_pq_codes_ctes('duck', 'v')},
+{_pq_search_body('duck').format(v='v')}
 """
 
 
@@ -1313,6 +1406,7 @@ FROM af GROUP BY cid
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ann_pq_encode": ann_pq_encode,
+        "ann_pq_search": ann_pq_search,
         "ann_ivf_stats": ann_ivf_stats,
         "ann_outliers": ann_outliers,
         "ann_recall_eval": ann_recall_eval,
@@ -1333,6 +1427,7 @@ def oracles() -> dict[str, str]:
     return {
         "ann_outliers": _outliers_oracle(),
         "ann_pq_encode": _pq_encode_oracle(),
+        "ann_pq_search": _pq_search_oracle(),
         "ann_ivf_stats": _ivf_stats_oracle(),
         "ann_recall_eval": _recall_eval_oracle(),
         "ann_knn_graph": _knn_graph_oracle(),

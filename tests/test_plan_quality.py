@@ -413,3 +413,21 @@ def test_shard_assign_partial_final(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "HashAggregate" in plan and "partial" in plan.lower()
+
+
+def test_pq_search_lut_broadcast_and_group_limit(spark):
+    """ann_pq_search: the N_QUERIES*PQ_M*PQ_K-row distance LUT must
+    broadcast onto the codes relation (a SortMergeJoin here shuffles the
+    whole index on a 128-value key — guaranteed skew at scale), the ADC
+    reduce must be partial/final, and the per-query top-K must lower to
+    WindowGroupLimit."""
+    from dataforge_core_spark.operators import similarity as S
+
+    plan = (
+        S.ann_pq_search(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, "ADC LUT join is not broadcast"
+    assert "SortMergeJoin" not in plan, "codes side shuffled on (m, code)"
+    assert "partial_max" in plan, "ADC pivot not map-side combined"
+    assert "WindowGroupLimit" in plan, "per-query top-K window unbounded"

@@ -793,8 +793,55 @@ FROM s GROUP BY shard
 """
 
 
+# ---------------------------------------------------------------------------
+# Leakage-free train/validation split: hash the near-dup CLUSTER id, not
+# the document id, so every near-duplicate group lands wholly in one
+# split — the defense against eval contamination by paraphrases of
+# training documents (hashing doc_id splits near-dup pairs across
+# train/val ~2·p·(1-p) of the time).  Split membership is a pure
+# function of cluster_id, so co-assignment is guaranteed by
+# construction, not by a repair pass.
+#
+# Scale shape: reuses the cached/checkpointed cluster-label frame the
+# dedup family already built (one label-propagation run per session);
+# the split itself is a scan-side hash — zero additional shuffles, and
+# at write time the same expression is the partitionBy column.
+# ---------------------------------------------------------------------------
+
+VAL_MOD = 10  # 1/VAL_MOD of clusters -> validation
+
+
+def train_split_leakfree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document split assignment, co-assigned by near-dup cluster."""
+    from dataforge_core_spark.operators.dedup import dedup_cluster
+
+    labels = dedup_cluster(spark, sf_dir)
+    return labels.selectExpr(
+        "doc_id",
+        "cluster_id",
+        f"""CASE WHEN CAST(conv(substr(md5(CAST(cluster_id AS STRING)),
+                                  1, 14), 16, 10) AS BIGINT)
+                   % {VAL_MOD} = 0
+            THEN 'val' ELSE 'train' END AS split""",
+    )
+
+
+def _split_leakfree_oracle() -> str:
+    from dataforge_core_spark.operators.dedup import _DEDUP_CLUSTER_ORACLE
+
+    return f"""
+WITH c AS ({_DEDUP_CLUSTER_ORACLE})
+SELECT doc_id, cluster_id,
+       CASE WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)),
+                                 1, 14))::BIGINT % {VAL_MOD} = 0
+            THEN 'val' ELSE 'train' END AS split
+FROM c
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "train_split_leakfree": train_split_leakfree,
         "train_shard_assign": train_shard_assign,
         "train_dataset_card": train_dataset_card,
         "train_length_histogram": train_length_histogram,
@@ -815,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracles() -> dict[str, str]:
     return {
         "train_shard_assign": _SHARD_ORACLE,
+        "train_split_leakfree": _split_leakfree_oracle(),
         "train_dataset_card": _CARD_ORACLE,
         "train_length_histogram": _LENGTH_HIST_ORACLE,
         "train_span_corruption": _SPAN_ORACLE,

@@ -548,8 +548,65 @@ WHERE rank <= {TFIDF_TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Readability scoring (Flesch reading-ease, integer-exact): the classic
+# corpus-quality filter lane alongside text_quality's ratio heuristics.
+# Counts are regex-derived integers (words from the shared tokenizer,
+# sentences = [.!?]+ runs, syllable proxy = vowel-group runs — the
+# standard dictionary-free approximation), and the score is emitted in
+# MILLI-units computed with integer division only, so there is no libm
+# and no float-summation anywhere — the same portability construction
+# the round-6 rebuild established for dedup_report/text_entropy.
+#
+# Scale shape: pure scan-side projection (one regex pass per column),
+# zero shuffles, whole-stage codegen end to end.
+# ---------------------------------------------------------------------------
+
+
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document, integer milli-score."""
+    _view(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH c AS (
+          SELECT doc_id,
+                 size({_SPARK_TOK}) AS n_words,
+                 GREATEST(size(regexp_extract_all(text, '[.!?]+', 0)), 1)
+                   AS n_sentences,
+                 size(regexp_extract_all(lower(text), '[aeiouy]+', 0))
+                   AS n_syllables
+          FROM documents
+        )
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               206835 - (1015 * n_words) DIV n_sentences
+                      - (84600 * n_syllables) DIV n_words
+                 AS flesch_milli
+        FROM c WHERE n_words > 0
+        """
+    )
+
+
+_READABILITY_ORACLE = f"""
+WITH c AS (
+  SELECT doc_id,
+         CAST(len({_DUCK_TOK}) AS INTEGER) AS n_words,
+         CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+              AS INTEGER) AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+              AS INTEGER) AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CAST(206835 - (1015 * n_words) // n_sentences
+                   - (84600 * n_syllables) // n_words
+            AS BIGINT) AS flesch_milli
+FROM c WHERE n_words > 0
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "text_readability": text_readability,
         "text_entropy": text_entropy,
         "text_tokens_bpe": text_tokens_bpe,
         "text_bigram_lm": text_bigram_lm,
@@ -570,6 +627,7 @@ def oracles() -> dict[str, str]:
         "text_tfidf": _TFIDF_ORACLE,
         "text_tokens": _TOKENS_ORACLE,
         "text_quality": _QUALITY_ORACLE,
+        "text_readability": _READABILITY_ORACLE,
         "text_lang_id": _LANGID_ORACLE,
         "text_fingerprint": _FINGERPRINT_ORACLE,
         "train_tokenizer_vocab": _VOCAB_ORACLE,

@@ -169,18 +169,20 @@ def _build(spark: SparkSession, sf_dir: str):
         from dataforge_core_spark import ProjectRunner, load_project
 
         project = load_project(_PROJECT_DIR)
-        runner = ProjectRunner(spark, project, {"DATA_DIR": sf_dir})
-        raw = runner.build()
-        # materialize each hub as a local checkpoint and DROP the
-        # build-time persists: the reference's run.sql materializes
-        # every hub table, and checkpointed frames are plain LogicalRDD
-        # scans — persisted (CacheManager) hubs instead tax EVERY later
-        # query in the session with canonicalized-plan cache-match
-        # passes over 7 wide hub plans (measured: ~10s across the bench
-        # phase, concentrated in the widest engine-row plans)
-        hubs = {k: df.localCheckpoint(eager=True) for k, df in raw.items()}
-        for df in raw.values():
-            df.unpersist()
+        runner = ProjectRunner(
+            spark, project, {"DATA_DIR": sf_dir}, persist_hubs=False
+        )
+        # level-parallel compile + eager local checkpoint per hub: the
+        # reference's run.sql materializes every hub table, and
+        # checkpointed frames are plain LogicalRDD scans — persisted
+        # (CacheManager) hubs instead tax EVERY later query in the
+        # session with canonicalized-plan cache-match passes over 7
+        # wide hub plans (measured: ~10s across the bench phase).
+        # Downstream hubs compile against the checkpointed frames, so
+        # nothing is stored twice and independent hubs materialize
+        # concurrently (was: sequential persist -> checkpoint ->
+        # unpersist, ~1.4x slower at sf0.1).
+        hubs = runner.build_checkpointed()
         outs = runner.build_outputs(hubs)
         _hub_cache[key] = (hubs, outs)
     return _hub_cache[key]

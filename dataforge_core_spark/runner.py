@@ -96,6 +96,39 @@ class ProjectRunner:
                 hubs[name] = df.persist() if self.persist_hubs else df
         return hubs
 
+    def build_checkpointed(self) -> dict[str, DataFrame]:
+        """Compile AND materialize every hub as an eager local
+        checkpoint, level-parallel.
+
+        Downstream hubs compile against the already-checkpointed
+        upstream frames (plain ``LogicalRDD`` scans), so each hub's
+        materialization job runs exactly its own pipeline — no persist /
+        double-store, no re-expansion of upstream plans — and hubs
+        within a topological level checkpoint concurrently (Spark's
+        scheduler interleaves the independent jobs across the local
+        cores; on a cluster, across executors).  This is the in-session
+        equivalent of :meth:`materialize`'s parquet writes, for callers
+        that want hot frames instead of files.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        by_name = self.project.source_by_name()
+        hubs: dict[str, DataFrame] = {}
+        for level in self.topo_order():
+            def _ckpt(name: str) -> tuple[str, DataFrame]:
+                src = by_name[name]
+                base = read_source(self.spark, src, self.substitutions)
+                df = self.compiler.compile_source(src, base, hubs)
+                return name, df.localCheckpoint(eager=True)
+
+            if len(level) == 1:
+                done = [_ckpt(level[0])]
+            else:
+                with ThreadPoolExecutor(max_workers=len(level)) as pool:
+                    done = list(pool.map(_ckpt, level))
+            hubs.update(done)
+        return hubs
+
     def build_outputs(
         self, hubs: dict[str, DataFrame] | None = None
     ) -> dict[str, DataFrame]:

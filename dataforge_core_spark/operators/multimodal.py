@@ -849,8 +849,112 @@ GROUP BY doc_id, x // {PATCH_SIDE}, y // {PATCH_SIDE}
 """
 
 
+# ---------------------------------------------------------------------------
+# Perceptual image hash (dHash) — the image-dedup primitive: downsample
+# the decoded image to an 8x8 grid of block sums and emit one bit per
+# horizontally-adjacent pair (right > left), packed into a 56-bit
+# integer.  Identical-looking images collide on the hash, so the
+# group-count column IS the near-duplicate-image report — the visual
+# sibling of dedup_exact's text hash-groupBy.
+#
+# The hash rides the same REAL BMP byte round-trip as multimodal_patches
+# (synth -> parse fused in one Arrow pass); the oracle recomputes the
+# pixel function, block sums and bit packing in pure integer SQL, so a
+# stride/row-order/bit-order bug anywhere in the byte path breaks the
+# match.  Scale shape: scan-side Python stage (no shuffle), then ONE
+# groupBy-sized shuffle on the 56-bit hash — the dedup join key a 100 TB
+# image corpus would bucket its store by.
+# ---------------------------------------------------------------------------
+
+PHASH_GRID = 8  # downsample grid side (blocks)
+_PHASH_BLOCK = PATCH_IMG // PHASH_GRID  # pixels per block side
+
+
+def image_phash_fn():
+    """mapInPandas stage: (doc_id, payload) -> (doc_id, phash)."""
+
+    def phash(batches):
+        import struct
+
+        import pandas as pd
+
+        g, blk = PHASH_GRID, _PHASH_BLOCK
+
+        def one(b: bytes) -> int:
+            (data_off,) = struct.unpack("<I", b[10:14])
+            w, h = struct.unpack("<ii", b[18:26])
+            stride = (w * 3 + 3) // 4 * 4
+            sums = [[0] * g for _ in range(g)]
+            for y in range(h):
+                sy = h - 1 - y  # bottom-up rows
+                base = data_off + sy * stride
+                for x in range(w):
+                    sums[y // blk][x // blk] += b[base + x * 3]
+            out = 0
+            for by in range(g):
+                for bx in range(g - 1):
+                    if sums[by][bx + 1] > sums[by][bx]:
+                        out |= 1 << (by * (g - 1) + bx)
+            return out
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": [one(b) for b in pdf["payload"]],
+                }
+            )
+
+    return phash
+
+
+def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dHash per image + duplicate-group size, one fused Python pass."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    synth, ph = image_synth_fn(), image_phash_fn()
+
+    def fused(batches):
+        return ph(synth(batches))
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    hashed = docs.mapInPandas(fused, "doc_id bigint, phash bigint")
+    return hashed.withColumn(
+        "n_dups", F.count("*").over(Window.partitionBy("phash"))
+    )
+
+
+_PHASH_ORACLE = f"""
+WITH px AS (
+  SELECT d.doc_id, x.x, y.y,
+         (x.x * 7 + y.y * 13 + d.doc_id) % 256 AS v
+  FROM documents d,
+       (SELECT unnest(generate_series(0, {PATCH_IMG - 1})) AS x) x,
+       (SELECT unnest(generate_series(0, {PATCH_IMG - 1})) AS y) y
+),
+blk AS (
+  SELECT doc_id, x // {_PHASH_BLOCK} AS bx, y // {_PHASH_BLOCK} AS by,
+         SUM(v) AS s
+  FROM px GROUP BY doc_id, x // {_PHASH_BLOCK}, y // {_PHASH_BLOCK}
+),
+bits AS (
+  SELECT a.doc_id,
+         CAST(CASE WHEN b.s > a.s THEN 1 ELSE 0 END AS BIGINT)
+           << (a.by * {PHASH_GRID - 1} + a.bx) AS bit
+  FROM blk a
+  JOIN blk b ON b.doc_id = a.doc_id AND b.by = a.by AND b.bx = a.bx + 1
+  WHERE a.bx < {PHASH_GRID - 1}
+),
+h AS (SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS phash
+      FROM bits GROUP BY doc_id)
+SELECT doc_id, phash, COUNT(*) OVER (PARTITION BY phash) AS n_dups FROM h
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "multimodal_phash": multimodal_phash,
         "multimodal_patches": multimodal_patches,
         "multimodal_audio_features": multimodal_audio_features,
         "multimodal_meta": multimodal_meta,
@@ -862,6 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracles() -> dict[str, str]:
     return {
+        "multimodal_phash": _PHASH_ORACLE,
         "multimodal_patches": _PATCHES_ORACLE,
         "multimodal_audio_features": _AUDIO_FEATURES_ORACLE,
         "multimodal_meta": _META_ORACLE,

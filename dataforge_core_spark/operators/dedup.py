@@ -633,6 +633,71 @@ _DEDUP_NGRAM_ORACLE = _ngram_oracle()
 
 
 # ---------------------------------------------------------------------------
+# Containment near-dup pairs: score = |A∩B| / min(|A|, |B|) over the
+# same shingle sets — the asymmetric-size complement of Jaccard.  A
+# short document quoted whole inside a long one scores ~1.0 here but
+# near 0 on Jaccard (the union is dominated by the long side), so this
+# is the lane that catches subset/quotation duplicates (the "broder
+# containment" of the resemblance/containment pair).  Same single
+# shingle-keyed shuffle + df-capped pair generation as the Jaccard
+# lane; one extra LEAST() over the broadcast-joined sizes.
+# ---------------------------------------------------------------------------
+
+CONTAIN_THRESHOLD = 0.4
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs with shingle containment >= CONTAIN_THRESHOLD."""
+    from pyspark.sql import functions as F
+
+    ex = _ex_df(spark, sf_dir)
+    grouped = (
+        ex.groupBy("s")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds").between(2, MAX_SHINGLE_DF))
+    )
+    pairs = grouped.select(
+        F.posexplode("ds").alias("i", "doc_a"), "ds"
+    ).select(
+        "doc_a",
+        F.explode(F.expr("slice(ds, i + 2, size(ds))")).alias("doc_b"),
+    )
+    inter = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("inter_n"))
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
+    cont = F.expr("CAST(inter_n AS DOUBLE) / LEAST(n_a, n_b)")
+    return (
+        inter.join(sizes.toDF("doc_a", "n_a"), "doc_a")
+        .join(sizes.toDF("doc_b", "n_b"), "doc_b")
+        .select("doc_a", "doc_b", cont.alias("containment"))
+        .filter(F.col("containment") >= CONTAIN_THRESHOLD)
+    )
+
+
+_DEDUP_CONTAINMENT_ORACLE = f"""
+WITH exploded AS ({_duck_ex_sql()}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM exploded GROUP BY doc_id),
+ok AS (
+  SELECT s FROM exploded
+  GROUP BY s HAVING COUNT(*) BETWEEN 2 AND {MAX_SHINGLE_DF}
+),
+pair_inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_n
+  FROM exploded a JOIN exploded b
+    ON a.s = b.s AND a.doc_id < b.doc_id
+  WHERE a.s IN (SELECT s FROM ok)
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(p.inter_n AS DOUBLE) / LEAST(sa.n, sb.n) AS containment
+FROM pair_inter p
+JOIN sizes sa ON p.doc_a = sa.doc_id
+JOIN sizes sb ON p.doc_b = sb.doc_id
+WHERE CAST(p.inter_n AS DOUBLE) / LEAST(sa.n, sb.n)
+      >= {CONTAIN_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Corpus dedup report: the one-row summary a pipeline run logs — how
 # much of the corpus is exact-duplicate, how much near-duplicate, and
 # how many groups/clusters there are.  Composed from the shared exact
@@ -855,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster": dedup_cluster,
         "dedup_cluster_pd": dedup_cluster_pd,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_containment": dedup_containment,
     }
 
 
@@ -869,4 +935,5 @@ def oracles() -> dict[str, str]:
         "dedup_cluster": _DEDUP_CLUSTER_ORACLE,
         "dedup_cluster_pd": _DEDUP_CLUSTER_ORACLE,
         "dedup_ngram_jaccard": _DEDUP_NGRAM_ORACLE,
+        "dedup_containment": _DEDUP_CONTAINMENT_ORACLE,
     }

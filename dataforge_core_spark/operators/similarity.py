@@ -1349,6 +1349,82 @@ FROM (
 ) t WHERE rank <= {TOP_K}"""
 
 
+def _ivf_pq_body(dialect: str, af: str) -> str:
+    """Shared post-``codes`` SQL for IVF+ADC: probe the query's cell,
+    then score ONLY that cell's candidates by ADC lookups."""
+    qdist = _pq_dist(dialect, "q.qemb", "cb.cemb", "mm.m")
+    enum = (
+        f"explode(sequence(0, {PQ_M - 1}))"
+        if dialect == "spark"
+        else f"unnest(generate_series(0, {PQ_M - 1}))"
+    )
+    pivots = ",\n         ".join(
+        f"MAX(CASE WHEN co.m = {i} THEN l.d END) AS s{i}"
+        for i in range(PQ_M)
+    )
+    hint_q = "/*+ BROADCAST(q) */ " if dialect == "spark" else ""
+    hint_l = "/*+ BROADCAST(ca, l) */ " if dialect == "spark" else ""
+    int_t = "INT" if dialect == "spark" else "INTEGER"
+    return f"""qs AS (
+  SELECT vec_id AS query_id, emb AS qemb, cid FROM {af}
+  WHERE vec_id < {N_QUERIES}
+),
+mm AS (SELECT {enum} AS m),
+lut AS (
+  SELECT q.query_id, mm.m, cb.code, ({qdist}) AS d
+  FROM qs q CROSS JOIN mm CROSS JOIN cb
+),
+cand AS (
+  SELECT {hint_q}q.query_id, c.vec_id
+  FROM qs q JOIN {af} c
+    ON q.cid = c.cid AND c.cellrn <= {IVF_CELL_CAP}
+   AND c.vec_id <> q.query_id
+),
+adc AS (
+  SELECT {hint_l}ca.query_id, ca.vec_id,
+         {pivots}
+  FROM cand ca
+  JOIN codes co ON co.vec_id = ca.vec_id
+  JOIN lut l ON l.query_id = ca.query_id
+            AND l.m = co.m AND l.code = co.code
+  GROUP BY ca.query_id, ca.vec_id
+)
+SELECT query_id, CAST(rank AS {int_t}) AS rank, vec_id AS neighbor_id
+FROM (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY ({_pq_adc_tree()}) ASC, vec_id) AS rank
+  FROM adc
+) t WHERE rank <= {TOP_K}"""
+
+
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF-PQ query path: coarse-probe the k-means cell, then rank
+    the cell's candidates by PQ asymmetric distance — neither a raw
+    vector scan nor an all-cells ADC.  This is the billion-scale ANN
+    architecture end to end: the coarse quantizer bounds the candidate
+    set (cellrn cap guards skewed cells), the PQ codes bound the bytes
+    read per candidate, and the only per-query work is a broadcast-LUT
+    hash join over one cell's codes."""
+    v = _normed(spark, sf_dir)
+    af = _kmeans_assignments(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH {_pq_codes_ctes('spark', v)},
+        {_ivf_pq_body('spark', af)}
+        """
+    )
+
+
+def _ivf_pq_oracle() -> str:
+    return f"""
+WITH {_duck_v_cte()},
+{_kmeans_ctes('v', 'duck')},
+{_pq_codes_ctes('duck', 'v')},
+{_ivf_pq_body('duck', 'af')}
+"""
+
+
 def ann_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC top-K per query over the PQ-coded corpus."""
     v = _normed(spark, sf_dir)
@@ -1407,6 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ann_pq_encode": ann_pq_encode,
         "ann_pq_search": ann_pq_search,
+        "ann_ivf_pq": ann_ivf_pq,
         "ann_ivf_stats": ann_ivf_stats,
         "ann_outliers": ann_outliers,
         "ann_recall_eval": ann_recall_eval,
@@ -1428,6 +1505,7 @@ def oracles() -> dict[str, str]:
         "ann_outliers": _outliers_oracle(),
         "ann_pq_encode": _pq_encode_oracle(),
         "ann_pq_search": _pq_search_oracle(),
+        "ann_ivf_pq": _ivf_pq_oracle(),
         "ann_ivf_stats": _ivf_stats_oracle(),
         "ann_recall_eval": _recall_eval_oracle(),
         "ann_knn_graph": _knn_graph_oracle(),

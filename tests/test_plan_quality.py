@@ -431,3 +431,18 @@ def test_pq_search_lut_broadcast_and_group_limit(spark):
     assert "SortMergeJoin" not in plan, "codes side shuffled on (m, code)"
     assert "partial_max" in plan, "ADC pivot not map-side combined"
     assert "WindowGroupLimit" in plan, "per-query top-K window unbounded"
+
+
+def test_ivf_pq_all_joins_broadcast(spark):
+    """ann_ivf_pq: probe (queries->cells), candidate->codes, and
+    codes->LUT joins must ALL be broadcast — the stored codes relation
+    (corpus-sized at scale) must never shuffle for a per-query probe."""
+    from dataforge_core_spark.operators import similarity as S
+
+    plan = (
+        S.ann_ivf_pq(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 3, "IVF-PQ join not broadcast"
+    assert "SortMergeJoin" not in plan, "corpus-side shuffle in IVF-PQ path"
+    assert "WindowGroupLimit" in plan, "per-query top-K window unbounded"

@@ -796,6 +796,95 @@ GROUP BY vb.event_id, vb.user_id, vb.ts
 """
 
 
+# ---------------------------------------------------------------------------
+# Cohort LTV triangle: per (signup-cohort week, week offset) purchase
+# revenue, cumulative revenue, and per-user LTV — the revenue sibling of
+# events_retention's activity triangle.  Revenue is decimal-exact cents
+# (BIGINT) end to end: the per-week sums, the cumulative window and the
+# per-user division are all integer arithmetic, so the triangle hashes
+# identically on any engine.
+#
+# Scale shape: two user-keyed aggregates (cohort assignment, weekly
+# revenue) with map-side partials, a per-user join (broadcastable cohort
+# side), then a rollup + cumulative window on the tiny (cohort, offset)
+# key — nothing carries more than one row per (user, week).
+# ---------------------------------------------------------------------------
+
+
+def events_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort x week-offset revenue / cumulative LTV triangle."""
+    _views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH f AS (
+          SELECT user_id,
+                 MIN(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+          FROM events GROUP BY user_id
+        ),
+        r AS (
+          SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week,
+                 SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                   AS rev_cents
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY user_id, CAST(date_trunc('week', ts) AS DATE)
+        ),
+        c AS (
+          SELECT cohort_week, COUNT(*) AS n_users
+          FROM f GROUP BY cohort_week
+        ),
+        tri AS (
+          SELECT f.cohort_week,
+                 CAST(datediff(r.week, f.cohort_week) DIV 7 AS INT)
+                   AS week_offset,
+                 SUM(r.rev_cents) AS rev_cents
+          FROM r JOIN f ON r.user_id = f.user_id
+          GROUP BY f.cohort_week, datediff(r.week, f.cohort_week) DIV 7
+        )
+        SELECT t.cohort_week, t.week_offset, t.rev_cents,
+               SUM(t.rev_cents) OVER (PARTITION BY t.cohort_week
+                    ORDER BY t.week_offset) AS cum_rev_cents,
+               c.n_users,
+               SUM(t.rev_cents) OVER (PARTITION BY t.cohort_week
+                    ORDER BY t.week_offset) DIV c.n_users
+                 AS ltv_cents_per_user
+        FROM tri t JOIN c ON t.cohort_week = c.cohort_week
+        """
+    )
+
+
+_LTV_ORACLE = """
+WITH f AS (
+  SELECT user_id,
+         MIN(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+r AS (
+  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week,
+         SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+           AS rev_cents
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, CAST(date_trunc('week', ts) AS DATE)
+),
+c AS (SELECT cohort_week, COUNT(*) AS n_users FROM f GROUP BY cohort_week),
+tri AS (
+  SELECT f.cohort_week,
+         CAST(date_diff('day', f.cohort_week, r.week) // 7 AS INTEGER)
+           AS week_offset,
+         SUM(r.rev_cents) AS rev_cents
+  FROM r JOIN f ON r.user_id = f.user_id
+  GROUP BY f.cohort_week, date_diff('day', f.cohort_week, r.week) // 7
+)
+SELECT t.cohort_week, t.week_offset, CAST(t.rev_cents AS BIGINT) AS rev_cents,
+       CAST(SUM(t.rev_cents) OVER (PARTITION BY t.cohort_week
+            ORDER BY t.week_offset) AS BIGINT) AS cum_rev_cents,
+       c.n_users,
+       CAST(SUM(t.rev_cents) OVER (PARTITION BY t.cohort_week
+            ORDER BY t.week_offset) AS BIGINT) // c.n_users
+         AS ltv_cents_per_user
+FROM tri t JOIN c ON t.cohort_week = c.cohort_week
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "events_user_features": events_user_features,
@@ -807,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly": events_anomaly,
         "events_funnel": events_funnel,
         "events_retention": events_retention,
+        "events_ltv_cohort": events_ltv_cohort,
         "events_user_stats_salted": events_user_stats_salted,
         "events_hourly": events_hourly,
         "events_sessionize": events_sessionize,
@@ -827,6 +917,7 @@ def oracles() -> dict[str, str]:
         "events_anomaly": _ANOMALY_ORACLE,
         "events_funnel": _FUNNEL_ORACLE,
         "events_retention": _RETENTION_ORACLE,
+        "events_ltv_cohort": _LTV_ORACLE,
         "events_user_stats_salted": _SALTED_ORACLE,
         "events_hourly": _HOURLY_ORACLE,
         "events_sessionize": _SESSIONIZE_ORACLE,

@@ -1425,6 +1425,64 @@ WITH {_duck_v_cte()},
 """
 
 
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K of the PQ/ADC search vs the exact brute-force top-K —
+    the acceptance metric of any quantized index (how much accuracy the
+    8-byte codes cost).  Same join/aggregate shape as ann_recall_eval;
+    the ratio is one division of two exact counts."""
+    from pyspark.sql import functions as F
+
+    brute = ann_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    pq = (
+        ann_pq_search(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        brute.join(pq, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("hit").alias("n_hits"),
+            (
+                F.count("hit").cast("double") / F.count(F.lit(1))
+            ).alias("recall"),
+        )
+    )
+
+
+def _pq_recall_oracle() -> str:
+    cos = _duck_cosine("q.emb", "c.emb", "q.nrm", "c.nrm")
+    return f"""
+WITH {_duck_v_cte()},
+{_pq_codes_ctes('duck', 'v')},
+bscored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS score
+  FROM (SELECT * FROM v WHERE vec_id < {N_QUERIES}) q
+  JOIN v c ON q.vec_id <> c.vec_id
+),
+brute AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS rank
+    FROM bscored
+  ) t WHERE rank <= {TOP_K}
+),
+pq AS (
+  WITH {_pq_search_body('duck').format(v='v')}
+)
+SELECT b.query_id,
+       COUNT(*) AS n_exact,
+       COUNT(p.hit) AS n_hits,
+       CAST(COUNT(p.hit) AS DOUBLE) / COUNT(*) AS recall
+FROM brute b
+LEFT JOIN (SELECT query_id, neighbor_id, 1 AS hit FROM pq) p
+  ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
+GROUP BY b.query_id
+"""
+
+
 def ann_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC top-K per query over the PQ-coded corpus."""
     v = _normed(spark, sf_dir)
@@ -1484,6 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_encode": ann_pq_encode,
         "ann_pq_search": ann_pq_search,
         "ann_ivf_pq": ann_ivf_pq,
+        "ann_pq_recall": ann_pq_recall,
         "ann_ivf_stats": ann_ivf_stats,
         "ann_outliers": ann_outliers,
         "ann_recall_eval": ann_recall_eval,
@@ -1506,6 +1565,7 @@ def oracles() -> dict[str, str]:
         "ann_pq_encode": _pq_encode_oracle(),
         "ann_pq_search": _pq_search_oracle(),
         "ann_ivf_pq": _ivf_pq_oracle(),
+        "ann_pq_recall": _pq_recall_oracle(),
         "ann_ivf_stats": _ivf_stats_oracle(),
         "ann_recall_eval": _recall_eval_oracle(),
         "ann_knn_graph": _knn_graph_oracle(),

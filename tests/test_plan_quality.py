@@ -198,8 +198,13 @@ _CARTESIAN_EXEMPT = {
     "ann_bruteforce",
     "ann_ivf_probe2",
     "ann_recall_eval",
-    # intentional: PQ codebook is a PQ_K-row broadcast relation
+    # intentional: PQ codebook is a PQ_K-row broadcast relation, and the
+    # ADC LUT build is a (queries x subspaces x codewords) cross join of
+    # three tiny broadcast relations (N_QUERIES*PQ_M*PQ_K = 1024 rows)
     "ann_pq_encode",
+    "ann_pq_search",
+    "ann_pq_recall",
+    "ann_ivf_pq",
 }
 
 

@@ -794,6 +794,63 @@ FROM s GROUP BY shard
 
 
 # ---------------------------------------------------------------------------
+# Packing efficiency report: per-shard fill rate of the concat-and-chunk
+# packs train_pack emits — the metric that tells you how many context
+# windows a corpus actually yields (the 100 TB cost driver: wasted pad
+# tokens = wasted training FLOPs).  Stream-cut semantics mean only each
+# shard's LAST pack is underfilled, so fill = total / (n_packs * budget)
+# in integer basis points; everything is exact integers with map-side
+# combinable aggregates on the shard key.
+# ---------------------------------------------------------------------------
+
+
+def train_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard pack count and fill rate (basis points)."""
+    _view(spark, sf_dir)
+    b = TOKEN_BUDGET
+    return spark.sql(
+        f"""
+        WITH t AS (
+          SELECT CAST(doc_id % {N_SHARDS} AS INT) AS shard,
+                 size({_SPARK_TOK}) AS n
+          FROM documents
+        ),
+        s AS (
+          SELECT shard, COUNT(*) AS n_docs, SUM(n) AS total_tokens
+          FROM t GROUP BY shard
+        )
+        SELECT shard, n_docs, total_tokens,
+               (total_tokens + {b - 1}) DIV {b} AS n_packs,
+               (total_tokens * 10000)
+                 DIV (GREATEST((total_tokens + {b - 1}) DIV {b}, 1) * {b})
+                 AS fill_bp
+        FROM s
+        """
+    )
+
+
+_PACK_EFFICIENCY_ORACLE = f"""
+WITH t AS (
+  SELECT CAST(doc_id % {N_SHARDS} AS INTEGER) AS shard,
+         len({_DUCK_TOK}) AS n
+  FROM documents
+),
+s AS (
+  SELECT shard, COUNT(*) AS n_docs,
+         CAST(SUM(n) AS BIGINT) AS total_tokens
+  FROM t GROUP BY shard
+)
+SELECT shard, n_docs, total_tokens,
+       (total_tokens + {TOKEN_BUDGET - 1}) // {TOKEN_BUDGET} AS n_packs,
+       (total_tokens * 10000)
+         // (GREATEST((total_tokens + {TOKEN_BUDGET - 1})
+                      // {TOKEN_BUDGET}, 1) * {TOKEN_BUDGET})
+         AS fill_bp
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
 # Leakage-free train/validation split: hash the near-dup CLUSTER id, not
 # the document id, so every near-duplicate group lands wholly in one
 # split — the defense against eval contamination by paraphrases of
@@ -842,6 +899,7 @@ FROM c
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "train_split_leakfree": train_split_leakfree,
+        "train_pack_efficiency": train_pack_efficiency,
         "train_shard_assign": train_shard_assign,
         "train_dataset_card": train_dataset_card,
         "train_length_histogram": train_length_histogram,
@@ -863,6 +921,7 @@ def oracles() -> dict[str, str]:
     return {
         "train_shard_assign": _SHARD_ORACLE,
         "train_split_leakfree": _split_leakfree_oracle(),
+        "train_pack_efficiency": _PACK_EFFICIENCY_ORACLE,
         "train_dataset_card": _CARD_ORACLE,
         "train_length_histogram": _LENGTH_HIST_ORACLE,
         "train_span_corruption": _SPAN_ORACLE,

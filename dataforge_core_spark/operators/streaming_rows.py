@@ -373,8 +373,136 @@ SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Watermark late-data semantics, driver-checked: the event stream is
+# replayed as TWO ordered files — everything after day 3 arrives first
+# (advancing the watermark to max(on-time ts) - 2h), then the first
+# 3 days arrive LATE, entirely behind the watermark.  In append mode
+# the engine (a) drops every late row before it reaches window state
+# and (b) finalizes exactly the windows whose end <= the watermark —
+# so the emitted result equals the on-time subset's hourly counts
+# bounded by the watermark, which is what the oracle states.  If late
+# rows leaked into state, the early windows' counts would include them
+# and the hash would break: the oracle verifies the DROP by exclusion.
+#
+# Determinism: maxFilesPerTrigger=1 forces one batch per file; the file
+# source orders by (modification time, path), and both are explicitly
+# set.  The late file never advances max event time, so the trailing
+# no-data batch re-derives the same watermark and emits nothing new.
+# At scale this lane is the correctness contract of every windowed
+# streaming job: state stays bounded by the lateness horizon and
+# results are reproducible regardless of arrival interleaving.
+# ---------------------------------------------------------------------------
+
+LATE_SPLIT_DAYS = 3
+LATE_WM = "2 hours"
+
+
+def _late_replay_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per sf) the ordered THREE-file replay of the events
+    table: 000_body (on-time up to max-2h), 001_bridge (the final 2h of
+    on-time data), 002_late (the first 3 days).  Timestamps normalized
+    to microseconds.
+
+    Three files because the engine runs TWO watermarks per batch
+    (SPARK-40925): late-event filtering uses the watermark as of the
+    PREVIOUS batch's planning, eviction/emission the current one — so a
+    late file arriving in batch 1 would be filtered against the initial
+    watermark (0) and leak into state.  With the bridge batch between,
+    the late batch is filtered against max(body)-2h and every late row
+    is genuinely dropped (assert-checked by tests via
+    numRowsDroppedByWatermark)."""
+    import hashlib
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    ident = f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}"
+    tag = hashlib.md5(ident.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"dfspark_late_{tag}")
+    data = os.path.join(base, "data")
+    done = os.path.join(base, "_done")
+    if not os.path.exists(done):
+        os.makedirs(data, exist_ok=True)
+        t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+        ts = t["ts"].combine_chunks().cast(pa.timestamp("us"))
+        t = t.set_column(t.schema.get_field_index("ts"), "ts", ts)
+        lo = pc.min(ts).cast(pa.int64()).as_py()
+        hi = pc.max(ts).cast(pa.int64()).as_py()
+        cut = pa.scalar(
+            lo + LATE_SPLIT_DAYS * 86_400_000_000, pa.timestamp("us")
+        )
+        bridge_cut = pa.scalar(hi - 7_200_000_000, pa.timestamp("us"))
+        parts = [
+            ("000_body.parquet",
+             pc.and_(pc.greater_equal(ts, cut), pc.less(ts, bridge_cut))),
+            ("001_bridge.parquet", pc.greater_equal(ts, bridge_cut)),
+            ("002_late.parquet", pc.less(ts, cut)),
+        ]
+        for i, (name, mask) in enumerate(parts):
+            part = t.filter(mask)
+            assert part.num_rows > 0, f"late-replay split {name} is empty"
+            path = os.path.join(data, name)
+            pq.write_table(part, path)
+            os.utime(path, (1_000_000 * (i + 1), 1_000_000 * (i + 1)))
+        with open(done, "w") as f:
+            f.write("ok")
+    return data
+
+
+def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode hourly counts with the first 3 days replayed late —
+    every late row must be dropped at the watermark."""
+    data = _late_replay_dir(spark, sf_dir)
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(data)
+    )
+    agg = (
+        raw.withWatermark("ts", LATE_WM)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, "drv_stream_late", spark, "append")
+
+
+_LATE_ORACLE = f"""
+WITH b AS (
+  SELECT * FROM events
+  WHERE ts >= (SELECT MIN(CAST(ts AS TIMESTAMP)) FROM events)
+              + INTERVAL {LATE_SPLIT_DAYS} DAY
+),
+wm AS (
+  SELECT date_trunc('millisecond', MAX(CAST(ts AS TIMESTAMP)))
+         - INTERVAL 2 HOUR AS w
+  FROM b
+)
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type, COUNT(*) AS n_events
+FROM b, wm
+WHERE date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR <= wm.w
+GROUP BY date_trunc('hour', CAST(ts AS TIMESTAMP)), event_type
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "stream_late_data": stream_late_data,
         "stream_dedup": stream_dedup,
         "stream_hourly": stream_hourly,
         "stream_anomaly": stream_anomaly,
@@ -386,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracles() -> dict[str, str]:
     return {
+        "stream_late_data": _LATE_ORACLE,
         "stream_dedup": _STREAM_DEDUP_ORACLE,
         "stream_hourly": _HOURLY_ORACLE,
         "stream_anomaly": _STREAM_ANOMALY_ORACLE,

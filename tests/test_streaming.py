@@ -446,3 +446,61 @@ def test_rocksdb_state_store_option(spark, sf_dir, monkeypatch):
     assert got == base
     pkey = "spark.sql.streaming.stateStore.providerClass"
     assert spark.conf.get(pkey, None) in (None, "")
+
+
+def test_late_data_actually_dropped(spark, sf_dir):
+    """stream_late_data's correctness claim is that the replayed first-3-
+    days rows are DROPPED at the watermark, not merely absent from the
+    output set — assert the engine's own drop metric counted every late
+    row (guards against the SPARK-40925 two-watermark lag silently
+    letting the late batch into state: late filtering uses the
+    PREVIOUS batch's watermark, which is why the replay needs the
+    bridge batch between on-time and late files)."""
+    import pyarrow.parquet as pq
+
+    from dataforge_core_spark.operators import streaming_rows as SR
+
+    data = SR._late_replay_dir(spark, sf_dir)
+    n_late = pq.read_metadata(f"{data}/002_late.parquet").num_rows
+    assert n_late > 0
+    # the watermark filter sits between the partial (map-side) aggregate
+    # and the state store, so the engine counts dropped GROUPS, not rows
+    n_late_groups = (
+        spark.read.parquet(f"{data}/002_late.parquet")
+        .selectExpr("date_trunc('hour', ts) AS h", "event_type")
+        .distinct()
+        .count()
+    )
+
+    raw = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(data)
+    )
+    from pyspark.sql import functions as F
+
+    agg = (
+        raw.withWatermark("ts", SR.LATE_WM)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_late_drop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark") or 0)
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    assert dropped == n_late_groups, (
+        f"late batch leaked into state: dropped={dropped}, "
+        f"expected {n_late_groups} late groups"
+    )

@@ -394,12 +394,82 @@ def _cluster_labels(
     return _labels_cache[key]
 
 
-def _cc_min_label(pairs, pointer_doubling: bool = False):
+def _cc_min_label(
+    pairs, pointer_doubling: bool = False, driver_max_edges: int | None = None
+):
     """Min-label fixed point over the undirected pair graph; returns
     (labels DataFrame(doc_id, cluster_id) over edge ENDPOINTS only,
     rounds executed).  ``pointer_doubling=True`` adds the label-of-label
     hop each round (label[v] also shrinks to label[label[v]]), which
     squares the propagated distance — O(log diameter) rounds."""
+    from pyspark.sql import functions as F
+
+    # the loop shuffles the ENDPOINT label table (near-dup density x
+    # corpus, tiny relative to the corpus) several times; session-wide
+    # shuffle width pays per-partition task/commit overhead each round
+    # for partitions that are mostly empty.  Size the loop's shuffles
+    # to the relation like the k-means build does (restored after; the
+    # checkpointed output keeps its own partitioning).  At 100 TB the
+    # equivalent move is sizing the CC job's shuffle width to the edge
+    # count, not the corpus scan width.
+    spark = pairs.sparkSession
+    _sp_key = "spark.sql.shuffle.partitions"
+    _sp_prev = spark.conf.get(_sp_key)
+    spark.conf.set(_sp_key, "8")
+    try:
+        cap = (
+            CC_DRIVER_MAX_EDGES
+            if driver_max_edges is None
+            else driver_max_edges
+        )
+        if cap > 0:
+            small = pairs.select("doc_a", "doc_b").limit(cap + 1).collect()
+            if len(small) <= cap:
+                return _cc_union_find_driver(spark, small), 0
+        return _cc_min_label_loop(pairs, pointer_doubling)
+    finally:
+        spark.conf.set(_sp_key, _sp_prev)
+
+
+# near-dup edge lists are a small fraction of the corpus (bounded by
+# dup density x doc count, further capped by MAX_BAND_BUCKET /
+# MAX_SHINGLE_DF) — below this bound the classic hybrid wins: generate
+# pairs distributed, solve the component problem on the driver with
+# union-find (micro-seconds for 1e5 edges vs seconds per distributed
+# propagation ROUND), broadcast the labels back.  Above it, the
+# distributed min-label loop is the scale path — same fixed point,
+# bit-identical labels (component min), so the switch is invisible to
+# every consumer and to the oracles.
+CC_DRIVER_MAX_EDGES = 100_000
+
+
+def _cc_union_find_driver(spark, edge_rows):
+    """Union-find over a collected edge list; labels = component min.
+    Returns the same (doc_id, cluster_id) endpoint frame (checkpointed)
+    as the distributed loop."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edge_rows:
+        a, b = row[0], row[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # min-label union
+    labels = [(x, find(x)) for x in parent]
+    df = spark.createDataFrame(labels, "doc_id long, cluster_id long")
+    return df.localCheckpoint(eager=True)
+
+
+def _cc_min_label_loop(pairs, pointer_doubling: bool):
     from pyspark.sql import functions as F
 
     pairs = pairs.select("doc_a", "doc_b")

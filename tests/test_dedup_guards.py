@@ -121,12 +121,20 @@ def test_pointer_doubling_converges_logarithmically(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
     )
-    plain, r_plain = _cc_min_label(pairs)
-    pd_, r_pd = _cc_min_label(pairs, pointer_doubling=True)
+    # driver_max_edges=0 forces the DISTRIBUTED loop (the default size
+    # gate would solve a 16-edge graph with driver union-find)
+    plain, r_plain = _cc_min_label(pairs, driver_max_edges=0)
+    pd_, r_pd = _cc_min_label(
+        pairs, pointer_doubling=True, driver_max_edges=0
+    )
     want = {(i, 0) for i in range(n)}
     assert {tuple(r) for r in plain.collect()} == want
     assert {tuple(r) for r in pd_.collect()} == want
     assert r_pd <= 7 < r_plain  # log2(16)+slack vs ~diameter
+    # the size-gated driver fast path must produce the identical labels
+    uf, r_uf = _cc_min_label(pairs)
+    assert r_uf == 0
+    assert {tuple(r) for r in uf.collect()} == want
 
 
 def test_simhash_hot_block_bucket_salted(spark, tmp_path):

@@ -797,6 +797,82 @@ GROUP BY vb.event_id, vb.user_id, vb.ts
 
 
 # ---------------------------------------------------------------------------
+# Bot / automation detection: accounts whose inter-event gaps are too
+# REGULAR are schedulers, not humans — the behavioral-abuse filter a
+# training-data pipeline runs before user content enters a corpus.  The
+# test is on the squared coefficient of variation (dimensionless, so it
+# works at any activity rate): human arrivals are ~Poisson (CV ~= 1),
+# automation is periodic (CV ~= 0); flag CV² < 3/4 at volume.  Exact
+# integers end to end: gaps are integer seconds (epoch difference), and
+# CV² = (n·Σg² - (Σg)²) / (Σg)², so the flag is the cross-multiplied
+# comparison 4·(n·Σg² - (Σg)²) < 3·(Σg)² — no division, no doubles,
+# identical hash on any engine.
+#
+# Scale shape: one user-keyed window (the same partitioning the
+# sessionize/features family shuffles on) + a map-side-combinable
+# aggregate; nothing exceeds one row per user downstream.
+# ---------------------------------------------------------------------------
+
+BOT_MIN_GAPS = 20
+# flag when CV² < BOT_CV2_NUM / BOT_CV2_DEN (Poisson humans sit at 1)
+BOT_CV2_NUM, BOT_CV2_DEN = 3, 4
+
+
+def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user gap statistics + low-variance-at-volume bot flag."""
+    _views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH g AS (
+          SELECT user_id,
+                 unix_timestamp(ts)
+                   - unix_timestamp(lag(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id)) AS gap_s
+          FROM events
+        ),
+        s AS (
+          SELECT user_id, COUNT(gap_s) AS n_gaps,
+                 SUM(gap_s) AS sum_gap_s,
+                 SUM(gap_s * gap_s) AS sum_gap2
+          FROM g WHERE gap_s IS NOT NULL GROUP BY user_id
+        )
+        SELECT user_id, n_gaps, sum_gap_s,
+               n_gaps * sum_gap2 - sum_gap_s * sum_gap_s AS gap_var_num,
+               n_gaps >= {BOT_MIN_GAPS}
+                 AND {BOT_CV2_DEN} * (n_gaps * sum_gap2
+                                      - sum_gap_s * sum_gap_s)
+                     < {BOT_CV2_NUM} * sum_gap_s * sum_gap_s
+                 AS is_bot
+        FROM s
+        """
+    )
+
+
+_BOT_ORACLE = f"""
+WITH g AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id))) AS BIGINT) AS gap_s
+  FROM events
+),
+s AS (
+  SELECT user_id, COUNT(gap_s) AS n_gaps,
+         CAST(SUM(gap_s) AS BIGINT) AS sum_gap_s,
+         CAST(SUM(gap_s * gap_s) AS BIGINT) AS sum_gap2
+  FROM g WHERE gap_s IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, n_gaps, sum_gap_s,
+       n_gaps * sum_gap2 - sum_gap_s * sum_gap_s AS gap_var_num,
+       n_gaps >= {BOT_MIN_GAPS}
+         AND {BOT_CV2_DEN} * (n_gaps * sum_gap2 - sum_gap_s * sum_gap_s)
+             < {BOT_CV2_NUM} * sum_gap_s * sum_gap_s
+         AS is_bot
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
 # Cohort LTV triangle: per (signup-cohort week, week offset) purchase
 # revenue, cumulative revenue, and per-user LTV — the revenue sibling of
 # events_retention's activity triangle.  Revenue is decimal-exact cents
@@ -897,6 +973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": events_funnel,
         "events_retention": events_retention,
         "events_ltv_cohort": events_ltv_cohort,
+        "events_bot_detection": events_bot_detection,
         "events_user_stats_salted": events_user_stats_salted,
         "events_hourly": events_hourly,
         "events_sessionize": events_sessionize,
@@ -918,6 +995,7 @@ def oracles() -> dict[str, str]:
         "events_funnel": _FUNNEL_ORACLE,
         "events_retention": _RETENTION_ORACLE,
         "events_ltv_cohort": _LTV_ORACLE,
+        "events_bot_detection": _BOT_ORACLE,
         "events_user_stats_salted": _SALTED_ORACLE,
         "events_hourly": _HOURLY_ORACLE,
         "events_sessionize": _SESSIONIZE_ORACLE,

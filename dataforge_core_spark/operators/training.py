@@ -794,6 +794,106 @@ FROM s GROUP BY shard
 
 
 # ---------------------------------------------------------------------------
+# The corpus-cleaning pipeline END TO END, as one per-document decision
+# table: exact dedup (keep the canonical of each md5 group) -> near-dup
+# keep-best (longest exact-survivor per minhash cluster) -> quality
+# gate (token count in range, type-token ratio above floor, both as
+# integer cross-multiplied comparisons).  `final_keep` is the corpus a
+# training run would actually read; the per-stage booleans are the
+# funnel report every cleaning run logs.  Composes the SHARED cached
+# frames (exact groups, CC labels) — the pipeline costs one extra join
+# pass over what the individual lanes already built, and at 100 TB the
+# same composition runs as one plan with no materialization between
+# stages.
+# ---------------------------------------------------------------------------
+
+
+def train_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc exact/near-dup/quality funnel + final keep decision."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from dataforge_core_spark.operators.dedup import (
+        dedup_cluster,
+        dedup_exact,
+    )
+
+    ex = dedup_exact(spark, sf_dir).select("doc_id", "is_dup")
+    labels = dedup_cluster(spark, sf_dir)
+    toks = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "doc_id",
+        f"size({_SPARK_TOK}) AS n_tokens",
+        f"size(array_distinct({_SPARK_TOK})) AS n_distinct",
+    )
+    base = ex.join(labels, "doc_id").join(toks, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id")
+    )
+    best = (
+        base.filter(~F.col("is_dup"))
+        .withColumn("rn", F.row_number().over(w))
+        .select("doc_id", (F.col("rn") == 1).alias("pass_neardup"))
+    )
+    return (
+        base.join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            (~F.col("is_dup")).alias("pass_exact"),
+            F.coalesce("pass_neardup", F.lit(False)).alias("pass_neardup"),
+            F.expr(
+                "n_tokens BETWEEN 20 AND 1000 AND n_distinct * 5 > n_tokens"
+            ).alias("pass_quality"),
+            F.expr(
+                "NOT is_dup AND COALESCE(pass_neardup, FALSE)"
+                " AND n_tokens BETWEEN 20 AND 1000"
+                " AND n_distinct * 5 > n_tokens"
+            ).alias("final_keep"),
+        )
+    )
+
+
+def _corpus_pipeline_oracle() -> str:
+    from dataforge_core_spark.operators.dedup import (
+        _DEDUP_CLUSTER_ORACLE,
+        _DUCK_NORM,
+    )
+
+    return f"""
+WITH c AS ({_DEDUP_CLUSTER_ORACLE}),
+ex AS (
+  SELECT doc_id,
+         doc_id <> MIN(doc_id) OVER (PARTITION BY k) AS is_dup
+  FROM (SELECT doc_id, md5({_DUCK_NORM}) AS k FROM documents)
+),
+t AS (
+  SELECT doc_id, CAST(len({_DUCK_TOK}) AS INTEGER) AS n_tokens,
+         CAST(len(list_distinct({_DUCK_TOK})) AS INTEGER) AS n_distinct
+  FROM documents
+),
+base AS (
+  SELECT ex.doc_id, ex.is_dup, c.cluster_id, t.n_tokens, t.n_distinct
+  FROM ex JOIN c ON ex.doc_id = c.doc_id
+  JOIN t ON ex.doc_id = t.doc_id
+),
+best AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+              ORDER BY n_tokens DESC, doc_id) = 1 AS pass_neardup
+  FROM base WHERE NOT is_dup
+)
+SELECT b.doc_id,
+       NOT b.is_dup AS pass_exact,
+       COALESCE(best.pass_neardup, FALSE) AS pass_neardup,
+       (b.n_tokens BETWEEN 20 AND 1000
+        AND b.n_distinct * 5 > b.n_tokens) AS pass_quality,
+       (NOT b.is_dup AND COALESCE(best.pass_neardup, FALSE)
+        AND b.n_tokens BETWEEN 20 AND 1000
+        AND b.n_distinct * 5 > b.n_tokens) AS final_keep
+FROM base b LEFT JOIN best ON b.doc_id = best.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Packing efficiency report: per-shard fill rate of the concat-and-chunk
 # packs train_pack emits — the metric that tells you how many context
 # windows a corpus actually yields (the 100 TB cost driver: wasted pad
@@ -900,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "train_split_leakfree": train_split_leakfree,
         "train_pack_efficiency": train_pack_efficiency,
+        "train_corpus_pipeline": train_corpus_pipeline,
         "train_shard_assign": train_shard_assign,
         "train_dataset_card": train_dataset_card,
         "train_length_histogram": train_length_histogram,
@@ -922,6 +1023,7 @@ def oracles() -> dict[str, str]:
         "train_shard_assign": _SHARD_ORACLE,
         "train_split_leakfree": _split_leakfree_oracle(),
         "train_pack_efficiency": _PACK_EFFICIENCY_ORACLE,
+        "train_corpus_pipeline": _corpus_pipeline_oracle(),
         "train_dataset_card": _CARD_ORACLE,
         "train_length_histogram": _LENGTH_HIST_ORACLE,
         "train_span_corruption": _SPAN_ORACLE,

@@ -92,13 +92,16 @@ def _index_builders():
         # then read checkpointed blocks
         ("engine_hub_compile", lambda s: entry._build(s, SF_DIR)),
         ("dedup_shingles", lambda s: dedup._ex_df(s, SF_DIR).count()),
-        (
-            "dedup_cluster_labels",
-            lambda s: dedup._cluster_labels(s, SF_DIR, False).count(),
-        ),
+        # pairs BEFORE labels: the cluster build consumes the cached
+        # pair frame (otherwise the full minhash pipeline runs cold
+        # inside the label timing and the pairs row measures a no-op)
         (
             "dedup_minhash_pairs",
             lambda s: dedup.dedup_minhash(s, SF_DIR).count(),
+        ),
+        (
+            "dedup_cluster_labels",
+            lambda s: dedup._cluster_labels(s, SF_DIR, False).count(),
         ),
         (
             "simhash_signatures",

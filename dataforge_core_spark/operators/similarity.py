@@ -1425,6 +1425,114 @@ WITH {_duck_v_cte()},
 """
 
 
+MRL_DIM = 16  # Matryoshka prefix length
+
+
+def _prefix_dot(a: str, b: str, dialect: str, dim: int = MRL_DIM) -> str:
+    """Balanced unrolled dot over the first ``dim`` components — the
+    Matryoshka-truncated score (same tree discipline as _unrolled_dot,
+    so it is bit-deterministic across engines)."""
+    off = 0 if dialect == "spark" else 1
+    terms = [f"({a}[{i + off}] * {b}[{i + off}])" for i in range(dim)]
+    while len(terms) > 1:
+        terms = [
+            f"({terms[i]} + {terms[i + 1]})"
+            if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
+
+
+def ann_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K of prefix-dimension (Matryoshka) search vs full-dim
+    exact — how much accuracy a 4x-cheaper 16-of-64-component scan
+    keeps.  This is the evaluation behind MRL-style embedding
+    deployments: score candidates on a short prefix (4x less I/O and
+    compute per pair at 100 TB), then decide whether a full-dim rerank
+    is needed.  Prefix cosine = prefix dot / prefix norms; sqrt is
+    IEEE-correctly-rounded on both engines, so ranks are
+    engine-identical."""
+    from pyspark.sql import functions as F
+
+    v = _normed(spark, sf_dir)
+    pd_ = _prefix_dot("q.emb", "c.emb", "spark")
+    pq_ = _prefix_dot("q.emb", "q.emb", "spark")
+    pc_ = _prefix_dot("c.emb", "c.emb", "spark")
+    brute = ann_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    mrl = spark.sql(
+        f"""
+        WITH scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 ({pd_}) / (sqrt({pq_}) * sqrt({pc_})) AS score
+          FROM (SELECT * FROM {v} WHERE vec_id < {N_QUERIES}) q
+          JOIN {v} c ON q.vec_id <> c.vec_id
+        )
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, neighbor_id) AS rank
+          FROM scored
+        ) t WHERE rank <= {TOP_K}
+        """
+    ).withColumn("hit", F.lit(1))
+    return (
+        brute.join(mrl, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("hit").alias("n_hits"),
+            (
+                F.count("hit").cast("double") / F.count(F.lit(1))
+            ).alias("recall"),
+        )
+    )
+
+
+def _mrl_recall_oracle() -> str:
+    cos = _duck_cosine("q.emb", "c.emb", "q.nrm", "c.nrm")
+    pd_ = _prefix_dot("q.emb", "c.emb", "duck")
+    pq_ = _prefix_dot("q.emb", "q.emb", "duck")
+    pc_ = _prefix_dot("c.emb", "c.emb", "duck")
+    return f"""
+WITH {_duck_v_cte()},
+bscored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS score
+  FROM (SELECT * FROM v WHERE vec_id < {N_QUERIES}) q
+  JOIN v c ON q.vec_id <> c.vec_id
+),
+brute AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS rank
+    FROM bscored
+  ) t WHERE rank <= {TOP_K}
+),
+mscored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ({pd_}) / (sqrt({pq_}) * sqrt({pc_})) AS score
+  FROM (SELECT * FROM v WHERE vec_id < {N_QUERIES}) q
+  JOIN v c ON q.vec_id <> c.vec_id
+),
+mrl AS (
+  SELECT query_id, neighbor_id, 1 AS hit FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS rank
+    FROM mscored
+  ) t WHERE rank <= {TOP_K}
+)
+SELECT b.query_id,
+       COUNT(*) AS n_exact,
+       COUNT(m.hit) AS n_hits,
+       CAST(COUNT(m.hit) AS DOUBLE) / COUNT(*) AS recall
+FROM brute b
+LEFT JOIN mrl m
+  ON b.query_id = m.query_id AND b.neighbor_id = m.neighbor_id
+GROUP BY b.query_id
+"""
+
+
 def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@K of the PQ/ADC search vs the exact brute-force top-K —
     the acceptance metric of any quantized index (how much accuracy the
@@ -1543,6 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_search": ann_pq_search,
         "ann_ivf_pq": ann_ivf_pq,
         "ann_pq_recall": ann_pq_recall,
+        "ann_mrl_recall": ann_mrl_recall,
         "ann_ivf_stats": ann_ivf_stats,
         "ann_outliers": ann_outliers,
         "ann_recall_eval": ann_recall_eval,
@@ -1566,6 +1675,7 @@ def oracles() -> dict[str, str]:
         "ann_pq_search": _pq_search_oracle(),
         "ann_ivf_pq": _ivf_pq_oracle(),
         "ann_pq_recall": _pq_recall_oracle(),
+        "ann_mrl_recall": _mrl_recall_oracle(),
         "ann_ivf_stats": _ivf_stats_oracle(),
         "ann_recall_eval": _recall_eval_oracle(),
         "ann_knn_graph": _knn_graph_oracle(),

@@ -500,8 +500,55 @@ GROUP BY date_trunc('hour', CAST(ts AS TIMESTAMP)), event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# Streaming trending top-K: complete-mode windowed counts on the engine,
+# then a per-window rank over the sink — the lambda-free "trending now"
+# architecture (the stream maintains the counts; the serving layer ranks
+# its materialized view per request).  Counts and ranks are exact
+# integers; the rank window lowers to WindowGroupLimit over the
+# (windows x types)-sized sink table.
+# ---------------------------------------------------------------------------
+
+TREND_TOP_K = 3
+
+
+def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K event types per hour window from the streamed counts."""
+    from dataforge_core_spark.streaming import stream_events
+
+    agg = (
+        stream_events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    counts = _run_to_memory(agg, "drv_stream_topk", spark, "complete")
+    return counts.selectExpr(
+        "window.start AS window_start", "event_type", "n_events"
+    ).selectExpr(
+        "*",
+        f"""CAST(ROW_NUMBER() OVER (PARTITION BY window_start
+             ORDER BY n_events DESC, event_type) AS INT) AS rank""",
+    ).where(f"rank <= {TREND_TOP_K}")
+
+
+_STREAM_TOPK_ORACLE = f"""
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         COUNT(*) AS n_events
+  FROM events GROUP BY date_trunc('hour', ts), event_type
+)
+SELECT window_start, event_type, n_events, rank FROM (
+  SELECT window_start, event_type, n_events,
+         CAST(ROW_NUMBER() OVER (PARTITION BY window_start
+              ORDER BY n_events DESC, event_type) AS INTEGER) AS rank
+  FROM c
+) t WHERE rank <= {TREND_TOP_K}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "stream_topk": stream_topk,
         "stream_late_data": stream_late_data,
         "stream_dedup": stream_dedup,
         "stream_hourly": stream_hourly,
@@ -514,6 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracles() -> dict[str, str]:
     return {
+        "stream_topk": _STREAM_TOPK_ORACLE,
         "stream_late_data": _LATE_ORACLE,
         "stream_dedup": _STREAM_DEDUP_ORACLE,
         "stream_hourly": _HOURLY_ORACLE,

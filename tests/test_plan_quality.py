@@ -205,6 +205,9 @@ _CARTESIAN_EXEMPT = {
     "ann_pq_search",
     "ann_pq_recall",
     "ann_ivf_pq",
+    # intentional: the exact-baseline side of the Matryoshka recall
+    # eval is the same all-pairs shape as ann_bruteforce
+    "ann_mrl_recall",
 }
 
 

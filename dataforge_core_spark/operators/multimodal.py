@@ -574,7 +574,7 @@ def audio_synth_fn():
         def wav(doc_id: int, n: int) -> bytes:
             rate = 8000 + (n % 8) * 1000
             samples = [
-                ((doc_id * 31 + i * 17) % 65536) - 32768
+                ((doc_id * 31 + i * 7919) % 65536) - 32768
                 for i in range(AUDIO_N_FRAMES)
             ]
             data = b"".join(struct.pack("<h", s) for s in samples)
@@ -674,7 +674,7 @@ WITH d AS (
 ),
 s AS (
   SELECT doc_id, i,
-         ((doc_id * 31 + i * 17) % 65536) - 32768 AS v
+         ((doc_id * 31 + i * 7919) % 65536) - 32768 AS v
   FROM d, unnest(generate_series(0, {AUDIO_N_FRAMES - 1})) AS u(i)
 ),
 z AS (
@@ -850,6 +850,130 @@ GROUP BY doc_id, x // {PATCH_SIDE}, y // {PATCH_SIDE}
 
 
 # ---------------------------------------------------------------------------
+# VAD-style audio segmentation: frame the decoded waveform, gate frames
+# on integer energy, and emit maximal runs of voiced frames — the
+# speech-segmentation primitive an audio-training pipeline runs before
+# transcription/embedding (only voiced segments are worth GPU time).
+# The Python stage parses the REAL WAV byte layout (a header-offset bug
+# breaks every energy); the oracle recomputes the waveform formula and
+# finds the same runs with the gaps-and-islands construction.  All
+# integers end to end.  Scan-side Python pass, zero shuffles.
+# ---------------------------------------------------------------------------
+
+VAD_FRAME = 4  # samples per frame
+VAD_THRESH = 65_536  # integer energy gate (sum |s| per frame)
+
+
+def audio_vad_fn():
+    """mapInPandas stage: (doc_id, payload WAV) -> voiced segments."""
+
+    def vad(batches):
+        import struct
+
+        import pandas as pd
+
+        def segments(doc_id: int, b: bytes):
+            n = AUDIO_N_FRAMES
+            samples = struct.unpack(f"<{n}h", b[44:44 + 2 * n])
+            voiced = []
+            for f in range(n // VAD_FRAME):
+                e = sum(
+                    abs(s)
+                    for s in samples[f * VAD_FRAME:(f + 1) * VAD_FRAME]
+                )
+                voiced.append((f, e) if e > VAD_THRESH else None)
+            out, run = [], []
+            for item in voiced + [None]:
+                if item is not None:
+                    run.append(item)
+                elif run:
+                    out.append(
+                        (
+                            doc_id,
+                            run[0][0],
+                            run[-1][0],
+                            sum(e for _, e in run),
+                        )
+                    )
+                    run = []
+            return [
+                (doc_id, i + 1, s, t, e)
+                for i, (doc_id, s, t, e) in enumerate(out)
+            ]
+
+        for pdf in batches:
+            rows = [
+                r
+                for d, b in zip(pdf["doc_id"], pdf["payload"])
+                for r in segments(int(d), b)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": [r[0] for r in rows],
+                    "seg_id": pd.array(
+                        [r[1] for r in rows], dtype="Int32"
+                    ),
+                    "start_frame": pd.array(
+                        [r[2] for r in rows], dtype="Int32"
+                    ),
+                    "end_frame": pd.array(
+                        [r[3] for r in rows], dtype="Int32"
+                    ),
+                    "energy": [r[4] for r in rows],
+                }
+            )
+
+    return vad
+
+
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synth WAV -> voiced-segment table, one fused Python pass."""
+
+    def fused(batches):
+        return audio_vad_fn()(audio_synth_fn()(batches))
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return docs.mapInPandas(
+        fused,
+        "doc_id bigint, seg_id int, start_frame int, "
+        "end_frame int, energy bigint",
+    )
+
+
+_AUDIO_VAD_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, i,
+         ((doc_id * 31 + i * 7919) % 65536) - 32768 AS v
+  FROM documents,
+       unnest(generate_series(0, {AUDIO_N_FRAMES - 1})) AS u(i)
+),
+fr AS (
+  SELECT doc_id, i // {VAD_FRAME} AS f, SUM(ABS(v)) AS e
+  FROM s GROUP BY doc_id, i // {VAD_FRAME}
+),
+voiced AS (
+  SELECT doc_id, f, e,
+         f - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+  FROM fr WHERE e > {VAD_THRESH}
+),
+seg AS (
+  SELECT doc_id, MIN(f) AS start_frame, MAX(f) AS end_frame,
+         CAST(SUM(e) AS BIGINT) AS energy
+  FROM voiced GROUP BY doc_id, grp
+)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY start_frame) AS INTEGER) AS seg_id,
+       CAST(start_frame AS INTEGER) AS start_frame,
+       CAST(end_frame AS INTEGER) AS end_frame,
+       energy
+FROM seg
+"""
+
+
+# ---------------------------------------------------------------------------
 # Perceptual image hash (dHash) — the image-dedup primitive: downsample
 # the decoded image to an 8x8 grid of block sums and emit one bit per
 # horizontally-adjacent pair (right > left), packed into a 56-bit
@@ -955,6 +1079,7 @@ SELECT doc_id, phash, COUNT(*) OVER (PARTITION BY phash) AS n_dups FROM h
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "multimodal_phash": multimodal_phash,
+        "multimodal_audio_vad": multimodal_audio_vad,
         "multimodal_patches": multimodal_patches,
         "multimodal_audio_features": multimodal_audio_features,
         "multimodal_meta": multimodal_meta,
@@ -967,6 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracles() -> dict[str, str]:
     return {
         "multimodal_phash": _PHASH_ORACLE,
+        "multimodal_audio_vad": _AUDIO_VAD_ORACLE,
         "multimodal_patches": _PATCHES_ORACLE,
         "multimodal_audio_features": _AUDIO_FEATURES_ORACLE,
         "multimodal_meta": _META_ORACLE,

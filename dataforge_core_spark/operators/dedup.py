@@ -796,7 +796,7 @@ def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             AS n_exact_dups,
           (SELECT COUNT(DISTINCT canonical_id) FROM dedup_report_exact
            WHERE group_size > 1) AS n_exact_groups,
-          (SELECT COALESCE(SUM(sz), 0) FROM s WHERE sz > 1) AS n_near_docs,
+          (SELECT CAST(COALESCE(SUM(sz), 0) AS BIGINT) FROM s WHERE sz > 1) AS n_near_docs,
           (SELECT COUNT(*) FROM s WHERE sz > 1) AS n_near_clusters,
           CAST((1000000 * (SELECT COUNT(*) FROM dedup_report_exact
                            WHERE is_dup))
@@ -832,7 +832,7 @@ SELECT
   (SELECT COUNT(*) FROM e WHERE is_dup) AS n_exact_dups,
   (SELECT COUNT(DISTINCT canonical_id) FROM e WHERE group_size > 1)
     AS n_exact_groups,
-  (SELECT COALESCE(SUM(sz), 0) FROM s WHERE sz > 1) AS n_near_docs,
+  (SELECT CAST(COALESCE(SUM(sz), 0) AS BIGINT) FROM s WHERE sz > 1) AS n_near_docs,
   (SELECT COUNT(*) FROM s WHERE sz > 1) AS n_near_clusters,
   CAST((1000000 * (SELECT COUNT(*) FROM e WHERE is_dup))
     // (SELECT COUNT(*) FROM e) AS BIGINT) AS exact_dup_ppm,

@@ -841,7 +841,7 @@ WITH px AS (
 SELECT doc_id,
        CAST(x // {PATCH_SIDE} AS INTEGER) AS patch_x,
        CAST(y // {PATCH_SIDE} AS INTEGER) AS patch_y,
-       SUM(v) AS px_sum,
+       CAST(SUM(v) AS BIGINT) AS px_sum,
        CAST(MIN(v) AS INTEGER) AS px_min,
        CAST(MAX(v) AS INTEGER) AS px_max
 FROM px

@@ -1638,7 +1638,7 @@ def _ivf_stats_oracle() -> str:
     return f"""
 WITH {_duck_v_cte()},
 {_kmeans_ctes('v', 'duck')}
-SELECT cid, COUNT(*) AS n_vecs,
+SELECT CAST(cid AS INTEGER) AS cid, COUNT(*) AS n_vecs,
        LEAST(COUNT(*), {IVF_CELL_CAP}) AS n_searched,
        MIN(vec_id) AS min_vec_id, MAX(vec_id) AS max_vec_id
 FROM af GROUP BY cid

@@ -290,7 +290,8 @@ model AS (
          ({_qlog2(dialect, 'c.c + 1')} - {_qlog2(dialect, 'u.cuv')}) AS s
   FROM cnt c JOIN uni u ON c.w1 = u.w1
 )
-SELECT d.doc_id, SUM(d.k) AS n_bigrams, SUM(d.k * m.s) AS lp_sum_q
+SELECT d.doc_id, CAST(SUM(d.k) AS BIGINT) AS n_bigrams,
+       CAST(SUM(d.k * m.s) AS BIGINT) AS lp_sum_q
 FROM dbg d JOIN model m ON d.w1 = m.w1 AND d.w2 = m.w2
 GROUP BY d.doc_id
 """
@@ -331,8 +332,8 @@ WITH tf AS (
   SELECT doc_id, term, COUNT(*) AS c FROM ({flat}) GROUP BY doc_id, term
 ),
 agg AS (
-  SELECT doc_id, SUM(c) AS n_tokens,
-         SUM(c * {_qlog2(dialect, 'c')}) AS clogc_q
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(SUM(c * {_qlog2(dialect, 'c')}) AS BIGINT) AS clogc_q
   FROM tf GROUP BY doc_id
 )
 SELECT doc_id, n_tokens, clogc_q,

@@ -571,7 +571,7 @@ WITH t AS (
 lc AS (SELECT lang, COUNT(*) AS c FROM t GROUP BY lang)
 SELECT
   (SELECT COUNT(*) FROM t) AS n_docs,
-  (SELECT SUM(n) FROM t) AS n_tokens,
+  (SELECT CAST(SUM(n) AS BIGINT) FROM t) AS n_tokens,
   CAST((1000000 * (SELECT SUM(n) FROM t))
     {idiv} (SELECT COUNT(*) FROM t) AS BIGINT) AS mean_tokens_ppm,
   (SELECT COUNT(*) FROM lc) AS n_langs,
@@ -622,7 +622,7 @@ WITH t AS (
   SELECT len({_DUCK_TOK}) AS n FROM documents
 )
 SELECT CAST(length(printf('%b', n)) - 1 AS INTEGER) AS bucket,
-       COUNT(*) AS n_docs, SUM(n) AS n_tokens
+       COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens
 FROM t WHERE n > 0 GROUP BY 1
 """
 
@@ -788,7 +788,8 @@ WITH s AS (
            % {N_SHARDS} AS shard
   FROM documents
 )
-SELECT shard AS shard_id, COUNT(*) AS n_docs, SUM(n) AS n_tokens
+SELECT shard AS shard_id, COUNT(*) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS n_tokens
 FROM s GROUP BY shard
 """
 

@@ -85,6 +85,54 @@ def _pairs():
 NAMES, _Q, _O = _pairs()
 
 
+def _norm_spark_type(dt: str) -> str:
+    dt = dt.lower()
+    if dt in ("bigint", "long"):
+        return "i64"
+    if dt in ("int", "integer"):
+        return "i32"
+    if dt == "double":
+        return "f64"
+    if dt == "string":
+        return "str"
+    if dt == "boolean":
+        return "bool"
+    if dt == "date":
+        return "date"
+    if dt.startswith("timestamp"):
+        return "ts"
+    if dt.startswith("decimal"):
+        return "dec:" + dt.replace(" ", "")
+    if dt.startswith("array"):
+        return "arr"
+    return dt
+
+
+def _norm_arrow_type(t) -> str:
+    s = str(t)
+    if s == "int64":
+        return "i64"
+    if s == "int32":
+        return "i32"
+    if s in ("double", "float64"):
+        return "f64"
+    if s in ("string", "large_string"):
+        return "str"
+    if s == "bool":
+        return "bool"
+    if s == "date32[day]":
+        return "date"
+    if s.startswith("timestamp"):
+        return "ts"
+    if s.startswith("decimal") and "(" in s:
+        return "dec:decimal(" + s.split("(")[1].rstrip(")").replace(
+            " ", ""
+        ) + ")"
+    if s.startswith(("list", "large_list")):
+        return "arr"
+    return s
+
+
 @pytest.mark.parametrize("name", NAMES)
 def test_query_matches_oracle(name, spark, sf_dir):
     q = _Q[name]
@@ -105,6 +153,18 @@ def test_query_matches_oracle(name, spark, sf_dir):
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch {sorted(spark_cols)} vs {sorted(duck_cols)}"
     )
+    # dtype WIDTH parity, not just names: the driver's schema compare is
+    # opaque, and an engine-side BIGINT vs oracle-side HUGEINT/decimal128
+    # (DuckDB SUM) is exactly the knife-edge class that went red in
+    # round 6 — gate it here so a new lane can't drift
+    sdt = dict(sdf.dtypes)
+    ddt = {f.name: f.type for f in con.execute(_O[name]).arrow().schema}
+    tmism = {
+        c: (sdt[c], str(ddt[c]))
+        for c in sdt
+        if _norm_spark_type(sdt[c]) != _norm_arrow_type(ddt[c])
+    }
+    assert not tmism, f"{name}: dtype width mismatch {tmism}"
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
     )

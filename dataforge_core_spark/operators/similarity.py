@@ -865,6 +865,43 @@ def _q8_exprs(a: str, dialect: str) -> tuple[str, str, str]:
     return max_abs, code_sum, max_err
 
 
+def embeddings_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension scaling statistics (min/max/sum/count) — the
+    normalizer-fitting pass every embedding pipeline runs before
+    quantization or whitening.  Components are quantized per element to
+    1e-6 BIGINT (truncated — the engines' CAST semantics differ, so the
+    oracle mirrors with trunc()) BEFORE aggregating, making the sums
+    integer-associative and the row hash partition-order-free.  Scale
+    shape: one explode + one map-side-combinable 64-group aggregate."""
+    v = _normed(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT CAST(i AS INT) AS dim,
+               MIN(eq) AS min_q, MAX(eq) AS max_q,
+               SUM(eq) AS sum_q, COUNT(*) AS n
+        FROM (
+          SELECT i, CAST(e * 1000000 AS BIGINT) AS eq
+          FROM (SELECT posexplode(emb) AS (i, e) FROM {v})
+        )
+        GROUP BY i
+        """
+    )
+
+
+_DIM_STATS_ORACLE = f"""
+WITH {_duck_v_cte()},
+ex AS (
+  SELECT u.i - 1 AS i,
+         CAST(trunc(v.emb[u.i] * 1000000) AS BIGINT) AS eq
+  FROM v, (SELECT unnest(generate_series(1, {DIM})) AS i) u
+)
+SELECT CAST(i AS INTEGER) AS dim,
+       MIN(eq) AS min_q, MAX(eq) AS max_q,
+       CAST(SUM(eq) AS BIGINT) AS sum_q, COUNT(*) AS n
+FROM ex GROUP BY i
+"""
+
+
 def embeddings_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector int8 quantization checksum + max reconstruction error."""
     v = _normed(spark, sf_dir)
@@ -1657,6 +1694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_eval": ann_recall_eval,
         "ann_knn_graph": ann_knn_graph,
         "embeddings_quantize": embeddings_quantize,
+        "embeddings_dim_stats": embeddings_dim_stats,
         "ann_bruteforce": ann_bruteforce,
         "ann_ivf_label": ann_ivf_label,
         "ann_ivf_kmeans": ann_ivf_kmeans,
@@ -1680,6 +1718,7 @@ def oracles() -> dict[str, str]:
         "ann_recall_eval": _recall_eval_oracle(),
         "ann_knn_graph": _knn_graph_oracle(),
         "embeddings_quantize": _quantize_oracle(),
+        "embeddings_dim_stats": _DIM_STATS_ORACLE,
         "ann_bruteforce": _bruteforce_oracle(),
         "ann_ivf_label": _ivf_oracle(),
         "ann_ivf_kmeans": _ivf_kmeans_oracle(),

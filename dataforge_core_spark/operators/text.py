@@ -605,8 +605,58 @@ FROM c WHERE n_words > 0
 """
 
 
+# ---------------------------------------------------------------------------
+# Vocabulary coverage: what fraction of corpus token OCCURRENCES the
+# top-V vocabulary seed covers — the acceptance metric of
+# train_tokenizer_vocab (a vocab that covers 97% of occurrences leaves
+# 3% of the stream to byte-fallback).  One piece-count aggregate shared
+# with the vocab lane, a LIMIT-bounded top-V, and exact integer ppm.
+# ---------------------------------------------------------------------------
+
+
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row coverage report of the top-V piece vocabulary."""
+    _view(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH pc AS (
+          SELECT piece, COUNT(*) AS n FROM (
+            SELECT explode(regexp_extract_all(text, '{_BPE_RE_SPARK}', 0))
+              AS piece
+            FROM documents
+          ) GROUP BY piece
+        ),
+        top AS (SELECT n FROM pc ORDER BY n DESC, piece LIMIT {VOCAB_TOP})
+        SELECT
+          (SELECT COUNT(*) FROM pc) AS n_distinct_pieces,
+          (SELECT SUM(n) FROM pc) AS n_occurrences,
+          (SELECT SUM(n) FROM top) AS n_covered,
+          CAST((1000000 * (SELECT SUM(n) FROM top))
+               DIV (SELECT SUM(n) FROM pc) AS BIGINT) AS coverage_ppm
+        """
+    )
+
+
+_VOCAB_COVERAGE_ORACLE = f"""
+WITH pc AS (
+  SELECT piece, COUNT(*) AS n FROM (
+    SELECT unnest(regexp_extract_all(text, '{_BPE_RE_DUCK}')) AS piece
+    FROM documents
+  ) GROUP BY piece
+),
+top AS (SELECT n FROM pc ORDER BY n DESC, piece LIMIT {VOCAB_TOP})
+SELECT
+  (SELECT COUNT(*) FROM pc) AS n_distinct_pieces,
+  (SELECT CAST(SUM(n) AS BIGINT) FROM pc) AS n_occurrences,
+  (SELECT CAST(SUM(n) AS BIGINT) FROM top) AS n_covered,
+  CAST((1000000 * (SELECT SUM(n) FROM top))
+       // (SELECT SUM(n) FROM pc) AS BIGINT) AS coverage_ppm
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "text_vocab_coverage": text_vocab_coverage,
         "text_readability": text_readability,
         "text_entropy": text_entropy,
         "text_tokens_bpe": text_tokens_bpe,
@@ -629,6 +679,7 @@ def oracles() -> dict[str, str]:
         "text_tokens": _TOKENS_ORACLE,
         "text_quality": _QUALITY_ORACLE,
         "text_readability": _READABILITY_ORACLE,
+        "text_vocab_coverage": _VOCAB_COVERAGE_ORACLE,
         "text_lang_id": _LANGID_ORACLE,
         "text_fingerprint": _FINGERPRINT_ORACLE,
         "train_tokenizer_vocab": _VOCAB_ORACLE,

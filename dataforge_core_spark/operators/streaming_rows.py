@@ -426,9 +426,13 @@ def _late_replay_dir(spark: SparkSession, sf_dir: str) -> str:
     tag = hashlib.md5(ident.encode()).hexdigest()[:8]
     base = os.path.join(tempfile.gettempdir(), f"dfspark_late_{tag}")
     data = os.path.join(base, "data")
-    done = os.path.join(base, "_done")
-    if not os.path.exists(done):
-        os.makedirs(data, exist_ok=True)
+    if not os.path.isdir(data):
+        # build in a process-private staging dir and publish with ONE
+        # atomic rename: concurrent builders (bench + pytest share this
+        # box) each stage privately and exactly one rename wins — a
+        # reader can never observe half-written parquet
+        stage = os.path.join(base, f"stage_{os.getpid()}")
+        os.makedirs(stage, exist_ok=True)
         t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
         ts = t["ts"].combine_chunks().cast(pa.timestamp("us"))
         t = t.set_column(t.schema.get_field_index("ts"), "ts", ts)
@@ -447,11 +451,15 @@ def _late_replay_dir(spark: SparkSession, sf_dir: str) -> str:
         for i, (name, mask) in enumerate(parts):
             part = t.filter(mask)
             assert part.num_rows > 0, f"late-replay split {name} is empty"
-            path = os.path.join(data, name)
+            path = os.path.join(stage, name)
             pq.write_table(part, path)
             os.utime(path, (1_000_000 * (i + 1), 1_000_000 * (i + 1)))
-        with open(done, "w") as f:
-            f.write("ok")
+        try:
+            os.rename(stage, data)
+        except OSError:  # another builder won the publish race
+            import shutil
+
+            shutil.rmtree(stage, ignore_errors=True)
     return data
 
 

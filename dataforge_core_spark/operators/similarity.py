@@ -977,12 +977,11 @@ def ann_knn_graph(
     )
 
 
-def _knn_graph_oracle(cell_cap: int | None = None) -> str:
+def _knn_graph_body(cell_cap: int | None = None) -> str:
+    """The DuckDB kNN-edge SELECT over relation ``v`` (no WITH)."""
     cap = KNN_CELL_CAP if cell_cap is None else cell_cap
     cos = _duck_cosine("a.emb", "b.emb", "a.nrm", "b.nrm")
-    return f"""
-WITH {_duck_v_cte()}
-SELECT src, rank, dst FROM (
+    return f"""SELECT src, rank, dst FROM (
   SELECT a.vec_id AS src, b.vec_id AS dst,
          CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
               ORDER BY ({cos}) DESC, b.vec_id) AS INTEGER) AS rank
@@ -994,6 +993,95 @@ SELECT src, rank, dst FROM (
   ) b
     ON a.label = b.label AND a.vec_id <> b.vec_id
 ) t WHERE rank <= {KNN_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the kNN graph — graph centrality for data curation:
+# high-rank vectors are the "representative" corpus members that many
+# nearest-neighbor chains point at (the selection signal for coreset /
+# prototype sampling at 100 TB).  Fixed damped iterations in EXACT
+# integer arithmetic: ranks live at PR_SCALE, every per-edge
+# contribution is one integer division of POSITIVE values (trunc ==
+# floor, so the engines cannot disagree), and the sums are
+# integer-associative — the result is bit-identical on any engine and
+# any partitioning.
+#
+# Scale shape: each iteration is ONE edges-keyed join against the
+# current rank table + a dst-keyed map-side-combinable aggregate — the
+# canonical distributed PageRank step, no driver-side graph state; the
+# edge relation is the checkpointed kNN index built once per session.
+# ---------------------------------------------------------------------------
+
+PR_SCALE = 1_000_000
+PR_ITERS = 3
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
+
+_pr_edges_cache: dict = {}
+
+
+def _pagerank_tail(idiv: str, edges: str) -> str:
+    """The shared post-edges CTE chain: nodes/outd/r0 -> rK, one CTE
+    pair per iteration (the oracle runs the identical unrolled chain)."""
+    parts = [
+        f"""nodes AS (
+  SELECT src AS node FROM {edges}
+  UNION
+  SELECT dst FROM {edges}
+)""",
+        f"outd AS (SELECT src, COUNT(*) AS d FROM {edges} GROUP BY src)",
+        f"r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS r FROM nodes)",
+    ]
+    prev = "r0"
+    for k in range(1, PR_ITERS + 1):
+        parts.append(
+            f"""c{k} AS (
+  SELECT e.dst AS node, CAST(SUM(r.r {idiv} o.d) AS BIGINT) AS s
+  FROM {edges} e
+  JOIN {prev} r ON r.node = e.src
+  JOIN outd o ON o.src = e.src
+  GROUP BY e.dst
+)"""
+        )
+        parts.append(
+            f"""r{k} AS (
+  SELECT n.node,
+         CAST(({PR_SCALE} * {PR_DAMP_DEN - PR_DAMP_NUM}) {idiv} {PR_DAMP_DEN}
+              + ({PR_DAMP_NUM} * COALESCE(c.s, 0)) {idiv} {PR_DAMP_DEN}
+           AS BIGINT) AS r
+  FROM nodes n LEFT JOIN c{k} c ON n.node = c.node
+)"""
+        )
+        prev = f"r{k}"
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node AS vec_id, r AS rank_q FROM {prev}"
+    )
+
+
+def ann_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact damped PageRank over the checkpointed kNN edges."""
+    key = (session_key(spark), sf_dir)
+    if key not in _pr_edges_cache:
+        edges = (
+            ann_knn_graph(spark, sf_dir)
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        name = f"pr_edges_{abs(hash(key)) % 10**8}"
+        edges.createOrReplaceTempView(name)
+        _pr_edges_cache[key] = name
+    edges = _pr_edges_cache[key]
+    return spark.sql(f"WITH {_pagerank_tail('DIV', edges)}")
+
+
+def _pagerank_oracle() -> str:
+    return f"""
+WITH {_duck_v_cte()},
+pr_edges AS (
+  SELECT src, dst FROM ({_knn_graph_body()})
+),
+{_pagerank_tail('//', 'pr_edges')}
 """
 
 
@@ -1689,6 +1777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_pq": ann_ivf_pq,
         "ann_pq_recall": ann_pq_recall,
         "ann_mrl_recall": ann_mrl_recall,
+        "ann_pagerank": ann_pagerank,
         "ann_ivf_stats": ann_ivf_stats,
         "ann_outliers": ann_outliers,
         "ann_recall_eval": ann_recall_eval,
@@ -1714,9 +1803,10 @@ def oracles() -> dict[str, str]:
         "ann_ivf_pq": _ivf_pq_oracle(),
         "ann_pq_recall": _pq_recall_oracle(),
         "ann_mrl_recall": _mrl_recall_oracle(),
+        "ann_pagerank": _pagerank_oracle(),
         "ann_ivf_stats": _ivf_stats_oracle(),
         "ann_recall_eval": _recall_eval_oracle(),
-        "ann_knn_graph": _knn_graph_oracle(),
+        "ann_knn_graph": f"WITH {_duck_v_cte()}\n{_knn_graph_body()}",
         "embeddings_quantize": _quantize_oracle(),
         "embeddings_dim_stats": _DIM_STATS_ORACLE,
         "ann_bruteforce": _bruteforce_oracle(),

@@ -29,7 +29,9 @@ def test_knn_graph_cell_cap_binds_identically(spark):
     }
     want = {
         tuple(r)
-        for r in _con().execute(S._knn_graph_oracle(cap)).fetchall()
+        for r in _con().execute(
+            f"WITH {S._duck_v_cte()}\n{S._knn_graph_body(cap)}"
+        ).fetchall()
     }
     assert got == want and got
     # the candidate set per label is the cap lowest vec_ids: every dst

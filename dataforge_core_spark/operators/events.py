@@ -797,6 +797,68 @@ GROUP BY vb.event_id, vb.user_id, vb.ts
 
 
 # ---------------------------------------------------------------------------
+# Purged temporal split: train on everything before the cut, test on
+# everything after, and DROP an embargo window before the cut — the
+# leakage control for time-series feature models (a trailing-window
+# feature computed at the cut can see embargo-period rows; purging
+# them from train removes the overlap; see de Prado's purged CV).  The
+# cut is the 80% point of the observed span, embargo = 1 day, both
+# derived in exact epoch-second integer arithmetic so assignment is
+# engine-identical.  Scan-side projection against two scalar subqueries
+# — zero extra shuffles.
+# ---------------------------------------------------------------------------
+
+PURGE_EMBARGO_S = 86_400  # 1 day
+PURGE_TRAIN_PCT = 80
+
+
+def events_purged_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event train/embargo/test assignment with an embargo gap."""
+    _views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH b AS (
+          SELECT MIN(unix_timestamp(ts)) AS lo,
+                 MAX(unix_timestamp(ts)) AS hi
+          FROM events
+        ),
+        c AS (
+          SELECT lo + ((hi - lo) * {PURGE_TRAIN_PCT}) DIV 100 AS cut
+          FROM b
+        )
+        SELECT e.event_id, e.user_id,
+               CASE
+                 WHEN unix_timestamp(e.ts) >= c.cut THEN 'test'
+                 WHEN unix_timestamp(e.ts)
+                      >= c.cut - {PURGE_EMBARGO_S} THEN 'embargo'
+                 ELSE 'train'
+               END AS split
+        FROM events e CROSS JOIN c
+        """
+    )
+
+
+_PURGED_ORACLE = f"""
+WITH b AS (
+  SELECT MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS lo,
+         MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS hi
+  FROM events
+),
+c AS (
+  SELECT lo + ((hi - lo) * {PURGE_TRAIN_PCT}) // 100 AS cut FROM b
+)
+SELECT e.event_id, e.user_id,
+       CASE
+         WHEN CAST(floor(epoch(e.ts)) AS BIGINT) >= c.cut THEN 'test'
+         WHEN CAST(floor(epoch(e.ts)) AS BIGINT)
+              >= c.cut - {PURGE_EMBARGO_S} THEN 'embargo'
+         ELSE 'train'
+       END AS split
+FROM events e CROSS JOIN c
+"""
+
+
+# ---------------------------------------------------------------------------
 # Bot / automation detection: accounts whose inter-event gaps are too
 # REGULAR are schedulers, not humans — the behavioral-abuse filter a
 # training-data pipeline runs before user content enters a corpus.  The
@@ -974,6 +1036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": events_retention,
         "events_ltv_cohort": events_ltv_cohort,
         "events_bot_detection": events_bot_detection,
+        "events_purged_split": events_purged_split,
         "events_user_stats_salted": events_user_stats_salted,
         "events_hourly": events_hourly,
         "events_sessionize": events_sessionize,
@@ -996,6 +1059,7 @@ def oracles() -> dict[str, str]:
         "events_retention": _RETENTION_ORACLE,
         "events_ltv_cohort": _LTV_ORACLE,
         "events_bot_detection": _BOT_ORACLE,
+        "events_purged_split": _PURGED_ORACLE,
         "events_user_stats_salted": _SALTED_ORACLE,
         "events_hourly": _HOURLY_ORACLE,
         "events_sessionize": _SESSIONIZE_ORACLE,

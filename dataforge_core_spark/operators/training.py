@@ -952,6 +952,50 @@ FROM s
 
 
 # ---------------------------------------------------------------------------
+# Soft dedup via sampling weights: weight = 1/|near-dup cluster| in
+# integer ppm — the count-based reweighting used when hard-dropping
+# duplicates is too aggressive (each duplicated document contributes
+# its cluster's share of one effective copy; total effective mass =
+# number of clusters).  Reuses the cached CC labels; one broadcast-size
+# aggregate join, zero new shuffle classes.
+# ---------------------------------------------------------------------------
+
+
+def train_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc soft-dedup sampling weight (ppm) from cluster sizes."""
+    from pyspark.sql import functions as F
+
+    from dataforge_core_spark.operators.dedup import dedup_cluster
+
+    labels = dedup_cluster(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        labels.join(sizes, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            F.expr("1000000 DIV cluster_size").alias("weight_ppm"),
+        )
+    )
+
+
+def _dedup_weights_oracle() -> str:
+    from dataforge_core_spark.operators.dedup import _DEDUP_CLUSTER_ORACLE
+
+    return f"""
+WITH c AS ({_DEDUP_CLUSTER_ORACLE}),
+s AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM c
+      GROUP BY cluster_id)
+SELECT c.doc_id, c.cluster_id, s.cluster_size,
+       1000000 // s.cluster_size AS weight_ppm
+FROM c JOIN s ON c.cluster_id = s.cluster_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Leakage-free train/validation split: hash the near-dup CLUSTER id, not
 # the document id, so every near-duplicate group lands wholly in one
 # split — the defense against eval contamination by paraphrases of
@@ -1002,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split_leakfree": train_split_leakfree,
         "train_pack_efficiency": train_pack_efficiency,
         "train_corpus_pipeline": train_corpus_pipeline,
+        "train_dedup_weights": train_dedup_weights,
         "train_shard_assign": train_shard_assign,
         "train_dataset_card": train_dataset_card,
         "train_length_histogram": train_length_histogram,
@@ -1025,6 +1070,7 @@ def oracles() -> dict[str, str]:
         "train_split_leakfree": _split_leakfree_oracle(),
         "train_pack_efficiency": _PACK_EFFICIENCY_ORACLE,
         "train_corpus_pipeline": _corpus_pipeline_oracle(),
+        "train_dedup_weights": _dedup_weights_oracle(),
         "train_dataset_card": _CARD_ORACLE,
         "train_length_histogram": _LENGTH_HIST_ORACLE,
         "train_span_corruption": _SPAN_ORACLE,

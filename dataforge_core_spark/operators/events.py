@@ -813,27 +813,29 @@ PURGE_TRAIN_PCT = 80
 
 
 def events_purged_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event train/embargo/test assignment with an embargo gap."""
+    """Per-event train/embargo/test assignment with an embargo gap.
+
+    The cut is attached as SCALAR subqueries, not a 1-row cross join:
+    Spark executes them once and folds the result into the scan-side
+    CASE as a literal — no BroadcastNestedLoopJoin in the main plan
+    (the no-cartesian gate holds), and the split stays a pure
+    projection over the event scan."""
     _views(spark, sf_dir)
+    cut = (
+        "(SELECT MIN(unix_timestamp(ts))"
+        f" + ((MAX(unix_timestamp(ts)) - MIN(unix_timestamp(ts)))"
+        f" * {PURGE_TRAIN_PCT}) DIV 100 FROM events)"
+    )
     return spark.sql(
         f"""
-        WITH b AS (
-          SELECT MIN(unix_timestamp(ts)) AS lo,
-                 MAX(unix_timestamp(ts)) AS hi
-          FROM events
-        ),
-        c AS (
-          SELECT lo + ((hi - lo) * {PURGE_TRAIN_PCT}) DIV 100 AS cut
-          FROM b
-        )
-        SELECT e.event_id, e.user_id,
+        SELECT event_id, user_id,
                CASE
-                 WHEN unix_timestamp(e.ts) >= c.cut THEN 'test'
-                 WHEN unix_timestamp(e.ts)
-                      >= c.cut - {PURGE_EMBARGO_S} THEN 'embargo'
+                 WHEN unix_timestamp(ts) >= {cut} THEN 'test'
+                 WHEN unix_timestamp(ts)
+                      >= {cut} - {PURGE_EMBARGO_S} THEN 'embargo'
                  ELSE 'train'
                END AS split
-        FROM events e CROSS JOIN c
+        FROM events
         """
     )
 

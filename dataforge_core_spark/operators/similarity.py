@@ -1059,8 +1059,10 @@ def _pagerank_tail(idiv: str, edges: str) -> str:
     )
 
 
-def ann_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Integer-exact damped PageRank over the checkpointed kNN edges."""
+def _knn_edges_view(spark: SparkSession, sf_dir: str) -> str:
+    """Temp-view name of the checkpointed kNN edge list (src, dst),
+    built once per (session, sf) — the shared graph index of the
+    PageRank and triangle-count lanes."""
     key = (session_key(spark), sf_dir)
     if key not in _pr_edges_cache:
         edges = (
@@ -1071,7 +1073,12 @@ def ann_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         name = f"pr_edges_{abs(hash(key)) % 10**8}"
         edges.createOrReplaceTempView(name)
         _pr_edges_cache[key] = name
-    edges = _pr_edges_cache[key]
+    return _pr_edges_cache[key]
+
+
+def ann_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact damped PageRank over the checkpointed kNN edges."""
+    edges = _knn_edges_view(spark, sf_dir)
     return spark.sql(f"WITH {_pagerank_tail('DIV', edges)}")
 
 
@@ -1082,6 +1089,75 @@ pr_edges AS (
   SELECT src, dst FROM ({_knn_graph_body()})
 ),
 {_pagerank_tail('//', 'pr_edges')}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Triangle count + local clustering coefficient over the kNN graph —
+# the standard graph-quality signal for neighbor indexes (a healthy
+# kNN graph of a clusterable corpus is triangle-dense; triangle-poor
+# nodes are hubs/noise, another curation signal).  Exact integers
+# throughout: the triangle enumeration is the canonical two-join over
+# the oriented edge list (a<b<c, each triangle counted once), degrees
+# are COUNTs, and the coefficient is one positive integer division at
+# ppm scale — bit-identical on both engines.
+#
+# Scale shape: orienting edges low->high bounds the join fan-out by
+# the max out-degree (<= 2*KNN_K here, since the base graph has
+# out-degree KNN_K), so the e1-e2 join is linear in edges with a
+# constant factor, the classic distributed triangle recipe; no driver
+# state, two shuffles keyed by node/edge.
+# ---------------------------------------------------------------------------
+
+
+def _triangle_tail(idiv: str, edges: str) -> str:
+    """Shared post-edges CTE chain: orient -> enumerate -> per-node
+    counts -> degree join -> clustering coefficient (ppm)."""
+    return f"""und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM {edges}
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+pern AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS tri_cnt FROM (
+    SELECT x AS node FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY node
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY node
+)
+SELECT d.node AS vec_id, d.degree,
+       COALESCE(t.tri_cnt, CAST(0 AS BIGINT)) AS tri_cnt,
+       CASE WHEN d.degree >= 2
+            THEN CAST((2000000 * COALESCE(t.tri_cnt, 0))
+                 {idiv} (d.degree * (d.degree - 1)) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS cc_ppm
+FROM deg d LEFT JOIN pern t ON t.node = d.node"""
+
+
+def ann_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count + clustering coefficient (ppm) over the
+    undirected kNN graph."""
+    edges = _knn_edges_view(spark, sf_dir)
+    return spark.sql(f"WITH {_triangle_tail('DIV', edges)}")
+
+
+def _triangles_oracle() -> str:
+    return f"""
+WITH {_duck_v_cte()},
+pr_edges AS (
+  SELECT src, dst FROM ({_knn_graph_body()})
+),
+{_triangle_tail('//', 'pr_edges')}
 """
 
 
@@ -1778,6 +1854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_recall": ann_pq_recall,
         "ann_mrl_recall": ann_mrl_recall,
         "ann_pagerank": ann_pagerank,
+        "ann_triangles": ann_triangles,
         "ann_ivf_stats": ann_ivf_stats,
         "ann_outliers": ann_outliers,
         "ann_recall_eval": ann_recall_eval,
@@ -1804,6 +1881,7 @@ def oracles() -> dict[str, str]:
         "ann_pq_recall": _pq_recall_oracle(),
         "ann_mrl_recall": _mrl_recall_oracle(),
         "ann_pagerank": _pagerank_oracle(),
+        "ann_triangles": _triangles_oracle(),
         "ann_ivf_stats": _ivf_stats_oracle(),
         "ann_recall_eval": _recall_eval_oracle(),
         "ann_knn_graph": f"WITH {_duck_v_cte()}\n{_knn_graph_body()}",

@@ -996,6 +996,65 @@ FROM c JOIN s ON c.cluster_id = s.cluster_id
 
 
 # ---------------------------------------------------------------------------
+# Shingle novelty: the share of each document's distinct shingles whose
+# corpus-FIRST holder (min doc_id over the shingle) is that document —
+# the diversity/freshness score used to prioritize documents that add
+# new n-gram mass over ones whose content is already covered.  Exact
+# integers end to end (counts + one positive ppm division).  Reuses the
+# cached (doc_id, shingle-hash) relation; two map-side-combinable
+# shuffles (shingle-keyed first-holder agg, doc-keyed rollup).
+# ---------------------------------------------------------------------------
+
+
+def train_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novel-shingle counts + novelty share in ppm."""
+    from pyspark.sql import functions as F
+
+    from dataforge_core_spark.operators.dedup import _ex_df
+
+    ex = _ex_df(spark, sf_dir)
+    first = ex.groupBy("s").agg(F.min("doc_id").alias("fd"))
+    return (
+        ex.join(first, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("fd") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("first_cnt"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "first_cnt",
+            F.expr("(1000000 * first_cnt) DIV n_shingles").alias(
+                "novelty_ppm"
+            ),
+        )
+    )
+
+
+def _novelty_oracle() -> str:
+    from dataforge_core_spark.operators.dedup import _duck_ex_sql
+
+    return f"""
+WITH ex AS ({_duck_ex_sql()}),
+f AS (SELECT s, MIN(doc_id) AS fd FROM ex GROUP BY s),
+r AS (
+  SELECT ex.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(CASE WHEN f.fd = ex.doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS first_cnt
+  FROM ex JOIN f ON f.s = ex.s
+  GROUP BY ex.doc_id
+)
+SELECT doc_id, n_shingles, first_cnt,
+       (1000000 * first_cnt) // n_shingles AS novelty_ppm
+FROM r
+"""
+
+
+# ---------------------------------------------------------------------------
 # Leakage-free train/validation split: hash the near-dup CLUSTER id, not
 # the document id, so every near-duplicate group lands wholly in one
 # split — the defense against eval contamination by paraphrases of
@@ -1047,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_pack_efficiency": train_pack_efficiency,
         "train_corpus_pipeline": train_corpus_pipeline,
         "train_dedup_weights": train_dedup_weights,
+        "train_novelty": train_novelty,
         "train_shard_assign": train_shard_assign,
         "train_dataset_card": train_dataset_card,
         "train_length_histogram": train_length_histogram,
@@ -1071,6 +1131,7 @@ def oracles() -> dict[str, str]:
         "train_pack_efficiency": _PACK_EFFICIENCY_ORACLE,
         "train_corpus_pipeline": _corpus_pipeline_oracle(),
         "train_dedup_weights": _dedup_weights_oracle(),
+        "train_novelty": _novelty_oracle(),
         "train_dataset_card": _CARD_ORACLE,
         "train_length_histogram": _LENGTH_HIST_ORACLE,
         "train_span_corruption": _SPAN_ORACLE,

@@ -209,10 +209,14 @@ def _jaccard_verify(ex: DataFrame, cand: DataFrame) -> DataFrame:
     sa = sizes.toDF("doc_a", "n_a")
     sb = sizes.toDF("doc_b", "n_b")
     jac = F.expr("CAST(inter_n AS DOUBLE) / (n_a + n_b - inter_n)")
+    # the integer basis (inter_n, n_a, n_b) rides along so downstream
+    # consumers (the minhash accuracy eval) can derive exact integer
+    # ratios without re-joining the shingle relation
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .select("doc_a", "doc_b", "inter_n", "n_a", "n_b",
+                jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
@@ -244,12 +248,17 @@ def dedup_minhash(
     from pyspark.sql import functions as F
 
     cap = MAX_BAND_BUCKET if max_band_bucket is None else max_band_bucket
-    key = (session_key(spark), sf_dir, cap)
-    if key in _pairs_cache:
-        return _pairs_cache[key]
+    wide = _verified_pairs(spark, sf_dir, cap)
+    return wide.select("doc_a", "doc_b", "jaccard")
+
+
+def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MINHASH_N-column signature table over the cached shingle
+    relation (shared by pair generation and the accuracy eval)."""
+    from pyspark.sql import functions as F
 
     ex = _ex_df(spark, sf_dir)
-    sig = (
+    return (
         ex.selectExpr("doc_id", f"s % {_P} AS h")
         .groupBy("doc_id")
         .agg(
@@ -259,6 +268,21 @@ def dedup_minhash(
             ]
         )
     )
+
+
+def _verified_pairs(
+    spark: SparkSession, sf_dir: str, cap: int
+) -> DataFrame:
+    """Verified near-dup pairs WITH their integer basis
+    (inter_n, n_a, n_b), persisted per (session, sf, cap)."""
+    from pyspark.sql import functions as F
+
+    key = (session_key(spark), sf_dir, cap)
+    if key in _pairs_cache:
+        return _pairs_cache[key]
+
+    ex = _ex_df(spark, sf_dir)
+    sig = _minhash_sig_df(spark, sf_dir)
     keys = ", ".join(_band_keys(MINHASH_BANDS, MINHASH_R))
     bands = sig.selectExpr(
         "doc_id", f"explode(array({keys})) AS band_key"
@@ -298,9 +322,11 @@ def dedup_minhash(
     return out
 
 
-def _minhash_oracle(max_band_bucket: int = MAX_BAND_BUCKET) -> str:
-    return f"""
-WITH ex AS ({_duck_ex_sql()}),
+def _minhash_chain(max_band_bucket: int = MAX_BAND_BUCKET) -> str:
+    """The shared DuckDB CTE chain ex -> sig -> cand -> sizes/inter
+    (no WITH, no final SELECT) — base of the minhash pair oracle and
+    the accuracy-eval oracle."""
+    return f"""ex AS ({_duck_ex_sql()}),
 hx AS (SELECT doc_id, s % {_P} AS h FROM ex),
 sig AS (
   SELECT doc_id, {_sig_cols(MINHASH_N)}
@@ -334,7 +360,12 @@ inter AS (
   JOIN ex ea ON ea.doc_id = c.doc_a
   JOIN ex eb ON eb.doc_id = c.doc_b AND ea.s = eb.s
   GROUP BY c.doc_a, c.doc_b
-)
+)"""
+
+
+def _minhash_oracle(max_band_bucket: int = MAX_BAND_BUCKET) -> str:
+    return f"""
+WITH {_minhash_chain(max_band_bucket)}
 SELECT i.doc_a, i.doc_b,
        CAST(i.inter_n AS DOUBLE) / (sa.n + sb.n - i.inter_n) AS jaccard
 FROM inter i
@@ -342,6 +373,91 @@ JOIN sizes sa ON i.doc_a = sa.doc_id
 JOIN sizes sb ON i.doc_b = sb.doc_id
 WHERE CAST(i.inter_n AS DOUBLE) / (sa.n + sb.n - i.inter_n)
       >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator accuracy: per verified pair, the signature-match
+# Jaccard ESTIMATE (matched sigs / N) against the EXACT shingle Jaccard
+# — the index-quality eval of the dedup side, the counterpart of
+# ann_recall_eval on the ANN side (it answers "are 12 signatures /
+# 4 bands enough at this threshold, or are we mis-ranking pairs?").
+# Both ratios are exact integer ppm (positive integer division), and
+# the integer basis (inter_n, n_a, n_b) rides on the cached pair frame
+# — no extra shingle join; one signature-table join pair, pair-keyed.
+# ---------------------------------------------------------------------------
+
+
+def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate-vs-exact Jaccard (ppm) per verified near-dup pair."""
+    from pyspark.sql import functions as F
+
+    pairs = _verified_pairs(spark, sf_dir, MAX_BAND_BUCKET)
+    sig = _minhash_sig_df(spark, sf_dir)
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"s{i}").alias(f"a{i}") for i in range(MINHASH_N)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"s{i}").alias(f"b{i}") for i in range(MINHASH_N)],
+    )
+    matched = " + ".join(
+        f"CASE WHEN a{i} = b{i} THEN 1 ELSE 0 END"
+        for i in range(MINHASH_N)
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            f"CAST(({matched}) AS INT) AS sig_matched",
+            f"CAST((1000000 * ({matched})) DIV {MINHASH_N} AS BIGINT)"
+            " AS est_ppm",
+            "CAST((1000000 * inter_n) DIV (n_a + n_b - inter_n) AS BIGINT)"
+            " AS exact_ppm",
+        )
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "sig_matched",
+            "est_ppm",
+            "exact_ppm",
+            "CAST(ABS(est_ppm - exact_ppm) AS BIGINT) AS err_ppm",
+        )
+    )
+
+
+def _minhash_accuracy_oracle() -> str:
+    matched = " + ".join(
+        f"CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END"
+        for i in range(MINHASH_N)
+    )
+    return f"""
+WITH {_minhash_chain(MAX_BAND_BUCKET)},
+ver AS (
+  SELECT i.doc_a, i.doc_b, i.inter_n,
+         sa.n + sb.n - i.inter_n AS union_n
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+  WHERE CAST(i.inter_n AS DOUBLE) / (sa.n + sb.n - i.inter_n)
+        >= {JACCARD_THRESHOLD}
+),
+m AS (
+  SELECT v.doc_a, v.doc_b, v.inter_n, v.union_n,
+         CAST({matched} AS INTEGER) AS sig_matched
+  FROM ver v
+  JOIN sig a ON a.doc_id = v.doc_a
+  JOIN sig b ON b.doc_id = v.doc_b
+)
+SELECT doc_a, doc_b, sig_matched,
+       CAST((1000000 * sig_matched) // {MINHASH_N} AS BIGINT) AS est_ppm,
+       CAST((1000000 * inter_n) // union_n AS BIGINT) AS exact_ppm,
+       CAST(ABS((1000000 * sig_matched) // {MINHASH_N}
+            - (1000000 * inter_n) // union_n) AS BIGINT) AS err_ppm
+FROM m
 """
 
 
@@ -987,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_report": dedup_report,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
+        "dedup_minhash_accuracy": dedup_minhash_accuracy,
         "dedup_cluster": dedup_cluster,
         "dedup_cluster_pd": dedup_cluster_pd,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1002,6 +1119,7 @@ def oracles() -> dict[str, str]:
         "dedup_report": _report_oracle(),
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "dedup_minhash": _minhash_oracle(),
+        "dedup_minhash_accuracy": _minhash_accuracy_oracle(),
         "dedup_cluster": _DEDUP_CLUSTER_ORACLE,
         "dedup_cluster_pd": _DEDUP_CLUSTER_ORACLE,
         "dedup_ngram_jaccard": _DEDUP_NGRAM_ORACLE,

@@ -1076,9 +1076,93 @@ SELECT doc_id, phash, COUNT(*) OVER (PARTITION BY phash) AS n_dups FROM h
 """
 
 
+# ---------------------------------------------------------------------------
+# Aspect-ratio bucketing (the SDXL-style batching strategy for image
+# training): group images by w/h ratio band so a batch pads to its
+# bucket's max dims instead of a global max.  The report is the
+# decision artifact — per bucket: image count, batch dims (bucket max),
+# and padding waste in exact integer ppm (wasted pixels / batch
+# pixels).  Dimensions come from the REAL header-parsed meta pass;
+# everything after is one small groupBy over integer columns.
+# ---------------------------------------------------------------------------
+
+# w/h ratio bands in ppm: tall < 3:4 <= portrait < 1:1 <= square
+# (exact) < landscape <= 4:3 < wide
+_ASPECT_CASE = """CASE
+  WHEN ratio_ppm < 750000 THEN 'tall'
+  WHEN ratio_ppm < 1000000 THEN 'portrait'
+  WHEN ratio_ppm = 1000000 THEN 'square'
+  WHEN ratio_ppm <= 1333333 THEN 'landscape'
+  ELSE 'wide' END"""
+
+
+def multimodal_aspect_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-aspect-bucket image count, batch dims, padding waste (ppm)."""
+    meta = multimodal_meta(spark, sf_dir)
+    meta.createOrReplaceTempView("mm_meta")
+    return spark.sql(
+        f"""
+        WITH img AS (
+          SELECT width, height,
+                 (1000000 * CAST(width AS BIGINT)) DIV height AS ratio_ppm
+          FROM mm_meta WHERE width IS NOT NULL
+        ),
+        b AS (SELECT {_ASPECT_CASE} AS bucket, width, height FROM img),
+        g AS (
+          SELECT bucket, COUNT(*) AS n_images,
+                 MAX(width) AS batch_w, MAX(height) AS batch_h,
+                 SUM(CAST(width AS BIGINT) * height) AS px
+          FROM b GROUP BY bucket
+        )
+        SELECT bucket, n_images, batch_w, batch_h,
+               CAST((1000000 * (n_images * CAST(batch_w AS BIGINT)
+                                * batch_h - px))
+                    DIV (n_images * CAST(batch_w AS BIGINT) * batch_h)
+                 AS BIGINT) AS waste_ppm
+        FROM g
+        """
+    )
+
+
+_ASPECT_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, octet_length(encode(text)) AS n,
+         CAST(doc_id % 3 AS INTEGER) AS kind
+  FROM documents
+),
+img AS (
+  SELECT CASE kind WHEN 0 THEN CAST(n % 64 + 1 AS INTEGER)
+                   WHEN 1 THEN CAST(n % 16 + 1 AS INTEGER) END AS width,
+         CASE kind WHEN 0 THEN CAST(n % 48 + 1 AS INTEGER)
+                   WHEN 1 THEN CAST(n % 8 + 1 AS INTEGER) END AS height
+  FROM d WHERE kind IN (0, 1)
+),
+r AS (
+  SELECT width, height,
+         (1000000 * CAST(width AS BIGINT)) // height AS ratio_ppm
+  FROM img
+),
+b AS (SELECT {_ASPECT_CASE} AS bucket, width, height FROM r),
+g AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_images,
+         MAX(width) AS batch_w, MAX(height) AS batch_h,
+         CAST(SUM(CAST(width AS BIGINT) * height) AS BIGINT) AS px
+  FROM b GROUP BY bucket
+)
+SELECT bucket, n_images, batch_w, batch_h,
+       CAST((1000000 * (n_images * CAST(batch_w AS BIGINT) * batch_h - px))
+            // (n_images * CAST(batch_w AS BIGINT) * batch_h)
+         AS BIGINT) AS waste_ppm
+FROM g
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "multimodal_phash": multimodal_phash,
+        "multimodal_aspect_buckets": multimodal_aspect_buckets,
         "multimodal_audio_vad": multimodal_audio_vad,
         "multimodal_patches": multimodal_patches,
         "multimodal_audio_features": multimodal_audio_features,
@@ -1092,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracles() -> dict[str, str]:
     return {
         "multimodal_phash": _PHASH_ORACLE,
+        "multimodal_aspect_buckets": _ASPECT_ORACLE,
         "multimodal_audio_vad": _AUDIO_VAD_ORACLE,
         "multimodal_patches": _PATCHES_ORACLE,
         "multimodal_audio_features": _AUDIO_FEATURES_ORACLE,

@@ -1161,6 +1161,97 @@ pr_edges AS (
 """
 
 
+# ---------------------------------------------------------------------------
+# Top principal component by power iteration — the fitting pass of
+# whitening / PCA-truncation stages, as distributed linear algebra:
+# each iteration is two map-side-combinable aggregates over the
+# exploded (vec_id, dim, component) relation (s = X v, then w = X^T s),
+# the exact shape a 1000-executor covariance multiply has.  All
+# arithmetic is QUANTIZED-EXACT integers: components at 1e-6, the
+# iterate renormalized to ~1e6 through sign-split divisions
+# (sign(x) * (|x| DIV d) — positive-only DIV, so trunc == floor and the
+# engines cannot disagree), integer-associative sums.  Fixed PI_ITERS
+# unrolled, bit-identical on any partitioning.
+#
+# Overflow ledger (int64): |eq| <= ~1e6, |vq| <= ~1e6 =>
+# |s| <= DIM * 1e12 ~ 6.4e13; sp = s DIV 1e8 <= 6.4e5;
+# |w| <= n * 6.4e5 * 1e6 = n * 6.4e11 — safe to n ~ 1.4e7 rows; at
+# larger n, PI_RESCALE grows with log10(n) (a quantization knob, not a
+# structural limit).
+# ---------------------------------------------------------------------------
+
+PI_ITERS = 3
+PI_SCALE = 1_000_000
+PI_RESCALE = 100_000_000
+
+
+def _sidiv(x: str, d: str, op: str) -> str:
+    """Sign-split integer division: engine-identical for signed x."""
+    return (
+        f"(CASE WHEN ({x}) < 0 THEN -1 ELSE 1 END) * (ABS({x}) {op} ({d}))"
+    )
+
+
+def _power_iter_tail(op: str) -> str:
+    """Shared CTE chain v0 -> vK over relation x(vec_id, i, eq); the
+    dialect differs only in the integer-division operator."""
+    parts = [
+        f"v0 AS (SELECT DISTINCT i, CAST({PI_SCALE} AS BIGINT) AS vq"
+        " FROM x)",
+    ]
+    for k in range(1, PI_ITERS + 1):
+        parts += [
+            f"""s{k} AS (
+  SELECT x.vec_id, CAST(SUM(x.eq * v.vq) AS BIGINT) AS s
+  FROM x JOIN v{k - 1} v ON v.i = x.i GROUP BY x.vec_id
+)""",
+            f"""p{k} AS (
+  SELECT vec_id, {_sidiv('s', str(PI_RESCALE), op)} AS sp FROM s{k}
+)""",
+            f"""w{k} AS (
+  SELECT x.i, CAST(SUM(p.sp * x.eq) AS BIGINT) AS w
+  FROM x JOIN p{k} p ON p.vec_id = x.vec_id GROUP BY x.i
+)""",
+            f"""m{k} AS (
+  SELECT GREATEST(MAX(ABS(w)) {op} {PI_SCALE}, 1) AS d FROM w{k}
+)""",
+            f"""v{k} AS (
+  SELECT i, {_sidiv('w', f'(SELECT d FROM m{k})', op)} AS vq FROM w{k}
+)""",
+        ]
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT CAST(i AS INT) AS dim,"
+        f" CAST(vq AS BIGINT) AS pc_q FROM v{PI_ITERS}"
+    )
+
+
+def embeddings_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction (quantized to ~1e6) via power iteration."""
+    v = _normed(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH x AS (
+          SELECT vec_id, i, CAST(e * {PI_SCALE} AS BIGINT) AS eq
+          FROM (SELECT vec_id, posexplode(emb) AS (i, e) FROM {v})
+        ),
+        {_power_iter_tail('DIV')}
+        """
+    )
+
+
+def _top_pc_oracle() -> str:
+    return f"""
+WITH {_duck_v_cte()},
+x AS (
+  SELECT v.vec_id, u.i - 1 AS i,
+         CAST(trunc(v.emb[u.i] * {PI_SCALE}) AS BIGINT) AS eq
+  FROM v, (SELECT unnest(generate_series(1, {DIM})) AS i) u
+),
+{_power_iter_tail('//')}
+"""
+
+
 def dedup_semantic_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic duplicate clusters: connected components over the
     embedding near-duplicate pair graph — the same min-label
@@ -1855,6 +1946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_mrl_recall": ann_mrl_recall,
         "ann_pagerank": ann_pagerank,
         "ann_triangles": ann_triangles,
+        "embeddings_top_pc": embeddings_top_pc,
         "ann_ivf_stats": ann_ivf_stats,
         "ann_outliers": ann_outliers,
         "ann_recall_eval": ann_recall_eval,
@@ -1882,6 +1974,7 @@ def oracles() -> dict[str, str]:
         "ann_mrl_recall": _mrl_recall_oracle(),
         "ann_pagerank": _pagerank_oracle(),
         "ann_triangles": _triangles_oracle(),
+        "embeddings_top_pc": _top_pc_oracle(),
         "ann_ivf_stats": _ivf_stats_oracle(),
         "ann_recall_eval": _recall_eval_oracle(),
         "ann_knn_graph": f"WITH {_duck_v_cte()}\n{_knn_graph_body()}",

@@ -1192,7 +1192,7 @@ def _sidiv(x: str, d: str, op: str) -> str:
     )
 
 
-def _power_iter_tail(op: str) -> str:
+def _power_iter_chain(op: str) -> str:
     """Shared CTE chain v0 -> vK over relation x(vec_id, i, eq); the
     dialect differs only in the integer-division operator."""
     parts = [
@@ -1219,8 +1219,12 @@ def _power_iter_tail(op: str) -> str:
   SELECT i, {_sidiv('w', f'(SELECT d FROM m{k})', op)} AS vq FROM w{k}
 )""",
         ]
+    return ",\n".join(parts)
+
+
+def _power_iter_tail(op: str) -> str:
     return (
-        ",\n".join(parts)
+        _power_iter_chain(op)
         + f"\nSELECT CAST(i AS INT) AS dim,"
         f" CAST(vq AS BIGINT) AS pc_q FROM v{PI_ITERS}"
     )
@@ -1249,6 +1253,53 @@ x AS (
   FROM v, (SELECT unnest(generate_series(1, {DIM})) AS i) u
 ),
 {_power_iter_tail('//')}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dominant-direction projection (the "all-but-the-top" embedding
+# post-process): each vector's component along the fitted top PC —
+# subtracting it is the standard isotropy fix for text embeddings.
+# One extra x-join-v aggregate on top of the power-iteration chain;
+# same quantized-exact integer discipline (|proj_q| <= ~6.4e7).
+# ---------------------------------------------------------------------------
+
+
+def _pc_project_select(op: str) -> str:
+    return f"""pj AS (
+  SELECT x.vec_id, CAST(SUM(x.eq * v.vq) AS BIGINT) AS s
+  FROM x JOIN v{PI_ITERS} v ON v.i = x.i GROUP BY x.vec_id
+)
+SELECT vec_id,
+       CAST({_sidiv('s', str(PI_SCALE), op)} AS BIGINT) AS proj_q
+FROM pj"""
+
+
+def embeddings_pc_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector quantized projection onto the power-iterated top PC."""
+    v = _normed(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH x AS (
+          SELECT vec_id, i, CAST(e * {PI_SCALE} AS BIGINT) AS eq
+          FROM (SELECT vec_id, posexplode(emb) AS (i, e) FROM {v})
+        ),
+        {_power_iter_chain('DIV')},
+        {_pc_project_select('DIV')}
+        """
+    )
+
+
+def _pc_project_oracle() -> str:
+    return f"""
+WITH {_duck_v_cte()},
+x AS (
+  SELECT v.vec_id, u.i - 1 AS i,
+         CAST(trunc(v.emb[u.i] * {PI_SCALE}) AS BIGINT) AS eq
+  FROM v, (SELECT unnest(generate_series(1, {DIM})) AS i) u
+),
+{_power_iter_chain('//')},
+{_pc_project_select('//')}
 """
 
 
@@ -1947,6 +1998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pagerank": ann_pagerank,
         "ann_triangles": ann_triangles,
         "embeddings_top_pc": embeddings_top_pc,
+        "embeddings_pc_project": embeddings_pc_project,
         "ann_ivf_stats": ann_ivf_stats,
         "ann_outliers": ann_outliers,
         "ann_recall_eval": ann_recall_eval,
@@ -1975,6 +2027,7 @@ def oracles() -> dict[str, str]:
         "ann_pagerank": _pagerank_oracle(),
         "ann_triangles": _triangles_oracle(),
         "embeddings_top_pc": _top_pc_oracle(),
+        "embeddings_pc_project": _pc_project_oracle(),
         "ann_ivf_stats": _ivf_stats_oracle(),
         "ann_recall_eval": _recall_eval_oracle(),
         "ann_knn_graph": f"WITH {_duck_v_cte()}\n{_knn_graph_body()}",

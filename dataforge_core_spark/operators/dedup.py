@@ -461,6 +461,73 @@ FROM m
 """
 
 
+# ---------------------------------------------------------------------------
+# Incremental (batch-vs-corpus) dedup — the shape production pipelines
+# actually run daily: an arriving batch is checked against the EXISTING
+# corpus, not all-pairs.  The batch is documents with doc_id % 10 >= 8
+# (a deterministic 20% "today"), the corpus is the rest.  Each new doc
+# gets a disposition: exact_dup (normalized digest already in the
+# corpus — digest-keyed join, new side is the small/broadcast side at
+# scale), near_dup (a verified minhash pair crossing the batch/corpus
+# boundary — reuses the cached pair index; at scale the band join is
+# new-batch x corpus-index, not corpus x corpus), else unique.
+# ---------------------------------------------------------------------------
+
+INCR_MOD = 10
+INCR_NEW_GE = 8  # doc_id % INCR_MOD >= this -> "new batch"
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disposition (exact_dup / near_dup / unique) for each new-batch doc."""
+    pairs = _verified_pairs(spark, sf_dir, MAX_BAND_BUCKET)
+    pairs.select("doc_a", "doc_b").createOrReplaceTempView("mh_pairs")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    new_a = f"doc_a % {INCR_MOD} >= {INCR_NEW_GE}"
+    new_b = f"doc_b % {INCR_MOD} >= {INCR_NEW_GE}"
+    return spark.sql(
+        f"""
+        WITH d AS (SELECT doc_id, md5({_SPARK_NORM}) AS k FROM documents),
+        newb AS (SELECT * FROM d WHERE doc_id % {INCR_MOD} >= {INCR_NEW_GE}),
+        corp AS (SELECT * FROM d WHERE doc_id % {INCR_MOD} < {INCR_NEW_GE}),
+        ex AS (SELECT DISTINCT n.doc_id FROM newb n
+               JOIN corp o ON o.k = n.k),
+        nr AS (SELECT DISTINCT CASE WHEN {new_a} THEN doc_a ELSE doc_b END
+                 AS doc_id
+               FROM mh_pairs WHERE ({new_a}) <> ({new_b}))
+        SELECT n.doc_id,
+               CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                    WHEN r.doc_id IS NOT NULL THEN 'near_dup'
+                    ELSE 'unique' END AS status
+        FROM newb n
+        LEFT JOIN ex e ON e.doc_id = n.doc_id
+        LEFT JOIN nr r ON r.doc_id = n.doc_id
+        """
+    )
+
+
+def _incremental_oracle() -> str:
+    new_a = f"doc_a % {INCR_MOD} >= {INCR_NEW_GE}"
+    new_b = f"doc_b % {INCR_MOD} >= {INCR_NEW_GE}"
+    return f"""
+WITH mh_pairs AS ({_minhash_oracle()}),
+d AS (SELECT doc_id, md5({_DUCK_NORM}) AS k FROM documents),
+newb AS (SELECT * FROM d WHERE doc_id % {INCR_MOD} >= {INCR_NEW_GE}),
+corp AS (SELECT * FROM d WHERE doc_id % {INCR_MOD} < {INCR_NEW_GE}),
+ex AS (SELECT DISTINCT n.doc_id FROM newb n JOIN corp o ON o.k = n.k),
+nr AS (SELECT DISTINCT CASE WHEN {new_a} THEN doc_a ELSE doc_b END AS doc_id
+       FROM mh_pairs WHERE ({new_a}) <> ({new_b}))
+SELECT n.doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+            WHEN r.doc_id IS NOT NULL THEN 'near_dup'
+            ELSE 'unique' END AS status
+FROM newb n
+LEFT JOIN ex e ON e.doc_id = n.doc_id
+LEFT JOIN nr r ON r.doc_id = n.doc_id
+"""
+
+
 CC_MAX_ITERS = 20  # label propagation rounds (bound = cluster diameter)
 
 
@@ -1104,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_minhash_accuracy": dedup_minhash_accuracy,
+        "dedup_incremental": dedup_incremental,
         "dedup_cluster": dedup_cluster,
         "dedup_cluster_pd": dedup_cluster_pd,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1120,6 +1188,7 @@ def oracles() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "dedup_minhash": _minhash_oracle(),
         "dedup_minhash_accuracy": _minhash_accuracy_oracle(),
+        "dedup_incremental": _incremental_oracle(),
         "dedup_cluster": _DEDUP_CLUSTER_ORACLE,
         "dedup_cluster_pd": _DEDUP_CLUSTER_ORACLE,
         "dedup_ngram_jaccard": _DEDUP_NGRAM_ORACLE,

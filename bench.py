@@ -77,6 +77,9 @@ def _clear_operator_caches(spark) -> None:
     similarity._v_cache.clear()
     similarity._kmeans_cache.clear()
     similarity._centroid_cache.clear()
+    for _name, df in similarity._pr_edges_cache.values():
+        free_local_checkpoint(df)
+    similarity._pr_edges_cache.clear()
     entry._hub_cache.clear()
     spark.catalog.clearCache()
 
@@ -108,6 +111,11 @@ def _index_builders():
             lambda s: simhash._sig_df(s, SF_DIR).count(),
         ),
         ("ann_normed", lambda s: similarity._normed(s, SF_DIR)),
+        # the checkpointed kNN edge list (pagerank / triangles base)
+        (
+            "ann_knn_edges",
+            lambda s: similarity._knn_edges_view(s, SF_DIR),
+        ),
         (
             "embedding_cluster_labels",
             lambda s: similarity.dedup_semantic_cluster(s, SF_DIR).count(),

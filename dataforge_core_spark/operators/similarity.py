@@ -1072,8 +1072,10 @@ def _knn_edges_view(spark: SparkSession, sf_dir: str) -> str:
         )
         name = f"pr_edges_{abs(hash(key)) % 10**8}"
         edges.createOrReplaceTempView(name)
-        _pr_edges_cache[key] = name
-    return _pr_edges_cache[key]
+        # keep the frame too so cache-clearers can free the
+        # checkpointed blocks (the view name alone can't)
+        _pr_edges_cache[key] = (name, edges)
+    return _pr_edges_cache[key][0]
 
 
 def ann_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:

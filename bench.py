@@ -80,6 +80,10 @@ def _clear_operator_caches(spark) -> None:
     for _name, df in similarity._pr_edges_cache.values():
         free_local_checkpoint(df)
     similarity._pr_edges_cache.clear()
+    for _name, df in similarity._xq_cache.values():
+        free_local_checkpoint(df)
+    similarity._xq_cache.clear()
+    similarity._top_pc_cache.clear()
     entry._hub_cache.clear()
     spark.catalog.clearCache()
 
@@ -115,6 +119,11 @@ def _index_builders():
         (
             "ann_knn_edges",
             lambda s: similarity._knn_edges_view(s, SF_DIR),
+        ),
+        # power-iteration PC fit (the whitening-direction index)
+        (
+            "embeddings_pc_fit",
+            lambda s: similarity._fit_top_pc(s, SF_DIR),
         ),
         (
             "embedding_cluster_labels",

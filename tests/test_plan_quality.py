@@ -454,3 +454,37 @@ def test_ivf_pq_all_joins_broadcast(spark):
     assert plan.count("BroadcastHashJoin") >= 3, "IVF-PQ join not broadcast"
     assert "SortMergeJoin" not in plan, "corpus-side shuffle in IVF-PQ path"
     assert "WindowGroupLimit" in plan, "per-query top-K window unbounded"
+
+
+def test_pc_project_join_free_partial_final(spark):
+    """embeddings_pc_project: the projection must be ONE join-free
+    aggregate over the checkpointed component relation with the fitted
+    direction folded in as a literal array — any Join node means the
+    fit leaked back into the per-query path."""
+    from dataforge_core_spark.operators import similarity as S
+
+    plan = (
+        S.embeddings_pc_project(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan, "pc_project plans a join"
+    assert "HashAggregate" in plan and "partial" in plan.lower(), (
+        "projection aggregate not map-side combined"
+    )
+
+
+def test_graph_lanes_reuse_checkpointed_edges(spark):
+    """ann_pagerank / ann_triangles must read the kNN edge list from
+    the checkpointed index (an ExistingRDD scan), not re-run the
+    bucket-keyed kNN join per query."""
+    from dataforge_core_spark.operators import similarity as S
+
+    for fn in (S.ann_pagerank, S.ann_triangles):
+        plan = (
+            fn(spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "ExistingRDD" in plan, f"{fn.__name__}: edges recomputed"
+        assert "Parquet" not in plan, (
+            f"{fn.__name__}: re-scans the corpus instead of the edge index"
+        )

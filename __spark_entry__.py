@@ -222,18 +222,29 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     locally by tests/test_oracle.py."""
     from dataforge_core_spark.operators import extension_queries
 
+    # Pinned ahead of everything: the three DEEPEST pipeline rows
+    # (hub_lineitem exercises multi-hop lookups, theta keys and
+    # uniqueness guards; the two outputs exercise channel aggregation
+    # and union) — the §2 core stays driver-checked every round.  The
+    # six simpler hubs, driver-green since round 2 and transitively
+    # exercised by these three (lineitem builds on every upstream hub),
+    # are relegated to the tail so the driver's 50-row capture window
+    # has room for every not-yet-proven operator row.
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        "hub_region": _hub("tpch_region"),
-        "hub_nation": _hub("tpch_nation"),
-        "hub_supplier": _hub("tpch_supplier"),
-        "hub_orders": _hub("tpch_orders"),
-        "hub_customer": _hub("tpch_customer"),
         "hub_lineitem": _hub("tpch_lineitem"),
-        "hub_part": _hub("tpch_part"),
         "output_feature_customer": _output("feature_customer"),
         "output_entity_union": _output("entity_union"),
     }
     q.update(extension_queries())
+    for name, tbl in (
+        ("hub_region", "tpch_region"),
+        ("hub_nation", "tpch_nation"),
+        ("hub_supplier", "tpch_supplier"),
+        ("hub_orders", "tpch_orders"),
+        ("hub_customer", "tpch_customer"),
+        ("hub_part", "tpch_part"),
+    ):
+        q[name] = _hub(tbl)
     return q
 
 

@@ -74,6 +74,9 @@ def _clear_operator_caches(spark) -> None:
             except Exception:
                 pass
         cache.clear()
+    for df in simhash._salted_cache.values():
+        free_local_checkpoint(df)
+    simhash._salted_cache.clear()
     similarity._v_cache.clear()
     similarity._kmeans_cache.clear()
     similarity._centroid_cache.clear()
@@ -113,6 +116,13 @@ def _index_builders():
         (
             "simhash_signatures",
             lambda s: simhash._sig_df(s, SF_DIR).count(),
+        ),
+        # the checkpointed banded+salted LSH table (pairs base)
+        (
+            "simhash_salted_bands",
+            lambda s: simhash._salted_bands(
+                s, SF_DIR, simhash.MAX_BLOCK_BUCKET
+            ).count(),
         ),
         ("ann_normed", lambda s: similarity._normed(s, SF_DIR)),
         # the checkpointed kNN edge list (pagerank / triangles base)

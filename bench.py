@@ -80,8 +80,11 @@ def _clear_operator_caches(spark) -> None:
     similarity._v_cache.clear()
     similarity._kmeans_cache.clear()
     similarity._centroid_cache.clear()
-    for _name, df in similarity._pr_edges_cache.values():
+    # _pr_edges_cache holds views over the same checkpointed graph
+    # frames _knn_cache owns — free the blocks once, clear both
+    for df in similarity._knn_cache.values():
         free_local_checkpoint(df)
+    similarity._knn_cache.clear()
     similarity._pr_edges_cache.clear()
     for _name, df in similarity._xq_cache.values():
         free_local_checkpoint(df)

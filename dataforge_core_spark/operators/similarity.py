@@ -952,11 +952,31 @@ KNN_K = 5
 KNN_CELL_CAP = 100_000
 
 
+_knn_cache: dict = {}
+
+
 def ann_knn_graph(
     spark: SparkSession, sf_dir: str, cell_cap: int | None = None
 ) -> DataFrame:
-    """Directed kNN edges (vec -> its KNN_K nearest in its label cell)."""
-    cap = KNN_CELL_CAP if cell_cap is None else cell_cap
+    """Directed kNN edges (vec -> its KNN_K nearest in its label cell).
+
+    With the default cap the computed graph is checkpointed once per
+    (session, sf) — it is the stored kNN index that PageRank, the
+    triangle count, and the graph lane itself all read; an explicit
+    ``cell_cap`` (tests, dials) bypasses the cache and computes raw."""
+    if cell_cap is None:
+        key = (session_key(spark), sf_dir)
+        if key not in _knn_cache:
+            _knn_cache[key] = _knn_graph_raw(
+                spark, sf_dir, KNN_CELL_CAP
+            ).localCheckpoint(eager=True)
+        return _knn_cache[key]
+    return _knn_graph_raw(spark, sf_dir, cell_cap)
+
+
+def _knn_graph_raw(
+    spark: SparkSession, sf_dir: str, cap: int
+) -> DataFrame:
     v = _normed(spark, sf_dir)
     cos = _spark_cosine("a.emb", "b.emb", "a.nrm", "b.nrm")
     return spark.sql(
@@ -1065,16 +1085,15 @@ def _knn_edges_view(spark: SparkSession, sf_dir: str) -> str:
     PageRank and triangle-count lanes."""
     key = (session_key(spark), sf_dir)
     if key not in _pr_edges_cache:
-        edges = (
-            ann_knn_graph(spark, sf_dir)
-            .select("src", "dst")
-            .localCheckpoint(eager=True)
-        )
+        # the graph itself is already checkpointed (ann_knn_graph's
+        # default-cap cache); the view is a cheap projection over the
+        # materialized blocks.  The frame rides along so cache-clearers
+        # can free those blocks (the view name alone can't).
+        graph = ann_knn_graph(spark, sf_dir)
+        edges = graph.select("src", "dst")
         name = f"pr_edges_{abs(hash(key)) % 10**8}"
         edges.createOrReplaceTempView(name)
-        # keep the frame too so cache-clearers can free the
-        # checkpointed blocks (the view name alone can't)
-        _pr_edges_cache[key] = (name, edges)
+        _pr_edges_cache[key] = (name, graph)
     return _pr_edges_cache[key][0]
 
 

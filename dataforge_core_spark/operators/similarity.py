@@ -1183,6 +1183,94 @@ pr_edges AS (
 
 
 # ---------------------------------------------------------------------------
+# k-core membership (fixed-round peeling) over the undirected kNN
+# graph: nodes below degree K are peeled, degrees recompute on the
+# induced subgraph, repeat — survivors of the fixed unrolled rounds are
+# the dense-core members (the "well-embedded" corpus: peeled nodes are
+# weakly connected outliers/noise, the complement curation signal to
+# ann_outliers).  True coreness needs peel-to-fixpoint; KCORE_ROUNDS
+# rounds is the deterministic bounded approximation (documented, same
+# rule both engines), exactly how CC_MAX_ITERS bounds the cluster loop.
+# Each round is one semi-join + degree aggregate over the checkpointed
+# edge index — no driver state, integer-only.
+# ---------------------------------------------------------------------------
+
+KCORE_K = 4
+KCORE_ROUNDS = 3
+
+
+def _kcore_tail(edges: str, dialect: str) -> str:
+    """Shared CTE chain over ``{edges}``: undirected edges -> peel
+    rounds -> per-node final degree + membership flag.
+
+    Structured so every round consumes its edge set ONCE (endpoints
+    come from one explode/unnest, not a UNION ALL referencing the CTE
+    twice) — a doubly-referenced chain inlines exponentially in the
+    round count.  The remaining 2x (both endpoints semi-join the
+    surviving node set) is pinned to one evaluation per CTE in DuckDB
+    via MATERIALIZED; Spark's duplicated subtrees share the
+    checkpointed edge scan and its exchanges are deduped by
+    ReuseExchange."""
+    mat = "MATERIALIZED " if dialect == "duck" else ""
+    ends = (
+        "explode(array(a, b))" if dialect == "spark" else "unnest([a, b])"
+    )
+    parts = [
+        f"""u AS {mat}(
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM {edges}
+)""",
+        f"""n0 AS {mat}(
+  SELECT node FROM (SELECT {ends} AS node FROM u)
+  GROUP BY node HAVING COUNT(*) >= {KCORE_K}
+)""",
+    ]
+    prev = "n0"
+    for r in range(1, KCORE_ROUNDS + 1):
+        parts.append(
+            f"""e{r} AS {mat}(
+  SELECT u.a, u.b FROM u
+  JOIN {prev} x ON x.node = u.a
+  JOIN {prev} y ON y.node = u.b
+)"""
+        )
+        parts.append(
+            f"""n{r} AS {mat}(
+  SELECT node FROM (SELECT {ends} AS node FROM e{r})
+  GROUP BY node HAVING COUNT(*) >= {KCORE_K}
+)"""
+        )
+        prev = f"n{r}"
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT t.node AS vec_id,
+       CAST(COUNT(*) AS BIGINT) AS degree,
+       CAST(CASE WHEN k.node IS NOT NULL THEN 1 ELSE 0 END AS INT)
+         AS in_core
+FROM (SELECT {ends} AS node FROM u) t
+LEFT JOIN {prev} k ON k.node = t.node
+GROUP BY t.node, k.node"""
+    )
+
+
+def ann_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree + {KCORE_ROUNDS}-round k-core membership per graph node."""
+    edges = _knn_edges_view(spark, sf_dir)
+    return spark.sql(f"WITH {_kcore_tail(edges, 'spark')}")
+
+
+def _kcore_oracle() -> str:
+    return f"""
+WITH {_duck_v_cte()},
+kc_edges AS MATERIALIZED (
+  SELECT src, dst FROM ({_knn_graph_body()})
+),
+{_kcore_tail('kc_edges', 'duck')}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Top principal component by power iteration — the fitting pass of
 # whitening / PCA-truncation stages, as distributed linear algebra:
 # each iteration is two map-side-combinable aggregates over the
@@ -2055,6 +2143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_mrl_recall": ann_mrl_recall,
         "ann_pagerank": ann_pagerank,
         "ann_triangles": ann_triangles,
+        "ann_kcore": ann_kcore,
         "embeddings_top_pc": embeddings_top_pc,
         "embeddings_pc_project": embeddings_pc_project,
         "ann_ivf_stats": ann_ivf_stats,
@@ -2084,6 +2173,7 @@ def oracles() -> dict[str, str]:
         "ann_mrl_recall": _mrl_recall_oracle(),
         "ann_pagerank": _pagerank_oracle(),
         "ann_triangles": _triangles_oracle(),
+        "ann_kcore": _kcore_oracle(),
         "embeddings_top_pc": _top_pc_oracle(),
         "embeddings_pc_project": _pc_project_oracle(),
         "ann_ivf_stats": _ivf_stats_oracle(),

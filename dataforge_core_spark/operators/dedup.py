@@ -245,8 +245,6 @@ def dedup_minhash(
     The verified pair set is persisted per (session, sf): the clustering
     operator consumes it as its edge list, so one materialization serves
     both driver rows (at scale: the stored near-dup pair table)."""
-    from pyspark.sql import functions as F
-
     cap = MAX_BAND_BUCKET if max_band_bucket is None else max_band_bucket
     wide = _verified_pairs(spark, sf_dir, cap)
     return wide.select("doc_a", "doc_b", "jaccard")

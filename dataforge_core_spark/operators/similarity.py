@@ -1255,7 +1255,7 @@ GROUP BY t.node, k.node"""
 
 
 def ann_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Degree + {KCORE_ROUNDS}-round k-core membership per graph node."""
+    """Degree + KCORE_ROUNDS-round k-core membership per graph node."""
     edges = _knn_edges_view(spark, sf_dir)
     return spark.sql(f"WITH {_kcore_tail(edges, 'spark')}")
 

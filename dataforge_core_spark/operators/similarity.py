@@ -123,10 +123,14 @@ def _normed(spark: SparkSession, sf_dir: str) -> str:
     return _v_cache[key]
 
 
-# DuckDB-side equivalent of _normed's projection (shared by all oracles)
+# DuckDB-side equivalent of _normed's projection (shared by all oracles).
+# MATERIALIZED: duckdb 1.0 inlines plain CTEs, so the self-joining graph
+# oracles would compute the normalization once per reference; pinning one
+# evaluation also sidesteps a duckdb-1.0 allocator flake (std::bad_alloc
+# with ample free RAM) that strikes repeated heavy list-CTE expansions.
 def _duck_v_cte() -> str:
     return f"""
-v AS (
+v AS MATERIALIZED (
   SELECT vec_id, label, emb,
          {_duck_norm('emb')} AS nrm,
          {_bucket_expr('emb', 'duck')} AS bucket
@@ -1040,22 +1044,28 @@ PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
 _pr_edges_cache: dict = {}
 
 
-def _pagerank_tail(idiv: str, edges: str) -> str:
+def _pagerank_tail(idiv: str, edges: str, mat: str = "") -> str:
     """The shared post-edges CTE chain: nodes/outd/r0 -> rK, one CTE
-    pair per iteration (the oracle runs the identical unrolled chain)."""
+    pair per iteration (the oracle runs the identical unrolled chain).
+
+    ``mat`` — ``"MATERIALIZED "`` on the duck side: duckdb 1.0 inlines
+    plain CTEs, so the unrolled r1..rK chain would re-expand nodes/outd
+    (and through them the whole edge relation) multiplicatively per
+    iteration; Spark's duplicated subtrees read the checkpointed edge
+    view and dedup via ReuseExchange, same as _kcore_tail."""
     parts = [
-        f"""nodes AS (
+        f"""nodes AS {mat}(
   SELECT src AS node FROM {edges}
   UNION
   SELECT dst FROM {edges}
 )""",
-        f"outd AS (SELECT src, COUNT(*) AS d FROM {edges} GROUP BY src)",
+        f"outd AS {mat}(SELECT src, COUNT(*) AS d FROM {edges} GROUP BY src)",
         f"r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS r FROM nodes)",
     ]
     prev = "r0"
     for k in range(1, PR_ITERS + 1):
         parts.append(
-            f"""c{k} AS (
+            f"""c{k} AS {mat}(
   SELECT e.dst AS node, CAST(SUM(r.r {idiv} o.d) AS BIGINT) AS s
   FROM {edges} e
   JOIN {prev} r ON r.node = e.src
@@ -1064,7 +1074,7 @@ def _pagerank_tail(idiv: str, edges: str) -> str:
 )"""
         )
         parts.append(
-            f"""r{k} AS (
+            f"""r{k} AS {mat}(
   SELECT n.node,
          CAST(({PR_SCALE} * {PR_DAMP_DEN - PR_DAMP_NUM}) {idiv} {PR_DAMP_DEN}
               + ({PR_DAMP_NUM} * COALESCE(c.s, 0)) {idiv} {PR_DAMP_DEN}
@@ -1106,10 +1116,10 @@ def ann_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pagerank_oracle() -> str:
     return f"""
 WITH {_duck_v_cte()},
-pr_edges AS (
+pr_edges AS MATERIALIZED (
   SELECT src, dst FROM ({_knn_graph_body()})
 ),
-{_pagerank_tail('//', 'pr_edges')}
+{_pagerank_tail('//', 'pr_edges', 'MATERIALIZED ')}
 """
 
 
@@ -1131,14 +1141,20 @@ pr_edges AS (
 # ---------------------------------------------------------------------------
 
 
-def _triangle_tail(idiv: str, edges: str) -> str:
+def _triangle_tail(idiv: str, edges: str, mat: str = "") -> str:
     """Shared post-edges CTE chain: orient -> enumerate -> per-node
-    counts -> degree join -> clustering coefficient (ppm)."""
-    return f"""und AS (
+    counts -> degree join -> clustering coefficient (ppm).
+
+    ``mat`` — ``"MATERIALIZED "`` on the duck side (``und`` is consumed
+    three times by the enumeration join and ``tri`` three times by the
+    per-node UNION ALL; duckdb 1.0 inlines plain CTEs, re-running the
+    whole edge pipeline per reference); Spark reads the checkpointed
+    edge view and dedups the repeats via ReuseExchange."""
+    return f"""und AS {mat}(
   SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
   FROM {edges}
 ),
-tri AS (
+tri AS {mat}(
   SELECT e1.a AS x, e1.b AS y, e2.b AS z
   FROM und e1
   JOIN und e2 ON e2.a = e1.b
@@ -1175,10 +1191,10 @@ def ann_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _triangles_oracle() -> str:
     return f"""
 WITH {_duck_v_cte()},
-pr_edges AS (
+pr_edges AS MATERIALIZED (
   SELECT src, dst FROM ({_knn_graph_body()})
 ),
-{_triangle_tail('//', 'pr_edges')}
+{_triangle_tail('//', 'pr_edges', 'MATERIALIZED ')}
 """
 
 

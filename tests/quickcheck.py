@@ -42,9 +42,12 @@ def main() -> int:
             print(f"{name}: rows-only, {len(srows)} rows")
             continue
         con = _duck(sf_dir)
-        res = con.execute(o[name])
-        dcols = [d[0] for d in res.description]
-        drows = res.fetchall()
+        try:
+            res = con.execute(o[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        finally:
+            con.close()
         ok_cols = sorted(sdf.columns) == sorted(dcols)
         ok_n = len(srows) == len(drows)
         cols, sn = _normalize_rows(list(sdf.columns), srows)

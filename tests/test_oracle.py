@@ -30,6 +30,17 @@ TABLES = [
 
 
 def _duck(sf_dir: str):
+    """Fresh connection with the parquet views registered.
+
+    Callers must close it: duckdb 1.0 has an allocator flake
+    (``std::bad_alloc`` on KB-sized blocks with >100 GB free RAM) that
+    strikes REPEAT executions of the heavy list-CTE graph oracles on
+    one connection — reproduced in isolation at iteration 2 of a
+    pagerank-oracle loop, no Spark involved.  A fresh connection resets
+    the allocator, so the harness runs each oracle execution on its own
+    short-lived connection; never share one across queries (a poisoned
+    connection fails everything after it), and never leak them (~130
+    live instances also exhaust the process)."""
     con = duckdb.connect()
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
@@ -38,6 +49,21 @@ def _duck(sf_dir: str):
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
             )
     return con
+
+
+def _oracle_run(sf_dir: str, fn):
+    """``fn(con)`` on a fresh connection, closed after; one retry on
+    the duckdb-1.0 allocator flake (see ``_duck``)."""
+    last = None
+    for _ in range(2):
+        con = _duck(sf_dir)
+        try:
+            return fn(con)
+        except duckdb.OutOfMemoryException as e:  # pragma: no cover
+            last = e
+        finally:
+            con.close()
+    raise last
 
 
 def _norm(v):
@@ -145,10 +171,11 @@ def test_query_matches_oracle(name, spark, sf_dir):
         assert len(spark_rows) >= 0
         return
 
-    con = _duck(sf_dir)
-    res = con.execute(_O[name])
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    def _fetch(con):
+        res = con.execute(_O[name])
+        return [d[0] for d in res.description], res.fetchall()
+
+    duck_cols, duck_rows = _oracle_run(sf_dir, _fetch)
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch {sorted(spark_cols)} vs {sorted(duck_cols)}"
@@ -158,7 +185,12 @@ def test_query_matches_oracle(name, spark, sf_dir):
     # (DuckDB SUM) is exactly the knife-edge class that went red in
     # round 6 — gate it here so a new lane can't drift
     sdt = dict(sdf.dtypes)
-    ddt = {f.name: f.type for f in con.execute(_O[name]).arrow().schema}
+    ddt = _oracle_run(
+        sf_dir,
+        lambda con: {
+            f.name: f.type for f in con.execute(_O[name]).arrow().schema
+        },
+    )
     tmism = {
         c: (sdt[c], str(ddt[c]))
         for c in sdt

@@ -181,7 +181,11 @@ def _build(spark: SparkSession, sf_dir: str):
         # Downstream hubs compile against the checkpointed frames, so
         # nothing is stored twice and independent hubs materialize
         # concurrently (was: sequential persist -> checkpoint ->
-        # unpersist, ~1.4x slower at sf0.1).
+        # unpersist, ~1.4x slower at sf0.1).  NOT the emitter's
+        # single-SQL-per-hub path: measured head-to-head it is
+        # warm-identical (5.61 vs 5.59s) and ~10s WORSE cold (ANTLR
+        # first-parse warmup on the giant statements), and the heap
+        # bloat degraded the cache-served dedup lanes downstream.
         hubs = runner.build_checkpointed()
         outs = runner.build_outputs(hubs)
         _hub_cache[key] = (hubs, outs)

@@ -60,9 +60,12 @@ NOISY_RUNS = 5
 def _clear_operator_caches(spark) -> None:
     """Drop every operator-level cache so index builds measure cold."""
     import __spark_entry__ as entry
-    from dataforge_core_spark.operators import dedup, simhash, similarity
+    from dataforge_core_spark.operators import dedup, simhash, similarity, text
     from dataforge_core_spark.session import free_local_checkpoint
 
+    # merge tables are plain tuples (the train loop frees its own
+    # blocks) — cleared so the timed train row measures a real build
+    text._bpe_cache.clear()
     for hubs, _outs in entry._hub_cache.values():
         for df in hubs.values():
             free_local_checkpoint(df)
@@ -97,7 +100,7 @@ def _clear_operator_caches(spark) -> None:
 def _index_builders():
     """(name, thunk) per shared index, in dependency order."""
     import __spark_entry__ as entry
-    from dataforge_core_spark.operators import dedup, simhash, similarity
+    from dataforge_core_spark.operators import dedup, simhash, similarity, text
 
     return [
         # entry._build checkpoints every hub eagerly (see its comment),
@@ -149,6 +152,11 @@ def _index_builders():
         (
             "ann_outlier_centroids",
             lambda s: similarity._label_centroids(s, SF_DIR),
+        ),
+        # the BPE merge-train loop (its lane then serves literal rows)
+        (
+            "train_bpe_merge_train",
+            lambda s: text.train_bpe_merges(s, SF_DIR).count(),
         ),
     ]
 

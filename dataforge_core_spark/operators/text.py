@@ -12,6 +12,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from dataforge_core_spark.session import session_key
+
 # tiny per-language stopword lists for the heuristic language ID
 _LANGS: dict[str, list[str]] = {
     "en": ["the", "a", "of", "and", "to"],
@@ -654,6 +656,212 @@ SELECT
 """
 
 
+# ---------------------------------------------------------------------------
+# BPE merge training — the actual byte-pair-encoding train loop, run
+# relationally: count adjacent symbol pairs over the piece-frequency
+# table (weights = piece counts, exactly how real BPE trainers avoid
+# touching the raw corpus per round), pick the most frequent pair,
+# apply it GREEDILY left-to-right, repeat.  Completes the tokenizer
+# suite: train_tokenizer_vocab is the seed list, this is the merge
+# table, text_tokens_bpe the pre-tokenizer.
+#
+# Greedy non-overlap without procedural code: a merge candidate at
+# position p conflicts only with p-1/p+1, and adjacent candidates exist
+# only when sym_a = sym_b (runs of the same symbol); grouping candidate
+# positions into consecutive runs via the pos - ROW_NUMBER() trick and
+# keeping even offsets reproduces exact left-to-right greedy
+# application — pure window functions, identical on both engines.
+# Everything is strings + exact integer counts (argmax tiebreak
+# n DESC, a ASC, b ASC is total), so the engines cannot disagree.
+#
+# Spark runs the canonical iterative-algorithm shape (the k-means /
+# connected-components precedent): one localCheckpoint per round, the
+# per-round argmax is a ONE-ROW collect that parks the chosen pair in
+# the next round's plan as literals, and every intermediate block is
+# freed once the merge table (R tiny literal rows) is extracted — a
+# long-lived session keeps no state.  The oracle unrolls the identical
+# rounds as MATERIALIZED CTEs.
+#
+# Scale shape: the corpus is touched ONCE (the piece-count aggregate,
+# map-side combinable); every round after runs over the DISTINCT-piece
+# symbol table (sum of distinct-piece lengths, ~1000x smaller than the
+# corpus), with word-keyed window shuffles and a map-side-combined pair
+# count.  That is the real distributed-BPE recipe; rounds are bounded
+# by BPE_ROUNDS exactly as CC_MAX_ITERS bounds the cluster loop.
+# ---------------------------------------------------------------------------
+
+BPE_ROUNDS = 3
+
+_bpe_cache: dict = {}
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def train_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE_ROUNDS BPE merges over the piece-frequency table:
+    (round, sym_a, sym_b, pair_n)."""
+    from dataforge_core_spark.session import free_local_checkpoint
+
+    key = (session_key(spark), sf_dir)
+    if key not in _bpe_cache:
+        _view(spark, sf_dir)
+        wf = spark.sql(
+            f"""
+            SELECT piece AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM (
+              SELECT explode(regexp_extract_all(text, '{_BPE_RE_SPARK}', 0))
+                AS piece
+              FROM documents
+            ) GROUP BY piece
+            """
+        )
+        wf.createOrReplaceTempView("bpe_wf")
+        sym = spark.sql(
+            """
+            SELECT word, cnt, CAST(i AS INT) AS pos, substr(word, i, 1) AS sym
+            FROM bpe_wf LATERAL VIEW explode(sequence(1, length(word))) s AS i
+            WHERE length(word) >= 2
+            """
+        )
+        merges: list[tuple[int, str, str, int]] = []
+        ckpts = []
+        for k in range(1, BPE_ROUNDS + 1):
+            sym = sym.localCheckpoint(eager=True)
+            ckpts.append(sym)
+            sym.createOrReplaceTempView("bpe_sym")
+            pairs = spark.sql(
+                """
+                SELECT word, cnt, pos, sym,
+                       lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+                FROM bpe_sym
+                """
+            ).localCheckpoint(eager=True)
+            ckpts.append(pairs)
+            pairs.createOrReplaceTempView("bpe_p")
+            top = spark.sql(
+                """
+                SELECT sym AS a, nxt AS b, CAST(SUM(cnt) AS BIGINT) AS n
+                FROM bpe_p WHERE nxt IS NOT NULL
+                GROUP BY sym, nxt ORDER BY n DESC, a, b LIMIT 1
+                """
+            ).collect()
+            if not top:
+                break
+            a, b, n = top[0]
+            merges.append((k, a, b, n))
+            sym = spark.sql(
+                f"""
+                WITH cand AS (
+                  SELECT word, pos,
+                         pos - ROW_NUMBER() OVER (PARTITION BY word
+                               ORDER BY pos) AS grp
+                  FROM bpe_p
+                  WHERE sym = {_sql_str(a)} AND nxt = {_sql_str(b)}
+                ),
+                ap AS (
+                  SELECT word, pos FROM (
+                    SELECT word, pos,
+                           pos - MIN(pos) OVER (PARTITION BY word, grp)
+                             AS off
+                    FROM cand
+                  ) WHERE off % 2 = 0
+                )
+                SELECT p.word, p.cnt,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY p.word
+                            ORDER BY p.pos) AS INT) AS pos,
+                       CASE WHEN h.pos IS NOT NULL THEN p.sym || p.nxt
+                            ELSE p.sym END AS sym
+                FROM bpe_p p
+                LEFT JOIN ap h ON h.word = p.word AND h.pos = p.pos
+                LEFT JOIN ap t ON t.word = p.word AND t.pos = p.pos - 1
+                WHERE t.pos IS NULL
+                """
+            )
+        for df in ckpts:  # merge table extracted — no state survives
+            free_local_checkpoint(df)
+        _bpe_cache[key] = merges
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS round, {_sql_str(a)} AS sym_a,"
+        f" {_sql_str(b)} AS sym_b, CAST({n} AS BIGINT) AS pair_n"
+        for k, a, b, n in _bpe_cache[key]
+    )
+    return spark.sql(rows)
+
+
+def _bpe_merges_oracle() -> str:
+    """The identical rounds unrolled as MATERIALIZED CTEs (duckdb 1.0
+    inlines plain CTEs; sym/pairs are each consumed 3x per round)."""
+    parts = [
+        f"""wf AS MATERIALIZED (
+  SELECT piece AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT unnest(regexp_extract_all(text, '{_BPE_RE_DUCK}')) AS piece
+    FROM documents
+  ) GROUP BY piece
+)""",
+        """sym0 AS MATERIALIZED (
+  SELECT word, cnt, CAST(i AS INT) AS pos, substr(word, i, 1) AS sym
+  FROM wf, unnest(generate_series(1, len(word))) AS s(i)
+  WHERE len(word) >= 2
+)""",
+    ]
+    prev = "sym0"
+    for k in range(1, BPE_ROUNDS + 1):
+        parts.append(
+            f"""p{k} AS MATERIALIZED (
+  SELECT word, cnt, pos, sym,
+         lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+  FROM {prev}
+)"""
+        )
+        parts.append(
+            f"""m{k} AS MATERIALIZED (
+  SELECT sym AS a, nxt AS b, CAST(SUM(cnt) AS BIGINT) AS n
+  FROM p{k} WHERE nxt IS NOT NULL
+  GROUP BY sym, nxt ORDER BY n DESC, a, b LIMIT 1
+)"""
+        )
+        parts.append(
+            f"""c{k} AS (
+  SELECT p.word, p.pos,
+         p.pos - ROW_NUMBER() OVER (PARTITION BY p.word ORDER BY p.pos)
+           AS grp
+  FROM p{k} p, m{k} m WHERE p.sym = m.a AND p.nxt = m.b
+)"""
+        )
+        parts.append(
+            f"""a{k} AS MATERIALIZED (
+  SELECT word, pos FROM (
+    SELECT word, pos,
+           pos - MIN(pos) OVER (PARTITION BY word, grp) AS off
+    FROM c{k}
+  ) WHERE off % 2 = 0
+)"""
+        )
+        parts.append(
+            f"""sym{k} AS MATERIALIZED (
+  SELECT p.word, p.cnt,
+         CAST(ROW_NUMBER() OVER (PARTITION BY p.word ORDER BY p.pos)
+              AS INT) AS pos,
+         CASE WHEN h.pos IS NOT NULL THEN p.sym || p.nxt
+              ELSE p.sym END AS sym
+  FROM p{k} p
+  LEFT JOIN a{k} h ON h.word = p.word AND h.pos = p.pos
+  LEFT JOIN a{k} t ON t.word = p.word AND t.pos = p.pos - 1
+  WHERE t.pos IS NULL
+)"""
+        )
+        prev = f"sym{k}"
+    final = "\nUNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS round, a AS sym_a, b AS sym_b,"
+        f" n AS pair_n FROM m{k}"
+        for k in range(1, BPE_ROUNDS + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_vocab_coverage": text_vocab_coverage,
@@ -667,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": text_lang_id,
         "text_fingerprint": text_fingerprint,
         "train_tokenizer_vocab": train_tokenizer_vocab,
+        "train_bpe_merges": train_bpe_merges,
     }
 
 
@@ -683,4 +892,5 @@ def oracles() -> dict[str, str]:
         "text_lang_id": _LANGID_ORACLE,
         "text_fingerprint": _FINGERPRINT_ORACLE,
         "train_tokenizer_vocab": _VOCAB_ORACLE,
+        "train_bpe_merges": _bpe_merges_oracle(),
     }

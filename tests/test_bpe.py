@@ -101,3 +101,48 @@ def test_duck_oracle_matches_python_reference(synth_dir):
     finally:
         con.close()
     assert got == sorted(_expected())
+
+
+# --- property: the relational greedy-merge construction is exactly the
+# procedural left-to-right scan, on ARBITRARY corpora.  DuckDB stands in
+# for the SQL side (identical CTE text modulo dialect; the Spark lane is
+# pinned to the same reference by the fixed-corpus test above) so each
+# example runs in milliseconds without a Spark job.
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_words = st.text(alphabet="aabbcx1,", min_size=1, max_size=8)
+_corpora = st.lists(
+    st.lists(_words, min_size=1, max_size=6).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(_corpora)
+@settings(max_examples=60, deadline=None)
+def test_duck_oracle_matches_reference_on_random_corpora(docs):
+    from dataforge_core_spark.operators.text import (
+        BPE_ROUNDS,
+        _bpe_merges_oracle,
+    )
+
+    counts: dict[str, int] = {}
+    for d in docs:
+        for w in re.findall(_BPE_PY_RE, d):
+            counts[w] = counts.get(w, 0) + 1
+    expected = sorted(_ref_bpe(counts, BPE_ROUNDS))
+
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE TABLE documents (doc_id BIGINT, text VARCHAR)"
+        )
+        con.executemany(
+            "INSERT INTO documents VALUES (?, ?)", list(enumerate(docs))
+        )
+        got = sorted(
+            tuple(r) for r in con.execute(_bpe_merges_oracle()).fetchall()
+        )
+    finally:
+        con.close()
+    assert got == expected

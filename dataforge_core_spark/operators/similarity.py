@@ -1001,6 +1001,56 @@ def _knn_graph_raw(
     )
 
 
+# ---------------------------------------------------------------------------
+# Mean-reciprocal-rank eval — the second standard retrieval metric next
+# to ann_recall_eval's recall@K: per query, the rank of the FIRST
+# relevant neighbor (relevance = shared ground-truth label) in the
+# exact brute-force top-K, and its reciprocal rank in exact ppm
+# (1e6 integer-divided by the rank; 0 when no relevant neighbor lands
+# in the window).  Ranks are the same deterministic (score DESC,
+# vec_id) total order ann_bruteforce is driver-proven on; everything
+# else is MIN/CASE over integers, so the engines cannot disagree.
+# Scale shape: identical to ann_bruteforce (the broadcast-rerank
+# primitive — a tiny query set against the corpus), plus one
+# query-keyed aggregate.
+# ---------------------------------------------------------------------------
+
+
+def _mrr_sql(v: str, cos: str, idiv: str) -> str:
+    return f"""
+WITH ranked AS (
+  SELECT q.vec_id AS query_id, c.label AS nlab, q.label AS qlab,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              ORDER BY ({cos}) DESC, c.vec_id) AS rank
+  FROM (SELECT * FROM {v} WHERE vec_id < {N_QUERIES}) q
+  JOIN {v} c ON q.vec_id <> c.vec_id
+)
+SELECT query_id,
+       CAST(MIN(CASE WHEN nlab = qlab THEN rank END) AS INTEGER)
+         AS first_rel_rank,
+       CAST(COALESCE(
+            1000000 {idiv} MIN(CASE WHEN nlab = qlab THEN rank END), 0)
+         AS BIGINT) AS rr_ppm
+FROM ranked WHERE rank <= {TOP_K}
+GROUP BY query_id
+"""
+
+
+def ann_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query first-relevant rank + reciprocal rank (ppm) in the
+    brute-force top-K."""
+    v = _normed(spark, sf_dir)
+    cos = _spark_cosine("q.emb", "c.emb", "q.nrm", "c.nrm")
+    return spark.sql(_mrr_sql(v, cos, "DIV"))
+
+
+def _mrr_oracle() -> str:
+    cos = _duck_cosine("q.emb", "c.emb", "q.nrm", "c.nrm")
+    return f"WITH {_duck_v_cte()}" + _mrr_sql("v", cos, "//").replace(
+        "WITH ranked AS", ", ranked AS", 1
+    )
+
+
 def _knn_graph_body(cell_cap: int | None = None) -> str:
     """The DuckDB kNN-edge SELECT over relation ``v`` (no WITH)."""
     cap = KNN_CELL_CAP if cell_cap is None else cell_cap
@@ -2165,6 +2215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_stats": ann_ivf_stats,
         "ann_outliers": ann_outliers,
         "ann_recall_eval": ann_recall_eval,
+        "ann_mrr": ann_mrr,
         "ann_knn_graph": ann_knn_graph,
         "embeddings_quantize": embeddings_quantize,
         "embeddings_dim_stats": embeddings_dim_stats,
@@ -2194,6 +2245,7 @@ def oracles() -> dict[str, str]:
         "embeddings_pc_project": _pc_project_oracle(),
         "ann_ivf_stats": _ivf_stats_oracle(),
         "ann_recall_eval": _recall_eval_oracle(),
+        "ann_mrr": _mrr_oracle(),
         "ann_knn_graph": f"WITH {_duck_v_cte()}\n{_knn_graph_body()}",
         "embeddings_quantize": _quantize_oracle(),
         "embeddings_dim_stats": _DIM_STATS_ORACLE,

@@ -208,6 +208,8 @@ _CARTESIAN_EXEMPT = {
     # intentional: the exact-baseline side of the Matryoshka recall
     # eval is the same all-pairs shape as ann_bruteforce
     "ann_mrl_recall",
+    # intentional: MRR ranks the same broadcast-query all-pairs scan
+    "ann_mrr",
 }
 
 

@@ -64,7 +64,11 @@ def _clear_operator_caches(spark) -> None:
     from dataforge_core_spark.session import free_local_checkpoint
 
     # merge tables are plain tuples (the train loop frees its own
-    # blocks) — cleared so the timed train row measures a real build
+    # blocks) — cleared so the timed train row measures a real build;
+    # the encode lane's (word, n_pieces) vocabulary is checkpointed
+    for df in text._bpe_wp_cache.values():
+        free_local_checkpoint(df)
+    text._bpe_wp_cache.clear()
     text._bpe_cache.clear()
     for hubs, _outs in entry._hub_cache.values():
         for df in hubs.values():

@@ -95,9 +95,50 @@ def _recorded_names() -> set:
     return {name for name, row in latest.items() if _passed(row)}
 
 
+# Lanes added AFTER the round-7 capture-window bookkeeping froze (the
+# ROADMAP's "don't add further lanes before the r7 record lands"): NOT
+# hoisted ahead of driver-green rows while the r7 record is still
+# pending, so they cannot displace the 49 not-yet-proven r7 rows from
+# the driver's 50-row capture window.  They stay locally
+# oracle-verified (tests/test_oracle.py) regardless; once a
+# CORRECTNESS_r7+ record exists the deferral expires and _merge hoists
+# them like any other unrecorded row (they become the least-proven set).
+_DEFER_UNTIL_ROUND = 7
+DEFER_PAST_CAPTURE: set = {
+    "train_dsir_weights",
+    "train_temperature_mix",
+    "train_bpe_encode",
+    "text_quality_linear",
+    "ann_incremental_assign",
+}
+
+
+def _max_recorded_round() -> int:
+    import glob
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)", os.path.basename(p)))
+    ]
+    return max(rounds, default=0)
+
+
 def _merge(items: dict) -> dict:
     recorded = _recorded_names()
-    fresh = {k: v for k, v in items.items() if k not in recorded}
+    deferred = (
+        DEFER_PAST_CAPTURE
+        if _max_recorded_round() < _DEFER_UNTIL_ROUND
+        else set()
+    )
+    fresh = {
+        k: v
+        for k, v in items.items()
+        if k not in recorded and k not in deferred
+    }
     fresh.update(items)
     return fresh
 

@@ -2200,8 +2200,71 @@ FROM af GROUP BY cid
 """
 
 
+# ---------------------------------------------------------------------------
+# Incremental index maintenance: a 100 TB vector store doesn't retrain
+# its coarse quantizer per ingest batch — new vectors are assigned to
+# the FROZEN centroids, and a per-cell drift report decides when a
+# retrain is due (a cell whose incoming share diverges from its stored
+# share signals distribution shift).  The "incoming batch" is a
+# deterministic slice of the corpus (vec_id % INC_MOD == INC_REM);
+# assignment is a pure function of (emb, centroids), so the stored
+# index already carries the batch's cells — the lane is then ONE
+# aggregate over the checkpointed assignment index, with ppm shares by
+# window totals over K rows.  All outputs are exact integers.
+# ---------------------------------------------------------------------------
+
+INC_MOD = 10
+INC_REM = 7  # vec_id % INC_MOD == INC_REM -> the incoming batch
+
+
+def _inc_assign_agg(dialect: str) -> str:
+    div = "DIV" if dialect == "spark" else "//"
+    cid = "cid" if dialect == "spark" else "CAST(cid AS INTEGER)"
+    return f"""
+SELECT {cid} AS cid,
+       CAST(SUM(CASE WHEN vec_id % {INC_MOD} = {INC_REM} THEN 0 ELSE 1
+                END) AS BIGINT) AS n_index,
+       CAST(SUM(CASE WHEN vec_id % {INC_MOD} = {INC_REM} THEN 1 ELSE 0
+                END) AS BIGINT) AS n_new,
+       (1000000 * CAST(SUM(CASE WHEN vec_id % {INC_MOD} = {INC_REM}
+                           THEN 0 ELSE 1 END) AS BIGINT))
+         {div} CAST(SUM(SUM(CASE WHEN vec_id % {INC_MOD} = {INC_REM}
+                            THEN 0 ELSE 1 END)) OVER () AS BIGINT)
+         AS index_share_ppm,
+       (1000000 * CAST(SUM(CASE WHEN vec_id % {INC_MOD} = {INC_REM}
+                           THEN 1 ELSE 0 END) AS BIGINT))
+         {div} CAST(SUM(SUM(CASE WHEN vec_id % {INC_MOD} = {INC_REM}
+                            THEN 1 ELSE 0 END)) OVER () AS BIGINT)
+         AS new_share_ppm
+"""
+
+
+def ann_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell drift report: incoming-batch share vs stored share."""
+    af = _kmeans_assignments(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT cid, n_index, n_new, index_share_ppm, new_share_ppm,
+               new_share_ppm - index_share_ppm AS drift_ppm
+        FROM ({_inc_assign_agg('spark')} FROM {af} GROUP BY cid) t
+        """
+    )
+
+
+def _inc_assign_oracle() -> str:
+    return f"""
+WITH {_duck_v_cte()},
+{_kmeans_ctes('v', 'duck')},
+agg AS ({_inc_assign_agg('duck')} FROM af GROUP BY cid)
+SELECT cid, n_index, n_new, index_share_ppm, new_share_ppm,
+       new_share_ppm - index_share_ppm AS drift_ppm
+FROM agg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "ann_incremental_assign": ann_incremental_assign,
         "ann_pq_encode": ann_pq_encode,
         "ann_pq_search": ann_pq_search,
         "ann_ivf_pq": ann_ivf_pq,
@@ -2232,6 +2295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracles() -> dict[str, str]:
     return {
+        "ann_incremental_assign": _inc_assign_oracle(),
         "ann_outliers": _outliers_oracle(),
         "ann_pq_encode": _pq_encode_oracle(),
         "ann_pq_search": _pq_search_oracle(),

@@ -693,6 +693,8 @@ SELECT
 BPE_ROUNDS = 3
 
 _bpe_cache: dict = {}
+# (word, n_pieces) after the trained merges — checkpointed per session
+_bpe_wp_cache: dict = {}
 
 
 def _sql_str(s: str) -> str:
@@ -779,8 +781,22 @@ def train_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHERE t.pos IS NULL
                 """
             )
+        # The loop's final ``sym`` state IS the BPE-encoded vocabulary
+        # (every multi-char word reduced to its post-merge symbol
+        # sequence).  Materialize the per-word piece counts BEFORE
+        # freeing the loop checkpoints (sym still reads the last
+        # bpe_p checkpoint lazily) so the encode lane can reuse the
+        # training work instead of replaying the loop.
+        from pyspark.sql import functions as F
+
+        wp = (
+            sym.groupBy("word")
+            .agg(F.count("*").cast("bigint").alias("n_pieces"))
+            .localCheckpoint(eager=True)
+        )
         for df in ckpts:  # merge table extracted — no state survives
             free_local_checkpoint(df)
+        _bpe_wp_cache[key] = wp
         _bpe_cache[key] = merges
     rows = " UNION ALL ".join(
         f"SELECT CAST({k} AS INT) AS round, {_sql_str(a)} AS sym_a,"
@@ -790,9 +806,11 @@ def train_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(rows)
 
 
-def _bpe_merges_oracle() -> str:
-    """The identical rounds unrolled as MATERIALIZED CTEs (duckdb 1.0
-    inlines plain CTEs; sym/pairs are each consumed 3x per round)."""
+def _bpe_cte_parts() -> tuple[list[str], str]:
+    """The BPE train loop unrolled as MATERIALIZED CTEs (duckdb 1.0
+    inlines plain CTEs; sym/pairs are each consumed 3x per round).
+    Returns (parts, name-of-final-sym-CTE) so the encode oracle can
+    extend the same chain."""
     parts = [
         f"""wf AS MATERIALIZED (
   SELECT piece AS word, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -854,6 +872,11 @@ def _bpe_merges_oracle() -> str:
 )"""
         )
         prev = f"sym{k}"
+    return parts, prev
+
+
+def _bpe_merges_oracle() -> str:
+    parts, _final = _bpe_cte_parts()
     final = "\nUNION ALL ".join(
         f"SELECT CAST({k} AS INT) AS round, a AS sym_a, b AS sym_b,"
         f" n AS pair_n FROM m{k}"
@@ -862,8 +885,141 @@ def _bpe_merges_oracle() -> str:
     return "WITH " + ",\n".join(parts) + "\n" + final
 
 
+# ---------------------------------------------------------------------------
+# BPE corpus encoding: apply the TRAINED merges (train_bpe_merges) to
+# every document and report tokens-after-BPE — the tokenizer
+# application pass of a training pipeline, and the metric (bytes/token
+# compression) a tokenizer is judged by.  The encode reuses the train
+# loop's final symbol state as a (word, n_pieces) table — encoding is
+# then one word-keyed join of the corpus word stream against the stored
+# vocabulary, not a per-document merge replay.  The vocabulary relation
+# is the corpus's DISTINCT words — Zipf-unbounded at 100 TB — so the
+# join is deliberately a shuffle join on the word key (both sides fully
+# parallel), never a broadcast of the vocabulary.
+# Single-character words never enter the merge table (no pairs) and
+# count as one piece.  All counts exact integers; the ratio is integer
+# division.
+# ---------------------------------------------------------------------------
+
+
+def train_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token counts after applying the trained BPE merges."""
+    train_bpe_merges(spark, sf_dir)  # ensures merge + vocab caches
+    key = (session_key(spark), sf_dir)
+    _bpe_wp_cache[key].createOrReplaceTempView("bpe_vocab")
+    _view(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH dw AS (
+          SELECT doc_id,
+                 explode(regexp_extract_all(text, '{_BPE_RE_SPARK}', 0))
+                   AS word
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(COALESCE(v.n_pieces, 1)) AS BIGINT)
+                 AS n_bpe_tokens,
+               CAST(SUM(length(dw.word)) AS BIGINT) AS n_chars,
+               (1000 * CAST(SUM(COALESCE(v.n_pieces, 1)) AS BIGINT))
+                 DIV CAST(SUM(length(dw.word)) AS BIGINT)
+                 AS tokens_per_kchar
+        FROM dw LEFT JOIN bpe_vocab v ON dw.word = v.word
+        GROUP BY doc_id
+        """
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    parts, final_sym = _bpe_cte_parts()
+    parts.append(
+        f"""enc AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_pieces
+  FROM {final_sym} GROUP BY word
+)"""
+    )
+    parts.append(
+        f"""dw AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{_BPE_RE_DUCK}'))
+    AS word
+  FROM documents
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(COALESCE(e.n_pieces, 1)) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(len(dw.word)) AS BIGINT) AS n_chars,
+       (1000 * CAST(SUM(COALESCE(e.n_pieces, 1)) AS BIGINT))
+         // CAST(SUM(len(dw.word)) AS BIGINT) AS tokens_per_kchar
+FROM dw LEFT JOIN enc e ON dw.word = e.word
+GROUP BY doc_id
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear quality scorer: the fastText-classifier quality-filter
+# stage (CCNet / LLaMA corpus filtering) reduced to its relational
+# plumbing — a bag-of-hashed-token-features dot product with a fixed
+# weight vector, thresholded to keep/drop.  The weight table is a pure
+# integer function of the bucket id (a Knuth-multiplicative mix), so
+# both engines derive identical weights with zero literals shipped; a
+# real exported model would replace the formula with a broadcast
+# weight relation of the same shape.  Score sums are exact integers;
+# the per-token normalization is shifted non-negative before integer
+# division (DIV/​// truncate differently on negatives).
+# ---------------------------------------------------------------------------
+
+QL_BUCKETS = 4096
+QL_MIX = 2654435761  # Knuth multiplicative hash constant
+QL_KEEP_MILLI = 1000000  # shifted-score keep threshold (score >= 0)
+
+
+def _quality_linear_sql(dialect: str) -> str:
+    if dialect == "spark":
+        tok, div = _SPARK_TOK, "DIV"
+        bkt = "CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)"
+    else:
+        tok, div = _DUCK_TOK, "//"
+        bkt = "('0x' || substr(md5(t), 1, 8))::BIGINT"
+    un = (
+        f"SELECT doc_id, explode({tok}) AS t FROM documents"
+        if dialect == "spark"
+        else f"SELECT doc_id, unnest({tok}) AS t FROM documents"
+    )
+    return f"""
+WITH toks AS ({un}),
+scored AS (
+  SELECT doc_id,
+         (({bkt} % {QL_BUCKETS}) * {QL_MIX}) % 2001 - 1000 AS w
+  FROM toks
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(w) AS BIGINT) AS score_sum,
+       (1000 * (CAST(SUM(w) AS BIGINT) + 1000 * COUNT(*)))
+         {div} COUNT(*) AS score_milli,
+       (1000 * (CAST(SUM(w) AS BIGINT) + 1000 * COUNT(*)))
+         {div} COUNT(*) >= {QL_KEEP_MILLI} AS keep
+FROM scored
+GROUP BY doc_id
+"""
+
+
+def text_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear quality score + keep decision per doc."""
+    _view(spark, sf_dir)
+    return spark.sql(_quality_linear_sql("spark"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "text_quality_linear": text_quality_linear,
+        "train_bpe_encode": train_bpe_encode,
         "text_vocab_coverage": text_vocab_coverage,
         "text_readability": text_readability,
         "text_entropy": text_entropy,
@@ -881,6 +1037,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracles() -> dict[str, str]:
     return {
+        "text_quality_linear": _quality_linear_sql("duck"),
+        "train_bpe_encode": _bpe_encode_oracle(),
         "text_entropy": _ENTROPY_ORACLE,
         "text_tokens_bpe": _TOKENS_BPE_ORACLE,
         "text_bigram_lm": _BIGRAM_LM_ORACLE,

@@ -1100,8 +1100,160 @@ FROM c
 """
 
 
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (Data Selection via Importance
+# Resampling, Xie et al. 2023): score every raw document by how
+# benchmark-like its hashed n-gram distribution is, log w(x) =
+# sum over features of [log p_target(b) - log p_raw(b)] under smoothed
+# hashed unigram+bigram bucket models.  The target split is the
+# benchmark slice the contamination lane already defines (doc_id %
+# BENCH_MOD == 0); the raw split is everything else, which is what gets
+# scored for resampling.
+#
+# Exactness: every log2 goes through the libm-free ``_qlog2`` lookup
+# (bit-length decomposition + a Python-generated mantissa table
+# registered identically in both engines), so the per-doc weight is a
+# BIGINT sum — engines cannot disagree.  Feature hashing is the md5
+# idiom (never engine hash()).
+#
+# Scale shape — exactly TWO corpus passes, the minimum DSIR admits:
+# features are generated SCAN-SIDE (unigrams + zip_with bigrams inside
+# the projection, no per-doc window); pass 1 builds BOTH bucket models
+# in ONE B-row aggregate (CASE-split counts, map-side combined), with
+# the smoothed totals derived from that same B-row relation (never a
+# third corpus scan); pass 2 scores by broadcast-joining the B-row
+# model onto the exploded features and one doc-keyed aggregate.  A
+# naive CTE formulation evaluates the feature explode 9x (Spark
+# inlines CTEs) — gated by test_plan_quality.
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 1024
+
+
+def _dsir_feats(dialect: str) -> str:
+    """Unigram + bigram feature rows (doc_id, f) — scan-side."""
+    if dialect == "spark":
+        return f"""
+  SELECT doc_id, f FROM (
+    SELECT doc_id, {_SPARK_TOK} AS t FROM documents
+  ) LATERAL VIEW explode(concat(t,
+      zip_with(slice(t, 1, greatest(size(t) - 1, 0)),
+               slice(t, 2, greatest(size(t) - 1, 0)),
+               (a, b) -> concat(a, ' ', b)))) e AS f
+"""
+    return f"""
+  SELECT doc_id, unnest(t) AS f
+  FROM (SELECT doc_id, {_DUCK_TOK} AS t FROM documents)
+  UNION ALL
+  SELECT doc_id, t[i] || ' ' || t[i + 1] AS f
+  FROM (SELECT doc_id, {_DUCK_TOK} AS t FROM documents),
+       unnest(generate_series(1, len(t) - 1)) AS s(i)
+"""
+
+
+def _dsir_sql(dialect: str) -> str:
+    from dataforge_core_spark.operators.text import _qlog2
+
+    if dialect == "spark":
+        bkt = "CAST(conv(substr(md5(f), 1, 8), 16, 10) AS BIGINT)"
+    else:
+        bkt = "('0x' || substr(md5(f), 1, 8))::BIGINT"
+    B = DSIR_BUCKETS
+    q = lambda n: _qlog2(dialect, n)  # noqa: E731
+    mat = " MATERIALIZED" if dialect == "duck" else ""
+    # smoothed totals from the B-row model itself: sum over ALL B
+    # buckets of (cnt+1) = SUM(present smoothed) + (B - n_present);
+    # computed as a window over the B-row model (never another corpus
+    # scan — a scalar-subquery formulation re-inlines the model CTE
+    # and re-reads the corpus) and folded into each model row, so the
+    # per-feature term qlog2(t) - qlog2(r) + const_q sums directly to
+    # the doc weight.
+    t_tot = f"SUM(t) OVER () - COUNT(*) OVER () + {B}"
+    r_tot = f"SUM(r) OVER () - COUNT(*) OVER () + {B}"
+    return f"""
+WITH m0 AS{mat} (
+  SELECT bkt,
+         CAST(SUM(CASE WHEN doc_id % {BENCH_MOD} = 0 THEN 1 ELSE 0 END)
+              + 1 AS BIGINT) AS t,
+         CAST(SUM(CASE WHEN doc_id % {BENCH_MOD} <> 0 THEN 1 ELSE 0 END)
+              + 1 AS BIGINT) AS r
+  FROM (SELECT doc_id, {bkt} % {B} AS bkt FROM ({_dsir_feats(dialect)}) f0)
+  GROUP BY bkt
+),
+m AS{mat} (
+  SELECT bkt,
+         CAST({q("t")} AS BIGINT) - CAST({q("r")} AS BIGINT)
+         + CAST({q(f"({r_tot})")} AS BIGINT)
+         - CAST({q(f"({t_tot})")} AS BIGINT) AS w_q
+  FROM m0
+),
+b AS (
+  SELECT doc_id, {bkt} % {B} AS bkt
+  FROM ({_dsir_feats(dialect)}) f1
+  WHERE doc_id % {BENCH_MOD} <> 0
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_feats,
+       CAST(SUM(m.w_q) AS BIGINT) AS logw_q
+FROM b JOIN m ON b.bkt = m.bkt
+GROUP BY doc_id
+"""
+
+
+def train_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-raw-doc DSIR log-importance weight (quantized-log2 BIGINT)."""
+    _view(spark, sf_dir)
+    return spark.sql(_dsir_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled domain mixing (the mC4/T5 alpha-sampling formula):
+# sampling rate per domain proportional to n^alpha with alpha = 1/2,
+# which up-weights small domains relative to natural frequency.  alpha
+# = 1/2 is computed as sqrt — IEEE-correctly-rounded on both engines,
+# then floor-quantized to integer milli-weights, so every emitted
+# number is an exact integer (the ratio is integer division).  A
+# per-domain dial table like train_mix_domains: the aggregate is
+# domain-cardinality-sized, the window total runs over a handful of
+# rows.
+# ---------------------------------------------------------------------------
+
+
+def _temperature_sql(dialect: str) -> str:
+    div = "DIV" if dialect == "spark" else "//"
+    # sqrt and * are IEEE-correctly-rounded on both engines, so the
+    # milli-quantized weight is bit-identical before the exact FLOOR
+    fl = "CAST(FLOOR(sqrt(CAST(n_docs AS DOUBLE)) * 1000) AS BIGINT)"
+    return f"""
+WITH d AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_docs, {fl} AS w_milli FROM d
+)
+SELECT source, n_docs, w_milli,
+       (1000000 * w_milli) {div} CAST(SUM(w_milli) OVER () AS BIGINT)
+         AS rate_ppm,
+       (1000000 * n_docs) {div} CAST(SUM(n_docs) OVER () AS BIGINT)
+         AS natural_ppm,
+       (1000000 * w_milli) {div} CAST(SUM(w_milli) OVER () AS BIGINT)
+       - (1000000 * n_docs) {div} CAST(SUM(n_docs) OVER () AS BIGINT)
+         AS boost_ppm
+FROM w
+"""
+
+
+def train_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alpha=1/2 temperature-scaled per-domain sampling rates (ppm)."""
+    _view(spark, sf_dir)
+    return spark.sql(_temperature_sql("spark"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "train_dsir_weights": train_dsir_weights,
+        "train_temperature_mix": train_temperature_mix,
         "train_split_leakfree": train_split_leakfree,
         "train_pack_efficiency": train_pack_efficiency,
         "train_corpus_pipeline": train_corpus_pipeline,
@@ -1126,6 +1278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracles() -> dict[str, str]:
     return {
+        "train_dsir_weights": _dsir_sql("duck"),
+        "train_temperature_mix": _temperature_sql("duck"),
         "train_shard_assign": _SHARD_ORACLE,
         "train_split_leakfree": _split_leakfree_oracle(),
         "train_pack_efficiency": _PACK_EFFICIENCY_ORACLE,

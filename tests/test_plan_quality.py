@@ -490,3 +490,72 @@ def test_graph_lanes_reuse_checkpointed_edges(spark):
         assert "Parquet" not in plan, (
             f"{fn.__name__}: re-scans the corpus instead of the edge index"
         )
+
+
+def test_dsir_two_corpus_passes_broadcast_model(spark):
+    """train_dsir_weights must read the corpus exactly TWICE (model
+    build + scoring — the DSIR minimum): Spark inlines CTEs, so a
+    naive formulation re-evaluates the feature explode 9x.  The B-row
+    model side must broadcast; the smoothing totals must come from a
+    window over the model relation, not another corpus scan."""
+    from dataforge_core_spark.operators import training as TR
+
+    plan = (
+        TR.train_dsir_weights(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    n_gen = sum(
+        1 for ln in plan.splitlines() if ln.strip("+- :*()").startswith("Generate")
+    )
+    assert n_gen == 2, f"feature explode evaluated {n_gen}x (want 2)"
+    assert "BroadcastHashJoin" in plan, "bucket-model join not broadcast"
+    assert "SortMergeJoin" not in plan, "corpus shuffled against B-row model"
+
+
+def test_quality_linear_is_scan_shaped(spark):
+    """text_quality_linear: weights are a pure function of the hashed
+    bucket, so the whole scorer must be scan-side — no Join node, one
+    partial/final doc-keyed aggregate."""
+    from dataforge_core_spark.operators import text as TX
+
+    plan = (
+        TX.text_quality_linear(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan, "quality scorer plans a join"
+    assert "HashAggregate" in plan and "partial" in plan.lower(), (
+        "doc aggregate not map-side combined"
+    )
+
+
+def test_bpe_encode_joins_stored_vocab(spark):
+    """train_bpe_encode must read the (word, n_pieces) vocabulary from
+    the TRAINED index (checkpointed ExistingRDD) — any replay of the
+    merge loop inside the encode plan shows up as extra aggregates and
+    window rounds.  The word join stays a shuffle join by design
+    (vocab is Zipf-unbounded at scale)."""
+    from dataforge_core_spark.operators import text as TX
+
+    plan = (
+        TX.train_bpe_encode(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ExistingRDD" in plan, "encode replays the merge loop"
+    n_win = sum(
+        1 for ln in plan.splitlines() if ln.strip("+- :*()").startswith("Window")
+    )
+    assert n_win == 0, "merge-round windows leaked into the encode plan"
+
+
+def test_incremental_assign_one_pass_over_index(spark):
+    """ann_incremental_assign: one aggregate over the checkpointed
+    assignment index — no corpus re-scan, no join, no Lloyd replay."""
+    from dataforge_core_spark.operators import similarity as S
+
+    plan = (
+        S.ann_incremental_assign(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ExistingRDD" in plan, "drift report re-derives the index"
+    assert "Parquet" not in plan, "drift report re-scans the corpus"
+    assert "Join" not in plan, "drift report plans a join"

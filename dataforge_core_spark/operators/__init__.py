@@ -105,6 +105,8 @@ def _recorded_names() -> set:
 # them like any other unrecorded row (they become the least-proven set).
 _DEFER_UNTIL_ROUND = 7
 DEFER_PAST_CAPTURE: set = {
+    "text_gopher_rules",
+    "train_decontaminate_spans",
     "train_dsir_weights",
     "train_temperature_mix",
     "train_bpe_encode",

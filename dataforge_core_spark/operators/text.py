@@ -1016,8 +1016,117 @@ def text_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_quality_linear_sql("spark"))
 
 
+# ---------------------------------------------------------------------------
+# Gopher / MassiveText rule battery (Rae et al. 2021, table A1): the
+# classic pre-training quality gate — word-count bounds, mean-word-length
+# bounds, symbol-to-word ratio, alphabetic-word fraction, line-shape
+# rules (bullet / ellipsis lines), and a required-stopword count.  Every
+# feature here is an exact integer and every threshold a cross-multiplied
+# integer comparison, so the row hashes cannot knife-edge across engines
+# (the round-6 lesson); the whole battery is scan-side scalar SQL — no
+# join, no shuffle, no UDF — i.e. it rides the corpus scan for free at
+# 100 TB.
+#
+# Integer constructions worth noting:
+# - token chars = length(norm) - (n_tokens - 1): tokens are the
+#   single-space split of the normalized text, so total token length is
+#   recovered from the string length without touching the array.
+# - alphabetic-token count: spaces are doubled and the text wrapped in
+#   spaces, so every token is enclosed by its OWN delimiter pair and one
+#   regexp_count of ' [^ ]*[a-z][^ ]* ' counts tokens containing a
+#   letter without lookarounds (DuckDB's RE2 has none) and without
+#   array lambdas (which fall out of whole-stage codegen).
+# - line rules append/prepend an explicit '\n' sentinel so the patterns
+#   never rely on '$' (Java's '$' matches before a final line
+#   terminator, RE2's does not).
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_STOPWORDS = 2
+
+
+def _gopher_sql(dialect: str) -> str:
+    if dialect == "spark":
+        tok, norm = _SPARK_TOK, "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
+        size, contains = "size", "array_contains"
+        rxcount = "regexp_count({s}, {p})"
+        # Spark's string literal parser eats one backslash level
+        p_alpha = "' [^ ]*[a-z][^ ]* '"
+        p_bullet = "'\\\\n[-*] '"
+        p_ellip = "'\\\\.\\\\.\\\\.\\\\n'"
+        idiv = "DIV"
+    else:
+        tok, norm = _DUCK_TOK, "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+        size, contains = "len", "list_contains"
+        rxcount = "len(regexp_extract_all({s}, {p}))"
+        p_alpha = "' [^ ]*[a-z][^ ]* '"
+        p_bullet = "'\\n[-*] '"
+        p_ellip = "'\\.\\.\\.\\n'"
+        idiv = "//"
+    n_alpha = rxcount.format(
+        s=f"' ' || replace({norm}, ' ', '  ') || ' '", p=p_alpha
+    )
+    n_bullet = rxcount.format(s="'\\n' || text", p=p_bullet)
+    n_ellip_l = rxcount.format(s="text || '\\n'", p=p_ellip)
+    if dialect == "spark":
+        # the sentinel itself must survive Spark's literal parser too
+        n_bullet = rxcount.format(s="'\\\\n' || text", p=p_bullet)
+        n_ellip_l = rxcount.format(s="text || '\\\\n'", p=p_ellip)
+        n_lines = "size(split(text, '\\\\n'))"
+    else:
+        n_lines = "len(string_split(text, chr(10)))"
+    n_stop = " + ".join(
+        f"CASE WHEN {contains}(tok, '{w}') THEN 1 ELSE 0 END"
+        for w in GOPHER_STOPWORDS
+    )
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST({size}(tok) AS INT) AS n_tokens,
+         CAST(length(nrm) - ({size}(tok) - 1) AS INT) AS tok_chars,
+         CAST(length(text) - length(replace(text, '#', ''))
+              + (length(text) - length(replace(text, '...', ''))) {idiv} 3
+              AS INT) AS n_symbols,
+         CAST({n_alpha} AS INT) AS n_alpha_tokens,
+         CAST({n_stop} AS INT) AS n_stop_hits,
+         CAST({n_lines} AS INT) AS n_lines,
+         CAST({n_bullet} AS INT) AS n_bullet_lines,
+         CAST({n_ellip_l} AS INT) AS n_ellipsis_lines
+  FROM (SELECT doc_id, text, {norm} AS nrm, {tok} AS tok FROM documents)
+)
+SELECT doc_id, n_tokens, tok_chars, n_symbols, n_alpha_tokens, n_stop_hits,
+       n_lines, n_bullet_lines, n_ellipsis_lines,
+       n_tokens BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+         AS pass_word_count,
+       3 * n_tokens <= tok_chars AND tok_chars <= 10 * n_tokens
+         AS pass_mean_word_len,
+       10 * n_symbols <= n_tokens AS pass_symbol_ratio,
+       5 * n_alpha_tokens >= 4 * n_tokens AS pass_alpha_words,
+       n_stop_hits >= {GOPHER_MIN_STOPWORDS} AS pass_stopwords,
+       10 * n_bullet_lines <= 9 * n_lines
+         AND 10 * n_ellipsis_lines <= 3 * n_lines AS pass_line_shape,
+       n_tokens BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+         AND 3 * n_tokens <= tok_chars AND tok_chars <= 10 * n_tokens
+         AND 10 * n_symbols <= n_tokens
+         AND 5 * n_alpha_tokens >= 4 * n_tokens
+         AND n_stop_hits >= {GOPHER_MIN_STOPWORDS}
+         AND 10 * n_bullet_lines <= 9 * n_lines
+         AND 10 * n_ellipsis_lines <= 3 * n_lines AS gopher_pass
+FROM f
+"""
+
+
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Gopher rule features + per-rule and overall pass flags."""
+    _view(spark, sf_dir)
+    return spark.sql(_gopher_sql("spark"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "text_gopher_rules": text_gopher_rules,
         "text_quality_linear": text_quality_linear,
         "train_bpe_encode": train_bpe_encode,
         "text_vocab_coverage": text_vocab_coverage,
@@ -1037,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracles() -> dict[str, str]:
     return {
+        "text_gopher_rules": _gopher_sql("duck"),
         "text_quality_linear": _quality_linear_sql("duck"),
         "train_bpe_encode": _bpe_encode_oracle(),
         "text_entropy": _ENTROPY_ORACLE,

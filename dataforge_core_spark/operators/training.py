@@ -1250,8 +1250,119 @@ def train_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_temperature_sql("spark"))
 
 
+# ---------------------------------------------------------------------------
+# Span-level benchmark decontamination (the GPT-3 appendix-C protocol:
+# on an n-gram collision with an eval document, remove a WINDOW of
+# surrounding tokens, then report what survives).  train_contamination
+# measures overlap; this lane computes the actual redaction geometry —
+# collision shingle positions widen to [pos-R, pos+2+R] token intervals,
+# overlapping intervals merge (gaps-and-islands: a window running-MAX of
+# interval ends marks island starts, a running SUM numbers them), and
+# the merged span lengths subtract from the doc.  Everything is exact
+# integer arithmetic; the only non-doc-local state is the DISTINCT
+# benchmark shingle-hash set (proportional to the eval suite, not the
+# corpus — at 100 TB it broadcasts just like train_contamination's
+# build side).  Reference for the shingle relation: dedup.py _ex_df
+# (same 56-bit md5 hash, positions retained instead of DISTINCT-folded).
+# ---------------------------------------------------------------------------
+
+DECON_RADIUS = 10  # tokens removed on each side of a collision shingle
+
+
+def _decon_sql(dialect: str) -> str:
+    from dataforge_core_spark.operators.dedup import (
+        _DUCK_H,
+        _DUCK_TOKENS,
+        _SPARK_H,
+        _SPARK_TOKENS,
+    )
+
+    r = DECON_RADIUS
+    if dialect == "spark":
+        tokens, h, size, idiv = _SPARK_TOKENS, _SPARK_H, "size", "DIV"
+        posex = (
+            "SELECT doc_id, n_tok, pos, tk FROM toks"
+            " LATERAL VIEW posexplode(tok) t AS pos, tk"
+        )
+        win = "WINDOW w AS (PARTITION BY doc_id ORDER BY pos)"
+        lead1, lead2 = "lead(tk, 1) OVER w", "lead(tk, 2) OVER w"
+    else:
+        tokens, h, size, idiv = _DUCK_TOKENS, _DUCK_H, "len", "//"
+        posex = (
+            "SELECT doc_id, n_tok, generate_subscripts(tok, 1) - 1 AS pos,"
+            " unnest(tok) AS tk FROM toks"
+        )
+        win = "WINDOW w AS (PARTITION BY doc_id ORDER BY pos)"
+        lead1, lead2 = "lead(tk, 1) OVER w", "lead(tk, 2) OVER w"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok, {size}(tok) AS n_tok
+  FROM (SELECT doc_id, {tokens} AS tok FROM documents)
+),
+base AS (
+  SELECT doc_id, n_tok FROM toks WHERE doc_id % {BENCH_MOD} <> 0
+),
+pos AS ({posex}),
+sh AS (
+  SELECT doc_id, n_tok, pos,
+         concat_ws(' ', tk, {lead1}, {lead2}) AS s,
+         {lead2} IS NOT NULL AS ok
+  FROM pos {win}
+),
+hsh AS (
+  SELECT doc_id, n_tok, pos, {h} AS hh FROM sh WHERE ok
+),
+bench AS (
+  SELECT DISTINCT hh FROM hsh WHERE doc_id % {BENCH_MOD} = 0
+),
+iv AS (
+  SELECT doc_id,
+         greatest(pos - {r}, 0) AS st,
+         least(pos + 2 + {r}, n_tok - 1) AS en
+  FROM hsh
+  WHERE doc_id % {BENCH_MOD} <> 0 AND hh IN (SELECT hh FROM bench)
+),
+marked AS (
+  SELECT doc_id, st, en,
+         MAX(en) OVER (PARTITION BY doc_id ORDER BY st, en
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM iv
+),
+islands AS (
+  SELECT doc_id, st, en,
+         SUM(CASE WHEN pm IS NULL OR st > pm THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY st, en
+                 ROWS UNBOUNDED PRECEDING) AS g
+  FROM marked
+),
+merged AS (
+  SELECT doc_id, g, MIN(st) AS mn, MAX(en) AS mx
+  FROM islands GROUP BY doc_id, g
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_spans, SUM(mx - mn + 1) AS removed
+  FROM merged GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n_tok AS INT) AS n_tokens,
+       CAST(COALESCE(a.n_spans, 0) AS INT) AS n_spans,
+       CAST(COALESCE(a.removed, 0) AS INT) AS removed_tokens,
+       CAST((1000000 * (b.n_tok - COALESCE(a.removed, 0))) {idiv} b.n_tok
+            AS INT) AS kept_ppm
+FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
+"""
+
+
+def train_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-training-doc decontamination geometry: merged removal spans
+    around benchmark shingle collisions, surviving-token ppm."""
+    _view(spark, sf_dir)
+    return spark.sql(_decon_sql("spark"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "train_decontaminate_spans": train_decontaminate_spans,
         "train_dsir_weights": train_dsir_weights,
         "train_temperature_mix": train_temperature_mix,
         "train_split_leakfree": train_split_leakfree,
@@ -1278,6 +1389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracles() -> dict[str, str]:
     return {
+        "train_decontaminate_spans": _decon_sql("duck"),
         "train_dsir_weights": _dsir_sql("duck"),
         "train_temperature_mix": _temperature_sql("duck"),
         "train_shard_assign": _SHARD_ORACLE,

@@ -384,6 +384,40 @@ def test_span_corruption_has_no_exchange(spark):
     assert "Exchange" not in plan, "span corruption plans a shuffle"
 
 
+def test_gopher_rules_scan_shaped(spark):
+    """text_gopher_rules is a pure scalar rule battery — it must ride
+    the corpus scan: no Exchange, no Join, no Generate (token explode),
+    and no interpreted array lambdas (the alpha-token count is a
+    regexp_count precisely so the battery stays in codegen)."""
+    from dataforge_core_spark.operators import text as X
+
+    plan = (
+        X.text_gopher_rules(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, "gopher battery plans a shuffle"
+    assert "Join" not in plan, "gopher battery plans a join"
+    assert "Generate" not in plan, "gopher battery explodes tokens"
+
+
+def test_decontaminate_bench_set_broadcasts(spark):
+    """train_decontaminate_spans: the benchmark shingle-hash membership
+    check must be a BROADCAST semi join (the bench set is proportional
+    to the eval suite, not the corpus) — a shuffled semi join would
+    reshuffle every corpus shingle at 100 TB."""
+    from dataforge_core_spark.operators import training as T
+
+    plan = (
+        T.train_decontaminate_spans(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    semi = [ln for ln in plan.splitlines() if "LeftSemi" in ln]
+    assert semi, "bench membership not planned as a semi join"
+    assert all("BroadcastHashJoin" in ln for ln in semi), (
+        "bench semi join is shuffled, not broadcast"
+    )
+
+
 def test_vocab_top_v_is_take_ordered(spark):
     """train_tokenizer_vocab's global top-V must plan as
     TakeOrderedAndProject (per-partition heap of V) — a global Sort of

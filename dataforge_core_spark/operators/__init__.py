@@ -105,6 +105,7 @@ def _recorded_names() -> set:
 # them like any other unrecorded row (they become the least-proven set).
 _DEFER_UNTIL_ROUND = 7
 DEFER_PAST_CAPTURE: set = {
+    "ann_filtered_search",
     "text_gopher_rules",
     "train_decontaminate_spans",
     "train_dsir_weights",

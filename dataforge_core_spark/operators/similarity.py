@@ -493,11 +493,21 @@ def _kmeans_update(src: str, dialect: str) -> str:
     )
 
 
-def _kmeans_assign(v: str, csrc: str, dialect: str) -> str:
-    """argmin-distance assignment; cid tie-break keeps it deterministic."""
+def _kmeans_assign(
+    v: str, csrc: str, dialect: str, with_label: bool = False
+) -> str:
+    """argmin-distance assignment; cid tie-break keeps it deterministic.
+
+    ``with_label`` threads the metadata column into the FINAL (stored)
+    assignment only — the Lloyd-loop iterations stay narrow.  A stored
+    IVF index carries the filterable attributes alongside the vectors so
+    filtered search never joins back to the corpus (see
+    ann_filtered_search)."""
     dot = _unrolled_dot("a.emb", "c.emb", dialect)
-    return f"""SELECT vec_id, emb, nrm, cid FROM (
-    SELECT a.vec_id, a.emb, a.nrm, c.cid,
+    lab_out = ", label" if with_label else ""
+    lab_in = ", a.label" if with_label else ""
+    return f"""SELECT vec_id, emb, nrm, cid{lab_out} FROM (
+    SELECT a.vec_id, a.emb, a.nrm{lab_in}, c.cid,
            ROW_NUMBER() OVER (PARTITION BY a.vec_id
                 ORDER BY (c.cc - (2 * ({dot}))) ASC, c.cid) AS rn
     FROM {v} a CROSS JOIN {csrc} c) t WHERE rn = 1"""
@@ -519,9 +529,9 @@ def _kmeans_ctes(v: str, dialect: str) -> str:
         )
         prev = f"c{i}"
     parts.append(
-        "af AS (SELECT vec_id, emb, nrm, cid,"
+        "af AS (SELECT vec_id, emb, nrm, cid, label,"
         " ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id) AS cellrn"
-        f" FROM ({_kmeans_assign(v, prev, dialect)}) af_in)"
+        f" FROM ({_kmeans_assign(v, prev, dialect, with_label=True)}) af_in)"
     )
     return ",\n".join(parts)
 
@@ -593,10 +603,11 @@ def _kmeans_assignments(spark: SparkSession, sf_dir: str) -> str:
             # filter (see IVF_CELL_CAP)
             df = (
                 spark.sql(
-                    "SELECT vec_id, emb, nrm, cid,"
+                    "SELECT vec_id, emb, nrm, cid, label,"
                     " ROW_NUMBER() OVER (PARTITION BY cid"
                     " ORDER BY vec_id) AS cellrn"
-                    f" FROM ({_kmeans_assign(v, csrc, 'spark')}) af_in"
+                    f" FROM ({_kmeans_assign(v, csrc, 'spark', with_label=True)})"
+                    " af_in"
                 )
                 .repartition("cid")
                 .localCheckpoint(eager=True)
@@ -648,7 +659,10 @@ def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_ivf_search(
-    spark: SparkSession, sf_dir: str, nprobe: int = 1
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = 1,
+    corpus_filter: str | None = None,
 ) -> DataFrame:
     """IVF search with a configurable probe count — THE recall dial of
     an IVF index.  Each query probes its ``nprobe`` nearest centroid
@@ -663,6 +677,7 @@ def ann_ivf_search(
         raise ValueError(f"nprobe must be in [1, {KMEANS_K}]")
     af, cv = _kmeans_index(spark, sf_dir)
     cos = _spark_cosine("q.emb", "c.emb", "q.nrm", "c.nrm")
+    cf = f" AND ({corpus_filter})" if corpus_filter else ""
     if nprobe == 1:
         qsrc = f"(SELECT * FROM {af} WHERE vec_id < {N_QUERIES})"
     else:
@@ -682,7 +697,7 @@ def ann_ivf_search(
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                  {cos} AS score
           FROM {qsrc} q
-          JOIN {af} c ON q.cid = c.cid AND c.cellrn <= {IVF_CELL_CAP} AND q.vec_id <> c.vec_id
+          JOIN {af} c ON q.cid = c.cid AND c.cellrn <= {IVF_CELL_CAP} AND q.vec_id <> c.vec_id{cf}
         ),
         ranked AS (
           SELECT query_id, neighbor_id,
@@ -694,6 +709,52 @@ def ann_ivf_search(
         FROM ranked WHERE rank <= {TOP_K}
         """
     )
+
+
+def ann_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: IVF top-K restricted to corpus vectors
+    satisfying a metadata predicate (here ``label % 2 = 0``) — the
+    vector-database "filtered ANN" shape.  The filterable attribute is
+    STORED IN THE INDEX (``_kmeans_assignments`` threads ``label``
+    into the final assignment), so the predicate is a free conjunct on
+    the cell join — no join back to the corpus table, no second scan.
+    nprobe=2 compensates the candidate thinning the filter causes (the
+    standard recall dial for filtered IVF search)."""
+    return ann_ivf_search(
+        spark, sf_dir, nprobe=2, corpus_filter="c.label % 2 = 0"
+    )
+
+
+def _filtered_search_oracle() -> str:
+    qdot = _unrolled_dot("a.emb", "c.emb", "duck")
+    cos = _duck_cosine("q.emb", "c.emb", "q.nrm", "c.nrm")
+    return f"""
+WITH {_duck_v_cte()},
+{_kmeans_ctes('v', 'duck')},
+qp AS (
+  SELECT vec_id, emb, nrm, cid FROM (
+    SELECT a.vec_id, a.emb, a.nrm, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                ORDER BY (c.cc - (2 * ({qdot}))) ASC, c.cid) AS rn
+    FROM (SELECT * FROM af WHERE vec_id < {N_QUERIES}) a
+    CROSS JOIN c{KMEANS_ITERS} c
+  ) t WHERE rn <= 2
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {cos} AS score
+  FROM qp q JOIN af c ON q.cid = c.cid AND c.cellrn <= {IVF_CELL_CAP}
+   AND q.vec_id <> c.vec_id AND (c.label % 2 = 0)
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id FROM ranked
+WHERE rank <= {TOP_K}
+"""
 
 
 def ann_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2264,6 +2325,7 @@ FROM agg
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "ann_filtered_search": ann_filtered_search,
         "ann_incremental_assign": ann_incremental_assign,
         "ann_pq_encode": ann_pq_encode,
         "ann_pq_search": ann_pq_search,
@@ -2295,6 +2357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracles() -> dict[str, str]:
     return {
+        "ann_filtered_search": _filtered_search_oracle(),
         "ann_incremental_assign": _inc_assign_oracle(),
         "ann_outliers": _outliers_oracle(),
         "ann_pq_encode": _pq_encode_oracle(),

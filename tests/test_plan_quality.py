@@ -197,6 +197,9 @@ def test_ranked_ann_windows_group_limit(spark):
 _CARTESIAN_EXEMPT = {
     "ann_bruteforce",
     "ann_ivf_probe2",
+    # same probe shape as ann_ivf_probe2: nprobe=2 assignment is a
+    # broadcast cross join against the 8-row centroid literal
+    "ann_filtered_search",
     "ann_recall_eval",
     # intentional: PQ codebook is a PQ_K-row broadcast relation, and the
     # ADC LUT build is a (queries x subspaces x codewords) cross join of
@@ -579,6 +582,28 @@ def test_bpe_encode_joins_stored_vocab(spark):
         1 for ln in plan.splitlines() if ln.strip("+- :*()").startswith("Window")
     )
     assert n_win == 0, "merge-round windows leaked into the encode plan"
+
+
+def test_filtered_search_predicate_rides_index(spark):
+    """ann_filtered_search: the metadata predicate must be a conjunct on
+    the stored index (label lives IN the checkpointed assignment), not a
+    join back to the corpus — the plan may contain no Parquet scan and
+    no join beyond the broadcast centroid probe + the cell equi-join."""
+    from dataforge_core_spark.operators import similarity as S
+
+    plan = (
+        S.ann_filtered_search(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ExistingRDD" in plan, "filtered search does not read the index"
+    assert "Parquet" not in plan, "filtered search re-scans the corpus"
+    n_join = sum(
+        1
+        for ln in plan.splitlines()
+        if "Join" in ln and "BroadcastNestedLoop" not in ln
+    )
+    assert n_join <= 2, f"filtered search plans {n_join} joins"
+    assert "label" in plan, "metadata predicate vanished from the plan"
 
 
 def test_incremental_assign_one_pass_over_index(spark):

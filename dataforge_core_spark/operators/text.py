@@ -1068,12 +1068,14 @@ def _gopher_sql(dialect: str) -> str:
     n_alpha = rxcount.format(
         s=f"' ' || replace({norm}, ' ', '  ') || ' '", p=p_alpha
     )
-    n_bullet = rxcount.format(s="'\\n' || text", p=p_bullet)
-    n_ellip_l = rxcount.format(s="text || '\\n'", p=p_ellip)
+    # chr(10) sidesteps both engines' string-literal escape rules: a
+    # quoted '\n' reaches the concat as the TWO-char backslash-n string
+    # (SQL literals don't cook regex escapes), silently un-counting the
+    # first bullet line / last ellipsis line — caught by
+    # tests/test_pipeline_invariants.py::test_gopher_rules_hand_corpus
+    n_bullet = rxcount.format(s="chr(10) || text", p=p_bullet)
+    n_ellip_l = rxcount.format(s="text || chr(10)", p=p_ellip)
     if dialect == "spark":
-        # the sentinel itself must survive Spark's literal parser too
-        n_bullet = rxcount.format(s="'\\\\n' || text", p=p_bullet)
-        n_ellip_l = rxcount.format(s="text || '\\\\n'", p=p_ellip)
         n_lines = "size(split(text, '\\\\n'))"
     else:
         n_lines = "len(string_split(text, chr(10)))"

@@ -1,0 +1,161 @@
+"""Semantic invariants of the Gopher rule battery, span decontamination
+and filtered ANN search — constructive cases the row-by-row oracle
+comparison cannot express (it proves engine agreement, not that each
+rule/flag/filter means what it claims)."""
+
+import pytest
+
+
+def _mini_docs(spark, tmp_path, rows):
+    """Write a documents.parquet with the production schema into a tmp
+    sf_dir and return that dir."""
+    df = spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in rows],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    out = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(out)
+    return str(tmp_path)
+
+
+GOOD = " ".join(["the cat and the dog have fun with all of them today"] * 6)
+
+
+def test_gopher_rules_hand_corpus(spark, tmp_path):
+    """Each rule must trip on a document engineered to violate exactly
+    that rule, and pass on a clean one."""
+    from dataforge_core_spark.operators import text as X
+
+    sf = _mini_docs(
+        spark,
+        tmp_path,
+        [
+            (1, GOOD),  # passes everything
+            (2, "too short to count"),  # word count
+            (3, " ".join(["a"] * 60)),  # mean word length < 3
+            (4, " ".join(["word#"] * 60)),  # symbol ratio > 10%
+            (5, " ".join(["12345"] * 60)),  # no alpha words, no stopwords
+            (6, "\n".join(["- the bullet item of the day and that"] * 9)),
+        ],
+    )
+    rows = {r.doc_id: r for r in X.text_gopher_rules(spark, sf).collect()}
+    assert rows[1].gopher_pass, rows[1]
+    assert not rows[2].pass_word_count and not rows[2].gopher_pass
+    assert not rows[3].pass_mean_word_len and rows[3].pass_word_count
+    assert not rows[4].pass_symbol_ratio, rows[4]
+    assert not rows[5].pass_alpha_words and not rows[5].pass_stopwords
+    # doc 6: 9 of 9 lines are bullets -> 100% > 90% threshold
+    assert rows[6].n_bullet_lines == 9 and not rows[6].pass_line_shape
+
+
+def test_gopher_alpha_count_matches_python(spark, sf_dir):
+    """The double-space regexp alpha-token count must equal a plain
+    Python recount over the same normalization for every real doc."""
+    import re
+
+    from dataforge_core_spark.operators import text as X
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_alpha_tokens)
+        for r in X.text_gopher_rules(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    for d in docs:
+        toks = re.sub(r"\s+", " ", d.text.lower()).strip().split(" ")
+        n_alpha = sum(1 for t in toks if re.search(r"[a-z]", t))
+        assert got[d.doc_id] == (len(toks), n_alpha), d.doc_id
+
+
+def test_decontaminate_exact_copy_fully_removed(spark, tmp_path):
+    """A training doc that IS a benchmark doc verbatim must be redacted
+    to zero surviving tokens; a vocabulary-disjoint doc must survive
+    intact with zero spans."""
+    from dataforge_core_spark.operators import training as T
+
+    bench = " ".join(f"w{i}" for i in range(30))
+    clean = " ".join(f"z{i}" for i in range(40))
+    sf = _mini_docs(
+        spark,
+        tmp_path,
+        [(100, bench), (1, bench), (2, clean)],
+    )
+    rows = {
+        r.doc_id: r for r in T.train_decontaminate_spans(spark, sf).collect()
+    }
+    assert set(rows) == {1, 2}, "benchmark doc leaked into the output"
+    assert rows[1].removed_tokens == 30 and rows[1].kept_ppm == 0
+    assert rows[2].n_spans == 0 and rows[2].kept_ppm == 1_000_000
+
+
+def test_decontaminate_span_geometry(spark, tmp_path):
+    """A single mid-doc collision trigram must remove exactly the
+    radius-widened window: [pos-R, pos+2+R] clamped to the doc."""
+    from dataforge_core_spark.operators import training as T
+
+    # trigram 'w0 w1 w2' sits at positions 40..42 of a 100-token doc
+    tr = (
+        " ".join(f"a{i}" for i in range(40))
+        + " w0 w1 w2 "
+        + " ".join(f"b{i}" for i in range(57))
+    )
+    sf = _mini_docs(spark, tmp_path, [(100, "w0 w1 w2"), (1, tr)])
+    r = {x.doc_id: x for x in T.train_decontaminate_spans(spark, sf).collect()}[1]
+    R = T.DECON_RADIUS
+    assert r.n_tokens == 100 and r.n_spans == 1
+    assert r.removed_tokens == (42 + R) - (40 - R) + 1
+    # invariant: removal never exceeds the doc
+    assert 0 <= r.removed_tokens <= r.n_tokens
+
+
+def test_filtered_search_honors_predicate(spark, sf_dir):
+    """Every returned neighbor must satisfy the metadata predicate, and
+    per-query ranks must be the contiguous prefix 1..k."""
+    from dataforge_core_spark.operators import similarity as S
+
+    res = S.ann_filtered_search(spark, sf_dir).collect()
+    assert res, "filtered search returned nothing"
+    labels = {
+        r.vec_id: r.label
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "label")
+        .collect()
+    }
+    by_q: dict = {}
+    for r in res:
+        assert labels[r.neighbor_id] % 2 == 0, (
+            f"neighbor {r.neighbor_id} label {labels[r.neighbor_id]}"
+        )
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+        assert len(ranks) <= S.TOP_K
+
+
+def test_filtered_search_subset_of_unfiltered_corpus(spark, sf_dir):
+    """The filtered result for a query must never contain a neighbor the
+    unfiltered nprobe=2 search over the same index would rank but whose
+    label is odd — i.e. filtering only removes candidates, it never
+    invents them."""
+    from dataforge_core_spark.operators import similarity as S
+
+    filt = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_filtered_search(spark, sf_dir).collect()
+    }
+    # candidate universe: same probe shape, no predicate
+    unfilt = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_ivf_search(spark, sf_dir, nprobe=2).collect()
+    }
+    labels = {
+        r.vec_id: r.label
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    even_unfilt = {
+        (q, n) for (q, n) in unfilt if labels[n] % 2 == 0
+    }
+    # every even-labeled unfiltered hit must appear in the filtered
+    # top-K unless the filtered list is already full of better scores;
+    # with TOP_K slots freed by dropping odd neighbors, the filtered set
+    # must be a superset of the even-labeled unfiltered hits
+    assert even_unfilt <= filt

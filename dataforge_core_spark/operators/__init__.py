@@ -106,6 +106,7 @@ def _recorded_names() -> set:
 _DEFER_UNTIL_ROUND = 7
 DEFER_PAST_CAPTURE: set = {
     "ann_filtered_search",
+    "stream_corpus_ingest",
     "text_gopher_rules",
     "train_decontaminate_spans",
     "train_dsir_weights",

@@ -554,8 +554,76 @@ SELECT window_start, event_type, n_events, rank FROM (
 """
 
 
+def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus-ingest funnel — the cleaning pipeline run ON the
+    streaming engine end to end: a duplicate-injected document stream
+    (two file sources over the same parquet, unioned — the
+    at-least-once delivery a real ingest must assume) is deduped
+    exactly-once by doc_id, the Gopher rule battery rides the stream as
+    the SAME scan-side integer expressions the batch lane uses
+    (text._gopher_feats — one source of truth), and per-source funnel
+    stats aggregate in complete mode.  The result equals the batch
+    funnel regardless of arrival order or duplication factor, which is
+    what the oracle states.
+
+    Scale note: dedup state here is keyed by doc_id with no watermark
+    (the table has no event-time column); a production ingest bounds it
+    with dropDuplicatesWithinWatermark on the ingest timestamp — the
+    exact pattern stream_dedup demonstrates on the events stream."""
+    from dataforge_core_spark.operators.text import (
+        GOPHER_PASS_EXPR,
+        _gopher_feats,
+    )
+    from dataforge_core_spark.streaming import stream_documents
+
+    feats, norm, tok = _gopher_feats("spark")
+    dup = stream_documents(spark, sf_dir).unionByName(
+        stream_documents(spark, sf_dir)
+    )
+    f = (
+        dup.dropDuplicates(["doc_id"])
+        .selectExpr(
+            "doc_id", "source", "text", f"{norm} AS nrm", f"{tok} AS tok"
+        )
+        .selectExpr("doc_id", "source", *feats)
+    )
+    agg = (
+        f.selectExpr(
+            "source",
+            "n_tokens",
+            f"CASE WHEN {GOPHER_PASS_EXPR} THEN 1 ELSE 0 END AS keep",
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("keep").cast("bigint").alias("n_keep"),
+            F.sum(F.expr("CASE WHEN keep = 1 THEN n_tokens ELSE 0 END"))
+            .cast("bigint")
+            .alias("kept_tokens"),
+        )
+    )
+    return _run_to_memory(agg, "drv_stream_corpus_ingest", spark, "complete")
+
+
+def _corpus_ingest_oracle() -> str:
+    from dataforge_core_spark.operators.text import _gopher_sql
+
+    return f"""
+WITH g AS ({_gopher_sql('duck')})
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN g.gopher_pass THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_keep,
+       CAST(SUM(CASE WHEN g.gopher_pass THEN g.n_tokens ELSE 0 END)
+            AS BIGINT) AS kept_tokens
+FROM g JOIN documents d ON g.doc_id = d.doc_id
+GROUP BY d.source
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "stream_corpus_ingest": stream_corpus_ingest,
         "stream_topk": stream_topk,
         "stream_late_data": stream_late_data,
         "stream_dedup": stream_dedup,
@@ -569,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracles() -> dict[str, str]:
     return {
+        "stream_corpus_ingest": _corpus_ingest_oracle(),
         "stream_topk": _STREAM_TOPK_ORACLE,
         "stream_late_data": _LATE_ORACLE,
         "stream_dedup": _STREAM_DEDUP_ORACLE,

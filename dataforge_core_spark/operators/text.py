@@ -1047,9 +1047,14 @@ GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 GOPHER_MIN_STOPWORDS = 2
 
 
-def _gopher_sql(dialect: str) -> str:
+def _gopher_feats(dialect: str) -> tuple[list[str], str, str]:
+    """(feature exprs over a (doc_id, text, nrm, tok) relation, norm
+    expr, tok expr) — shared by the batch lane, its oracle, and the
+    streaming ingest funnel (stream_corpus_ingest selectExprs the same
+    fragments over the file stream)."""
     if dialect == "spark":
-        tok, norm = _SPARK_TOK, "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
+        norm = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
+        tok = _SPARK_TOK
         size, contains = "size", "array_contains"
         rxcount = "regexp_count({s}, {p})"
         # Spark's string literal parser eats one backslash level
@@ -1057,16 +1062,19 @@ def _gopher_sql(dialect: str) -> str:
         p_bullet = "'\\\\n[-*] '"
         p_ellip = "'\\\\.\\\\.\\\\.\\\\n'"
         idiv = "DIV"
+        n_lines = "size(split(text, '\\\\n'))"
     else:
-        tok, norm = _DUCK_TOK, "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+        norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+        tok = _DUCK_TOK
         size, contains = "len", "list_contains"
         rxcount = "len(regexp_extract_all({s}, {p}))"
         p_alpha = "' [^ ]*[a-z][^ ]* '"
         p_bullet = "'\\n[-*] '"
         p_ellip = "'\\.\\.\\.\\n'"
         idiv = "//"
+        n_lines = "len(string_split(text, chr(10)))"
     n_alpha = rxcount.format(
-        s=f"' ' || replace({norm}, ' ', '  ') || ' '", p=p_alpha
+        s="' ' || replace(nrm, ' ', '  ') || ' '", p=p_alpha
     )
     # chr(10) sidesteps both engines' string-literal escape rules: a
     # quoted '\n' reaches the concat as the TWO-char backslash-n string
@@ -1075,47 +1083,65 @@ def _gopher_sql(dialect: str) -> str:
     # tests/test_pipeline_invariants.py::test_gopher_rules_hand_corpus
     n_bullet = rxcount.format(s="chr(10) || text", p=p_bullet)
     n_ellip_l = rxcount.format(s="text || chr(10)", p=p_ellip)
-    if dialect == "spark":
-        n_lines = "size(split(text, '\\\\n'))"
-    else:
-        n_lines = "len(string_split(text, chr(10)))"
     n_stop = " + ".join(
         f"CASE WHEN {contains}(tok, '{w}') THEN 1 ELSE 0 END"
         for w in GOPHER_STOPWORDS
     )
+    feats = [
+        f"CAST({size}(tok) AS INT) AS n_tokens",
+        f"CAST(length(nrm) - ({size}(tok) - 1) AS INT) AS tok_chars",
+        "CAST(length(text) - length(replace(text, '#', ''))"
+        f" + (length(text) - length(replace(text, '...', ''))) {idiv} 3"
+        " AS INT) AS n_symbols",
+        f"CAST({n_alpha} AS INT) AS n_alpha_tokens",
+        f"CAST({n_stop} AS INT) AS n_stop_hits",
+        f"CAST({n_lines} AS INT) AS n_lines",
+        f"CAST({n_bullet} AS INT) AS n_bullet_lines",
+        f"CAST({n_ellip_l} AS INT) AS n_ellipsis_lines",
+    ]
+    return feats, norm, tok
+
+
+# per-rule pass flags over the feature aliases — pure integer
+# comparisons, so the SAME strings run on both engines
+_GOPHER_RULES: list[tuple[str, str]] = [
+    (
+        "pass_word_count",
+        f"n_tokens BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}",
+    ),
+    (
+        "pass_mean_word_len",
+        "3 * n_tokens <= tok_chars AND tok_chars <= 10 * n_tokens",
+    ),
+    ("pass_symbol_ratio", "10 * n_symbols <= n_tokens"),
+    ("pass_alpha_words", "5 * n_alpha_tokens >= 4 * n_tokens"),
+    ("pass_stopwords", f"n_stop_hits >= {GOPHER_MIN_STOPWORDS}"),
+    (
+        "pass_line_shape",
+        "10 * n_bullet_lines <= 9 * n_lines"
+        " AND 10 * n_ellipsis_lines <= 3 * n_lines",
+    ),
+]
+
+GOPHER_PASS_EXPR = " AND ".join(expr for _, expr in _GOPHER_RULES)
+
+
+def _gopher_sql(dialect: str) -> str:
+    feats, norm, tok = _gopher_feats(dialect)
+    flags = ",\n       ".join(
+        f"{expr} AS {name}" for name, expr in _GOPHER_RULES
+    )
+    feat_list = ",\n         ".join(feats)
     return f"""
 WITH f AS (
   SELECT doc_id,
-         CAST({size}(tok) AS INT) AS n_tokens,
-         CAST(length(nrm) - ({size}(tok) - 1) AS INT) AS tok_chars,
-         CAST(length(text) - length(replace(text, '#', ''))
-              + (length(text) - length(replace(text, '...', ''))) {idiv} 3
-              AS INT) AS n_symbols,
-         CAST({n_alpha} AS INT) AS n_alpha_tokens,
-         CAST({n_stop} AS INT) AS n_stop_hits,
-         CAST({n_lines} AS INT) AS n_lines,
-         CAST({n_bullet} AS INT) AS n_bullet_lines,
-         CAST({n_ellip_l} AS INT) AS n_ellipsis_lines
+         {feat_list}
   FROM (SELECT doc_id, text, {norm} AS nrm, {tok} AS tok FROM documents)
 )
 SELECT doc_id, n_tokens, tok_chars, n_symbols, n_alpha_tokens, n_stop_hits,
        n_lines, n_bullet_lines, n_ellipsis_lines,
-       n_tokens BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
-         AS pass_word_count,
-       3 * n_tokens <= tok_chars AND tok_chars <= 10 * n_tokens
-         AS pass_mean_word_len,
-       10 * n_symbols <= n_tokens AS pass_symbol_ratio,
-       5 * n_alpha_tokens >= 4 * n_tokens AS pass_alpha_words,
-       n_stop_hits >= {GOPHER_MIN_STOPWORDS} AS pass_stopwords,
-       10 * n_bullet_lines <= 9 * n_lines
-         AND 10 * n_ellipsis_lines <= 3 * n_lines AS pass_line_shape,
-       n_tokens BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
-         AND 3 * n_tokens <= tok_chars AND tok_chars <= 10 * n_tokens
-         AND 10 * n_symbols <= n_tokens
-         AND 5 * n_alpha_tokens >= 4 * n_tokens
-         AND n_stop_hits >= {GOPHER_MIN_STOPWORDS}
-         AND 10 * n_bullet_lines <= 9 * n_lines
-         AND 10 * n_ellipsis_lines <= 3 * n_lines AS gopher_pass
+       {flags},
+       {GOPHER_PASS_EXPR} AS gopher_pass
 FROM f
 """
 

@@ -167,6 +167,31 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet (schema from the
+    footer — a file stream source cannot infer per-batch)."""
+    import pyarrow.parquet as pq
+
+    sch = pq.read_schema(f"{sf_dir}/documents.parquet")
+    fields = []
+    for f in sch:
+        t = str(f.type)
+        spark_t = {
+            "int32": T.IntegerType(),
+            "int64": T.LongType(),
+            "string": T.StringType(),
+            "large_string": T.StringType(),
+        }.get(t)
+        if spark_t is None:
+            raise ValueError(f"unmapped documents dtype {t} for {f.name}")
+        fields.append(T.StructField(f.name, spark_t))
+    return (
+        spark.readStream.schema(T.StructType(fields))
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def windowed_aggregate(
     stream: DataFrame,
     window: str = "1 hour",

@@ -239,16 +239,30 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "output_feature_customer": _output("feature_customer"),
         "output_entity_union": _output("entity_union"),
     }
-    q.update(extension_queries())
-    for name, tbl in (
+    relegated_hubs = (
         ("hub_region", "tpch_region"),
         ("hub_nation", "tpch_nation"),
         ("hub_supplier", "tpch_supplier"),
         ("hub_orders", "tpch_orders"),
         ("hub_customer", "tpch_customer"),
         ("hub_part", "tpch_part"),
-    ):
-        q[name] = _hub(tbl)
+    )
+    # One relegated hub rotates into the capture window per round (the
+    # STALEST by latest driver-recorded round), so the simple-hub §2
+    # rows get periodically re-proven instead of riding on their r2-r5
+    # records forever — the hub-family counterpart of the extension
+    # registry's ROTATION_SLOTS policy (operators/__init__.py).
+    from dataforge_core_spark.operators import _latest_records
+
+    latest = _latest_records()
+    stale_hub = min(
+        relegated_hubs,
+        key=lambda nt: (latest.get(nt[0], (0, {}))[0], nt[0]),
+    )
+    q[stale_hub[0]] = _hub(stale_hub[1])
+    q.update(extension_queries())
+    for name, tbl in relegated_hubs:
+        q.setdefault(name, _hub(tbl))
     return q
 
 

@@ -40,19 +40,36 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-DETAIL_PATH = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-)
+_REPO = os.path.dirname(os.path.abspath(__file__))
+DETAIL_PATH = os.path.join(_REPO, "BENCH_DETAIL.json")
+
+
+def _next_round() -> int:
+    """Round number this bench run belongs to: one past the highest
+    recorded CORRECTNESS round (the driver writes CORRECTNESS_r{N}
+    after the round's bench)."""
+    import glob
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)", os.path.basename(p)))
+    ]
+    return max(rounds, default=0) + 1
 
 EXCLUDE: set[str] = set()
 
-# Lanes whose r6 spread exceeded their median (driver record): 5 runs
-# instead of 3 so the median is trustworthy for regression calls.
+# Lanes whose recorded spread exceeded their median (r6 driver record;
+# ann_ivf_probe2 r7: runs [1.016, 0.903, 7.749] — one outlier polluted
+# warm_s while the median was fine): 5 runs instead of 3 so the median
+# is trustworthy for regression calls.
 NOISY_LANES = {
     "dedup_simhash_pairs",
     "engine_subsource",
     "engine_subsource_chain",
     "engine_sql_artifact",
+    "ann_ivf_probe2",
 }
 NOISY_RUNS = 5
 
@@ -265,27 +282,29 @@ def main() -> None:
         cold_total += cold
         warm_total += warm
 
-    with open(DETAIL_PATH, "w") as f:
-        json.dump(
-            {
-                "sf": float(sf),
-                "runs_per_query": N_RUNS,
-                "totals": {
-                    "median_total_s": round(total, 3),
-                    "cold_total_s": round(cold_total, 3),
-                    "warm_total_s": round(warm_total, 3),
-                    "index_build_total_s": round(
-                        sum(index_build.values()), 3
-                    ),
-                },
-                "index_build_s": index_build,
-                "queries": detail,
-            },
-            f,
-            indent=1,
-            sort_keys=True,
-        )
-        f.write("\n")
+    # Written twice: the mutable latest-run copy AND a round-stamped
+    # copy (BENCH_DETAIL_r{N}.json) that persists the FULL per-lane map
+    # for every round — the driver's BENCH_r{N}.json stores only a
+    # truncated stdout tail (r6's cut mid-JSON and lost ~14 lanes from
+    # the cross-round comparison), so the stamped file is the durable
+    # record cross-round perf analysis should read.
+    detail_payload = {
+        "sf": float(sf),
+        "runs_per_query": N_RUNS,
+        "totals": {
+            "median_total_s": round(total, 3),
+            "cold_total_s": round(cold_total, 3),
+            "warm_total_s": round(warm_total, 3),
+            "index_build_total_s": round(sum(index_build.values()), 3),
+        },
+        "index_build_s": index_build,
+        "queries": detail,
+    }
+    stamped = os.path.join(_REPO, f"BENCH_DETAIL_r{_next_round():02d}.json")
+    for path in (DETAIL_PATH, stamped):
+        with open(path, "w") as f:
+            json.dump(detail_payload, f, indent=1, sort_keys=True)
+            f.write("\n")
 
     # Final line LAST and compact.  The round driver captures only the
     # last ~2000 chars of stdout; the full 89-query map overflowed that

@@ -47,8 +47,9 @@ def _modules():
     ]
 
 
-def _recorded_names() -> set:
-    """Names PROVEN by the driver CORRECTNESS records.
+def _latest_records() -> dict:
+    """name -> (latest round it appeared in, that round's row dict),
+    scanned over every CORRECTNESS_r*.json in the repo root.
 
     The round driver truncates its per-query record at 50 rows, so the
     registry orders least-proven-first: rows with no driver-recorded
@@ -71,7 +72,7 @@ def _recorded_names() -> set:
         m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
         return int(m.group(1)) if m else -1
 
-    latest: dict[str, dict] = {}
+    latest: dict[str, tuple[int, dict]] = {}
     for path in sorted(
         glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")), key=_round
     ):
@@ -82,17 +83,30 @@ def _recorded_names() -> set:
             continue
         if isinstance(rec, dict):
             for name, row in rec.items():
-                latest[name] = row if isinstance(row, dict) else {}
+                latest[name] = (
+                    _round(path),
+                    row if isinstance(row, dict) else {},
+                )
+    return latest
 
-    def _passed(row: dict) -> bool:
-        return (
-            row.get("rows_match") is True
-            and row.get("schema_match") is not False
-            and row.get("hash_match") is not False
-            and not row.get("err")
-        )
 
-    return {name for name, row in latest.items() if _passed(row)}
+def _passed(row: dict) -> bool:
+    return (
+        row.get("rows_match") is True
+        and row.get("schema_match") is not False
+        and row.get("hash_match") is not False
+        and not row.get("err")
+    )
+
+
+def _recorded_names() -> set:
+    """Names PROVEN by the driver CORRECTNESS records (latest
+    appearance passed every recorded check) — see _latest_records."""
+    return {
+        name
+        for name, (_rnd, row) in _latest_records().items()
+        if _passed(row)
+    }
 
 
 # Lanes added AFTER the round-7 capture-window bookkeeping froze (the
@@ -131,8 +145,24 @@ def _max_recorded_round() -> int:
     return max(rounds, default=0)
 
 
+# Stale-veteran rotation: with ~140 lanes and a 50-row capture window,
+# driver-green rows would otherwise ride on their last recorded round
+# forever (engine_sql_artifact's freshest driver evidence would stay
+# r6 for the rest of the project).  Each round the ROTATION_SLOTS
+# veterans with the OLDEST latest-recorded round are hoisted right
+# after the unproven block, so every lane's driver record is
+# periodically refreshed — ~140/6 ≈ 24 rounds max staleness, and far
+# less for the §2 core rows that entered early.  Slots are kept small
+# so a round that adds new lanes cannot push the unproven block out of
+# the window.
+ROTATION_SLOTS = 6
+
+
 def _merge(items: dict) -> dict:
-    recorded = _recorded_names()
+    latest = _latest_records()
+    recorded = {
+        name for name, (_rnd, row) in latest.items() if _passed(row)
+    }
     deferred = (
         DEFER_PAST_CAPTURE
         if _max_recorded_round() < _DEFER_UNTIL_ROUND
@@ -143,6 +173,12 @@ def _merge(items: dict) -> dict:
         for k, v in items.items()
         if k not in recorded and k not in deferred
     }
+    stale_vets = sorted(
+        (k for k in items if k in recorded),
+        key=lambda k: (latest[k][0], k),
+    )[:ROTATION_SLOTS]
+    for k in stale_vets:
+        fresh[k] = items[k]
     fresh.update(items)
     return fresh
 

@@ -191,30 +191,42 @@ def _ex_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _jaccard_verify(ex: DataFrame, cand: DataFrame) -> DataFrame:
     """Exact Jaccard for candidate (doc_a, doc_b) pairs from the distinct
-    shingle relation ex(doc_id, s)."""
+    shingle relation ex(doc_id, s).
+
+    Shape: one groupBy packs each doc's distinct shingle hashes into a
+    sorted array (|ex| shuffle, paid once), then the candidate relation
+    joins that compact per-doc row on each side and the intersection is
+    ``size(array_intersect(...))`` evaluated in place.  The earlier
+    form joined cand to the EXPLODED shingle relation on doc_a and then
+    shuffled a |pairs| x |shingles/doc| intermediate into the doc_b
+    shingle join — at sf0.1 that intermediate was ~50s of the index
+    build; the pair-keyed array join is sized to |pairs| + 2 compact
+    probes instead.  array_intersect is a JVM collection expression
+    (hash-set membership, not an interpreted lambda), and per-doc array
+    width is bounded by document length, so the row size stays bounded
+    at 100 TB too."""
     from pyspark.sql import functions as F
 
-    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n"))
-    ea = ex.toDF("doc_a", "s")
-    eb = ex.toDF("doc_b2", "s_b")
-    inter = (
-        cand.join(ea, "doc_a")
-        .join(
-            eb,
-            (F.col("doc_b") == F.col("doc_b2")) & (F.col("s") == F.col("s_b")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter_n"))
+    arrs = ex.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("s")).alias("arr")
     )
-    sa = sizes.toDF("doc_a", "n_a")
-    sb = sizes.toDF("doc_b", "n_b")
+    aa = arrs.toDF("doc_a", "arr_a")
+    ab = arrs.toDF("doc_b", "arr_b")
     jac = F.expr("CAST(inter_n AS DOUBLE) / (n_a + n_b - inter_n)")
     # the integer basis (inter_n, n_a, n_b) rides along so downstream
     # consumers (the minhash accuracy eval) can derive exact integer
     # ratios without re-joining the shingle relation
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(aa, "doc_a")
+        .join(ab, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("size(array_intersect(arr_a, arr_b))").alias("inter_n"),
+            F.expr("size(arr_a)").alias("n_a"),
+            F.expr("size(arr_b)").alias("n_b"),
+        )
+        .filter("inter_n > 0")
         .select("doc_a", "doc_b", "inter_n", "n_a", "n_b",
                 jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)

@@ -401,22 +401,49 @@ def sessionize_stateful(
     def fn(
         key, pdfs: Iterator["pd.DataFrame"], state: GroupState
     ) -> Iterator["pd.DataFrame"]:
+        # Vectorized session split: the per-event Python loop this
+        # replaces iterated every event of every group interpreter-side
+        # (~100k iterations per micro-batch at sf0.1) — the exact cost
+        # class that over-indexes on Python host slowdowns (the r7
+        # 1.7 -> 3.8s move).  Gap detection is one np.diff over the
+        # group's sorted int64-micros timestamps; segment bounds come
+        # from flatnonzero, so per-group Python work is O(sessions),
+        # not O(events).  Semantics are loop-identical, including the
+        # late-data edge: ``end`` is the LAST PROCESSED event's ts
+        # (sorted order), which can move backward past carried state
+        # when a batch delivers only earlier events.
+        import numpy as np
+
         (user_id,) = key
         rows = []
-        cur = state.get if state.exists else None
-        ts_list = []
-        for pdf in pdfs:
-            ts_list.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
-        ts_list.sort()
-        start, end, n = cur if cur else (None, None, 0)
-        for t in ts_list:
-            if start is None:
-                start, end, n = t, t, 1
-            elif t - end > gap_us:
-                rows.append((user_id, start, end, n))
-                start, end, n = t, t, 1
+        chunks = [pdf["ts"].to_numpy() for pdf in pdfs]
+        if chunks:
+            ts = np.concatenate(chunks).astype("datetime64[us]")
+            ts = ts.astype(np.int64)
+            ts.sort()
+        else:
+            ts = np.empty(0, dtype=np.int64)
+        start, end, n = state.get if state.exists else (None, None, 0)
+        if ts.size:
+            cut = np.flatnonzero(np.diff(ts) > gap_us) + 1
+            seg_a = np.concatenate(([0], cut))
+            seg_b = np.concatenate((cut, [ts.size]))  # exclusive ends
+            s0, e0 = int(ts[seg_a[0]]), int(ts[seg_b[0] - 1])
+            k0 = int(seg_b[0] - seg_a[0])
+            if start is not None and s0 - end <= gap_us:
+                sessions = [(start, e0, n + k0)]
             else:
-                end, n = t, n + 1
+                if start is not None:
+                    rows.append((user_id, start, end, n))
+                sessions = [(s0, e0, k0)]
+            sessions += [
+                (int(ts[a]), int(ts[b - 1]), int(b - a))
+                for a, b in zip(seg_a[1:], seg_b[1:])
+            ]
+            rows.extend(
+                (user_id, s, e, c) for s, e, c in sessions[:-1]
+            )
+            start, end, n = sessions[-1]
         if state.hasTimedOut:
             if start is not None:
                 rows.append((user_id, start, end, n))

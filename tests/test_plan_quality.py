@@ -235,6 +235,67 @@ def test_no_cartesian_products_in_driver_queries(spark):
             )
 
 
+def _walk_physical(node):
+    cls = node.getClass().getSimpleName()
+    if cls == "AdaptiveSparkPlanExec":
+        # AQE root has no children(); its current plan hangs off
+        # executedPlan (finalized or not, this is the live tree)
+        yield from _walk_physical(node.executedPlan())
+        return
+    yield node
+    if cls in ("ShuffleQueryStageExec", "BroadcastQueryStageExec"):
+        yield from _walk_physical(node.plan())
+        return
+    for i in range(node.children().length()):
+        yield from _walk_physical(node.children().apply(i))
+
+
+def test_global_windows_only_over_aggregated_relations(spark):
+    """Every partition-less WindowExec in the driver registry (global
+    ROW_NUMBER ranks: top-token/vocab lanes) must consume an ALREADY
+    AGGREGATED (or top-K-limited) relation — a global window funnels its
+    whole input through one partition, which is bounded for a
+    vocabulary/top-K relation but a 100 TB funnel if one ever lands on a
+    corpus-shaped input.  Walks the executed plan tree: any WindowExec /
+    WindowGroupLimitExec with an empty partitionSpec must have an
+    Aggregate or TakeOrdered node somewhere BELOW it."""
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    bounded = {
+        "HashAggregateExec",
+        "SortAggregateExec",
+        "ObjectHashAggregateExec",
+        "TakeOrderedAndProjectExec",
+        "CollectLimitExec",
+        "GlobalLimitExec",
+        "LocalTableScanExec",  # literal/fitted index artifacts
+        "RDDScanExec",  # checkpointed (already-bounded) index frames
+    }
+    skip_prefixes = ("stream_", "engine_", "dedup_cluster")
+    hits = 0
+    for name, fn in e.queries().items():
+        if name.startswith(skip_prefixes):
+            continue  # eager side-effects at construction; covered elsewhere
+        root = fn(spark, sf)._jdf.queryExecution().executedPlan()
+        for node in _walk_physical(root):
+            cls = node.getClass().getSimpleName()
+            if cls not in ("WindowExec", "WindowGroupLimitExec"):
+                continue
+            if not node.partitionSpec().isEmpty():
+                continue
+            hits += 1
+            sub = {
+                n.getClass().getSimpleName()
+                for n in _walk_physical(node)
+            }
+            assert sub & bounded, (
+                f"{name}: global window over a non-aggregated relation "
+                f"(subtree: {sorted(sub)})"
+            )
+    assert hits >= 2, "expected the known global-rank lanes to be walked"
+
+
 def test_simhash_signature_integer_bits(spark):
     """The 64 simhash bit extractions must be integer shift/AND over two
     pre-parsed md5 halves, inside a partial+final hash aggregate.  A

@@ -22,6 +22,7 @@ def _modules():
         nested,
         similarity,
         simhash,
+        sketches,
         streaming_rows,
         text,
         training,
@@ -37,6 +38,7 @@ def _modules():
         engine_rows,
         streaming_rows,
         nested,
+        sketches,
         events,
         text,
         dedup,

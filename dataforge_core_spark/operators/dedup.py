@@ -1172,8 +1172,106 @@ FROM h GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (the suffix-array criterion of Lee et al.,
+# "Deduplicating Training Data Makes Language Models Better", approximated
+# at fixed granularity): a token position is DUPLICATED when the
+# SUBSTR_WIN-token window starting there occurs >= 2 times anywhere in the
+# corpus (including within the same document).  Unlike dedup_boilerplate's
+# non-overlapping span table (a span INVENTORY keyed by hash), this lane
+# slides the window over EVERY position and returns the per-document
+# duplicated-span measurement a cleaning funnel cuts on: overlapping
+# duplicated windows are merged gaps-and-islands style into maximal spans,
+# and the output is (doc, n_dup_spans, dup_tokens, dup_ppm) — all exact
+# integers.
+#
+# Scale shape: one explode pass (|tokens| rows, the same order of work as
+# the shingle relation), a hash groupBy with map-side partial counts, a
+# hash semi-join of positions against the duplicated-hash relation
+# (shuffle keyed on the 32-hex window hash; AQE broadcasts when the dup
+# set is small), then doc-keyed windows for the island merge — no
+# quadratic pair generation anywhere, so the criterion that needs a
+# suffix array single-node streams as four shuffles here.
+# ---------------------------------------------------------------------------
+
+SUBSTR_WIN = 8  # tokens; >= 2 occurrences of a window marks it duplicated
+
+
+def _substring_sql(dialect: str) -> str:
+    w = SUBSTR_WIN
+    if dialect == "spark":
+        t = f"SELECT doc_id, {_SPARK_TOKENS} AS tok FROM documents"
+        pos = f"""
+          SELECT doc_id, i,
+                 md5(array_join(slice(tok, i + 1, {w}), ' ')) AS h
+          FROM t LATERAL VIEW explode(sequence(0, size(tok) - {w})) s AS i
+          WHERE size(tok) >= {w}
+        """
+        lens = "SELECT doc_id, size(tok) AS n_tokens FROM t"
+        idiv = "DIV"
+    else:
+        t = f"SELECT doc_id, {_DUCK_TOKENS} AS tok FROM documents"
+        pos = f"""
+          SELECT doc_id, i,
+                 md5(array_to_string(
+                   list_slice(tok, i + 1, i + {w}), ' ')) AS h
+          FROM t, unnest(generate_series(0, len(tok) - {w})) AS s(i)
+          WHERE len(tok) >= {w}
+        """
+        lens = "SELECT doc_id, len(tok) AS n_tokens FROM t"
+        idiv = "//"
+    return f"""
+WITH t AS ({t}),
+pos AS ({pos}),
+duph AS (SELECT h FROM pos GROUP BY h HAVING COUNT(*) >= 2),
+hit AS (SELECT p.doc_id, p.i FROM pos p JOIN duph d ON p.h = d.h),
+isl AS (
+  SELECT doc_id, i,
+         CASE WHEN i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i)
+                   <= {w} THEN 0 ELSE 1 END AS brk
+  FROM hit
+),
+grp AS (
+  SELECT doc_id, i,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, g, MIN(i) AS s, MAX(i) + {w} AS e
+  FROM grp GROUP BY doc_id, g
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+         CAST(SUM(e - s) AS BIGINT) AS dup_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT l.doc_id, CAST(l.n_tokens AS BIGINT) AS n_tokens,
+       COALESCE(a.n_dup_spans, 0) AS n_dup_spans,
+       COALESCE(a.dup_tokens, 0) AS dup_tokens,
+       CAST((1000000 * COALESCE(a.dup_tokens, 0)) {idiv} l.n_tokens
+            AS BIGINT) AS dup_ppm
+FROM ({lens}) l LEFT JOIN agg a ON l.doc_id = a.doc_id
+"""
+
+
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-substring spans (sliding-window exact
+    criterion; overlapping duplicated windows merged into maximal
+    spans — windows whose starts differ by <= SUBSTR_WIN overlap or
+    touch, and touching spans merge by definition here)."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_substring_sql("spark"))
+
+
+_SUBSTRING_ORACLE = _substring_sql("duck")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "dedup_substring": dedup_substring,
         "dedup_boilerplate": dedup_boilerplate,
         "dedup_cluster_stats": dedup_cluster_stats,
         "dedup_keep_best": dedup_keep_best,
@@ -1191,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracles() -> dict[str, str]:
     return {
+        "dedup_substring": _SUBSTRING_ORACLE,
         "dedup_boilerplate": _BOILERPLATE_ORACLE,
         "dedup_cluster_stats": _CLUSTER_STATS_ORACLE,
         "dedup_keep_best": _keep_best_oracle(),

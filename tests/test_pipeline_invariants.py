@@ -159,3 +159,94 @@ def test_filtered_search_subset_of_unfiltered_corpus(spark, sf_dir):
     # with TOP_K slots freed by dropping odd neighbors, the filtered set
     # must be a superset of the even-labeled unfiltered hits
     assert even_unfilt <= filt
+
+
+def test_substring_dedup_constructed_spans(spark, tmp_path):
+    """A phrase planted verbatim in two documents must surface as a
+    duplicated span in BOTH, and a fully-copied document must be 100%
+    duplicated; a document of unique tokens must report zero."""
+    from dataforge_core_spark.operators import dedup as D
+
+    w = D.SUBSTR_WIN
+    phrase = " ".join(f"p{i}" for i in range(w))  # exactly one window
+    uniq_a = " ".join(f"a{i}" for i in range(20))
+    uniq_b = " ".join(f"b{i}" for i in range(20))
+    copied = " ".join(f"c{i}" for i in range(30))
+    sf = _mini_docs(
+        spark,
+        tmp_path,
+        [
+            (1, uniq_a + " " + phrase),
+            (2, phrase + " " + uniq_b),
+            (3, copied),
+            (4, copied),  # verbatim copy: every window duplicated
+            (5, " ".join(f"u{i}" for i in range(40))),  # all unique
+        ],
+    )
+    rows = {r.doc_id: r for r in D.dedup_substring(spark, sf).collect()}
+    # the planted phrase is the only shared window in docs 1/2
+    assert rows[1].n_dup_spans == 1 and rows[1].dup_tokens == w
+    assert rows[2].n_dup_spans == 1 and rows[2].dup_tokens == w
+    # verbatim copies: one maximal span covering the whole doc
+    for d in (3, 4):
+        assert rows[d].n_dup_spans == 1
+        assert rows[d].dup_tokens == rows[d].n_tokens
+        assert rows[d].dup_ppm == 1_000_000
+    assert rows[5].dup_tokens == 0 and rows[5].n_dup_spans == 0
+
+
+def test_substring_dedup_span_bounds(spark, sf_dir):
+    """Merged spans are disjoint and >= SUBSTR_WIN tokens each, so
+    dup_tokens is bounded by n_tokens below and span-count*W above."""
+    from dataforge_core_spark.operators import dedup as D
+
+    w = D.SUBSTR_WIN
+    for r in D.dedup_substring(spark, sf_dir).collect():
+        assert 0 <= r.dup_tokens <= r.n_tokens, r
+        assert r.dup_tokens >= w * r.n_dup_spans or r.n_dup_spans == 0, r
+
+
+def test_kmv_sketch_merge_equals_direct_global_sketch(spark, sf_dir):
+    """Mergeability: the __all__ row (bottom-K of the union of
+    per-source bottom-Ks) must equal the sketch computed directly from
+    the global distinct-hash relation — and when a scope holds fewer
+    than K hashes the estimate must be exact."""
+    import duckdb
+
+    from dataforge_core_spark.operators import sketches as SK
+
+    rows = {
+        r.scope: r for r in SK.sketch_kmv_distinct(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    k = SK.KMV_K
+    direct = con.sql(
+        f"""
+        WITH toks AS (
+          SELECT DISTINCT ('0x' || substr(md5(sh), 1, 14))::BIGINT AS h
+          FROM (SELECT array_to_string(list_slice(tok, i, i + 2), ' ') AS sh
+                FROM (SELECT string_split(lower(trim(
+                        regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS tok
+                      FROM documents),
+                     unnest(generate_series(1, len(tok) - 2)) AS s(i)
+                WHERE len(tok) >= 3)
+        ),
+        bk AS (SELECT h FROM toks ORDER BY h LIMIT {k})
+        SELECT COUNT(*) AS n_kept, MAX(h) AS h_k,
+               (SELECT COUNT(*) FROM toks) AS n_exact
+        FROM bk
+        """
+    ).fetchone()
+    n_kept, h_k, n_exact = direct
+    want = (
+        n_kept if n_kept < k else ((k - 1) * (1 << 56)) // max(h_k, 1)
+    )
+    assert rows["__all__"].kmv_est == want
+    assert rows["__all__"].n_exact == n_exact
+    for scope, r in rows.items():
+        if r.n_exact < k:
+            assert r.kmv_est == r.n_exact and r.err_ppm == 0, r

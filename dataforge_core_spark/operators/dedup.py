@@ -1269,9 +1269,116 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SUBSTRING_ORACLE = _substring_sql("duck")
 
 
+def _substring_clean_sql(dialect: str) -> str:
+    """The REMOVAL transform on top of the measurement: every
+    duplicated window occurrence except the corpus-canonical one
+    (smallest (doc_id, position) per window hash — a total order, so
+    'keep one copy' is deterministic) marks its tokens for removal;
+    overlapping marked windows merge into spans, and the cleaned text
+    is the surviving tokens re-joined in order.  A token inside BOTH a
+    canonical occurrence of one window and a non-canonical occurrence
+    of another is removed (conservative by construction, documented
+    semantics).  The canonical pick is one rank-1 window per hash over
+    the position relation; the span cut is an equi-join on doc_id with
+    a range conjunct against the (few) spans of that doc."""
+    w = SUBSTR_WIN
+    if dialect == "spark":
+        t = f"SELECT doc_id, {_SPARK_TOKENS} AS tok FROM documents"
+        pos = f"""
+          SELECT doc_id, i,
+                 md5(array_join(slice(tok, i + 1, {w}), ' ')) AS h
+          FROM t LATERAL VIEW explode(sequence(0, size(tok) - {w})) s AS i
+          WHERE size(tok) >= {w}
+        """
+        toks = """
+          SELECT doc_id, j, tk
+          FROM t LATERAL VIEW posexplode(tok) p AS j, tk
+        """
+        joined = (
+            "array_join(transform(array_sort(collect_list("
+            "struct(j, tk))), x -> x.tk), ' ')"
+        )
+        idiv = "DIV"
+    else:
+        t = f"SELECT doc_id, {_DUCK_TOKENS} AS tok FROM documents"
+        pos = f"""
+          SELECT doc_id, i,
+                 md5(array_to_string(
+                   list_slice(tok, i + 1, i + {w}), ' ')) AS h
+          FROM t, unnest(generate_series(0, len(tok) - {w})) AS s(i)
+          WHERE len(tok) >= {w}
+        """
+        toks = """
+          SELECT doc_id, u.i - 1 AS j, tok[u.i] AS tk
+          FROM t, unnest(generate_series(1, len(tok))) AS u(i)
+        """
+        joined = "string_agg(tk, ' ' ORDER BY j)"
+        idiv = "//"
+    return f"""
+WITH t AS ({t}),
+pos AS ({pos}),
+occ AS (
+  SELECT doc_id, i,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn,
+         COUNT(*) OVER (PARTITION BY h) AS cnt
+  FROM pos
+),
+marked AS (SELECT doc_id, i FROM occ WHERE cnt >= 2 AND rn >= 2),
+isl AS (
+  SELECT doc_id, i,
+         CASE WHEN i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i)
+                   <= {w} THEN 0 ELSE 1 END AS brk
+  FROM marked
+),
+grp AS (
+  SELECT doc_id, i,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, g, MIN(i) AS s, MAX(i) + {w} AS e
+  FROM grp GROUP BY doc_id, g
+),
+toks AS ({toks}),
+kept AS (
+  SELECT tk0.doc_id, tk0.j, tk0.tk
+  FROM toks tk0 LEFT JOIN spans sp
+    ON sp.doc_id = tk0.doc_id AND tk0.j >= sp.s AND tk0.j < sp.e
+  WHERE sp.g IS NULL
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         {joined} AS cleaned_text
+  FROM kept GROUP BY doc_id
+),
+lens AS (SELECT doc_id, CAST({'size' if dialect == 'spark' else 'len'}(tok)
+                 AS BIGINT) AS n_tokens FROM t)
+SELECT l.doc_id, l.n_tokens,
+       l.n_tokens - COALESCE(a.n_kept, 0) AS n_removed,
+       CAST((1000000 * (l.n_tokens - COALESCE(a.n_kept, 0)))
+            {idiv} l.n_tokens AS BIGINT) AS removed_ppm,
+       COALESCE(a.cleaned_text, '') AS cleaned_text
+FROM lens l LEFT JOIN agg a ON l.doc_id = a.doc_id
+"""
+
+
+def dedup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaned corpus after exact-substring removal (keep the canonical
+    first occurrence of each duplicated window, cut the rest)."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_substring_clean_sql("spark"))
+
+
+_SUBSTRING_CLEAN_ORACLE = _substring_clean_sql("duck")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_substring": dedup_substring,
+        "dedup_substring_clean": dedup_substring_clean,
         "dedup_boilerplate": dedup_boilerplate,
         "dedup_cluster_stats": dedup_cluster_stats,
         "dedup_keep_best": dedup_keep_best,
@@ -1290,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracles() -> dict[str, str]:
     return {
         "dedup_substring": _SUBSTRING_ORACLE,
+        "dedup_substring_clean": _SUBSTRING_CLEAN_ORACLE,
         "dedup_boilerplate": _BOILERPLATE_ORACLE,
         "dedup_cluster_stats": _CLUSTER_STATS_ORACLE,
         "dedup_keep_best": _keep_best_oracle(),

@@ -30,16 +30,17 @@ KMV_K = 64
 _HSPACE = 1 << 56
 
 
-def _kmv_sql(dialect: str) -> str:
-    k = KMV_K
-    # The sketched universe is the 3-gram SHINGLE set (the near-dup
-    # pipeline's unit), not single tokens: the synthetic corpus draws
-    # from a ~31-word pool, so a token-level sketch would sit in the
-    # exact (n < K) branch everywhere and never exercise the order-
-    # statistic estimator; shingle cardinality is in the thousands at
-    # every SF, so both branches run and err_ppm is a live signal.
+# The sketched universe is the 3-gram SHINGLE set (the near-dup
+# pipeline's unit), not single tokens: the synthetic corpus draws from
+# a ~31-word pool, so a token-level sketch would sit in the exact
+# (n < K) branch everywhere and never exercise the order-statistic
+# estimator; shingle cardinality is in the thousands at every SF, so
+# both branches run and err_ppm is a live signal.
+def _toks_cte(dialect: str) -> str:
+    """Distinct (source, 56-bit shingle hash) — the sketched universe,
+    shared by the distinct-count and intersection lanes."""
     if dialect == "spark":
-        toks = (
+        return (
             "SELECT DISTINCT source, "
             "CAST(conv(substr(md5(sh), 1, 14), 16, 10) AS BIGINT) AS h "
             "FROM (SELECT source, "
@@ -50,20 +51,23 @@ def _kmv_sql(dialect: str) -> str:
             "LATERAL VIEW explode(sequence(1, size(tok) - 2)) s AS i "
             "WHERE size(tok) >= 3)"
         )
-        idiv = "DIV"
-    else:
-        toks = (
-            "SELECT DISTINCT source, "
-            "('0x' || substr(md5(sh), 1, 14))::BIGINT AS h "
-            "FROM (SELECT source, "
-            "array_to_string(list_slice(tok, i, i + 2), ' ') AS sh "
-            "FROM (SELECT source, string_split(lower(trim("
-            "regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS tok "
-            "FROM documents), "
-            "unnest(generate_series(1, len(tok) - 2)) AS s(i) "
-            "WHERE len(tok) >= 3)"
-        )
-        idiv = "//"
+    return (
+        "SELECT DISTINCT source, "
+        "('0x' || substr(md5(sh), 1, 14))::BIGINT AS h "
+        "FROM (SELECT source, "
+        "array_to_string(list_slice(tok, i, i + 2), ' ') AS sh "
+        "FROM (SELECT source, string_split(lower(trim("
+        "regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS tok "
+        "FROM documents), "
+        "unnest(generate_series(1, len(tok) - 2)) AS s(i) "
+        "WHERE len(tok) >= 3)"
+    )
+
+
+def _kmv_sql(dialect: str) -> str:
+    k = KMV_K
+    toks = _toks_cte(dialect)
+    idiv = "DIV" if dialect == "spark" else "//"
     # When a scope holds fewer than K distinct hashes the sketch IS the
     # set and the estimate is exact (n_kept); otherwise the order
     # statistic h_K estimates (K-1) * 2^56 / h_K.  (K-1) * 2^56 < 2^62:
@@ -130,9 +134,182 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMV_ORACLE = _kmv_sql("duck")
 
 
+# ---------------------------------------------------------------------------
+# KMV set-intersection (theta-sketch style): the Jaccard similarity of
+# two sources' shingle sets estimated FROM THEIR SKETCHES ALONE — for a
+# pair (A, B), take M = bottom-K of bk_A UNION bk_B; every h in M is a
+# uniform sample of A UNION B, so |{h in M : h in A's sketch AND h in
+# B's sketch}| / |M| estimates |A inter B| / |A union B| (the
+# DataSketches theta-intersection recipe).  This is the cross-source
+# overlap / contamination screen at 100 TB: comparing every source pair
+# needs only the K-row sketches, never a corpus-vs-corpus join.  The
+# exact Jaccard rides along as the eval baseline, computed once from
+# the distinct-hash relation.  All integers; when |A union B| <= K the
+# estimate is exact by construction.
+# ---------------------------------------------------------------------------
+
+
+def _kmv_jaccard_sql(dialect: str) -> str:
+    k = KMV_K
+    idiv = "DIV" if dialect == "spark" else "//"
+    toks = _toks_cte(dialect)
+    return f"""
+WITH toks AS ({toks}),
+ranked AS (
+  SELECT source, h,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM toks
+),
+bk AS (SELECT source, h FROM ranked WHERE rn <= {k}),
+srcs AS (SELECT DISTINCT source FROM toks),
+pairs AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM srcs a JOIN srcs b ON a.source < b.source
+),
+ph AS (
+  SELECT p.sa, p.sb, k.h,
+         MAX(CASE WHEN k.source = p.sa THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN k.source = p.sb THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN bk k ON k.source = p.sa OR k.source = p.sb
+  GROUP BY p.sa, p.sb, k.h
+),
+m AS (
+  SELECT sa, sb, in_a, in_b,
+         ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+  FROM ph
+),
+est AS (
+  SELECT sa, sb,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS m_inter,
+         CAST(COUNT(*) AS BIGINT) AS m_n
+  FROM m WHERE rn <= {k} GROUP BY sa, sb
+),
+sizes AS (SELECT source, COUNT(*) AS n FROM toks GROUP BY source),
+inter AS (
+  SELECT a.source AS sa, b.source AS sb, COUNT(*) AS n_inter
+  FROM toks a JOIN toks b ON a.h = b.h AND a.source < b.source
+  GROUP BY a.source, b.source
+),
+exact AS (
+  SELECT p.sa, p.sb,
+         COALESCE(i.n_inter, 0) AS n_inter,
+         za.n + zb.n - COALESCE(i.n_inter, 0) AS n_union
+  FROM pairs p
+  JOIN sizes za ON za.source = p.sa
+  JOIN sizes zb ON zb.source = p.sb
+  LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb
+)
+SELECT e.sa, e.sb,
+       CAST((1000000 * s.m_inter) {idiv} s.m_n AS BIGINT) AS est_ppm,
+       CAST((1000000 * e.n_inter) {idiv} e.n_union AS BIGINT)
+         AS exact_ppm,
+       CAST(ABS((1000000 * s.m_inter) {idiv} s.m_n
+                - (1000000 * e.n_inter) {idiv} e.n_union) AS BIGINT)
+         AS err_ppm
+FROM exact e JOIN est s ON s.sa = e.sa AND s.sb = e.sb
+"""
+
+
+def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cross-source Jaccard estimated from K-row sketches
+    (theta-intersection), with the exact value as eval baseline."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_kmv_jaccard_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# Hash-sample quantile sketch: a deterministic Bernoulli sample (keep a
+# row iff its 56-bit event_id hash falls under SAMPLE_P of the hash
+# space — row-local, order-free, MERGEABLE: the union of per-partition
+# samples IS the corpus sample) with quantiles read off the sample by
+# EXPLICIT RANK SELECTION (no interpolation: the chosen value is an
+# element of the input, totally ordered by (value, event_id), so the
+# emitted doubles are parquet-identical bits on both engines).  The
+# full-relation exact quantiles ride along as the eval baseline — the
+# same estimate-vs-exact pattern as ann_recall_eval / the minhash
+# accuracy lane; err_*_q is FLOOR(|est-exact|*1e6), pure IEEE
+# arithmetic (no libm).  At 100 TB only the sample side runs (the
+# exact side is the eval harness), turning a corpus-wide sort into a
+# sort of corpus/8.
+# ---------------------------------------------------------------------------
+
+SAMPLE_SHIFT = 3  # keep 1/2^3 = 1/8 of rows
+_THRESH = 1 << (56 - SAMPLE_SHIFT)
+
+
+def _sample_quantiles_sql(dialect: str) -> str:
+    if dialect == "spark":
+        h = (
+            "CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 14), "
+            "16, 10) AS BIGINT)"
+        )
+        idiv = "DIV"
+    else:
+        h = "('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 14))::BIGINT"
+        idiv = "//"
+
+    def q_block(src: str, prefix: str, n_name: str) -> str:
+        sel = ", ".join(
+            f"MAX(CASE WHEN rn = 1 + ({p} * (n - 1)) {idiv} 100 "
+            f"THEN value END) AS {prefix}_p{p}"
+            for p in (50, 90)
+        )
+        return f"""(
+  SELECT event_type, CAST(MAX(n) AS BIGINT) AS {n_name}, {sel}
+  FROM (
+    SELECT event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM {src}
+  ) GROUP BY event_type
+)"""
+
+    return f"""
+WITH ev AS (
+  SELECT event_type, event_id, value FROM events WHERE value IS NOT NULL
+),
+smp AS (SELECT * FROM ev WHERE {h} < {_THRESH}),
+fq AS {q_block('ev', 'exact', 'n_total')},
+sq AS {q_block('smp', 'est', 'n_sample')}
+SELECT f.event_type, f.n_total, s.n_sample,
+       s.est_p50, f.exact_p50, s.est_p90, f.exact_p90,
+       CAST(FLOOR(ABS(s.est_p50 - f.exact_p50) * 1000000) AS BIGINT)
+         AS err_p50_q,
+       CAST(FLOOR(ABS(s.est_p90 - f.exact_p90) * 1000000) AS BIGINT)
+         AS err_p90_q
+FROM fq f JOIN sq s ON f.event_type = s.event_type
+"""
+
+
+def sketch_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-sample quantile estimates vs exact, per
+    event type."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    return spark.sql(_sample_quantiles_sql("spark"))
+
+
+_SAMPLE_QUANTILES_ORACLE = _sample_quantiles_sql("duck")
+
+
+_KMV_JACCARD_ORACLE = _kmv_jaccard_sql("duck")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {"sketch_kmv_distinct": sketch_kmv_distinct}
+    return {
+        "sketch_kmv_distinct": sketch_kmv_distinct,
+        "sketch_kmv_jaccard": sketch_kmv_jaccard,
+        "sketch_sample_quantiles": sketch_sample_quantiles,
+    }
 
 
 def oracles() -> dict[str, str]:
-    return {"sketch_kmv_distinct": _KMV_ORACLE}
+    return {
+        "sketch_kmv_distinct": _KMV_ORACLE,
+        "sketch_kmv_jaccard": _KMV_JACCARD_ORACLE,
+        "sketch_sample_quantiles": _SAMPLE_QUANTILES_ORACLE,
+    }

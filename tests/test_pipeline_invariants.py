@@ -250,3 +250,119 @@ def test_kmv_sketch_merge_equals_direct_global_sketch(spark, sf_dir):
     for scope, r in rows.items():
         if r.n_exact < k:
             assert r.kmv_est == r.n_exact and r.err_ppm == 0, r
+
+
+def test_sample_quantiles_rank_selection_matches_python(spark, sf_dir):
+    """The explicit-rank quantile selection must equal a plain Python
+    recount (sort + index) for both the exact side and the sample side,
+    and the sample must be the deterministic hash subset."""
+    import hashlib
+
+    import duckdb
+
+    from dataforge_core_spark.operators import sketches as SK
+
+    rows = {
+        r.event_type: r
+        for r in SK.sketch_sample_quantiles(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    ev = con.sql(
+        "SELECT event_type, event_id, value FROM "
+        f"'{sf_dir}/events.parquet' WHERE value IS NOT NULL"
+    ).fetchall()
+
+    def h56(event_id):
+        return int(
+            hashlib.md5(str(event_id).encode()).hexdigest()[:14], 16
+        )
+
+    by_type, sample_by_type = {}, {}
+    for et, eid, v in ev:
+        by_type.setdefault(et, []).append((v, eid))
+        if h56(eid) < SK._THRESH:
+            sample_by_type.setdefault(et, []).append((v, eid))
+
+    def pick(vals, p):
+        vals = sorted(vals)
+        return vals[(p * (len(vals) - 1)) // 100][0]
+
+    for et, r in rows.items():
+        assert r.n_total == len(by_type[et])
+        assert r.n_sample == len(sample_by_type[et])
+        assert r.exact_p50 == pick(by_type[et], 50)
+        assert r.exact_p90 == pick(by_type[et], 90)
+        assert r.est_p50 == pick(sample_by_type[et], 50)
+        assert r.est_p90 == pick(sample_by_type[et], 90)
+
+
+def test_substring_clean_keeps_canonical_copy(spark, tmp_path):
+    """The removal transform must keep exactly the canonical (smallest
+    (doc_id, position)) occurrence: a verbatim copy of an earlier doc
+    cleans to empty while the earlier doc survives intact, and a
+    phrase shared with an earlier doc is cut only from the later one."""
+    from dataforge_core_spark.operators import dedup as D
+
+    w = D.SUBSTR_WIN
+    phrase = " ".join(f"p{i}" for i in range(w))
+    uniq_b = " ".join(f"b{i}" for i in range(20))
+    copied = " ".join(f"c{i}" for i in range(30))
+    sf = _mini_docs(
+        spark,
+        tmp_path,
+        [
+            (1, phrase),
+            (2, phrase + " " + uniq_b),
+            (3, copied),
+            (4, copied),
+        ],
+    )
+    rows = {
+        r.doc_id: r for r in D.dedup_substring_clean(spark, sf).collect()
+    }
+    assert rows[1].n_removed == 0 and rows[1].cleaned_text == phrase
+    assert rows[2].n_removed == w
+    assert rows[2].cleaned_text == uniq_b
+    assert rows[3].n_removed == 0 and rows[3].cleaned_text == copied
+    assert rows[4].n_removed == rows[4].n_tokens
+    assert rows[4].cleaned_text == ""
+    # bookkeeping invariant on the real corpus shape too
+    for r in rows.values():
+        kept = [t for t in r.cleaned_text.split(" ") if t]
+        assert len(kept) == r.n_tokens - r.n_removed
+
+
+def test_kmv_jaccard_identical_and_disjoint_sources(spark, tmp_path):
+    """Sketch-estimated Jaccard must be EXACT when the pair's union
+    fits in the sketch: identical sources -> 1e6 ppm, disjoint
+    sources -> 0, a half-overlap -> its true ratio."""
+    from dataforge_core_spark.operators import sketches as SK
+
+    text_a = " ".join(f"a{i}" for i in range(12))  # 10 shingles
+    text_b = " ".join(f"b{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [
+            (1, text_a, "en", "s1", len(text_a)),
+            (2, text_a, "en", "s2", len(text_a)),  # s2 == s1
+            (3, text_b, "en", "s3", len(text_b)),  # s3 disjoint
+            (4, text_a + " " + text_b, "en", "s4", 1),  # s4 superset
+        ],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint",
+    )
+    out = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(out)
+    rows = {
+        (r.sa, r.sb): r
+        for r in SK.sketch_kmv_jaccard(spark, str(tmp_path)).collect()
+    }
+    assert rows[("s1", "s2")].est_ppm == 1_000_000
+    assert rows[("s1", "s2")].exact_ppm == 1_000_000
+    assert rows[("s1", "s3")].est_ppm == 0
+    assert rows[("s1", "s3")].exact_ppm == 0
+    # s4 = a-shingles + b-shingles + 2 bridge shingles (23 total, 10
+    # shared with s1): small union -> estimate equals exact
+    r = rows[("s1", "s4")]
+    assert r.est_ppm == r.exact_ppm and r.err_ppm == 0
+    for r in rows.values():
+        assert 0 <= r.est_ppm <= 1_000_000

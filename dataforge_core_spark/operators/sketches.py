@@ -24,6 +24,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from dataforge_core_spark.session import session_key
+
 KMV_K = 64
 # 56-bit hash space (14 hex chars of md5 -> BIGINT), the same
 # engine-portable construction as the dedup shingle hash (dedup._SPARK_H)
@@ -36,7 +38,7 @@ _HSPACE = 1 << 56
 # (n < K) branch everywhere and never exercise the order-statistic
 # estimator; shingle cardinality is in the thousands at every SF, so
 # both branches run and err_ppm is a live signal.
-def _toks_cte(dialect: str) -> str:
+def _toks_cte(dialect: str, docs: str = "documents") -> str:
     """Distinct (source, 56-bit shingle hash) — the sketched universe,
     shared by the distinct-count and intersection lanes."""
     if dialect == "spark":
@@ -47,7 +49,7 @@ def _toks_cte(dialect: str) -> str:
             "array_join(slice(tok, i, 3), ' ') AS sh "
             "FROM (SELECT source, split(lower(trim("
             "regexp_replace(text, '\\\\s+', ' '))), ' ') AS tok "
-            "FROM documents) "
+            f"FROM {docs}) "
             "LATERAL VIEW explode(sequence(1, size(tok) - 2)) s AS i "
             "WHERE size(tok) >= 3)"
         )
@@ -58,15 +60,46 @@ def _toks_cte(dialect: str) -> str:
         "array_to_string(list_slice(tok, i, i + 2), ' ') AS sh "
         "FROM (SELECT source, string_split(lower(trim("
         "regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS tok "
-        "FROM documents), "
+        f"FROM {docs}), "
         "unnest(generate_series(1, len(tok) - 2)) AS s(i) "
         "WHERE len(tok) >= 3)"
     )
 
 
-def _kmv_sql(dialect: str) -> str:
+_toks_cache: dict = {}
+
+
+def _toks_view(spark: SparkSession, sf_dir: str) -> str:
+    """Temp-view name of the localCheckpoint-ed (source, h) shingle-hash
+    relation, built once per (session, sf) and shared by every sketch
+    lane.  Before this, each lane's SQL inlined the tokenize/explode CTE
+    and Spark re-evaluated it at every reference (the distinct-count
+    lane alone consumed it 3x incl. a scalar subquery — 3.9s median on
+    the r8 driver); the checkpoint makes every reference a LogicalRDD
+    scan of the materialized hashes.  The explicit repartition spreads
+    the single-file sf0.1 scan across cores (multi-file corpora are
+    already parallel), the same shape as dedup._ex_df."""
+    key = (session_key(spark), sf_dir)
+    if key not in _toks_cache:
+        par = spark.sparkContext.defaultParallelism
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+            par
+        )
+        tmp = f"kmv_docs_{abs(hash(key)) % 10**8}"
+        docs.createOrReplaceTempView(tmp)
+        toks = spark.sql(_toks_cte("spark", tmp)).localCheckpoint(eager=True)
+        name = f"kmv_toks_{abs(hash(key)) % 10**8}"
+        toks.createOrReplaceTempView(name)
+        _toks_cache[key] = (name, toks)
+    return _toks_cache[key][0]
+
+
+def _kmv_sql(dialect: str, toks_src: str | None = None) -> str:
     k = KMV_K
-    toks = _toks_cte(dialect)
+    # duck inlines plain CTEs (ROADMAP: mark any multiply-referenced
+    # duck CTE MATERIALIZED); the spark side reads the checkpointed view
+    toks = toks_src or _toks_cte(dialect)
+    mat = "MATERIALIZED " if dialect == "duck" else ""
     idiv = "DIV" if dialect == "spark" else "//"
     # When a scope holds fewer than K distinct hashes the sketch IS the
     # set and the estimate is exact (n_kept); otherwise the order
@@ -79,7 +112,7 @@ def _kmv_sql(dialect: str) -> str:
         f"AS BIGINT) END"
     )
     return f"""
-WITH toks AS ({toks}),
+WITH toks AS {mat}({toks}),
 exact AS (SELECT source, COUNT(*) AS n_exact FROM toks GROUP BY source),
 ranked AS (
   SELECT source, h,
@@ -125,10 +158,8 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan: the mergeability contract, checked exactly by the oracle.  The
     one global ROW_NUMBER runs over <= K * n_sources sketch rows
     (aggregated input — the bounded-global-window rule)."""
-    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
-        "documents"
-    )
-    return spark.sql(_kmv_sql("spark"))
+    toks = _toks_view(spark, sf_dir)
+    return spark.sql(_kmv_sql("spark", f"SELECT source, h FROM {toks}"))
 
 
 _KMV_ORACLE = _kmv_sql("duck")
@@ -149,29 +180,51 @@ _KMV_ORACLE = _kmv_sql("duck")
 # ---------------------------------------------------------------------------
 
 
-def _kmv_jaccard_sql(dialect: str) -> str:
+def _kmv_jaccard_sql(dialect: str, toks_src: str | None = None) -> str:
     k = KMV_K
     idiv = "DIV" if dialect == "spark" else "//"
-    toks = _toks_cte(dialect)
+    toks = toks_src or _toks_cte(dialect)
+    mat = "MATERIALIZED " if dialect == "duck" else ""
+    if dialect == "spark":
+        # pair enumeration WITHOUT a non-equi join (which Spark can only
+        # plan as BroadcastNestedLoopJoin — the r8 plan-gate failure):
+        # collapse the distinct sources to ONE sorted array (bounded:
+        # n_sources is a config-scale set, never corpus-scale) and
+        # double-posexplode it with an index filter — two Generate
+        # nodes over a 1-row aggregate, no join at all.
+        pairs = (
+            "SELECT sa, sb FROM "
+            "(SELECT sort_array(collect_set(source)) AS ss FROM srcs) "
+            "LATERAL VIEW posexplode(ss) A AS ia, sa "
+            "LATERAL VIEW posexplode(ss) B AS ib, sb "
+            "WHERE ia < ib"
+        )
+    else:
+        pairs = (
+            "SELECT a.source AS sa, b.source AS sb "
+            "FROM srcs a JOIN srcs b ON a.source < b.source"
+        )
     return f"""
-WITH toks AS ({toks}),
+WITH toks AS {mat}({toks}),
 ranked AS (
   SELECT source, h,
          ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
   FROM toks
 ),
-bk AS (SELECT source, h FROM ranked WHERE rn <= {k}),
+bk AS {mat}(SELECT source, h FROM ranked WHERE rn <= {k}),
 srcs AS (SELECT DISTINCT source FROM toks),
-pairs AS (
-  SELECT a.source AS sa, b.source AS sb
-  FROM srcs a JOIN srcs b ON a.source < b.source
+pairs AS {mat}({pairs}),
+ph0 AS (
+  SELECT p.sa, p.sb, k.h, 1 AS in_a, 0 AS in_b
+  FROM pairs p JOIN bk k ON k.source = p.sa
+  UNION ALL
+  SELECT p.sa, p.sb, k.h, 0 AS in_a, 1 AS in_b
+  FROM pairs p JOIN bk k ON k.source = p.sb
 ),
 ph AS (
-  SELECT p.sa, p.sb, k.h,
-         MAX(CASE WHEN k.source = p.sa THEN 1 ELSE 0 END) AS in_a,
-         MAX(CASE WHEN k.source = p.sb THEN 1 ELSE 0 END) AS in_b
-  FROM pairs p JOIN bk k ON k.source = p.sa OR k.source = p.sb
-  GROUP BY p.sa, p.sb, k.h
+  SELECT sa, sb, h,
+         MAX(in_a) AS in_a, MAX(in_b) AS in_b
+  FROM ph0 GROUP BY sa, sb, h
 ),
 m AS (
   SELECT sa, sb, in_a, in_b,
@@ -213,10 +266,10 @@ FROM exact e JOIN est s ON s.sa = e.sa AND s.sb = e.sb
 def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise cross-source Jaccard estimated from K-row sketches
     (theta-intersection), with the exact value as eval baseline."""
-    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
-        "documents"
+    toks = _toks_view(spark, sf_dir)
+    return spark.sql(
+        _kmv_jaccard_sql("spark", f"SELECT source, h FROM {toks}")
     )
-    return spark.sql(_kmv_jaccard_sql("spark"))
 
 
 # ---------------------------------------------------------------------------

@@ -74,10 +74,37 @@ NOISY_LANES = {
 NOISY_RUNS = 5
 
 
+def _host_speed() -> float:
+    """Pure-Python CPU microbenchmark (seconds; LOWER is faster) stamped
+    into every bench record so cross-round lane ratios can be
+    drift-normalized mechanically: r7 lost ~33% host speed mid-session
+    and r8's driver host ran ~1.45x slower than the builder's — without
+    a stamp, uniform host drift reads as a uniform perf regression.
+    20M-iteration arithmetic loop, best of 3 (same probe the r7 drift
+    was verified with)."""
+    import time as _t
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = _t.perf_counter()
+        x = 0
+        for i in range(2_000_000):
+            x += i * 3 // 7
+        best = min(best, _t.perf_counter() - t0)
+    # scale the 2M loop to the historical 20M-loop unit
+    return round(best * 10, 3)
+
+
 def _clear_operator_caches(spark) -> None:
     """Drop every operator-level cache so index builds measure cold."""
     import __spark_entry__ as entry
-    from dataforge_core_spark.operators import dedup, simhash, similarity, text
+    from dataforge_core_spark.operators import (
+        dedup,
+        simhash,
+        similarity,
+        sketches,
+        text,
+    )
     from dataforge_core_spark.session import free_local_checkpoint
 
     # merge tables are plain tuples (the train loop frees its own
@@ -114,6 +141,13 @@ def _clear_operator_caches(spark) -> None:
         free_local_checkpoint(df)
     similarity._xq_cache.clear()
     similarity._top_pc_cache.clear()
+    for _out, ckpts in similarity._kcore_cache.values():
+        for df in ckpts:
+            free_local_checkpoint(df)
+    similarity._kcore_cache.clear()
+    for _name, df in sketches._toks_cache.values():
+        free_local_checkpoint(df)
+    sketches._toks_cache.clear()
     entry._hub_cache.clear()
     spark.catalog.clearCache()
 
@@ -121,7 +155,13 @@ def _clear_operator_caches(spark) -> None:
 def _index_builders():
     """(name, thunk) per shared index, in dependency order."""
     import __spark_entry__ as entry
-    from dataforge_core_spark.operators import dedup, simhash, similarity, text
+    from dataforge_core_spark.operators import (
+        dedup,
+        simhash,
+        similarity,
+        sketches,
+        text,
+    )
 
     return [
         # entry._build checkpoints every hub eagerly (see its comment),
@@ -157,6 +197,16 @@ def _index_builders():
             "ann_knn_edges",
             lambda s: similarity._knn_edges_view(s, SF_DIR),
         ),
+        # the materialized k-core peel rounds (survivor node sets)
+        (
+            "ann_kcore_peel",
+            lambda s: similarity.ann_kcore(s, SF_DIR).count(),
+        ),
+        # the checkpointed (source, shingle-hash) sketch universe
+        (
+            "kmv_shingle_toks",
+            lambda s: sketches._toks_view(s, SF_DIR),
+        ),
         # power-iteration PC fit (the whitening-direction index)
         (
             "embeddings_pc_fit",
@@ -188,6 +238,7 @@ def main() -> None:
     import __spark_entry__ as entry
 
     spark = get_spark(app_name="dataforge_bench")
+    host_speed = _host_speed()
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     queries = {k: v for k, v in entry.queries().items() if k not in EXCLUDE}
 
@@ -291,6 +342,7 @@ def main() -> None:
     detail_payload = {
         "sf": float(sf),
         "runs_per_query": N_RUNS,
+        "host_speed_s": host_speed,
         "totals": {
             "median_total_s": round(total, 3),
             "cold_total_s": round(cold_total, 3),
@@ -329,6 +381,7 @@ def main() -> None:
                 "detail": "BENCH_DETAIL.json",
                 "sf": float(sf),
                 "runs_per_query": N_RUNS,
+                "host_speed_s": host_speed,
             }
         ),
         flush=True,

@@ -147,17 +147,23 @@ def _max_recorded_round() -> int:
     return max(rounds, default=0)
 
 
-# Stale-veteran rotation: with ~140 lanes and a 50-row capture window,
+# Stale-veteran rotation: with ~145 lanes and a 50-row capture window,
 # driver-green rows would otherwise ride on their last recorded round
 # forever (engine_sql_artifact's freshest driver evidence would stay
-# r6 for the rest of the project).  Each round the ROTATION_SLOTS
-# veterans with the OLDEST latest-recorded round are hoisted right
-# after the unproven block, so every lane's driver record is
-# periodically refreshed — ~140/6 ≈ 24 rounds max staleness, and far
-# less for the §2 core rows that entered early.  Slots are kept small
-# so a round that adds new lanes cannot push the unproven block out of
-# the window.
+# r6 for the rest of the project).  Each round the veterans with the
+# OLDEST latest-recorded round are hoisted right after the unproven
+# block.  The slot count is DYNAMIC (the r8 verdict item): the window
+# holds CAPTURE_WINDOW rows of which PINNED_AHEAD are the entry
+# contract's pinned rows (hub_lineitem + 2 outputs + the rotating
+# hub), so whatever the unproven block doesn't use goes to stale
+# veterans — with zero unproven lanes that's ~46 refreshed per round
+# and the whole registry re-proves in ~3 rounds; a round that adds
+# many new lanes automatically shrinks the veteran block instead of
+# pushing unproven rows out of the window.  ROTATION_SLOTS is the
+# floor so at least some refresh happens even in heavy-add rounds.
 ROTATION_SLOTS = 6
+CAPTURE_WINDOW = 50
+PINNED_AHEAD = 4
 
 
 def _merge(items: dict) -> dict:
@@ -175,10 +181,11 @@ def _merge(items: dict) -> dict:
         for k, v in items.items()
         if k not in recorded and k not in deferred
     }
+    slots = max(ROTATION_SLOTS, CAPTURE_WINDOW - PINNED_AHEAD - len(fresh))
     stale_vets = sorted(
         (k for k in items if k in recorded),
         key=lambda k: (latest[k][0], k),
-    )[:ROTATION_SLOTS]
+    )[:slots]
     for k in stale_vets:
         fresh[k] = items[k]
     fresh.update(items)

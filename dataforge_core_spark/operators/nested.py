@@ -36,15 +36,25 @@ def _views(spark: SparkSession, sf_dir: str) -> None:
 
 def nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders -> items array<struct> -> inline back to flat rows, with a
-    per-element transform() rule computed inside the nested scope."""
+    per-element transform() rule computed inside the nested scope.
+
+    The double -> decimal CASTs run FLAT pre-pack (whole-stage codegen,
+    vectorized) and only the decimal multiply + (38,12) normalization —
+    the P3 rule proper — stays inside the transform() lambda:
+    higher-order array functions are interpreted row-at-a-time, so
+    per-element work in the lambda is the part of this lane that tracks
+    host CPU 1:1 (value-identical, measured ~10% warm at sf0.1; the r8
+    cross-host 3x on this lane was serial-CPU amplification — see
+    ROADMAP, the lane runs ~3 CPU-seconds over <=10 tasks)."""
     _views(spark, sf_dir)
     return spark.sql(
         """
         WITH nested AS (
           SELECT o.o_orderkey, o.o_custkey,
                  collect_list(struct(
-                   l.l_linenumber, l.l_quantity, l.l_extendedprice,
-                   l.l_discount
+                   l.l_linenumber, l.l_quantity,
+                   CAST(l.l_extendedprice AS DECIMAL(18,2)) AS ext_dec,
+                   CAST(1 - l.l_discount AS DECIMAL(8,4)) AS disc_dec
                  )) AS items
           FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
           GROUP BY o.o_orderkey, o.o_custkey
@@ -53,9 +63,8 @@ def nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT o_orderkey, o_custkey,
                  transform(items, x -> struct(
                    x.l_linenumber, x.l_quantity,
-                   CAST(CAST(x.l_extendedprice AS DECIMAL(18,2))
-                        * CAST(1 - x.l_discount AS DECIMAL(8,4))
-                        AS DECIMAL(38,12)) AS net_price
+                   CAST(x.ext_dec * x.disc_dec AS DECIMAL(38,12))
+                     AS net_price
                  )) AS items
           FROM nested
         )

@@ -1381,10 +1381,69 @@ GROUP BY t.node, k.node"""
     )
 
 
+_kcore_cache: dict = {}
+
+
 def ann_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Degree + KCORE_ROUNDS-round k-core membership per graph node."""
+    """Degree + KCORE_ROUNDS-round k-core membership per graph node.
+
+    The Spark side MATERIALIZES each peel round (localCheckpoint of the
+    undirected edge set once, then of every round's survivor node set —
+    all bounded by the graph, the survivor sets shrinking) instead of
+    running the unrolled CTE chain: each round references the previous
+    survivor set TWICE (both endpoints semi-join it), so the un-pinned
+    chain relied on ReuseExchange to dedup the doubled subtrees — which
+    AQE does not guarantee across hosts/plans, and when it didn't fire
+    the doubled subtrees compounded per round (4.9s vs 0.7s on the two
+    r8 bench hosts).  Checkpoints make it deterministic O(rounds) scans,
+    the same recipe as the CC label loop and the index tables.  The
+    oracle runs the identical algebra as one MATERIALIZED-pinned CTE
+    chain (_kcore_tail)."""
+    key = (session_key(spark), sf_dir)
+    if key in _kcore_cache:
+        return _kcore_cache[key][0]
     edges = _knn_edges_view(spark, sf_dir)
-    return spark.sql(f"WITH {_kcore_tail(edges, 'spark')}")
+    tag = abs(hash(key)) % 10**8
+    ckpts = []
+    u = spark.sql(
+        f"SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b "
+        f"FROM {edges}"
+    ).localCheckpoint(eager=True)
+    ckpts.append(u)
+    uname = f"kcore_u_{tag}"
+    u.createOrReplaceTempView(uname)
+    surv = spark.sql(
+        f"SELECT node FROM "
+        f"(SELECT explode(array(a, b)) AS node FROM {uname}) "
+        f"GROUP BY node HAVING COUNT(*) >= {KCORE_K}"
+    ).localCheckpoint(eager=True)
+    ckpts.append(surv)
+    for r in range(1, KCORE_ROUNDS + 1):
+        sname = f"kcore_n{r - 1}_{tag}"
+        surv.createOrReplaceTempView(sname)
+        surv = spark.sql(
+            f"""SELECT node FROM (
+  SELECT explode(array(a, b)) AS node FROM (
+    SELECT u.a, u.b FROM {uname} u
+    JOIN {sname} x ON x.node = u.a
+    JOIN {sname} y ON y.node = u.b
+  )
+) GROUP BY node HAVING COUNT(*) >= {KCORE_K}"""
+        ).localCheckpoint(eager=True)
+        ckpts.append(surv)
+    kname = f"kcore_final_{tag}"
+    surv.createOrReplaceTempView(kname)
+    out = spark.sql(
+        f"""SELECT t.node AS vec_id,
+       CAST(COUNT(*) AS BIGINT) AS degree,
+       CAST(CASE WHEN k.node IS NOT NULL THEN 1 ELSE 0 END AS INT)
+         AS in_core
+FROM (SELECT explode(array(a, b)) AS node FROM {uname}) t
+LEFT JOIN {kname} k ON k.node = t.node
+GROUP BY t.node, k.node"""
+    )
+    _kcore_cache[key] = (out, ckpts)
+    return out
 
 
 def _kcore_oracle() -> str:

@@ -366,3 +366,84 @@ def test_kmv_jaccard_identical_and_disjoint_sources(spark, tmp_path):
     assert r.est_ppm == r.exact_ppm and r.err_ppm == 0
     for r in rows.values():
         assert 0 <= r.est_ppm <= 1_000_000
+
+
+def test_dd_quantiles_merge_and_error_bound(spark, sf_dir):
+    """The log-bucket histogram sketch's mergeability contract, refereed
+    in Python: per-partition histograms merged by bucket-wise count
+    addition must equal the global histogram (the property the
+    hash-sample sketch cannot give); the lane's __all__ row must equal a
+    quantile read off the merged per-type histograms; and every estimate
+    must LOWER-BOUND the true ranked element within one bucket width
+    (relative error <= 2^-(HIST_S-1), exact below 2^HIST_S)."""
+    import math
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from dataforge_core_spark.operators import sketches as SK
+
+    rows = {
+        r.scope: r for r in SK.sketch_dd_quantiles(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    ev = con.sql(
+        "SELECT event_type, event_id, value FROM "
+        f"'{sf_dir}/events.parquet' "
+        "WHERE value IS NOT NULL AND value >= 0"
+    ).fetchall()
+    con.close()
+    s = SK.HIST_S
+
+    def bkt(m):
+        msb = m.bit_length() or 1
+        sh = max(msb - s, 0)
+        return (msb << s) + (m >> sh), (m >> sh) << sh
+
+    global_hist = defaultdict(Counter)
+    part_hists = defaultdict(lambda: defaultdict(Counter))
+    exact = defaultdict(list)
+    lo_of = {}
+    for et, eid, v in ev:
+        m = int(math.floor(v * 1000))
+        i, lo = bkt(m)
+        lo_of[i] = lo
+        global_hist[et][i] += 1
+        part_hists[eid % 4][et][i] += 1
+        exact[et].append(m)
+
+    # mergeability: partition-wise build + count-add == global build
+    for et in global_hist:
+        merged = Counter()
+        for p in part_hists.values():
+            merged.update(p[et])
+        assert merged == global_hist[et]
+
+    allc = Counter()
+    all_vals = []
+    for et in global_hist:
+        allc.update(global_hist[et])
+        all_vals.extend(exact[et])
+
+    def read_q(hist, q):
+        n = sum(hist.values())
+        target = 1 + (q * (n - 1)) // 100
+        cum = 0
+        for i in sorted(hist):
+            cum += hist[i]
+            if cum >= target:
+                return lo_of[i]
+
+    scopes = dict(global_hist)
+    scopes["__all__"] = allc
+    for scope, hist in scopes.items():
+        r = rows[scope]
+        assert r.n_total == sum(hist.values())
+        assert r.n_buckets == len(hist)
+        vals = sorted(exact[scope]) if scope != "__all__" else sorted(all_vals)
+        for q in (50, 90, 99):
+            est = getattr(r, f"est_p{q}_milli")
+            assert est == read_q(hist, q), (scope, q)
+            ex = vals[(q * (len(vals) - 1)) // 100]
+            assert est <= ex, (scope, q, est, ex)
+            assert ex - est <= (est >> (s - 1)), (scope, q, est, ex)

@@ -451,6 +451,106 @@ def sketch_dd_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DD_ORACLE = _dd_sql("duck")
 
 
+# ---------------------------------------------------------------------------
+# Count-Min sketch + heavy-hitter evaluation (Cormode & Muthukrishnan,
+# "An improved data stream summary: the count-min sketch and its
+# applications", J. Algorithms 2005) — the frequency-screen companion
+# to the KMV cardinality sketches: a d x w counter matrix where each
+# token increments one counter per hash row, point queries read the MIN
+# across rows (one-sided: estimates NEVER undercount — collisions only
+# inflate).  Deterministic here because the d row hashes are fixed md5
+# slices (the engine-portable 56-bit construction), so every counter —
+# and therefore every estimate — is an exact integer the DuckDB oracle
+# reproduces bit-for-bit.
+#
+# Mergeability (the operational point at 100 TB): CMS matrices merge by
+# CELL-WISE ADDITION — per-partition/per-source sketches sum into
+# exactly the corpus sketch with no rescan, pinned by the invariant
+# test.  Scale shape: token explode -> d replicas -> ONE map-side-
+# combinable GROUP BY (row, bucket) with output cardinality d*w
+# (constant, never corpus-shaped); the heavy-hitter eval joins the
+# top-20 exact tokens (TakeOrderedAndProject) against the d*w-row
+# matrix — a broadcast equi join of two bounded relations.
+# ---------------------------------------------------------------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 512  # buckets per row
+CMS_TOP = 20  # heavy hitters evaluated
+
+
+def _cms_sql(dialect: str) -> str:
+    d, w, top = CMS_D, CMS_W, CMS_TOP
+    idiv = "DIV" if dialect == "spark" else "//"
+    if dialect == "spark":
+        toks = (
+            "SELECT tok FROM (SELECT split(lower(trim("
+            "regexp_replace(text, '\\\\s+', ' '))), ' ') AS tk "
+            "FROM documents) LATERAL VIEW explode(tk) t AS tok "
+            "WHERE tok != ''"
+        )
+        rows = f"LATERAL VIEW explode(sequence(0, {d - 1})) r AS r"
+        h = (
+            "CAST(conv(substr(md5(concat(CAST(r AS STRING), ':', tok)), "
+            f"1, 14), 16, 10) AS BIGINT) % {w}"
+        )
+    else:
+        toks = (
+            "SELECT tok FROM (SELECT unnest(string_split(lower(trim("
+            "regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS tok "
+            "FROM documents) WHERE tok != ''"
+        )
+        rows = f", unnest(generate_series(0, {d - 1})) AS s(r)"
+        h = (
+            "('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || tok), "
+            f"1, 14))::BIGINT % {w}"
+        )
+    mat = "MATERIALIZED " if dialect == "duck" else ""
+    if dialect == "spark":
+        top_sel = (
+            f"SELECT tok, cnt FROM exact "
+            f"ORDER BY cnt DESC, tok LIMIT {top}"
+        )
+    else:
+        top_sel = (
+            f"SELECT tok, cnt FROM exact "
+            f"ORDER BY cnt DESC, tok LIMIT {top}"
+        )
+    return f"""
+WITH toks AS {mat}({toks}),
+cms AS {mat}(
+  SELECT r, {h} AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks {rows}
+  GROUP BY 1, 2
+),
+exact AS {mat}(
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
+),
+top AS {mat}({top_sel}),
+probes AS (
+  SELECT t.tok, t.cnt AS exact_cnt, c.cnt AS row_cnt
+  FROM (SELECT tok, cnt, {h} AS bucket, r FROM top {rows}) t
+  JOIN cms c ON c.r = t.r AND c.bucket = t.bucket
+)
+SELECT tok, exact_cnt,
+       MIN(row_cnt) AS cms_est,
+       CAST((1000000 * (MIN(row_cnt) - exact_cnt)) {idiv} exact_cnt
+         AS BIGINT) AS over_ppm
+FROM probes GROUP BY tok, exact_cnt
+"""
+
+
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min estimates vs exact counts for the top-CMS_TOP corpus
+    tokens (over_ppm >= 0 always — the CMS one-sided guarantee)."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_cms_sql("spark"))
+
+
+_CMS_ORACLE = _cms_sql("duck")
+
+
 _KMV_JACCARD_ORACLE = _kmv_jaccard_sql("duck")
 
 
@@ -460,6 +560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv_jaccard": sketch_kmv_jaccard,
         "sketch_sample_quantiles": sketch_sample_quantiles,
         "sketch_dd_quantiles": sketch_dd_quantiles,
+        "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
     }
 
 
@@ -469,4 +570,5 @@ def oracles() -> dict[str, str]:
         "sketch_kmv_jaccard": _KMV_JACCARD_ORACLE,
         "sketch_sample_quantiles": _SAMPLE_QUANTILES_ORACLE,
         "sketch_dd_quantiles": _DD_ORACLE,
+        "sketch_cms_heavy_hitters": _CMS_ORACLE,
     }

@@ -447,3 +447,73 @@ def test_dd_quantiles_merge_and_error_bound(spark, sf_dir):
             ex = vals[(q * (len(vals) - 1)) // 100]
             assert est <= ex, (scope, q, est, ex)
             assert ex - est <= (est >> (s - 1)), (scope, q, est, ex)
+
+
+def test_cms_matches_python_referee_and_merges(spark, sf_dir):
+    """The Count-Min lane must equal an independent Python CMS build
+    (same fixed md5 row hashes), per-partition matrices must sum to
+    exactly the global matrix (cell-wise addition = the CMS merge), and
+    every estimate must respect the one-sided guarantee (est >= exact
+    for EVERY token, not just the evaluated top-K)."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from dataforge_core_spark.operators import sketches as SK
+
+    rows = {
+        r.tok: r
+        for r in SK.sketch_cms_heavy_hitters(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    con.close()
+
+    def toks(text):
+        return [
+            t
+            for t in re.sub(r"\s+", " ", text).strip().lower().split(" ")
+            if t
+        ]
+
+    def bucket(r, tok):
+        return (
+            int(
+                hashlib.md5(f"{r}:{tok}".encode()).hexdigest()[:14], 16
+            )
+            % SK.CMS_W
+        )
+
+    global_cms = Counter()
+    part_cms = [Counter() for _ in range(4)]
+    exact = Counter()
+    for doc_id, text in docs:
+        for tok in toks(text):
+            exact[tok] += 1
+            for r in range(SK.CMS_D):
+                cell = (r, bucket(r, tok))
+                global_cms[cell] += 1
+                part_cms[doc_id % 4][cell] += 1
+
+    merged = Counter()
+    for p in part_cms:
+        merged.update(p)
+    assert merged == global_cms  # cell-wise addition IS the merge
+
+    def est(tok):
+        return min(
+            global_cms[(r, bucket(r, tok))] for r in range(SK.CMS_D)
+        )
+
+    top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[: SK.CMS_TOP]
+    assert set(rows) == {t for t, _ in top}
+    for tok, cnt in top:
+        r = rows[tok]
+        assert r.exact_cnt == cnt
+        assert r.cms_est == est(tok), tok
+    for tok, cnt in exact.items():  # one-sided, corpus-wide
+        assert est(tok) >= cnt

@@ -121,6 +121,10 @@ def _clear_operator_caches(spark) -> None:
         for df in hubs.values():
             free_local_checkpoint(df)
     dedup._labels_cache.clear()
+    for _p, _l, pos, lens in dedup._substr_cache.values():
+        free_local_checkpoint(pos)
+        free_local_checkpoint(lens)
+    dedup._substr_cache.clear()
     for cache in (dedup._ex_cache, dedup._pairs_cache, simhash._sig_cache):
         for df in cache.values():
             try:
@@ -172,6 +176,12 @@ def _index_builders():
         # then read checkpointed blocks
         ("engine_hub_compile", lambda s: entry._build(s, SF_DIR)),
         ("dedup_shingles", lambda s: dedup._ex_df(s, SF_DIR).count()),
+        # the checkpointed sliding-window position relation (substring
+        # measurement + removal lanes)
+        (
+            "dedup_substr_positions",
+            lambda s: dedup._substr_views(s, SF_DIR),
+        ),
         # pairs BEFORE labels: the cluster build consumes the cached
         # pair frame (otherwise the full minhash pipeline runs cold
         # inside the label timing and the pairs row measures a no-op)

@@ -1196,18 +1196,64 @@ FROM h GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
 
 SUBSTR_WIN = 8  # tokens; >= 2 occurrences of a window marks it duplicated
 
+_substr_cache: dict = {}
 
-def _substring_sql(dialect: str) -> str:
+
+def _substr_views(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """(positions view, doc-length view): the localCheckpoint-ed
+    (doc_id, i, window-md5) sliding-window relation plus per-doc token
+    counts, built once per (session, sf) and shared by the measurement
+    (dedup_substring) and removal (dedup_substring_clean) lanes — each
+    lane's SQL references the position relation more than once and
+    Spark re-evaluates inlined CTEs per reference, so before this the
+    tokenize + window-hash explode ran up to 3x per lane execution.
+    Same recipe as dedup._ex_df / sketches._toks_view; the repartition
+    spreads the single-file scan."""
     w = SUBSTR_WIN
+    key = (session_key(spark), sf_dir)
+    if key not in _substr_cache:
+        par = spark.sparkContext.defaultParallelism
+        docs = spark.read.parquet(
+            f"{sf_dir}/documents.parquet"
+        ).repartition(par)
+        tag = abs(hash(key)) % 10**8
+        tmp = f"substr_docs_{tag}"
+        docs.createOrReplaceTempView(tmp)
+        pos = spark.sql(
+            f"""
+            SELECT doc_id, i,
+                   md5(array_join(slice(tok, i + 1, {w}), ' ')) AS h
+            FROM (SELECT doc_id, {_SPARK_TOKENS} AS tok FROM {tmp})
+            LATERAL VIEW explode(sequence(0, size(tok) - {w})) s AS i
+            WHERE size(tok) >= {w}
+            """
+        ).localCheckpoint(eager=True)
+        lens = spark.sql(
+            f"SELECT doc_id, size({_SPARK_TOKENS}) AS n_tokens FROM {tmp}"
+        ).localCheckpoint(eager=True)
+        pname, lname = f"substr_pos_{tag}", f"substr_len_{tag}"
+        pos.createOrReplaceTempView(pname)
+        lens.createOrReplaceTempView(lname)
+        _substr_cache[key] = (pname, lname, pos, lens)
+    return _substr_cache[key][0], _substr_cache[key][1]
+
+
+def _substring_sql(
+    dialect: str,
+    pos_src: str | None = None,
+    lens_src: str | None = None,
+) -> str:
+    w = SUBSTR_WIN
+    mat = "MATERIALIZED " if dialect == "duck" else ""
     if dialect == "spark":
         t = f"SELECT doc_id, {_SPARK_TOKENS} AS tok FROM documents"
-        pos = f"""
+        pos = pos_src or f"""
           SELECT doc_id, i,
                  md5(array_join(slice(tok, i + 1, {w}), ' ')) AS h
           FROM t LATERAL VIEW explode(sequence(0, size(tok) - {w})) s AS i
           WHERE size(tok) >= {w}
         """
-        lens = "SELECT doc_id, size(tok) AS n_tokens FROM t"
+        lens = lens_src or "SELECT doc_id, size(tok) AS n_tokens FROM t"
         idiv = "DIV"
     else:
         t = f"SELECT doc_id, {_DUCK_TOKENS} AS tok FROM documents"
@@ -1221,8 +1267,8 @@ def _substring_sql(dialect: str) -> str:
         lens = "SELECT doc_id, len(tok) AS n_tokens FROM t"
         idiv = "//"
     return f"""
-WITH t AS ({t}),
-pos AS ({pos}),
+WITH t AS {mat}({t}),
+pos AS {mat}({pos}),
 duph AS (SELECT h FROM pos GROUP BY h HAVING COUNT(*) >= 2),
 hit AS (SELECT p.doc_id, p.i FROM pos p JOIN duph d ON p.h = d.h),
 isl AS (
@@ -1263,13 +1309,24 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
         "documents"
     )
-    return spark.sql(_substring_sql("spark"))
+    pname, lname = _substr_views(spark, sf_dir)
+    return spark.sql(
+        _substring_sql(
+            "spark",
+            pos_src=f"SELECT doc_id, i, h FROM {pname}",
+            lens_src=f"SELECT doc_id, n_tokens FROM {lname}",
+        )
+    )
 
 
 _SUBSTRING_ORACLE = _substring_sql("duck")
 
 
-def _substring_clean_sql(dialect: str) -> str:
+def _substring_clean_sql(
+    dialect: str,
+    pos_src: str | None = None,
+    lens_src: str | None = None,
+) -> str:
     """The REMOVAL transform on top of the measurement: every
     duplicated window occurrence except the corpus-canonical one
     (smallest (doc_id, position) per window hash — a total order, so
@@ -1282,9 +1339,10 @@ def _substring_clean_sql(dialect: str) -> str:
     the position relation; the span cut is an equi-join on doc_id with
     a range conjunct against the (few) spans of that doc."""
     w = SUBSTR_WIN
+    mat = "MATERIALIZED " if dialect == "duck" else ""
     if dialect == "spark":
         t = f"SELECT doc_id, {_SPARK_TOKENS} AS tok FROM documents"
-        pos = f"""
+        pos = pos_src or f"""
           SELECT doc_id, i,
                  md5(array_join(slice(tok, i + 1, {w}), ' ')) AS h
           FROM t LATERAL VIEW explode(sequence(0, size(tok) - {w})) s AS i
@@ -1314,9 +1372,13 @@ def _substring_clean_sql(dialect: str) -> str:
         """
         joined = "string_agg(tk, ' ' ORDER BY j)"
         idiv = "//"
+    szfn = "size" if dialect == "spark" else "len"
+    lens_cte = lens_src or (
+        f"SELECT doc_id, CAST({szfn}(tok) AS BIGINT) AS n_tokens FROM t"
+    )
     return f"""
-WITH t AS ({t}),
-pos AS ({pos}),
+WITH t AS {mat}({t}),
+pos AS {mat}({pos}),
 occ AS (
   SELECT doc_id, i,
          ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn,
@@ -1352,8 +1414,7 @@ agg AS (
          {joined} AS cleaned_text
   FROM kept GROUP BY doc_id
 ),
-lens AS (SELECT doc_id, CAST({'size' if dialect == 'spark' else 'len'}(tok)
-                 AS BIGINT) AS n_tokens FROM t)
+lens AS ({lens_cte})
 SELECT l.doc_id, l.n_tokens,
        l.n_tokens - COALESCE(a.n_kept, 0) AS n_removed,
        CAST((1000000 * (l.n_tokens - COALESCE(a.n_kept, 0)))
@@ -1369,7 +1430,17 @@ def dedup_substring_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
         "documents"
     )
-    return spark.sql(_substring_clean_sql("spark"))
+    pname, lname = _substr_views(spark, sf_dir)
+    return spark.sql(
+        _substring_clean_sql(
+            "spark",
+            pos_src=f"SELECT doc_id, i, h FROM {pname}",
+            lens_src=(
+                f"SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens "
+                f"FROM {lname}"
+            ),
+        )
+    )
 
 
 _SUBSTRING_CLEAN_ORACLE = _substring_clean_sql("duck")

@@ -605,6 +605,120 @@ def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "drv_stream_corpus_ingest", spark, "complete")
 
 
+def stream_dd_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming percentile monitoring: the DDSketch-style log-bucket
+    histogram (operators/sketches.sketch_dd_quantiles — libm-free
+    bit-length bucketing) maintained INCREMENTALLY in stream state.
+
+    The watermarked per-(hour, type, bucket) count aggregate IS the
+    sketch merge: bucket counts add across micro-batches exactly like
+    per-partition sketches add at batch scale (the mergeability the
+    invariant test pins), so the streaming state holds n_types x ~300
+    bounded counters per window, never raw values — the shape that
+    survives any event rate.  Quantiles (p50/p90 bucket lower bounds in
+    milli-units) are read off the tiny materialized histograms at query
+    time, the standard sketch-serving split."""
+    from dataforge_core_spark.operators.sketches import HIST_S
+    from dataforge_core_spark.streaming import stream_events
+
+    s = HIST_S
+    base = 1 << s
+    w = (
+        f"SHIFTLEFT(CAST(1 AS BIGINT), GREATEST(msb - {s}, 0))"
+    )
+    ev = stream_events(spark, sf_dir)
+    bkt = (
+        ev.filter("value IS NOT NULL AND value >= 0")
+        .selectExpr(
+            "ts",
+            "event_type",
+            "CAST(FLOOR(value * 1000) AS BIGINT) AS m",
+        )
+        .selectExpr("ts", "event_type", "m", "LENGTH(bin(m)) AS msb")
+        .selectExpr(
+            "ts",
+            "event_type",
+            f"msb * {base} + m DIV {w} AS id",
+            f"(m DIV {w}) * {w} AS lo",
+        )
+    )
+    hist = (
+        bkt.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type", "id")
+        .agg(F.count("*").alias("cnt"), F.min("lo").alias("lo"))
+    )
+    out = _run_to_memory(hist, "drv_stream_ddq", spark, "complete")
+    out.createOrReplaceTempView("drv_stream_ddq_hist")
+    picks = ", ".join(
+        f"MIN(CASE WHEN cum >= 1 + ({q} * (n - 1)) DIV 100 THEN lo END)"
+        f" AS est_p{q}_milli"
+        for q in (50, 90)
+    )
+    return spark.sql(
+        f"""
+        WITH h AS (
+          SELECT win.start AS window_start, event_type, id, lo, cnt
+          FROM drv_stream_ddq_hist
+        ),
+        r AS (
+          SELECT window_start, event_type, lo, cnt,
+                 SUM(cnt) OVER (PARTITION BY window_start, event_type
+                                ORDER BY id) AS cum,
+                 SUM(cnt) OVER (PARTITION BY window_start, event_type)
+                   AS n
+          FROM h
+        )
+        SELECT window_start, event_type,
+               CAST(MAX(n) AS BIGINT) AS n_events,
+               {picks}
+        FROM r GROUP BY window_start, event_type
+        """
+    )
+
+
+def _stream_dd_oracle() -> str:
+    from dataforge_core_spark.operators.sketches import HIST_S
+
+    s = HIST_S
+    base = 1 << s
+    w = f"(CAST(1 AS BIGINT) << (GREATEST(msb - {s}, 0)))"
+    picks = ", ".join(
+        f"MIN(CASE WHEN cum >= 1 + ({q} * (n - 1)) // 100 THEN lo END)"
+        f" AS est_p{q}_milli"
+        for q in (50, 90)
+    )
+    return f"""
+WITH ev AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         CAST(FLOOR(value * 1000) AS BIGINT) AS m
+  FROM events WHERE value IS NOT NULL AND value >= 0
+),
+ids AS (SELECT window_start, event_type, m, LENGTH(bin(m)) AS msb FROM ev),
+bkt AS MATERIALIZED (
+  SELECT window_start, event_type,
+         msb * {base} + m // {w} AS id,
+         (m // {w}) * {w} AS lo
+  FROM ids
+),
+h AS MATERIALIZED (
+  SELECT window_start, event_type, id, MIN(lo) AS lo,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM bkt GROUP BY window_start, event_type, id
+),
+r AS (
+  SELECT window_start, event_type, lo, cnt,
+         SUM(cnt) OVER (PARTITION BY window_start, event_type
+                        ORDER BY id) AS cum,
+         SUM(cnt) OVER (PARTITION BY window_start, event_type) AS n
+  FROM h
+)
+SELECT window_start, event_type,
+       CAST(MAX(n) AS BIGINT) AS n_events,
+       {picks}
+FROM r GROUP BY window_start, event_type
+"""
+
+
 def _corpus_ingest_oracle() -> str:
     from dataforge_core_spark.operators.text import _gopher_sql
 
@@ -623,6 +737,7 @@ GROUP BY d.source
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "stream_dd_quantiles": stream_dd_quantiles,
         "stream_corpus_ingest": stream_corpus_ingest,
         "stream_topk": stream_topk,
         "stream_late_data": stream_late_data,
@@ -637,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracles() -> dict[str, str]:
     return {
+        "stream_dd_quantiles": _stream_dd_oracle(),
         "stream_corpus_ingest": _corpus_ingest_oracle(),
         "stream_topk": _STREAM_TOPK_ORACLE,
         "stream_late_data": _LATE_ORACLE,

@@ -203,11 +203,20 @@ def _output_dict(o) -> dict:
         "output_name": o.output_name,
         "columns": [
             f"{c.name} {c.hive_type}"
-            if c.partition_ordinal is None
+            if c.partition_ordinal is None and c.zorder_ordinal is None
             else {
                 "name": c.name,
                 "type": c.hive_type,
-                "partition_ordinal": c.partition_ordinal,
+                **(
+                    {"partition_ordinal": c.partition_ordinal}
+                    if c.partition_ordinal is not None
+                    else {}
+                ),
+                **(
+                    {"zorder_ordinal": c.zorder_ordinal}
+                    if c.zorder_ordinal is not None
+                    else {}
+                ),
             }
             for c in o.columns
         ],

@@ -142,9 +142,10 @@ def parse_output_dict(d: dict) -> Output:
         # dict form carries writer hints the string form cannot:
         # {"name":…, "type":…, "partition_ordinal": N} — the reference
         # schema's partition hint ("9 outputColumnTable.sql":18)
-        part_ord = None
+        part_ord = z_ord = None
         if isinstance(c, dict):
             part_ord = c.get("partition_ordinal")
+            z_ord = c.get("zorder_ordinal")
             c = f"{c['name']} {c['type']}"
         m = _ATTR_RE.match(c)
         if not m:
@@ -154,7 +155,10 @@ def parse_output_dict(d: dict) -> Output:
             raise ProjectError(f"Unknown type {t!r} for output column {c!r}")
         cols.append(
             OutputColumn(
-                name=m.group(1), hive_type=t, partition_ordinal=part_ord
+                name=m.group(1),
+                hive_type=t,
+                partition_ordinal=part_ord,
+                zorder_ordinal=z_ord,
             )
         )
     channels = []

@@ -182,8 +182,10 @@ class OutputColumn:
     name: str
     hive_type: str
     # partition/zorder hints exist in the reference schema (:18-19) unused
-    # by core; honored by our writer as partitionBy ordering.
+    # by core; honored by our writer as partitionBy ordering and
+    # sortWithinPartitions clustering respectively.
     partition_ordinal: int | None = None
+    zorder_ordinal: int | None = None
 
 
 @dataclass
@@ -247,6 +249,17 @@ class Output:
         honoring it is the natural Spark mapping)."""
         hinted = [c for c in self.columns if c.partition_ordinal is not None]
         return [c.name for c in sorted(hinted, key=lambda c: c.partition_ordinal)]
+
+    def zorder_columns(self) -> list[str]:
+        """Column names with a zorder_ordinal, in ordinal order — the
+        writer's sortWithinPartitions spec ("9 outputColumnTable.sql":19;
+        the reference core never reads the hint).  Lexicographic
+        within-file clustering is the parquet-native approximation of
+        Z-ordering: it tightens per-file min/max column statistics on
+        the hinted keys so predicate scans skip files (true bit
+        interleaving only pays with a table format's OPTIMIZE)."""
+        hinted = [c for c in self.columns if c.zorder_ordinal is not None]
+        return [c.name for c in sorted(hinted, key=lambda c: c.zorder_ordinal)]
 
 
 @dataclass

@@ -227,6 +227,7 @@ class ProjectRunner:
                 out.file_format,
                 base_dir=base_dir,
                 partition_by=out.partition_columns() or None,
+                zorder_by=out.zorder_columns() or None,
             )
             if out.output_type in ("table", "file"):
                 paths[out.output_name] = os.path.join(base_dir, out.output_name)

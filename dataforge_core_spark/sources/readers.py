@@ -111,9 +111,21 @@ def write_output(
     file_format: str | None = None,
     base_dir: str | None = None,
     partition_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> None:
     """table -> saveAsTable (overwrite, CREATE-TABLE-AS parity);
     virtual -> temp view; file -> parquet/avro/text under base_dir.
+
+    ``zorder_by``: output columns with a ``zorder_ordinal`` hint
+    (Output.zorder_columns) — rows are clustered within each write task
+    via ``sortWithinPartitions`` on (partition keys, then zorder keys),
+    which is a LOCAL sort (no extra shuffle): per-file min/max column
+    statistics on the hinted keys become tight, so point/range scans
+    skip whole files at the footer — the parquet-native approximation
+    of Z-ordering at 100 TB (bit-interleaved multi-column clustering
+    needs a table format's OPTIMIZE pass; on one hinted column the two
+    are identical).  Prefixing the partition keys also caps open
+    writers at one file per directory per task.
 
     ``partition_by``: output columns with a ``partition_ordinal`` hint
     (Output.partition_columns) — written as hive-style directory
@@ -128,6 +140,11 @@ def write_output(
 
     def _w(writer):
         return writer.partitionBy(*partition_by) if partition_by else writer
+
+    if zorder_by and output_type in ("table", "file"):
+        if (file_format or "parquet").lower() == "text":
+            raise ProjectError("text outputs cannot be zordered")
+        df = df.sortWithinPartitions(*((partition_by or []) + zorder_by))
 
     if partition_by and output_type == "file" and (
         (file_format or "parquet").lower() == "text"

@@ -249,3 +249,75 @@ def test_csv_and_json_file_outputs(spark, sf_dir, tmp_path):
     js = spark.read.json(str(tmp_path / "j_nations"))
     assert csv.count() == js.count() > 0
     assert sorted(csv.columns) == sorted(js.columns)
+
+
+def test_zorder_ordinal_clusters_files(spark, sf_dir, tmp_path):
+    """Output columns with a zorder_ordinal hint ("9
+    outputColumnTable.sql":19 — declared but never read by the
+    reference's core) cluster rows within each written file via a LOCAL
+    sort: every part file must be internally sorted on the hinted key
+    (tight per-file min/max stats = footer-level file skipping), values
+    round-trip unchanged, and the hint survives the MetaStore."""
+    import glob
+
+    from dataforge_core_spark.imports import MetaStore, import_project
+    from dataforge_core_spark.loader import (
+        parse_output_dict,
+        parse_source_dict,
+    )
+    from dataforge_core_spark.model import Project
+    from dataforge_core_spark.runner import ProjectRunner
+
+    src = parse_source_dict(
+        {
+            "source_name": "orders_min",
+            "source_table": f"{sf_dir}/orders.parquet",
+            "target_table": "hub_orders_min",
+            "raw_attributes": ["o_orderkey long", "o_totalprice double"],
+        }
+    )
+    po = parse_output_dict(
+        {
+            "output_name": "z_orders",
+            "output_type": "file",
+            "file_format": "parquet",
+            "columns": [
+                "okey long",
+                {"name": "price", "type": "double", "zorder_ordinal": 1},
+            ],
+            "channels": [
+                {
+                    "source_name": "orders_min",
+                    "mappings": ["o_orderkey okey", "o_totalprice price"],
+                }
+            ],
+        }
+    )
+    assert po.zorder_columns() == ["price"]
+    project = Project(sources=[src])
+    project.outputs = [po]
+    runner = ProjectRunner(spark, project, persist_hubs=False)
+    runner.materialize(str(tmp_path))
+
+    files = glob.glob(str(tmp_path / "z_orders" / "part-*.parquet"))
+    assert files
+    total = 0
+    for f in files:
+        prices = [r.price for r in spark.read.parquet(f).collect()]
+        total += len(prices)
+        assert prices == sorted(prices), f"unsorted file {f}"
+    src_df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    assert total == src_df.count()
+    back = spark.read.parquet(str(tmp_path / "z_orders"))
+    assert sorted(
+        (r.okey, r.price) for r in back.collect()
+    ) == sorted(
+        (r.o_orderkey, r.o_totalprice)
+        for r in src_df.select("o_orderkey", "o_totalprice").collect()
+    )
+
+    # hint round-trips through the import/diff engine's store
+    store = MetaStore(str(tmp_path / "state"))
+    import_project(store, project)
+    re_read = store.to_project()
+    assert re_read.outputs[0].zorder_columns() == ["price"]

@@ -66,8 +66,25 @@ Coverage map (SURVEY.md §2 -> query):
                                 custom stateful operator),
                                 stream_dedup (duplicate-injected
                                 at-least-once stream -> watermarked
-                                dropDuplicates exactly-once counts);
+                                dropDuplicates exactly-once counts),
+                                stream_dd_quantiles (the log-bucket
+                                quantile sketch maintained incrementally
+                                in stream state — bucket counts add
+                                across micro-batches);
                                 tests/test_streaming.py (batch parity)
+  Mergeable sketches          -> sketch_kmv_distinct (bottom-K distinct
+                                sketch, merged __all__ row in-plan),
+                                sketch_kmv_jaccard (theta-intersection
+                                pairwise source overlap from sketches
+                                alone), sketch_sample_quantiles
+                                (deterministic hash-Bernoulli sample +
+                                rank selection), sketch_dd_quantiles
+                                (DDSketch-style log-bucket histogram,
+                                libm-free bit-length bucketing,
+                                per-partition merge == global pinned by
+                                invariant test), sketch_cms_heavy_hitters
+                                (Count-Min matrix + top-20 eval,
+                                one-sided by construction)
   LLM-pipeline operators     -> events_quantiles (exact interpolated
                                 percentiles, 1e-6-quantized) /
                                 events_anomaly (decimal-exact per-user

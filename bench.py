@@ -73,6 +73,10 @@ NOISY_LANES = {
     # serial-CPU-bound (few tasks at sf0.1, see ROADMAP r9 note):
     # wall tracks host contention 1:1, r9 builder spread 2.2 > median
     "nested_roundtrip",
+    # micro-batch state-store lanes with GC-sensitive commit costs:
+    # r9 builder spreads 1.4/1.1 vs medians 1.9/2.1
+    "stream_sessionize",
+    "stream_attribution",
 }
 NOISY_RUNS = 5
 

@@ -156,6 +156,9 @@ def _clear_operator_caches(spark) -> None:
         for df in ckpts:
             free_local_checkpoint(df)
     similarity._kcore_cache.clear()
+    for _name, df in similarity._sq_cache.values():
+        free_local_checkpoint(df)
+    similarity._sq_cache.clear()
     for _name, df in sketches._toks_cache.values():
         free_local_checkpoint(df)
     sketches._toks_cache.clear()
@@ -209,6 +212,11 @@ def _index_builders():
             ).count(),
         ),
         ("ann_normed", lambda s: similarity._normed(s, SF_DIR)),
+        # the checkpointed SQ8 code table
+        (
+            "ann_sq_codes",
+            lambda s: similarity._sq_index_view(s, SF_DIR),
+        ),
         # the checkpointed kNN edge list (pagerank / triangles base)
         (
             "ann_knn_edges",

@@ -997,6 +997,145 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# Scalar-quantized (SQ8) search — the third compression point of the
+# ANN family here (hyperplane LSH = 1 bit/dim, PQ = sub-vector
+# codebooks, SQ8 = 8 bits/dim with a per-vector scale; faiss's
+# ScalarQuantizer default).  The stored index is (vec_id, int8 code
+# array, 1e-6-BIGINT scale); the approximate dot between query q and
+# candidate c is (q_scale * c_scale / 127^2) * SUM_i cq_i*cc_i, and
+# per query the q-side factor is constant — so candidates rank by the
+# EXACT INTEGER product c_scale_q * SUM_i cq_i*cc_i (|dot| <=
+# 64 * 127^2 ~= 1.03e6, scale_q <= 1e6 on normalized vectors: the
+# product fits BIGINT with 10^5 headroom).  No doubles anywhere in the
+# ranking key: bit-identical on any engine, full value-hash oracle.
+#
+# Scale shape: the code table is the checkpointed index (at 100 TB, a
+# written int8 column ~4x smaller than the float vectors — the reason
+# SQ8 exists); the search is a broadcast 8-row query-code join against
+# the index scan with the top-k lowered to WindowGroupLimit — the same
+# intentional all-pairs shape as ann_bruteforce, in 1/4 the bytes.
+# ---------------------------------------------------------------------------
+
+
+def _sq_exprs(a: str, dialect: str) -> tuple[str, str, str]:
+    """(max_abs, code_array, scale_q) over ``a`` (needs __m bound)."""
+    off = 0 if dialect == "spark" else 1
+    cast_int = "INT" if dialect == "spark" else "INTEGER"
+    els = [f"{a}[{i + off}]" for i in range(DIM)]
+
+    def tree(terms, op):
+        while len(terms) > 1:
+            terms = [
+                f"{op}({terms[i]}, {terms[i + 1]})"
+                if i + 1 < len(terms) else terms[i]
+                for i in range(0, len(terms), 2)
+            ]
+        return terms[0]
+
+    max_abs = tree([f"ABS({e})" for e in els], "GREATEST")
+    codes = [
+        f"CAST(FLOOR({e} * (127.0 / __m)) AS {cast_int})" for e in els
+    ]
+    arr = (
+        f"array({', '.join(codes)})"
+        if dialect == "spark"
+        else f"[{', '.join(codes)}]"
+    )
+    scale = "CAST(FLOOR(__m * 1000000) AS BIGINT)"
+    return max_abs, arr, scale
+
+
+def _sq_dot(qa: str, ca: str, dialect: str) -> str:
+    """Exact-integer code dot product, balanced sum tree."""
+    off = 0 if dialect == "spark" else 1
+    terms = [
+        f"(CAST({qa}[{i + off}] AS BIGINT) * {ca}[{i + off}])"
+        for i in range(DIM)
+    ]
+    while len(terms) > 1:
+        terms = [
+            f"({terms[i]} + {terms[i + 1]})"
+            if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
+
+
+_sq_cache: dict = {}
+
+
+def _sq_index_view(spark: SparkSession, sf_dir: str) -> str:
+    """Temp-view name of the checkpointed SQ8 code table."""
+    key = (session_key(spark), sf_dir)
+    if key not in _sq_cache:
+        v = _normed(spark, sf_dir)
+        max_abs, arr, scale = _sq_exprs("emb", "spark")
+        idx = spark.sql(
+            f"""
+            SELECT vec_id, {arr} AS code, {scale} AS scale_q
+            FROM (SELECT vec_id, emb, {max_abs} AS __m FROM {v})
+            """
+        ).localCheckpoint(eager=True)
+        name = f"sq_index_{abs(hash(key)) % 10**8}"
+        idx.createOrReplaceTempView(name)
+        _sq_cache[key] = (name, idx)
+    return _sq_cache[key][0]
+
+
+def ann_sq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per query over the stored SQ8 code table; integer-exact
+    ranking key (candidate scale x code dot)."""
+    idx = _sq_index_view(spark, sf_dir)
+    dot = _sq_dot("q.code", "c.code", "spark")
+    return spark.sql(
+        f"""
+        WITH scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 c.scale_q * ({dot}) AS score_q
+          FROM (SELECT * FROM {idx} WHERE vec_id < {N_QUERIES}) q
+          JOIN {idx} c ON q.vec_id <> c.vec_id
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id, score_q,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY score_q DESC, neighbor_id) AS rank
+          FROM scored
+        )
+        SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+               score_q
+        FROM ranked WHERE rank <= {TOP_K}
+        """
+    )
+
+
+def _sq_search_oracle() -> str:
+    max_abs, arr, scale = _sq_exprs("emb", "duck")
+    dot = _sq_dot("q.code", "c.code", "duck")
+    return f"""
+WITH {_duck_v_cte()},
+sq AS MATERIALIZED (
+  SELECT vec_id, {arr} AS code, {scale} AS scale_q
+  FROM (SELECT vec_id, emb, {max_abs} AS __m FROM v)
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         c.scale_q * ({dot}) AS score_q
+  FROM (SELECT * FROM sq WHERE vec_id < {N_QUERIES}) q
+  JOIN sq c ON q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score_q,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score_q DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+       CAST(score_q AS BIGINT) AS score_q
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # k-NN graph construction: EVERY vector's top-k neighbors within its
 # coarse bucket — the build step of graph-based dedup/cluster/ANN
 # methods (kNN-graph clustering, NN-Descent seeding).  Unlike the ann_*
@@ -2266,6 +2405,75 @@ GROUP BY b.query_id
 """
 
 
+def ann_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K of the SQ8 code search vs the exact brute-force top-K —
+    the acceptance metric of the 8-bit compression (same shape as
+    ann_pq_recall; the PQ/SQ recall pair is how a deployment picks its
+    compression point)."""
+    from pyspark.sql import functions as F
+
+    brute = ann_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    sq = (
+        ann_sq_search(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        brute.join(sq, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("hit").alias("n_hits"),
+            (
+                F.count("hit").cast("double") / F.count(F.lit(1))
+            ).alias("recall"),
+        )
+    )
+
+
+def _sq_recall_oracle() -> str:
+    cos = _duck_cosine("q.emb", "c.emb", "q.nrm", "c.nrm")
+    max_abs, arr, scale = _sq_exprs("emb", "duck")
+    dot = _sq_dot("q.code", "c.code", "duck")
+    return f"""
+WITH {_duck_v_cte()},
+bscored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS score
+  FROM (SELECT * FROM v WHERE vec_id < {N_QUERIES}) q
+  JOIN v c ON q.vec_id <> c.vec_id
+),
+brute AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY score DESC, neighbor_id) AS rank
+    FROM bscored
+  ) t WHERE rank <= {TOP_K}
+),
+sqc AS MATERIALIZED (
+  SELECT vec_id, {arr} AS code, {scale} AS scale_q
+  FROM (SELECT vec_id, emb, {max_abs} AS __m FROM v)
+),
+sq AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                ORDER BY c.scale_q * ({dot}) DESC, c.vec_id) AS rank
+    FROM (SELECT * FROM sqc WHERE vec_id < {N_QUERIES}) q
+    JOIN sqc c ON q.vec_id <> c.vec_id
+  ) t WHERE rank <= {TOP_K}
+)
+SELECT b.query_id,
+       COUNT(*) AS n_exact,
+       COUNT(p.hit) AS n_hits,
+       CAST(COUNT(p.hit) AS DOUBLE) / COUNT(*) AS recall
+FROM brute b
+LEFT JOIN (SELECT query_id, neighbor_id, 1 AS hit FROM sq) p
+  ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
+GROUP BY b.query_id
+"""
+
+
 def ann_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC top-K per query over the PQ-coded corpus."""
     v = _normed(spark, sf_dir)
@@ -2404,6 +2612,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_quantize": embeddings_quantize,
         "embeddings_dim_stats": embeddings_dim_stats,
         "ann_bruteforce": ann_bruteforce,
+        "ann_sq_search": ann_sq_search,
+        "ann_sq_recall": ann_sq_recall,
         "ann_ivf_label": ann_ivf_label,
         "ann_ivf_kmeans": ann_ivf_kmeans,
         "ann_ivf_probe2": ann_ivf_probe2,
@@ -2436,6 +2646,8 @@ def oracles() -> dict[str, str]:
         "embeddings_quantize": _quantize_oracle(),
         "embeddings_dim_stats": _DIM_STATS_ORACLE,
         "ann_bruteforce": _bruteforce_oracle(),
+        "ann_sq_search": _sq_search_oracle(),
+        "ann_sq_recall": _sq_recall_oracle(),
         "ann_ivf_label": _ivf_oracle(),
         "ann_ivf_kmeans": _ivf_kmeans_oracle(),
         "ann_ivf_probe2": _ivf_probe2_oracle(),

@@ -196,6 +196,11 @@ def test_ranked_ann_windows_group_limit(spark):
 # the same intentional BNLJ
 _CARTESIAN_EXEMPT = {
     "ann_bruteforce",
+    # intentional: same broadcast-query all-pairs shape as
+    # ann_bruteforce, over the 4x-smaller stored SQ8 code table
+    # (the recall eval embeds both the SQ and the exact side)
+    "ann_sq_search",
+    "ann_sq_recall",
     "ann_ivf_probe2",
     # same probe shape as ann_ivf_probe2: nprobe=2 assignment is a
     # broadcast cross join against the 8-row centroid literal

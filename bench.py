@@ -162,6 +162,10 @@ def _clear_operator_caches(spark) -> None:
     for _name, df in sketches._toks_cache.values():
         free_local_checkpoint(df)
     sketches._toks_cache.clear()
+    for _m, _t, mat, topdf in sketches._cms_cache.values():
+        free_local_checkpoint(mat)
+        free_local_checkpoint(topdf)
+    sketches._cms_cache.clear()
     entry._hub_cache.clear()
     spark.catalog.clearCache()
 
@@ -231,6 +235,11 @@ def _index_builders():
         (
             "kmv_shingle_toks",
             lambda s: sketches._toks_view(s, SF_DIR),
+        ),
+        # the checkpointed CMS counter matrix + exact top tokens
+        (
+            "cms_matrix",
+            lambda s: sketches._cms_views(s, SF_DIR),
         ),
         # power-iteration PC fit (the whitening-direction index)
         (

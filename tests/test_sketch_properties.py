@@ -1,0 +1,122 @@
+"""Property-based tests (hypothesis) for the sketch algebra — the
+pure-integer constructions the engines must agree on bit-for-bit.
+These pin the PYTHON-side referee laws on arbitrary inputs; the
+engine-vs-referee agreement on real data lives in
+test_pipeline_invariants.py, and engine-vs-engine in test_oracle.py."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dataforge_core_spark.operators.sketches import HIST_S, KMV_K
+
+
+def _bucket(m: int, s: int = HIST_S) -> tuple[int, int]:
+    """(bucket id, lower bound) — the same bit-length decomposition the
+    SQL emits (LENGTH(bin(m)) == bit_length for m >= 1, 1 for m == 0)."""
+    msb = m.bit_length() or 1
+    sh = max(msb - s, 0)
+    return (msb << s) + (m >> sh), (m >> sh) << sh
+
+
+@given(st.lists(st.integers(min_value=0, max_value=10**9), min_size=1))
+@settings(max_examples=300, deadline=None)
+def test_dd_bucket_monotone_and_bounds(ms):
+    """Bucket id must be monotone non-decreasing in the value (so
+    cumulative-count quantile reads are order-correct), the lower bound
+    must bracket the value within one relative bucket width, and values
+    below 2^HIST_S must map to singleton buckets (exact)."""
+    pairs = sorted((m, _bucket(m)) for m in ms)
+    for (m1, (b1, lo1)), (m2, (b2, _)) in zip(pairs, pairs[1:]):
+        assert b1 <= b2, (m1, m2)
+    for m, (b, lo) in pairs:
+        assert lo <= m
+        width = 1 << max((m.bit_length() or 1) - HIST_S, 0)
+        assert m < lo + width
+        assert width - 1 <= (lo >> (HIST_S - 1)) or m < (1 << HIST_S)
+        if m < (1 << HIST_S):
+            assert lo == m  # exact region
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**9), min_size=1),
+    st.integers(min_value=2, max_value=7),
+)
+@settings(max_examples=200, deadline=None)
+def test_dd_histogram_merge_is_global(ms, nparts):
+    """Per-partition histograms merged by count addition == the global
+    histogram, for ANY partitioning — the mergeability law the streaming
+    lane's micro-batch accumulation and a 1000-executor map-side combine
+    both rely on."""
+    global_h = Counter(_bucket(m)[0] for m in ms)
+    parts = [Counter() for _ in range(nparts)]
+    for i, m in enumerate(ms):
+        parts[i % nparts][_bucket(m)[0]] += 1
+    merged = Counter()
+    for p in parts:
+        merged.update(p)
+    assert merged == global_h
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=(1 << 56) - 1),
+        min_size=1,
+        unique=True,
+    ),
+    st.integers(min_value=2, max_value=5),
+)
+@settings(max_examples=200, deadline=None)
+def test_kmv_union_of_bottoms_is_global_bottom(hashes, nparts):
+    """bottom-K(union of per-partition bottom-Ks) == bottom-K(all) —
+    the law that lets the __all__ sketch be served from the per-source
+    sketches without a second corpus scan: any global bottom-K element
+    is necessarily in its own partition's bottom-K."""
+    k = KMV_K
+    parts = [[] for _ in range(nparts)]
+    for i, h in enumerate(hashes):
+        parts[i % nparts].append(h)
+    union_of_bottoms = sorted(
+        h for p in parts for h in sorted(p)[:k]
+    )[:k]
+    assert union_of_bottoms == sorted(hashes)[:k]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50),  # token id
+            st.integers(min_value=0, max_value=3),  # partition
+        ),
+        min_size=1,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_cms_merge_and_one_sided(rows):
+    """Cell-wise addition of per-partition CMS matrices == the global
+    matrix, and the min-across-rows estimate never undercounts — for
+    arbitrary token streams and partitionings (d=2, w=8 miniature so
+    collisions actually occur)."""
+    d, w = 2, 8
+
+    def bucket(r, tok):
+        return (tok * 31 + r * 17) % w  # any fixed hash family works
+
+    global_m = Counter()
+    parts = [Counter() for _ in range(4)]
+    exact = Counter()
+    for tok, p in rows:
+        exact[tok] += 1
+        for r in range(d):
+            global_m[(r, bucket(r, tok))] += 1
+            parts[p][(r, bucket(r, tok))] += 1
+    merged = Counter()
+    for p in parts:
+        merged.update(p)
+    assert merged == global_m
+    for tok, cnt in exact.items():
+        est = min(global_m[(r, bucket(r, tok))] for r in range(d))
+        assert est >= cnt

@@ -81,13 +81,26 @@ def _toks_view(spark: SparkSession, sf_dir: str) -> str:
     already parallel), the same shape as dedup._ex_df."""
     key = (session_key(spark), sf_dir)
     if key not in _toks_cache:
-        par = spark.sparkContext.defaultParallelism
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
-            par
+        # derive from the dedup pipeline's shared shingle relation
+        # instead of re-tokenizing the corpus: dedup._ex_df's (doc_id,
+        # 56-bit 3-gram hash) uses the IDENTICAL normalization
+        # (_SPARK_NORM), shingle string (space-joined 3-gram) and hash
+        # (_SPARK_H) as _toks_cte, so the sketch universe is one
+        # doc_id -> source attach + DISTINCT over the already-persisted
+        # index — at 100 TB this removes a whole corpus tokenize pass
+        # (the index phase was running five).
+        from dataforge_core_spark.operators.dedup import _ex_df
+
+        ex = _ex_df(spark, sf_dir)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "source"
         )
-        tmp = f"kmv_docs_{abs(hash(key)) % 10**8}"
-        docs.createOrReplaceTempView(tmp)
-        toks = spark.sql(_toks_cte("spark", tmp)).localCheckpoint(eager=True)
+        toks = (
+            ex.join(docs, "doc_id")
+            .selectExpr("source", "s AS h")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
         name = f"kmv_toks_{abs(hash(key)) % 10**8}"
         toks.createOrReplaceTempView(name)
         _toks_cache[key] = (name, toks)

@@ -2474,6 +2474,76 @@ GROUP BY b.query_id
 """
 
 
+# cosine * 1e6; >= flags contamination.  Production screens sit at
+# ~0.9 for paraphrase catch; the synthetic corpus has no true near-dups
+# of the benchmark set (max observed cos 0.49 at sf0.01), so the lane
+# pins the threshold at the p99 of the benchmark-similarity
+# distribution — both branches of the flag execute end-to-end and the
+# per-source contamination rates are a live signal.
+SEM_DECON_THRESH_Q = 350_000
+
+
+def ann_semantic_decontaminate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-space contamination screen — the PARAPHRASE-level
+    complement of train_decontaminate_spans' n-gram membership check:
+    every corpus document's embedding is scored against the broadcast
+    benchmark set (vec_id < N_QUERIES stands in for the eval suite),
+    and a document whose max cosine reaches SEM_DECON_THRESH_Q is
+    flagged.  n-gram decontamination misses rewordings; embedding
+    decontamination catches them — production pipelines run both.
+
+    Cross-modal join: vec_id aligns 1:1 with doc_id in the corpus, so
+    the flags attach back to the documents table for per-source
+    contamination rates.  Scale shape: benchmark side is broadcast
+    (eval-suite-sized, never corpus-sized), the per-doc max is a
+    map-side-combinable aggregate over the 8-way fanout, and the
+    doc attach is an equi join on the id (bucketable at 100 TB).
+    max_cos quantized FLOOR * 1e6 — identical IEEE expression trees on
+    both engines, full value-hash oracle."""
+    v = _normed(spark, sf_dir)
+    cos = _spark_cosine("q.emb", "c.emb", "q.nrm", "c.nrm")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(
+        f"""
+        WITH scored AS (
+          SELECT c.vec_id, MAX({cos}) AS max_cos
+          FROM (SELECT * FROM {v} WHERE vec_id < {N_QUERIES}) q
+          JOIN {v} c ON q.vec_id <> c.vec_id
+          GROUP BY c.vec_id
+        )
+        SELECT d.doc_id, d.source,
+               CAST(FLOOR(s.max_cos * 1000000) AS BIGINT) AS max_cos_q,
+               CAST(CASE WHEN FLOOR(s.max_cos * 1000000)
+                              >= {SEM_DECON_THRESH_Q}
+                    THEN 1 ELSE 0 END AS INT) AS contaminated
+        FROM scored s JOIN documents d ON d.doc_id = s.vec_id
+        """
+    )
+
+
+def _semantic_decontaminate_oracle() -> str:
+    cos = _duck_cosine("q.emb", "c.emb", "q.nrm", "c.nrm")
+    return f"""
+WITH {_duck_v_cte()},
+scored AS (
+  SELECT c.vec_id, MAX({cos}) AS max_cos
+  FROM (SELECT * FROM v WHERE vec_id < {N_QUERIES}) q
+  JOIN v c ON q.vec_id <> c.vec_id
+  GROUP BY c.vec_id
+)
+SELECT d.doc_id, d.source,
+       CAST(FLOOR(s.max_cos * 1000000) AS BIGINT) AS max_cos_q,
+       CAST(CASE WHEN FLOOR(s.max_cos * 1000000)
+                      >= {SEM_DECON_THRESH_Q}
+            THEN 1 ELSE 0 END AS INTEGER) AS contaminated
+FROM scored s JOIN documents d ON d.doc_id = s.vec_id
+"""
+
+
 def ann_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC top-K per query over the PQ-coded corpus."""
     v = _normed(spark, sf_dir)
@@ -2614,6 +2684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": ann_bruteforce,
         "ann_sq_search": ann_sq_search,
         "ann_sq_recall": ann_sq_recall,
+        "ann_semantic_decontaminate": ann_semantic_decontaminate,
         "ann_ivf_label": ann_ivf_label,
         "ann_ivf_kmeans": ann_ivf_kmeans,
         "ann_ivf_probe2": ann_ivf_probe2,
@@ -2648,6 +2719,7 @@ def oracles() -> dict[str, str]:
         "ann_bruteforce": _bruteforce_oracle(),
         "ann_sq_search": _sq_search_oracle(),
         "ann_sq_recall": _sq_recall_oracle(),
+        "ann_semantic_decontaminate": _semantic_decontaminate_oracle(),
         "ann_ivf_label": _ivf_oracle(),
         "ann_ivf_kmeans": _ivf_kmeans_oracle(),
         "ann_ivf_probe2": _ivf_probe2_oracle(),

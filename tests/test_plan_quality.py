@@ -201,6 +201,9 @@ _CARTESIAN_EXEMPT = {
     # (the recall eval embeds both the SQ and the exact side)
     "ann_sq_search",
     "ann_sq_recall",
+    # intentional: corpus scored against the broadcast benchmark set
+    # (eval-suite-sized, never corpus-sized) — same family
+    "ann_semantic_decontaminate",
     "ann_ivf_probe2",
     # same probe shape as ann_ivf_probe2: nprobe=2 assignment is a
     # broadcast cross join against the 8-row centroid literal

@@ -129,6 +129,9 @@ def _clear_operator_caches(spark) -> None:
         free_local_checkpoint(pos)
         free_local_checkpoint(lens)
     dedup._substr_cache.clear()
+    for df in dedup._tokbase_cache.values():
+        free_local_checkpoint(df)
+    dedup._tokbase_cache.clear()
     for cache in (dedup._ex_cache, dedup._pairs_cache, simhash._sig_cache):
         for df in cache.values():
             try:
@@ -186,6 +189,9 @@ def _index_builders():
         # so this build IS the materialization — hub/output query lanes
         # then read checkpointed blocks
         ("engine_hub_compile", lambda s: entry._build(s, SF_DIR)),
+        # THE corpus tokenize pass — every token-consuming index below
+        # (shingles, substring windows, CMS, simhash) derives from it
+        ("token_base", lambda s: dedup._token_base(s, SF_DIR).count()),
         ("dedup_shingles", lambda s: dedup._ex_df(s, SF_DIR).count()),
         # the checkpointed sliding-window position relation (substring
         # measurement + removal lanes)

@@ -165,12 +165,7 @@ def _ex_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql import functions as F
         from pyspark.sql.window import Window
 
-        par = spark.sparkContext.defaultParallelism
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        toks = docs.repartition(par, "doc_id").select(
-            "doc_id",
-            F.posexplode(F.expr(_SPARK_TOKENS)).alias("pos", "tk"),
-        )
+        toks = _token_base(spark, sf_dir)
         w = Window.partitionBy("doc_id").orderBy("pos")
         sh = toks.select(
             "doc_id",
@@ -187,6 +182,40 @@ def _ex_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _ex_cache[key] = ex
     return _ex_cache[key]
+
+
+_tokbase_cache: dict = {}
+
+
+def _token_base(spark: SparkSession, sf_dir: str):
+    """THE single corpus tokenize pass: checkpointed exploded
+    (doc_id, pos, tk) relation every token-consuming index derives
+    from — 3-gram shingles (_ex_df, window lead), 8-token substring
+    windows (_substr_views), the CMS matrix (multiplicity counts) and
+    simhash signatures (per-occurrence md5) all use the IDENTICAL
+    normalization (_SPARK_TOKENS), so before this each ran its own
+    scan + split + explode over the corpus: four tokenize passes in
+    the index phase.  At 100 TB this is the difference between one
+    corpus read and four (there it would be a written intermediate
+    partitioned by doc rather than a localCheckpoint).  pos is 0-based
+    (posexplode), matching the sequence(0, n-w) convention of the
+    substring SQL."""
+    key = (session_key(spark), sf_dir)
+    if key not in _tokbase_cache:
+        from pyspark.sql import functions as F
+
+        par = spark.sparkContext.defaultParallelism
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        base = (
+            docs.repartition(par, "doc_id")
+            .select(
+                "doc_id",
+                F.posexplode(F.expr(_SPARK_TOKENS)).alias("pos", "tk"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        _tokbase_cache[key] = base
+    return _tokbase_cache[key]
 
 
 def _jaccard_verify(ex: DataFrame, cand: DataFrame) -> DataFrame:
@@ -1212,25 +1241,35 @@ def _substr_views(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     w = SUBSTR_WIN
     key = (session_key(spark), sf_dir)
     if key not in _substr_cache:
-        par = spark.sparkContext.defaultParallelism
-        docs = spark.read.parquet(
-            f"{sf_dir}/documents.parquet"
-        ).repartition(par)
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
         tag = abs(hash(key)) % 10**8
-        tmp = f"substr_docs_{tag}"
-        docs.createOrReplaceTempView(tmp)
-        pos = spark.sql(
-            f"""
-            SELECT doc_id, i,
-                   md5(array_join(slice(tok, i + 1, {w}), ' ')) AS h
-            FROM (SELECT doc_id, {_SPARK_TOKENS} AS tok FROM {tmp})
-            LATERAL VIEW explode(sequence(0, size(tok) - {w})) s AS i
-            WHERE size(tok) >= {w}
-            """
-        ).localCheckpoint(eager=True)
-        lens = spark.sql(
-            f"SELECT doc_id, size({_SPARK_TOKENS}) AS n_tokens FROM {tmp}"
-        ).localCheckpoint(eager=True)
+        # derived from the shared token base (one corpus tokenize pass
+        # for the whole index phase): the w-gram at 0-based position i
+        # is the window of leads 0..w-1 over (doc_id, pos) — identical
+        # strings to slice(tok, i + 1, w)
+        base = _token_base(spark, sf_dir)
+        win = Window.partitionBy("doc_id").orderBy("pos")
+        leads = [F.col("tk")] + [
+            F.lead("tk", j).over(win) for j in range(1, w)
+        ]
+        pos = (
+            base.select(
+                "doc_id",
+                F.col("pos").alias("i"),
+                F.concat_ws(" ", *leads).alias("gram"),
+                F.lead("tk", w - 1).over(win).isNotNull().alias("ok"),
+            )
+            .filter("ok")
+            .selectExpr("doc_id", "i", "md5(gram) AS h")
+            .localCheckpoint(eager=True)
+        )
+        lens = (
+            base.groupBy("doc_id")
+            .agg(F.count("*").cast("int").alias("n_tokens"))
+            .localCheckpoint(eager=True)
+        )
         pname, lname = f"substr_pos_{tag}", f"substr_len_{tag}"
         pos.createOrReplaceTempView(pname)
         lens.createOrReplaceTempView(lname)

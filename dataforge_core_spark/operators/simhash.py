@@ -73,9 +73,9 @@ def _assemble(dialect: str) -> str:
     return " || ".join(digits)
 
 
-def _sig_sql(dialect: str) -> str:
+def _sig_sql(dialect: str, flat_src: str | None = None) -> str:
     tok = _SPARK_TOK if dialect == "spark" else _DUCK_TOK
-    flat = (
+    flat = flat_src or (
         "SELECT doc_id, explode(tok) AS tk FROM toks"
         if dialect == "spark"
         else "SELECT doc_id, unnest(tok) AS tk FROM toks"
@@ -92,9 +92,16 @@ def _sig_sql(dialect: str) -> str:
         )
     else:
         td = f"SELECT doc_id, substr(md5(tk), 1, 16) AS h16 FROM ({flat})"
+    # the toks CTE only exists when flat is derived from documents —
+    # with an external flat_src the statement must not reference the
+    # documents view at all (it may not be registered)
+    toks_cte = (
+        ""
+        if flat_src
+        else f"toks AS (SELECT doc_id, {tok} AS tok FROM documents),\n        "
+    )
     return f"""
-        WITH toks AS (SELECT doc_id, {tok} AS tok FROM documents),
-        td AS ({td}),
+        WITH {toks_cte}td AS ({td}),
         sums AS (SELECT doc_id, {_sig_select(dialect)} FROM td GROUP BY doc_id)
         SELECT doc_id, {_assemble(dialect)} AS simhash FROM sums
     """
@@ -206,11 +213,15 @@ def _sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline per reference (CTEs are inlined)."""
     key = (session_key(spark), sf_dir)
     if key not in _sig_cache:
-        par = spark.sparkContext.defaultParallelism
-        spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
-            par, "doc_id"
-        ).createOrReplaceTempView("documents")
-        _sig_cache[key] = spark.sql(_sig_sql("spark")).persist()
+        # per-occurrence tokens off the shared token base (one corpus
+        # tokenize pass for the whole index phase — dedup._token_base)
+        from dataforge_core_spark.operators.dedup import _token_base
+
+        name = f"simhash_base_{abs(hash(key)) % 10**8}"
+        _token_base(spark, sf_dir).createOrReplaceTempView(name)
+        _sig_cache[key] = spark.sql(
+            _sig_sql("spark", f"SELECT doc_id, tk FROM {name}")
+        ).persist()
     return _sig_cache[key]
 
 

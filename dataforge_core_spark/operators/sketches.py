@@ -546,19 +546,14 @@ def _cms_views(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     key = (session_key(spark), sf_dir)
     if key not in _cms_cache:
         d, w, top = CMS_D, CMS_W, CMS_TOP
-        # no repartition: both build jobs aggregate straight off the
-        # scan with map-side combine (bounded outputs d*w / vocab);
-        # shuffling the full text first was measured 2.8x slower
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        from dataforge_core_spark.operators.dedup import _token_base
+
         tag = abs(hash(key)) % 10**8
-        tmp = f"cms_docs_{tag}"
-        docs.createOrReplaceTempView(tmp)
-        toks = (
-            "SELECT tok FROM (SELECT split(lower(trim("
-            "regexp_replace(text, '\\\\s+', ' '))), ' ') AS tk "
-            f"FROM {tmp}) LATERAL VIEW explode(tk) t AS tok "
-            "WHERE tok != ''"
-        )
+        tmp = f"cms_base_{tag}"
+        # token occurrences WITH multiplicity off the shared token base
+        # (one corpus tokenize pass for the whole index phase)
+        _token_base(spark, sf_dir).createOrReplaceTempView(tmp)
+        toks = f"SELECT tk AS tok FROM {tmp} WHERE tk != ''"
         h = (
             "CAST(conv(substr(md5(concat(CAST(r AS STRING), ':', tok)), "
             f"1, 14), 16, 10) AS BIGINT) % {w}"

@@ -43,6 +43,7 @@ def test_index_builders_run_and_caches_clear(spark, sf_dir):
         dedup._pairs_cache,
         dedup._labels_cache,
         dedup._substr_cache,
+        dedup._tokbase_cache,
         simhash._sig_cache,
         simhash._salted_cache,
         similarity._knn_cache,

@@ -517,3 +517,59 @@ def test_cms_matches_python_referee_and_merges(spark, sf_dir):
         assert r.cms_est == est(tok), tok
     for tok, cnt in exact.items():  # one-sided, corpus-wide
         assert est(tok) >= cnt
+
+
+def test_stream_dd_quantiles_matches_batch_referee(spark, sf_dir):
+    """The streaming histogram's micro-batch accumulation must land on
+    exactly the batch sketch: rebuild the per-(hour, type) histograms in
+    Python from the raw events and assert every window's n_events and
+    p50/p90 bucket lower bounds match the streaming lane's output."""
+    import math
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from dataforge_core_spark.operators import sketches as SK
+    from dataforge_core_spark.operators import streaming_rows as SR
+
+    rows = {
+        (r.window_start, r.event_type): r
+        for r in SR.stream_dd_quantiles(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    ev = con.sql(
+        "SELECT date_trunc('hour', ts) AS w, event_type, value FROM "
+        f"'{sf_dir}/events.parquet' "
+        "WHERE value IS NOT NULL AND value >= 0"
+    ).fetchall()
+    con.close()
+    s = SK.HIST_S
+
+    def bkt(m):
+        msb = m.bit_length() or 1
+        sh = max(msb - s, 0)
+        return (msb << s) + (m >> sh), (m >> sh) << sh
+
+    hists = defaultdict(Counter)
+    lo_of = {}
+    for w, et, v in ev:
+        m = int(math.floor(v * 1000))
+        i, lo = bkt(m)
+        lo_of[i] = lo
+        hists[(w, et)][i] += 1
+
+    def read_q(hist, q):
+        n = sum(hist.values())
+        target = 1 + (q * (n - 1)) // 100
+        cum = 0
+        for i in sorted(hist):
+            cum += hist[i]
+            if cum >= target:
+                return lo_of[i]
+
+    assert set(rows) == set(hists)
+    for key, hist in hists.items():
+        r = rows[key]
+        assert r.n_events == sum(hist.values()), key
+        assert r.est_p50_milli == read_q(hist, 50), key
+        assert r.est_p90_milli == read_q(hist, 90), key

@@ -41,8 +41,15 @@ JACCARD_THRESHOLD = 0.2
 
 # -- shared SQL fragments (per dialect) ------------------------------------
 
-_SPARK_NORM = "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
-_DUCK_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+# COALESCE: a NULL text would otherwise tokenize to a NULL array, which
+# posexplode drops entirely on the Spark side while DuckDB's inline
+# len(tok) emits a NULL-count row — a silent engine divergence on any
+# corpus with NULL docs.  Coalescing INSIDE the shared fragment keeps
+# both engines on the same semantics by construction: NULL text == ''
+# == one empty token, so _token_base-derived lens/histograms keep a row
+# for every document.
+_SPARK_NORM = "lower(trim(regexp_replace(coalesce(text, ''), '\\\\s+', ' ')))"
+_DUCK_NORM = "lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')))"
 
 _SPARK_TOKENS = f"split({_SPARK_NORM}, ' ')"
 _DUCK_TOKENS = f"string_split({_DUCK_NORM}, ' ')"

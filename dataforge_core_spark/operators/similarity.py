@@ -1032,7 +1032,15 @@ def _sq_exprs(a: str, dialect: str) -> tuple[str, str, str]:
             ]
         return terms[0]
 
-    max_abs = tree([f"ABS({e})" for e in els], "GREATEST")
+    # GREATEST(.., 1e-30): an all-zero embedding would make 127.0 / __m
+    # infinite and 0 * inf = NaN, whose integer cast is engine-dependent
+    # (Spark CAST(NaN AS INT) = 0, DuckDB errors).  Clamping the divisor
+    # to a tiny epsilon makes zero vectors quantize to all-zero codes
+    # deterministically on both engines; any vector with a non-degenerate
+    # component (>= 1e-30) is untouched.
+    max_abs = (
+        f"GREATEST({tree([f'ABS({e})' for e in els], 'GREATEST')}, 1e-30)"
+    )
     codes = [
         f"CAST(FLOOR({e} * (127.0 / __m)) AS {cast_int})" for e in els
     ]

@@ -615,9 +615,11 @@ def stream_dd_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-partition sketches add at batch scale (the mergeability the
     invariant test pins), so the streaming state holds n_types x ~300
     bounded counters per window, never raw values — the shape that
-    survives any event rate.  Quantiles (p50/p90 bucket lower bounds in
-    milli-units) are read off the tiny materialized histograms at query
-    time, the standard sketch-serving split."""
+    survives any event rate.  Quantiles (p50/p90/p99 bucket lower
+    bounds in milli-units — the same picks as the batch
+    sketch_dd_quantiles lane, so the two are a direct parity pair) are
+    read off the tiny materialized histograms at query time, the
+    standard sketch-serving split."""
     from dataforge_core_spark.operators.sketches import HIST_S
     from dataforge_core_spark.streaming import stream_events
 
@@ -652,7 +654,7 @@ def stream_dd_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     picks = ", ".join(
         f"MIN(CASE WHEN cum >= 1 + ({q} * (n - 1)) DIV 100 THEN lo END)"
         f" AS est_p{q}_milli"
-        for q in (50, 90)
+        for q in (50, 90, 99)
     )
     return spark.sql(
         f"""
@@ -685,7 +687,7 @@ def _stream_dd_oracle() -> str:
     picks = ", ".join(
         f"MIN(CASE WHEN cum >= 1 + ({q} * (n - 1)) // 100 THEN lo END)"
         f" AS est_p{q}_milli"
-        for q in (50, 90)
+        for q in (50, 90, 99)
     )
     return f"""
 WITH ev AS (

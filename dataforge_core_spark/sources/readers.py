@@ -116,6 +116,13 @@ def write_output(
     """table -> saveAsTable (overwrite, CREATE-TABLE-AS parity);
     virtual -> temp view; file -> parquet/avro/text under base_dir.
 
+    Hint scope: ``partition_by`` and ``zorder_by`` are WRITE-side
+    layout hints — they shape files on disk.  A ``virtual`` output is a
+    temp view with no storage, so both hints are no-ops there (declared
+    ordinals are accepted for project portability but nothing is
+    clustered); they take effect when the same output is re-declared as
+    ``table``/``file``.
+
     ``zorder_by``: output columns with a ``zorder_ordinal`` hint
     (Output.zorder_columns) — rows are clustered within each write task
     via ``sortWithinPartitions`` on (partition keys, then zorder keys),

@@ -475,3 +475,119 @@ def test_session_key_is_application_id(spark):
 
     assert session_key(spark) == spark.sparkContext.applicationId
     assert isinstance(session_key(spark), str)
+
+
+# ---------------------------------------------------------------------------
+# Round-9 advisor findings
+# ---------------------------------------------------------------------------
+
+
+def test_capture_window_constants_tied_to_authority():
+    """CAPTURE_WINDOW / PINNED_AHEAD are duplicated facts about external
+    structures (the driver's 50-row CORRECTNESS truncation; the entry
+    module's pinned-row block).  Tie them to their authorities so a
+    drift in either silently breaking the veteran-slot math becomes a
+    test failure instead (round-9 advice)."""
+    import glob
+    import json
+    import os
+
+    import __spark_entry__ as e
+    from dataforge_core_spark import operators as ops
+
+    # the driver's observed record length IS the capture window: every
+    # record is <= CAPTURE_WINDOW rows and at least one hits it exactly
+    repo = os.path.dirname(os.path.abspath(e.__file__))
+    sizes = []
+    for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        with open(p) as f:
+            rec = json.load(f)
+        if isinstance(rec, dict):
+            sizes.append(len(rec))
+    assert sizes, "no CORRECTNESS records found"
+    assert max(sizes) == ops.CAPTURE_WINDOW, (
+        f"driver records max out at {max(sizes)} rows but "
+        f"CAPTURE_WINDOW={ops.CAPTURE_WINDOW}"
+    )
+
+    # the pinned block = leading queries() names that are NOT extension
+    # registry rows (hub_lineitem + 2 outputs + the rotating hub)
+    ext = set()
+    for m in ops._modules():
+        ext.update(m.queries())
+    names = list(e.queries())
+    lead = 0
+    while lead < len(names) and names[lead] not in ext:
+        lead += 1
+    assert lead == ops.PINNED_AHEAD, (
+        f"entry pins {lead} rows ahead of the extension registry but "
+        f"PINNED_AHEAD={ops.PINNED_AHEAD}"
+    )
+    assert names[:3] == [
+        "hub_lineitem",
+        "output_feature_customer",
+        "output_entity_union",
+    ]
+    assert names[3].startswith("hub_")
+
+
+def test_sq8_zero_vector_quantizes_deterministically(spark):
+    """An all-zero embedding must quantize to all-zero codes (not NaN ->
+    engine-dependent casts): the max-abs divisor is clamped to 1e-30
+    (round-9 advice)."""
+    import duckdb
+
+    from dataforge_core_spark.operators.similarity import DIM, _sq_exprs
+
+    zeros = ", ".join(["CAST(0.0 AS DOUBLE)"] * DIM)
+    max_abs, arr, scale = _sq_exprs("emb", "spark")
+    row = spark.sql(
+        f"SELECT {arr} AS code, {scale} AS scale_q FROM "
+        f"(SELECT emb, {max_abs} AS __m FROM "
+        f"(SELECT array({zeros}) AS emb))"
+    ).collect()[0]
+    assert list(row.code) == [0] * DIM
+    assert row.scale_q == 0
+
+    max_abs_d, arr_d, scale_d = _sq_exprs("emb", "duck")
+    con = duckdb.connect()
+    try:
+        code, scale_q = con.sql(
+            f"SELECT {arr_d} AS code, {scale_d} AS scale_q FROM "
+            f"(SELECT emb, {max_abs_d} AS __m FROM "
+            f"(SELECT [{zeros}] AS emb))"
+        ).fetchone()
+    finally:
+        con.close()
+    assert list(code) == [0] * DIM
+    assert scale_q == 0
+
+
+def test_tokenizer_null_text_keeps_a_row(spark):
+    """NULL text must tokenize identically on both engines (one empty
+    token via the shared COALESCE), so _token_base-derived lens never
+    silently drop a document the oracle keeps (round-9 advice)."""
+    import duckdb
+
+    from dataforge_core_spark.operators.dedup import (
+        _DUCK_TOKENS,
+        _SPARK_TOKENS,
+    )
+
+    rows = spark.sql(
+        f"SELECT size({_SPARK_TOKENS}) AS n FROM "
+        "(SELECT CAST(NULL AS STRING) AS text "
+        " UNION ALL SELECT '' UNION ALL SELECT 'a b')"
+    ).collect()
+    assert sorted(r.n for r in rows) == [1, 1, 2]
+
+    con = duckdb.connect()
+    try:
+        got = con.sql(
+            f"SELECT len({_DUCK_TOKENS}) AS n FROM "
+            "(SELECT CAST(NULL AS VARCHAR) AS text "
+            " UNION ALL SELECT '' UNION ALL SELECT 'a b')"
+        ).fetchall()
+    finally:
+        con.close()
+    assert sorted(n for (n,) in got) == [1, 1, 2]

@@ -573,3 +573,4 @@ def test_stream_dd_quantiles_matches_batch_referee(spark, sf_dir):
         assert r.n_events == sum(hist.values()), key
         assert r.est_p50_milli == read_q(hist, 50), key
         assert r.est_p90_milli == read_q(hist, 90), key
+        assert r.est_p99_milli == read_q(hist, 99), key

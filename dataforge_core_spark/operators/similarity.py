@@ -622,14 +622,80 @@ def _kmeans_assignments(spark: SparkSession, sf_dir: str) -> str:
         spark.sql(_centroid_literal_sql(cent)).createOrReplaceTempView(
             cview
         )
-        _kmeans_cache[key] = (name, cview)
+        # the collected centroid rows ride in the cache too: probe
+        # expressions can then be emitted as pure literal projections
+        # (no join at all — see _probe_cids_expr)
+        _kmeans_cache[key] = (name, cview, [
+            (int(r["cid"]), [float(x) for x in r["emb"]]) for r in cent
+        ])
     return _kmeans_cache[key][0]
 
 
 def _kmeans_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """(assignment view, final centroid view) for the IVF index."""
     _kmeans_assignments(spark, sf_dir)
-    return _kmeans_cache[(session_key(spark), sf_dir)]
+    return _kmeans_cache[(session_key(spark), sf_dir)][:2]
+
+
+def _kmeans_centroids(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, list[float]]]:
+    """Final (cid, components) centroid rows of the stored IVF index —
+    exact binary64 values (collect round-trips doubles bit-exactly)."""
+    _kmeans_assignments(spark, sf_dir)
+    return _kmeans_cache[(session_key(spark), sf_dir)][2]
+
+
+def _py_tree_dot(a: list[float], b: list[float]) -> float:
+    """Python replica of _unrolled_dot's balanced tree — same operand
+    order, same IEEE binary64 round-to-nearest ops, so the result is
+    bit-identical to the SQL expression over the same values."""
+    terms = [x * y for x, y in zip(a, b)]
+    while len(terms) > 1:
+        terms = [
+            terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
+
+
+def _lit_dot(a: str, vals: list[float], dialect: str) -> str:
+    """_unrolled_dot with the right operand inlined as exact double
+    literals (repr = shortest round-trip decimal; both engines parse it
+    correctly rounded, so the binary64 centroid survives exactly)."""
+    off = 0 if dialect == "spark" else 1
+    terms = [
+        f"({a}[{i + off}] * CAST({v!r} AS DOUBLE))"
+        for i, v in enumerate(vals)
+    ]
+    while len(terms) > 1:
+        terms = [
+            f"({terms[i]} + {terms[i + 1]})" if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
+
+
+def _probe_sorted_expr(
+    cent: list[tuple[int, list[float]]], emb: str
+) -> str:
+    """Spark expression: the K centroid cells as a (distance, cid)
+    struct array sorted nearest-first for ``emb`` — a PURE PROJECTION
+    over the K driver-side centroid literals (no join, no broadcast,
+    stays in the scan's codegen span); the caller picks its nprobe
+    cells off the front.
+
+    Distance key and tie-break are the assignment's exactly
+    (cc - 2*dot, then cid; cc is computed in Python with the same
+    balanced tree as the SQL self-dot, so it is the same binary64 the
+    oracle's inlined chain produces): the struct array sorts by
+    (d, c) lexicographically == ORDER BY dist ASC, cid ASC."""
+    structs = ", ".join(
+        f"named_struct('d', CAST({_py_tree_dot(v, v)!r} AS DOUBLE)"
+        f" - (2 * ({_lit_dot(emb, v, 'spark')})), 'c', {cid})"
+        for cid, v in cent
+    )
+    return f"array_sort(array({structs}))"
 
 
 def ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2489,6 +2555,11 @@ GROUP BY b.query_id
 # distribution — both branches of the flag execute end-to-end and the
 # per-source contamination rates are a live signal.
 SEM_DECON_THRESH_Q = 350_000
+SEM_DECON_NPROBE = 2
+# sentinel max_cos_q for documents with NO benchmark vector in any of
+# their probed cells: below every real quantized cosine (>= -1e6), so
+# the "never even close" case is distinguishable from a low score
+SEM_DECON_NO_CAND_Q = -2_000_000
 
 
 def ann_semantic_decontaminate(
@@ -2496,59 +2567,102 @@ def ann_semantic_decontaminate(
 ) -> DataFrame:
     """Embedding-space contamination screen — the PARAPHRASE-level
     complement of train_decontaminate_spans' n-gram membership check:
-    every corpus document's embedding is scored against the broadcast
-    benchmark set (vec_id < N_QUERIES stands in for the eval suite),
-    and a document whose max cosine reaches SEM_DECON_THRESH_Q is
-    flagged.  n-gram decontamination misses rewordings; embedding
+    every corpus document's embedding is scored against the benchmark
+    set (vec_id < N_QUERIES stands in for the eval suite) and a
+    document whose max cosine reaches SEM_DECON_THRESH_Q is flagged.
+    n-gram decontamination misses rewordings; embedding
     decontamination catches them — production pipelines run both.
+
+    IVF-PROBED (round-10 rebuild of the brute-force corpus x benchmark
+    scan): each corpus document probes its SEM_DECON_NPROBE nearest
+    cells of the stored k-means index and is scored ONLY against
+    benchmark vectors assigned to those cells — per-doc cost drops from
+    |benchmark| to ~|benchmark| * nprobe / K, the standard IVF recall
+    trade (a benchmark vector in an unprobed cell is missed; raise
+    nprobe to taste).  The probe assignment is a PURE PROJECTION over
+    the K driver-side centroid literals (_probe_sorted_expr — no cross
+    join, so NO BroadcastNestedLoopJoin anywhere in this plan, unlike
+    the ann_ivf_probe2 probe stage), and the cell match is a broadcast
+    equi-join on cid.  Documents with no benchmark vector in any probed
+    cell keep their row with the SEM_DECON_NO_CAND_Q sentinel.
 
     Cross-modal join: vec_id aligns 1:1 with doc_id in the corpus, so
     the flags attach back to the documents table for per-source
-    contamination rates.  Scale shape: benchmark side is broadcast
-    (eval-suite-sized, never corpus-sized), the per-doc max is a
-    map-side-combinable aggregate over the 8-way fanout, and the
-    doc attach is an equi join on the id (bucketable at 100 TB).
-    max_cos quantized FLOOR * 1e6 — identical IEEE expression trees on
-    both engines, full value-hash oracle."""
-    v = _normed(spark, sf_dir)
+    contamination rates.  Scale shape: the per-doc max is a
+    map-side-combinable aggregate over the nprobe-way fanout, the
+    benchmark cell table is broadcast (eval-suite-sized, never
+    corpus-sized), and the doc attach is an equi join on the id
+    (bucketable at 100 TB).  max_cos quantized FLOOR * 1e6 — identical
+    IEEE expression trees on both engines, full value-hash oracle (the
+    DuckDB oracle re-derives the same probed semantics off the inlined
+    Lloyd chain)."""
+    af = _kmeans_assignments(spark, sf_dir)
+    cent = _kmeans_centroids(spark, sf_dir)
+    sa = _probe_sorted_expr(cent, "emb")
+    picks = ", ".join(f"__sa[{j}].c" for j in range(SEM_DECON_NPROBE))
     cos = _spark_cosine("q.emb", "c.emb", "q.nrm", "c.nrm")
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
         "documents"
     )
     return spark.sql(
         f"""
-        WITH scored AS (
-          SELECT c.vec_id, MAX({cos}) AS max_cos
-          FROM (SELECT * FROM {v} WHERE vec_id < {N_QUERIES}) q
-          JOIN {v} c ON q.vec_id <> c.vec_id
+        WITH probed AS (
+          SELECT vec_id, emb, nrm, pcid FROM (
+            SELECT vec_id, emb, nrm, {sa} AS __sa FROM {af}
+          ) t LATERAL VIEW explode(array({picks})) p AS pcid
+        ),
+        scored AS (
+          SELECT /*+ BROADCAST(q) */ c.vec_id, MAX({cos}) AS max_cos
+          FROM probed c
+          JOIN (SELECT * FROM {af} WHERE vec_id < {N_QUERIES}) q
+            ON q.cid = c.pcid AND q.vec_id <> c.vec_id
           GROUP BY c.vec_id
         )
         SELECT d.doc_id, d.source,
-               CAST(FLOOR(s.max_cos * 1000000) AS BIGINT) AS max_cos_q,
+               CAST(COALESCE(FLOOR(s.max_cos * 1000000),
+                             {SEM_DECON_NO_CAND_Q}) AS BIGINT)
+                 AS max_cos_q,
                CAST(CASE WHEN FLOOR(s.max_cos * 1000000)
                               >= {SEM_DECON_THRESH_Q}
                     THEN 1 ELSE 0 END AS INT) AS contaminated
-        FROM scored s JOIN documents d ON d.doc_id = s.vec_id
+        FROM (SELECT vec_id FROM {af}) a
+        LEFT JOIN scored s ON s.vec_id = a.vec_id
+        JOIN documents d ON d.doc_id = a.vec_id
         """
     )
 
 
 def _semantic_decontaminate_oracle() -> str:
+    qdot = _unrolled_dot("a.emb", "c.emb", "duck")
     cos = _duck_cosine("q.emb", "c.emb", "q.nrm", "c.nrm")
     return f"""
 WITH {_duck_v_cte()},
+{_kmeans_ctes('v', 'duck')},
+afm AS MATERIALIZED (SELECT * FROM af),
+probed AS (
+  SELECT vec_id, emb, nrm, cid AS pcid FROM (
+    SELECT a.vec_id, a.emb, a.nrm, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                ORDER BY (c.cc - (2 * ({qdot}))) ASC, c.cid) AS rn
+    FROM afm a CROSS JOIN c{KMEANS_ITERS} c
+  ) t WHERE rn <= {SEM_DECON_NPROBE}
+),
 scored AS (
   SELECT c.vec_id, MAX({cos}) AS max_cos
-  FROM (SELECT * FROM v WHERE vec_id < {N_QUERIES}) q
-  JOIN v c ON q.vec_id <> c.vec_id
+  FROM probed c
+  JOIN (SELECT * FROM afm WHERE vec_id < {N_QUERIES}) q
+    ON q.cid = c.pcid AND q.vec_id <> c.vec_id
   GROUP BY c.vec_id
 )
 SELECT d.doc_id, d.source,
-       CAST(FLOOR(s.max_cos * 1000000) AS BIGINT) AS max_cos_q,
+       CAST(COALESCE(FLOOR(s.max_cos * 1000000),
+                     {SEM_DECON_NO_CAND_Q}) AS BIGINT) AS max_cos_q,
        CAST(CASE WHEN FLOOR(s.max_cos * 1000000)
                       >= {SEM_DECON_THRESH_Q}
             THEN 1 ELSE 0 END AS INTEGER) AS contaminated
-FROM scored s JOIN documents d ON d.doc_id = s.vec_id
+FROM (SELECT vec_id FROM afm) a
+LEFT JOIN scored s ON s.vec_id = a.vec_id
+JOIN documents d ON d.doc_id = a.vec_id
 """
 
 

@@ -201,9 +201,6 @@ _CARTESIAN_EXEMPT = {
     # (the recall eval embeds both the SQ and the exact side)
     "ann_sq_search",
     "ann_sq_recall",
-    # intentional: corpus scored against the broadcast benchmark set
-    # (eval-suite-sized, never corpus-sized) — same family
-    "ann_semantic_decontaminate",
     "ann_ivf_probe2",
     # same probe shape as ann_ivf_probe2: nprobe=2 assignment is a
     # broadcast cross join against the 8-row centroid literal
@@ -241,6 +238,23 @@ def test_no_cartesian_products_in_driver_queries(spark):
             assert "BroadcastNestedLoopJoin" not in plan, (
                 f"{name}: unexpected nested-loop join"
             )
+
+
+def test_semantic_decontaminate_is_probed_not_brute(spark):
+    """Round-10 rebuild gate: ann_semantic_decontaminate must ride the
+    IVF index — probe assignment as a literal projection (no
+    BroadcastNestedLoopJoin against the benchmark set anywhere) and the
+    benchmark cell match as a broadcast HASH equi-join.  A regression
+    to the corpus x full-benchmark scan reintroduces a per-doc cost
+    linear in |benchmark| (10^5+ prompts in a real eval suite)."""
+    import dataforge_core_spark.operators.similarity as S
+
+    df = S.ann_semantic_decontaminate(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, "full-bench NLJ is back"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, "bench cell match not broadcast"
+    assert "Generate" in plan, "probe fanout (explode) missing"
 
 
 def _walk_physical(node):

@@ -300,6 +300,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return all_queries()
 
 
+def queries_parameterized() -> dict[str, dict]:
+    """Per-query parameter dials, driver-visible (round-9 verdict item:
+    the fixed ``(spark, sf_dir)`` lane signature hides knobs like
+    nprobe/top-K behind module constants).  Additive to the core
+    contract — ``queries()``/``oracle_sql()`` are unchanged; a driver
+    that knows this entry can sweep the dials and still value-check
+    every setting, because each entry carries an ``oracle_sql``
+    BUILDER that accepts the same keyword parameters and emits the
+    matching DuckDB SQL.
+
+    Shape: name -> {
+      "fn":         Callable[[SparkSession, str], DataFrame] taking the
+                    dials as extra keyword arguments,
+      "params":     {dial: default} — accepted keywords and defaults,
+      "oracle_sql": Callable[..., str] taking the SAME keywords,
+    }
+
+    ``ann_ivf_probe2`` / ``ann_ivf_probe3_k5`` in ``queries()`` are the
+    driver-proven instantiations ((2, 10) and (3, 5));
+    tests/test_parameterized.py value-checks further settings through
+    this entry.
+    """
+    from dataforge_core_spark.operators import similarity as S
+
+    return {
+        "ann_ivf_search": {
+            "fn": S.ann_ivf_search,
+            "params": {"nprobe": 1, "top_k": S.TOP_K},
+            "oracle_sql": lambda nprobe=1, top_k=S.TOP_K: (
+                S._ivf_search_oracle(nprobe=nprobe, top_k=top_k)
+            ),
+        },
+        "ann_filtered_search": {
+            "fn": lambda spark, sf_dir, nprobe=2, top_k=S.TOP_K: (
+                S.ann_ivf_search(
+                    spark,
+                    sf_dir,
+                    nprobe=nprobe,
+                    top_k=top_k,
+                    corpus_filter="c.label % 2 = 0",
+                )
+            ),
+            "params": {"nprobe": 2, "top_k": S.TOP_K},
+            "oracle_sql": lambda nprobe=2, top_k=S.TOP_K: (
+                S._ivf_search_oracle(
+                    nprobe=nprobe,
+                    top_k=top_k,
+                    corpus_filter="c.label % 2 = 0",
+                )
+            ),
+        },
+    }
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles.  One WITH-block re-deriving every hub in ANSI SQL; each
 # oracle selects from it.  DuckDB prunes unreferenced CTEs.

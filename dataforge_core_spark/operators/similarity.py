@@ -729,6 +729,7 @@ def ann_ivf_search(
     sf_dir: str,
     nprobe: int = 1,
     corpus_filter: str | None = None,
+    top_k: int = TOP_K,
 ) -> DataFrame:
     """IVF search with a configurable probe count — THE recall dial of
     an IVF index.  Each query probes its ``nprobe`` nearest centroid
@@ -738,9 +739,16 @@ def ann_ivf_search(
     corpus vector lives in exactly one cell, so probing distinct cells
     can never produce duplicate pairs.  nprobe=1 short-circuits the
     probe stage entirely (a vector's nearest centroid IS its assigned
-    cell, so the assignment column already holds the answer)."""
+    cell, so the assignment column already holds the answer).
+
+    ``nprobe``/``top_k`` are the DRIVER-VISIBLE dials of the
+    parameterized contract (__spark_entry__.queries_parameterized);
+    ann_ivf_probe2 / ann_ivf_probe3_k5 are the driver-proven
+    instantiations."""
     if nprobe < 1 or nprobe > KMEANS_K:
         raise ValueError(f"nprobe must be in [1, {KMEANS_K}]")
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
     af, cv = _kmeans_index(spark, sf_dir)
     cos = _spark_cosine("q.emb", "c.emb", "q.nrm", "c.nrm")
     cf = f" AND ({corpus_filter})" if corpus_filter else ""
@@ -772,7 +780,7 @@ def ann_ivf_search(
           FROM scored
         )
         SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id
-        FROM ranked WHERE rank <= {TOP_K}
+        FROM ranked WHERE rank <= {top_k}
         """
     )
 
@@ -791,26 +799,38 @@ def ann_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _filtered_search_oracle() -> str:
+def _ivf_search_oracle(
+    nprobe: int = 1,
+    top_k: int = TOP_K,
+    corpus_filter: str | None = None,
+) -> str:
+    """DuckDB oracle builder mirroring :func:`ann_ivf_search` for ANY
+    (nprobe, top_k, corpus_filter) — the oracle side of the
+    parameterized driver contract.  The probe CTE runs the rn <=
+    nprobe form for every nprobe (for nprobe=1 the rank-1 pick IS the
+    assigned cell, bit-identically, so it matches Spark's
+    short-circuit)."""
     qdot = _unrolled_dot("a.emb", "c.emb", "duck")
     cos = _duck_cosine("q.emb", "c.emb", "q.nrm", "c.nrm")
+    cf = f" AND ({corpus_filter})" if corpus_filter else ""
     return f"""
 WITH {_duck_v_cte()},
 {_kmeans_ctes('v', 'duck')},
+afm AS MATERIALIZED (SELECT * FROM af),
 qp AS (
   SELECT vec_id, emb, nrm, cid FROM (
     SELECT a.vec_id, a.emb, a.nrm, c.cid,
            ROW_NUMBER() OVER (PARTITION BY a.vec_id
                 ORDER BY (c.cc - (2 * ({qdot}))) ASC, c.cid) AS rn
-    FROM (SELECT * FROM af WHERE vec_id < {N_QUERIES}) a
+    FROM (SELECT * FROM afm WHERE vec_id < {N_QUERIES}) a
     CROSS JOIN c{KMEANS_ITERS} c
-  ) t WHERE rn <= 2
+  ) t WHERE rn <= {nprobe}
 ),
 scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          {cos} AS score
-  FROM qp q JOIN af c ON q.cid = c.cid AND c.cellrn <= {IVF_CELL_CAP}
-   AND q.vec_id <> c.vec_id AND (c.label % 2 = 0)
+  FROM qp q JOIN afm c ON q.cid = c.cid AND c.cellrn <= {IVF_CELL_CAP}
+   AND q.vec_id <> c.vec_id{cf}
 ),
 ranked AS (
   SELECT query_id, neighbor_id,
@@ -819,8 +839,14 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, rank, neighbor_id FROM ranked
-WHERE rank <= {TOP_K}
+WHERE rank <= {top_k}
 """
+
+
+def _filtered_search_oracle() -> str:
+    return _ivf_search_oracle(
+        nprobe=2, top_k=TOP_K, corpus_filter="c.label % 2 = 0"
+    )
 
 
 def ann_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -830,34 +856,20 @@ def ann_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_probe2_oracle() -> str:
-    qdot = _unrolled_dot("a.emb", "c.emb", "duck")
-    cos = _duck_cosine("q.emb", "c.emb", "q.nrm", "c.nrm")
-    return f"""
-WITH {_duck_v_cte()},
-{_kmeans_ctes('v', 'duck')},
-qp AS (
-  SELECT vec_id, emb, nrm, cid FROM (
-    SELECT a.vec_id, a.emb, a.nrm, c.cid,
-           ROW_NUMBER() OVER (PARTITION BY a.vec_id
-                ORDER BY (c.cc - (2 * ({qdot}))) ASC, c.cid) AS rn
-    FROM (SELECT * FROM af WHERE vec_id < {N_QUERIES}) a
-    CROSS JOIN c{KMEANS_ITERS} c
-  ) t WHERE rn <= 2
-),
-scored AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         {cos} AS score
-  FROM qp q JOIN af c ON q.cid = c.cid AND c.cellrn <= {IVF_CELL_CAP} AND q.vec_id <> c.vec_id
-),
-ranked AS (
-  SELECT query_id, neighbor_id,
-         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-              ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
-  FROM scored
-)
-SELECT query_id, rank, neighbor_id FROM ranked
-WHERE rank <= {TOP_K}
-"""
+    return _ivf_search_oracle(nprobe=2, top_k=TOP_K)
+
+
+def ann_ivf_probe3_k5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search at nprobe=3 / top_k=5 — the driver-proven row for the
+    PARAMETERIZED contract (__spark_entry__.queries_parameterized):
+    both dials off their defaults, value-hashed against the oracle
+    builder's SQL at the same settings, so the dials are demonstrably
+    live end-to-end rather than compile-time constants."""
+    return ann_ivf_search(spark, sf_dir, nprobe=3, top_k=5)
+
+
+def _ivf_probe3_k5_oracle() -> str:
+    return _ivf_search_oracle(nprobe=3, top_k=5)
 
 
 def _ivf_kmeans_oracle() -> str:
@@ -2810,6 +2822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_label": ann_ivf_label,
         "ann_ivf_kmeans": ann_ivf_kmeans,
         "ann_ivf_probe2": ann_ivf_probe2,
+        "ann_ivf_probe3_k5": ann_ivf_probe3_k5,
         "ann_lsh_hyperplane": ann_lsh_hyperplane,
         "ann_rerank": ann_rerank,
         "dedup_embedding": dedup_embedding,
@@ -2845,6 +2858,7 @@ def oracles() -> dict[str, str]:
         "ann_ivf_label": _ivf_oracle(),
         "ann_ivf_kmeans": _ivf_kmeans_oracle(),
         "ann_ivf_probe2": _ivf_probe2_oracle(),
+        "ann_ivf_probe3_k5": _ivf_probe3_k5_oracle(),
         "ann_lsh_hyperplane": _lsh_oracle(),
         "ann_rerank": _rerank_oracle(),
         "dedup_embedding": _dedup_embedding_oracle(),

@@ -1,0 +1,84 @@
+"""Parameterized driver contract (__spark_entry__.queries_parameterized):
+every entry's dials must be LIVE — running the fn at a non-default
+setting and the oracle builder at the same setting must value-match,
+the same Spark-vs-DuckDB protocol as tests/test_oracle.py."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.test_oracle import _normalize_rows, _oracle_run
+
+SF = "/root/testdata/sf0.001"
+
+
+def _entry():
+    import __spark_entry__ as e
+
+    return e
+
+
+def test_contract_shape():
+    pq = _entry().queries_parameterized()
+    assert "ann_ivf_search" in pq
+    for name, spec in pq.items():
+        assert set(spec) == {"fn", "params", "oracle_sql"}, name
+        assert spec["params"], f"{name}: no dials declared"
+        # the builder must accept every declared dial at its default
+        sql = spec["oracle_sql"](**spec["params"])
+        assert isinstance(sql, str) and "SELECT" in sql, name
+
+
+@pytest.mark.parametrize(
+    "name,params",
+    [
+        ("ann_ivf_search", {"nprobe": 3, "top_k": 5}),
+        ("ann_ivf_search", {"nprobe": 4, "top_k": 3}),
+        ("ann_ivf_search", {"nprobe": 1, "top_k": 7}),
+        ("ann_filtered_search", {"nprobe": 3, "top_k": 4}),
+    ],
+)
+def test_dials_are_live(name, params, spark):
+    spec = _entry().queries_parameterized()[name]
+    sdf = spec["fn"](spark, SF, **params)
+    spark_cols = list(sdf.columns)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    # top_k must actually bind: no query may exceed it
+    per_q = {}
+    for r in spark_rows:
+        per_q[r[0]] = per_q.get(r[0], 0) + 1
+    assert max(per_q.values()) <= params["top_k"]
+
+    sql = spec["oracle_sql"](**params)
+
+    def _fetch(con):
+        res = con.execute(sql)
+        return [d[0] for d in res.description], res.fetchall()
+
+    duck_cols, duck_rows = _oracle_run(SF, _fetch)
+    assert sorted(spark_cols) == sorted(duck_cols)
+    assert len(spark_rows) == len(duck_rows)
+    cols, s_norm = _normalize_rows(spark_cols, spark_rows)
+    _, d_norm = _normalize_rows(duck_cols, duck_rows)
+    mism = [x for x in zip(s_norm, d_norm) if x[0] != x[1]]
+    assert not mism, f"{name}{params}: {len(mism)} row mismatches"
+
+
+def test_nprobe_widens_candidates(spark):
+    """Monotonicity: a higher nprobe can only improve agreement with
+    brute force (more cells scanned => recall non-decreasing)."""
+    import dataforge_core_spark.operators.similarity as S
+
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_bruteforce(spark, SF).collect()
+    }
+    rec = []
+    for nprobe in (1, 4, 8):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in S.ann_ivf_search(spark, SF, nprobe=nprobe).collect()
+        }
+        rec.append(len(got & brute) / len(brute))
+    assert rec[0] <= rec[1] <= rec[2]
+    assert rec[2] == 1.0  # nprobe=K scans every cell == exact

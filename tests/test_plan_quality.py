@@ -202,8 +202,9 @@ _CARTESIAN_EXEMPT = {
     "ann_sq_search",
     "ann_sq_recall",
     "ann_ivf_probe2",
-    # same probe shape as ann_ivf_probe2: nprobe=2 assignment is a
+    # same probe shape as ann_ivf_probe2: nprobe>1 assignment is a
     # broadcast cross join against the 8-row centroid literal
+    "ann_ivf_probe3_k5",
     "ann_filtered_search",
     "ann_recall_eval",
     # intentional: PQ codebook is a PQ_K-row broadcast relation, and the

@@ -583,13 +583,111 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens (over_ppm >= 0 always — the CMS one-sided guarantee).
     Served from the checkpointed matrix + top-token views."""
     mname, tname = _cms_views(spark, sf_dir)
+    return spark.sql(_cms_probe_sql(mname, tname))
+
+
+_CMS_ORACLE = _cms_oracle_sql()
+
+
+_KMV_JACCARD_ORACLE = _kmv_jaccard_sql("duck")
+
+
+# ---------------------------------------------------------------------------
+# Sketch accuracy eval — the acceptance artifact a deployment reads
+# before trusting the sketches (round-9 verdict item #6): one frame
+# reporting estimate-vs-exact error for ALL THREE sketch families on
+# the same corpus, integer-exact so the DuckDB oracle value-hashes it.
+#   kmv : per-scope distinct-token estimate vs exact COUNT(DISTINCT)
+#   dd  : per-scope p50/p90/p99 bucket lower bound vs the exact
+#         nearest-rank percentile (same 1 + (q*(n-1)) DIV 100 rank)
+#   cms : top-CMS_TOP token count estimates vs exact counts
+# err_ppm = 1e6 * |est - exact| / exact, floored — comparable across
+# rows; the one-sided/bounded-error guarantees are pinned separately in
+# tests/test_sketch_properties.py.
+# ---------------------------------------------------------------------------
+
+
+def _dd_exact_sql(dialect: str) -> str:
+    """Exact nearest-rank percentiles of the DD lane's value stream,
+    same scopes (event_type + __all__), same rank convention."""
+    idiv = "DIV" if dialect == "spark" else "//"
+    ev = (
+        "SELECT event_type, CAST(FLOOR(value * 1000) AS BIGINT) AS m "
+        "FROM events WHERE value IS NOT NULL AND value >= 0"
+    )
+    picks = ", ".join(
+        f"MIN(CASE WHEN cum >= 1 + ({q} * (n - 1)) {idiv} 100 THEN m END)"
+        f" AS exact_p{q}"
+        for q in (50, 90, 99)
+    )
+    return f"""
+SELECT scope, {picks} FROM (
+  SELECT scope, m,
+         SUM(c) OVER (PARTITION BY scope ORDER BY m) AS cum,
+         SUM(c) OVER (PARTITION BY scope) AS n
+  FROM (
+    SELECT event_type AS scope, m, COUNT(*) AS c
+    FROM ({ev}) e1 GROUP BY event_type, m
+    UNION ALL
+    SELECT '__all__' AS scope, m, COUNT(*) AS c
+    FROM ({ev}) e2 GROUP BY m
+  ) g
+) r GROUP BY scope
+"""
+
+
+def _accuracy_sql(dialect: str, kmv_src: str, cms_src: str) -> str:
+    """The unified eval statement; ``kmv_src``/``cms_src`` are the
+    dialect's full kmv / cms-probe statements (Spark serves both from
+    checkpointed index views; DuckDB re-derives them inline)."""
+    idiv = "DIV" if dialect == "spark" else "//"
+    if dialect == "spark":
+        fan = (
+            "LATERAL VIEW explode(array('p50_milli', 'p90_milli',"
+            " 'p99_milli')) f AS metric"
+        )
+    else:
+        fan = (
+            ", unnest(['p50_milli', 'p90_milli', 'p99_milli'])"
+            " AS f(metric)"
+        )
+    return f"""
+SELECT sketch, scope, metric, est, exact,
+       ABS(est - exact) AS abs_err,
+       CAST((1000000 * ABS(est - exact)) {idiv} GREATEST(exact, 1)
+         AS BIGINT) AS err_ppm
+FROM (
+  SELECT 'kmv' AS sketch, scope, 'distinct_tokens' AS metric,
+         kmv_est AS est, n_exact AS exact
+  FROM ({kmv_src}) kv
+  UNION ALL
+  SELECT 'dd' AS sketch, db.scope, metric,
+         CASE metric WHEN 'p50_milli' THEN db.est_p50_milli
+                     WHEN 'p90_milli' THEN db.est_p90_milli
+                     ELSE db.est_p99_milli END AS est,
+         CASE metric WHEN 'p50_milli' THEN dx.exact_p50
+                     WHEN 'p90_milli' THEN dx.exact_p90
+                     ELSE dx.exact_p99 END AS exact
+  FROM ({_dd_sql(dialect)}) db
+  JOIN ({_dd_exact_sql(dialect)}) dx ON db.scope = dx.scope
+  {fan}
+  UNION ALL
+  SELECT 'cms' AS sketch, tok AS scope, 'token_count' AS metric,
+         cms_est AS est, exact_cnt AS exact
+  FROM ({cms_src}) cm
+) u
+"""
+
+
+def _cms_probe_sql(mname: str, tname: str) -> str:
+    """Spark-side CMS probe off the checkpointed matrix/top views
+    (shared by sketch_cms_heavy_hitters and the accuracy eval)."""
     w = CMS_W
     h = (
         "CAST(conv(substr(md5(concat(CAST(r AS STRING), ':', tok)), "
         f"1, 14), 16, 10) AS BIGINT) % {w}"
     )
-    return spark.sql(
-        f"""
+    return f"""
         WITH probes AS (
           SELECT t.tok, t.cnt AS exact_cnt, c.cnt AS row_cnt
           FROM (
@@ -603,14 +701,33 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST((1000000 * (MIN(row_cnt) - exact_cnt)) DIV exact_cnt
                  AS BIGINT) AS over_ppm
         FROM probes GROUP BY tok, exact_cnt
-        """
+    """
+
+
+def sketch_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate-vs-exact error for the kmv/dd/cms sketches on the same
+    corpus, one integer-exact row per (sketch, scope, metric) — the
+    sketch counterpart of ann_recall_eval / dedup_minhash_accuracy.
+    Served from the same checkpointed indexes as the individual lanes
+    (shingle-universe toks view, CMS matrix + top views); only the DD
+    block re-scans events (est + exact sides)."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView(
+        "events"
+    )
+    toks = _toks_view(spark, sf_dir)
+    mname, tname = _cms_views(spark, sf_dir)
+    return spark.sql(
+        _accuracy_sql(
+            "spark",
+            _kmv_sql("spark", f"SELECT source, h FROM {toks}"),
+            _cms_probe_sql(mname, tname),
+        )
     )
 
 
-_CMS_ORACLE = _cms_oracle_sql()
-
-
-_KMV_JACCARD_ORACLE = _kmv_jaccard_sql("duck")
+_ACCURACY_ORACLE = _accuracy_sql(
+    "duck", _kmv_sql("duck"), _cms_oracle_sql()
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -620,6 +737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_sample_quantiles": sketch_sample_quantiles,
         "sketch_dd_quantiles": sketch_dd_quantiles,
         "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
+        "sketch_accuracy_eval": sketch_accuracy_eval,
     }
 
 
@@ -630,4 +748,5 @@ def oracles() -> dict[str, str]:
         "sketch_sample_quantiles": _SAMPLE_QUANTILES_ORACLE,
         "sketch_dd_quantiles": _DD_ORACLE,
         "sketch_cms_heavy_hitters": _CMS_ORACLE,
+        "sketch_accuracy_eval": _ACCURACY_ORACLE,
     }

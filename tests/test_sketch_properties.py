@@ -120,3 +120,35 @@ def test_cms_merge_and_one_sided(rows):
     for tok, cnt in exact.items():
         est = min(global_m[(r, bucket(r, tok))] for r in range(d))
         assert est >= cnt
+
+
+def test_accuracy_eval_error_bounds(spark):
+    """sketch_accuracy_eval rows must honor each family's guarantee on
+    real data: DD quantile lower bounds never overshoot and sit within
+    the 2^(1-HIST_S) relative band; CMS never undercounts; every row's
+    abs_err/err_ppm are consistent with (est, exact)."""
+    import dataforge_core_spark.operators.sketches as SK
+
+    rows = SK.sketch_accuracy_eval(spark, "/root/testdata/sf0.001").collect()
+    assert {r.sketch for r in rows} == {"kmv", "dd", "cms"}
+    for r in rows:
+        assert r.abs_err == abs(r.est - r.exact), r
+        assert r.err_ppm == (1000000 * r.abs_err) // max(r.exact, 1), r
+        if r.sketch == "dd":
+            assert r.est <= r.exact, r
+            # bucket width w <= m * 2^(1-s): est==exact below 2^s
+            assert r.est == r.exact or (r.exact - r.est) * (
+                1 << (SK.HIST_S - 1)
+            ) < r.exact, r
+        elif r.sketch == "cms":
+            assert r.est >= r.exact, r
+    # dd covers all three percentiles for every scope
+    dd_scopes = {}
+    for r in rows:
+        if r.sketch == "dd":
+            dd_scopes.setdefault(r.scope, set()).add(r.metric)
+    assert "__all__" in dd_scopes
+    assert all(
+        v == {"p50_milli", "p90_milli", "p99_milli"}
+        for v in dd_scopes.values()
+    )

@@ -132,7 +132,10 @@ def _clear_operator_caches(spark) -> None:
     for df in dedup._tokbase_cache.values():
         free_local_checkpoint(df)
     dedup._tokbase_cache.clear()
-    for cache in (dedup._ex_cache, dedup._pairs_cache, simhash._sig_cache):
+    for df in dedup._ex_cache.values():
+        free_local_checkpoint(df)
+    dedup._ex_cache.clear()
+    for cache in (dedup._pairs_cache, simhash._sig_cache):
         for df in cache.values():
             try:
                 df.unpersist()

@@ -181,11 +181,17 @@ def _ex_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
             F.lead("tk", 2).over(w).isNotNull().alias("ok"),
         )
+        # localCheckpoint, NOT lazy persist (r10): with persist, the
+        # window-over-token-base re-derivation leaked into consumers on
+        # cache-plan mismatches — train_contamination measured 0.86s
+        # persist vs 0.44s checkpointed at sf0.1 warm; the checkpoint
+        # truncates lineage to the materialized blocks so every consumer
+        # is a LogicalRDD scan (same rule as _normed / _token_base)
         ex = (
             sh.filter("ok")
             .selectExpr("doc_id", f"{_SPARK_H} AS s")
             .distinct()
-            .persist()
+            .localCheckpoint(eager=True)
         )
         _ex_cache[key] = ex
     return _ex_cache[key]

@@ -264,19 +264,16 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ("hub_customer", "tpch_customer"),
         ("hub_part", "tpch_part"),
     )
-    # One relegated hub rotates into the capture window per round (the
-    # STALEST by latest driver-recorded round), so the simple-hub §2
-    # rows get periodically re-proven instead of riding on their r2-r5
-    # records forever — the hub-family counterpart of the extension
-    # registry's ROTATION_SLOTS policy (operators/__init__.py).
-    from dataforge_core_spark.operators import _latest_records
+    # Stale relegated hubs rotate into the capture window (every hub
+    # whose driver record is >= 2 rounds old — operators.stale_hubs,
+    # the hub-family counterpart of the extension registry's dynamic
+    # veteran slots), so the simple-hub §2 rows get periodically
+    # re-proven instead of riding on their old records forever.
+    from dataforge_core_spark.operators import stale_hubs
 
-    latest = _latest_records()
-    stale_hub = min(
-        relegated_hubs,
-        key=lambda nt: (latest.get(nt[0], (0, {}))[0], nt[0]),
-    )
-    q[stale_hub[0]] = _hub(stale_hub[1])
+    tbl = dict(relegated_hubs)
+    for name in stale_hubs():
+        q[name] = _hub(tbl[name])
     q.update(extension_queries())
     for name, tbl in relegated_hubs:
         q.setdefault(name, _hub(tbl))

@@ -153,7 +153,7 @@ def _max_recorded_round() -> int:
 # r6 for the rest of the project).  Each round the veterans with the
 # OLDEST latest-recorded round are hoisted right after the unproven
 # block.  The slot count is DYNAMIC (the r8 verdict item): the window
-# holds CAPTURE_WINDOW rows of which PINNED_AHEAD are the entry
+# holds CAPTURE_WINDOW rows of which pinned_ahead() are the entry
 # contract's pinned rows (hub_lineitem + 2 outputs + the rotating
 # hub), so whatever the unproven block doesn't use goes to stale
 # veterans — with zero unproven lanes that's ~46 refreshed per round
@@ -163,7 +163,39 @@ def _max_recorded_round() -> int:
 # floor so at least some refresh happens even in heavy-add rounds.
 ROTATION_SLOTS = 6
 CAPTURE_WINDOW = 50
-PINNED_AHEAD = 4
+
+# The six simple hubs the entry module relegates past the extension
+# registry (transitively exercised by hub_lineitem every round).
+HUB_POOL = (
+    "hub_region",
+    "hub_nation",
+    "hub_supplier",
+    "hub_orders",
+    "hub_customer",
+    "hub_part",
+)
+
+
+def stale_hubs() -> list[str]:
+    """Relegated hubs to hoist INTO the capture window this round:
+    every hub whose latest driver record is >= 2 rounds stale (so no
+    hub's evidence ever ages past that), floor of one (the stalest) so
+    the hub family keeps refreshing even when all are near-fresh.
+    Round-10 change: the previous one-hub-per-round rotation left three
+    hubs riding r6 records while the rest of the registry re-proved —
+    the staleness rule replaces the fixed count."""
+    latest = _latest_records()
+    mx = _max_recorded_round()
+    pool = sorted(HUB_POOL, key=lambda n: (latest.get(n, (0, {}))[0], n))
+    out = [n for n in pool if latest.get(n, (0, {}))[0] <= mx - 2]
+    return out or pool[:1]
+
+
+def pinned_ahead() -> int:
+    """Entry rows ordered ahead of the extension registry: the three
+    deep pipeline rows (hub_lineitem + 2 outputs) plus this round's
+    hoisted stale hubs — derived, not duplicated (round-9 advice)."""
+    return 3 + len(stale_hubs())
 
 
 def _merge(items: dict) -> dict:
@@ -181,7 +213,7 @@ def _merge(items: dict) -> dict:
         for k, v in items.items()
         if k not in recorded and k not in deferred
     }
-    slots = max(ROTATION_SLOTS, CAPTURE_WINDOW - PINNED_AHEAD - len(fresh))
+    slots = max(ROTATION_SLOTS, CAPTURE_WINDOW - pinned_ahead() - len(fresh))
     stale_vets = sorted(
         (k for k in items if k in recorded),
         key=lambda k: (latest[k][0], k),

@@ -231,6 +231,16 @@ def _token_base(spark: SparkSession, sf_dir: str):
     return _tokbase_cache[key]
 
 
+def _token_base_view(spark: SparkSession, sf_dir: str) -> str:
+    """Temp-view name over the checkpointed token base (one per
+    session/sf) — for SQL-text consumers (simhash, CMS, the explode-
+    shaped text lanes)."""
+    key = (session_key(spark), sf_dir)
+    name = f"token_base_{abs(hash(key)) % 10**8}"
+    _token_base(spark, sf_dir).createOrReplaceTempView(name)
+    return name
+
+
 def _jaccard_verify(ex: DataFrame, cand: DataFrame) -> DataFrame:
     """Exact Jaccard for candidate (doc_a, doc_b) pairs from the distinct
     shingle relation ex(doc_id, s).

@@ -30,8 +30,20 @@ def _view(spark: SparkSession, sf_dir: str) -> None:
     )
 
 
-_SPARK_TOK = "split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' ')"
-_DUCK_TOK = "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+# COALESCE(text, '') for the same reason as dedup._SPARK_NORM (round-9
+# advice): NULL text must tokenize identically on both engines (one
+# empty token), and it makes this tokenizer EXACTLY split(_SPARK_NORM)
+# — the precondition for serving the explode-shaped text lanes from
+# dedup's checkpointed token base (pinned by
+# test_text_tokenizer_matches_token_base).
+_SPARK_TOK = (
+    "split(lower(trim(regexp_replace(coalesce(text, ''),"
+    " '\\\\s+', ' '))), ' ')"
+)
+_DUCK_TOK = (
+    "string_split(lower(trim(regexp_replace(coalesce(text, ''),"
+    " '\\s+', ' ', 'g'))), ' ')"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -252,8 +264,13 @@ FROM t
 _LM_SCALE = _QL_SCALE
 
 
-def _bigram_lm_sql(dialect: str) -> str:
+def _bigram_lm_sql(dialect: str, bg_src: str | None = None) -> str:
     """Add-one bigram LM score, all-integer output.
+
+    ``bg_src``: optional (doc_id, w1, w2) relation SQL — the Spark lane
+    passes a lead-window over the checkpointed token base (identical
+    rows to the inline element_at fanout; adjacent (pos, pos+1) token
+    pairs per doc); the DuckDB oracle always re-derives inline.
 
     The per-bigram score is s = qlog2(c+1) - qlog2(cu+V) — the
     quantized log of the smoothed conditional probability, built
@@ -269,6 +286,8 @@ def _bigram_lm_sql(dialect: str) -> str:
           FROM t LATERAL VIEW explode(sequence(1, size(tok) - 1)) s AS i
           WHERE size(tok) >= 2
         """
+        if bg_src is not None:
+            bg = bg_src
     else:
         t = f"SELECT doc_id, {_DUCK_TOK} AS tok FROM documents"
         bg = """
@@ -300,9 +319,24 @@ GROUP BY d.doc_id
 
 
 def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document summed quantized log2 bigram probability (corpus LM)."""
-    _view(spark, sf_dir)
-    return spark.sql(_bigram_lm_sql("spark"))
+    """Per-document summed quantized log2 bigram probability (corpus
+    LM).  The bigram stream comes off the shared checkpointed token
+    base (lead window over (doc_id, pos)) instead of three
+    scan+split+explode re-evaluations of the inline CTE — 1.30 -> 0.92s
+    warm at sf0.1 (interleaved medians, r10); the dbg/model joins
+    remain the dominant cost (see ROADMAP — dictionary encoding
+    measured and rejected twice)."""
+    from dataforge_core_spark.operators.dedup import _token_base_view
+
+    _view(spark, sf_dir)  # the (pruned) t CTE still resolves documents
+    tb = _token_base_view(spark, sf_dir)
+    bg = f"""
+          SELECT doc_id, w1, w2 FROM (
+            SELECT doc_id, tk AS w1,
+                   LEAD(tk) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+            FROM {tb}) x WHERE w2 IS NOT NULL
+        """
+    return spark.sql(_bigram_lm_sql("spark", bg))
 
 
 _BIGRAM_LM_ORACLE = _bigram_lm_sql("duck")
@@ -322,9 +356,16 @@ _BIGRAM_LM_ORACLE = _bigram_lm_sql("duck")
 # ---------------------------------------------------------------------------
 
 
-def _entropy_sql(dialect: str) -> str:
+def _entropy_sql(dialect: str, flat_src: str | None = None) -> str:
+    """``flat_src``: optional (doc_id, term) relation SQL — the Spark
+    lane passes the checkpointed token base (identical rows to the
+    inline explode: the base IS posexplode(split(_SPARK_NORM)) and
+    _SPARK_TOK == split(_SPARK_NORM), tokenizer-parity-tested); the
+    DuckDB oracle always re-derives inline."""
     if dialect == "spark":
-        flat = f"SELECT doc_id, explode({_SPARK_TOK}) AS term FROM documents"
+        flat = flat_src or (
+            f"SELECT doc_id, explode({_SPARK_TOK}) AS term FROM documents"
+        )
         idiv = "DIV"
     else:
         flat = f"SELECT doc_id, unnest({_DUCK_TOK}) AS term FROM documents"
@@ -346,9 +387,17 @@ FROM agg
 
 
 def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document token entropy (milli-bits), quantized-log construction."""
-    _view(spark, sf_dir)
-    return spark.sql(_entropy_sql("spark"))
+    """Per-document token entropy (milli-bits), quantized-log
+    construction.  Served from the shared checkpointed token base —
+    at 100 TB the tokenize pass is already paid by the index phase, and
+    at sf0.1 the lane measured 0.78 -> 0.54s warm (interleaved medians,
+    r10)."""
+    from dataforge_core_spark.operators.dedup import _token_base_view
+
+    tb = _token_base_view(spark, sf_dir)
+    return spark.sql(
+        _entropy_sql("spark", f"SELECT doc_id, tk AS term FROM {tb}")
+    )
 
 
 _ENTROPY_ORACLE = _entropy_sql("duck")

@@ -519,10 +519,11 @@ def test_capture_window_constants_tied_to_authority():
     lead = 0
     while lead < len(names) and names[lead] not in ext:
         lead += 1
-    assert lead == ops.PINNED_AHEAD, (
+    assert lead == ops.pinned_ahead(), (
         f"entry pins {lead} rows ahead of the extension registry but "
-        f"PINNED_AHEAD={ops.PINNED_AHEAD}"
+        f"pinned_ahead()={ops.pinned_ahead()}"
     )
+    assert set(names[3:lead]) == set(ops.stale_hubs())
     assert names[:3] == [
         "hub_lineitem",
         "output_feature_customer",
@@ -591,3 +592,17 @@ def test_tokenizer_null_text_keeps_a_row(spark):
     finally:
         con.close()
     assert sorted(n for (n,) in got) == [1, 1, 2]
+
+
+def test_text_tokenizer_matches_token_base():
+    """text._SPARK_TOK / _DUCK_TOK must stay EXACTLY split(dedup's
+    shared normalization): text_entropy / text_bigram_lm serve their
+    token streams from dedup's checkpointed token base, which is
+    posexplode(split(_SPARK_NORM)) — a drift between the two families'
+    normalizations would silently change those lanes' semantics."""
+    from dataforge_core_spark.operators import dedup, text
+
+    assert text._SPARK_TOK == f"split({dedup._SPARK_NORM}, ' ')"
+    assert text._DUCK_TOK == f"string_split({dedup._DUCK_NORM}, ' ')"
+    assert dedup._SPARK_TOKENS == text._SPARK_TOK
+    assert dedup._DUCK_TOKENS == text._DUCK_TOK

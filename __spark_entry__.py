@@ -329,6 +329,18 @@ def queries_parameterized() -> dict[str, dict]:
                 S._ivf_search_oracle(nprobe=nprobe, top_k=top_k)
             ),
         },
+        "ann_semantic_decontaminate": {
+            "fn": S.ann_semantic_decontaminate,
+            "params": {
+                "nprobe": S.SEM_DECON_NPROBE,
+                "thresh_q": S.SEM_DECON_THRESH_Q,
+            },
+            "oracle_sql": lambda nprobe=S.SEM_DECON_NPROBE, thresh_q=(
+                S.SEM_DECON_THRESH_Q
+            ): S._semantic_decontaminate_oracle(
+                nprobe=nprobe, thresh_q=thresh_q
+            ),
+        },
         "ann_filtered_search": {
             "fn": lambda spark, sf_dir, nprobe=2, top_k=S.TOP_K: (
                 S.ann_ivf_search(

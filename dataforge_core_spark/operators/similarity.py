@@ -2575,7 +2575,10 @@ SEM_DECON_NO_CAND_Q = -2_000_000
 
 
 def ann_semantic_decontaminate(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = SEM_DECON_NPROBE,
+    thresh_q: int = SEM_DECON_THRESH_Q,
 ) -> DataFrame:
     """Embedding-space contamination screen — the PARAPHRASE-level
     complement of train_decontaminate_spans' n-gram membership check:
@@ -2608,10 +2611,12 @@ def ann_semantic_decontaminate(
     IEEE expression trees on both engines, full value-hash oracle (the
     DuckDB oracle re-derives the same probed semantics off the inlined
     Lloyd chain)."""
+    if nprobe < 1 or nprobe > KMEANS_K:
+        raise ValueError(f"nprobe must be in [1, {KMEANS_K}]")
     af = _kmeans_assignments(spark, sf_dir)
     cent = _kmeans_centroids(spark, sf_dir)
     sa = _probe_sorted_expr(cent, "emb")
-    picks = ", ".join(f"__sa[{j}].c" for j in range(SEM_DECON_NPROBE))
+    picks = ", ".join(f"__sa[{j}].c" for j in range(nprobe))
     cos = _spark_cosine("q.emb", "c.emb", "q.nrm", "c.nrm")
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
         "documents"
@@ -2635,7 +2640,7 @@ def ann_semantic_decontaminate(
                              {SEM_DECON_NO_CAND_Q}) AS BIGINT)
                  AS max_cos_q,
                CAST(CASE WHEN FLOOR(s.max_cos * 1000000)
-                              >= {SEM_DECON_THRESH_Q}
+                              >= {thresh_q}
                     THEN 1 ELSE 0 END AS INT) AS contaminated
         FROM (SELECT vec_id FROM {af}) a
         LEFT JOIN scored s ON s.vec_id = a.vec_id
@@ -2644,7 +2649,10 @@ def ann_semantic_decontaminate(
     )
 
 
-def _semantic_decontaminate_oracle() -> str:
+def _semantic_decontaminate_oracle(
+    nprobe: int = SEM_DECON_NPROBE,
+    thresh_q: int = SEM_DECON_THRESH_Q,
+) -> str:
     qdot = _unrolled_dot("a.emb", "c.emb", "duck")
     cos = _duck_cosine("q.emb", "c.emb", "q.nrm", "c.nrm")
     return f"""
@@ -2657,7 +2665,7 @@ probed AS (
            ROW_NUMBER() OVER (PARTITION BY a.vec_id
                 ORDER BY (c.cc - (2 * ({qdot}))) ASC, c.cid) AS rn
     FROM afm a CROSS JOIN c{KMEANS_ITERS} c
-  ) t WHERE rn <= {SEM_DECON_NPROBE}
+  ) t WHERE rn <= {nprobe}
 ),
 scored AS (
   SELECT c.vec_id, MAX({cos}) AS max_cos
@@ -2670,7 +2678,7 @@ SELECT d.doc_id, d.source,
        CAST(COALESCE(FLOOR(s.max_cos * 1000000),
                      {SEM_DECON_NO_CAND_Q}) AS BIGINT) AS max_cos_q,
        CAST(CASE WHEN FLOOR(s.max_cos * 1000000)
-                      >= {SEM_DECON_THRESH_Q}
+                      >= {thresh_q}
             THEN 1 ELSE 0 END AS INTEGER) AS contaminated
 FROM (SELECT vec_id FROM afm) a
 LEFT JOIN scored s ON s.vec_id = a.vec_id

@@ -36,6 +36,7 @@ def test_contract_shape():
         ("ann_ivf_search", {"nprobe": 4, "top_k": 3}),
         ("ann_ivf_search", {"nprobe": 1, "top_k": 7}),
         ("ann_filtered_search", {"nprobe": 3, "top_k": 4}),
+        ("ann_semantic_decontaminate", {"nprobe": 3, "thresh_q": 300_000}),
     ],
 )
 def test_dials_are_live(name, params, spark):
@@ -43,11 +44,12 @@ def test_dials_are_live(name, params, spark):
     sdf = spec["fn"](spark, SF, **params)
     spark_cols = list(sdf.columns)
     spark_rows = [tuple(r) for r in sdf.collect()]
-    # top_k must actually bind: no query may exceed it
-    per_q = {}
-    for r in spark_rows:
-        per_q[r[0]] = per_q.get(r[0], 0) + 1
-    assert max(per_q.values()) <= params["top_k"]
+    if "top_k" in params:
+        # top_k must actually bind: no query may exceed it
+        per_q = {}
+        for r in spark_rows:
+            per_q[r[0]] = per_q.get(r[0], 0) + 1
+        assert max(per_q.values()) <= params["top_k"]
 
     sql = spec["oracle_sql"](**params)
 

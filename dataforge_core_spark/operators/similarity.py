@@ -2004,6 +2004,96 @@ GROUP BY b.query_id
 """
 
 
+# nprobe settings the recall-curve eval sweeps — the IVF tuning grid
+PROBE_GRID = (1, 2, 4, 8)
+
+
+def _nprobe_curve_sql(dialect: str, af: str, cv: str) -> str:
+    """recall@K of IVF search at every PROBE_GRID nprobe, ONE candidate
+    relation: each candidate carries the rank of its cell among the
+    query's centroid distances (cellrank), so "found at nprobe=np" is
+    just cellrank <= np — no per-np re-probe.  Spark re-evaluates the
+    cand/brute CTEs per np reference, but every relation here is
+    query-set-sized (broadcast q side x per-cell candidates), never
+    corpus-shaped — the same eval-lane cost model as ann_pq_recall."""
+    if dialect == "spark":
+        dot = _unrolled_dot("a.emb", "c.emb", "spark")
+        cos = _spark_cosine("q.emb", "c.emb", "q.nrm", "c.nrm")
+        bcos = _spark_cosine("q.emb", "c.emb", "q.nrm", "c.nrm")
+        hint = "/*+ BROADCAST(c) */ "
+        np_cast = "INT"
+    else:
+        dot = _unrolled_dot("a.emb", "c.emb", "duck")
+        cos = _duck_cosine("q.emb", "c.emb", "q.nrm", "c.nrm")
+        bcos = _duck_cosine("q.emb", "c.emb", "q.nrm", "c.nrm")
+        hint = ""
+        np_cast = "INTEGER"
+    blocks = []
+    for np in PROBE_GRID:
+        blocks.append(f"""
+  SELECT CAST({np} AS {np_cast}) AS nprobe, b.query_id,
+         COUNT(*) AS n_exact, COUNT(h.hit) AS n_hits,
+         CAST(COUNT(h.hit) AS DOUBLE) / COUNT(*) AS recall
+  FROM brute b LEFT JOIN (
+    SELECT query_id, neighbor_id, 1 AS hit FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, neighbor_id) AS rank
+      FROM cand WHERE cellrank <= {np}
+    ) t WHERE rank <= {TOP_K}
+  ) h ON b.query_id = h.query_id AND b.neighbor_id = h.neighbor_id
+  GROUP BY b.query_id""")
+    union = "\n  UNION ALL\n".join(blocks)
+    return f"""
+qp AS (
+  SELECT vec_id, emb, nrm, cid, rn AS cellrank FROM (
+    SELECT {hint}a.vec_id, a.emb, a.nrm, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                ORDER BY (c.cc - (2 * ({dot}))) ASC, c.cid) AS rn
+    FROM (SELECT * FROM {af} WHERE vec_id < {N_QUERIES}) a
+    CROSS JOIN {cv} c
+  ) t
+),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         q.cellrank, {cos} AS score
+  FROM qp q JOIN {af} c
+    ON q.cid = c.cid AND c.cellrn <= {IVF_CELL_CAP}
+   AND q.vec_id <> c.vec_id
+),
+brute AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                ORDER BY {bcos} DESC, c.vec_id) AS rank
+    FROM (SELECT * FROM {af} WHERE vec_id < {N_QUERIES}) q
+    JOIN {af} c ON q.vec_id <> c.vec_id
+  ) t WHERE rank <= {TOP_K}
+)
+{union}"""
+
+
+def ann_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuning curve: per-query recall@K at nprobe in
+    PROBE_GRID, in one frame — the acceptance artifact for the
+    parameterized nprobe dial (queries_parameterized): a deployment
+    reads this to pick the cheapest nprobe meeting its recall floor.
+    nprobe=K scans every cell, so its rows must be recall=1.0 exactly
+    (pinned in tests/test_parameterized.py's monotonicity check and by
+    the oracle)."""
+    af, cv = _kmeans_index(spark, sf_dir)
+    return spark.sql(f"WITH {_nprobe_curve_sql('spark', af, cv)}")
+
+
+def _nprobe_curve_oracle() -> str:
+    return f"""
+WITH {_duck_v_cte()},
+{_kmeans_ctes('v', 'duck')},
+afm AS MATERIALIZED (SELECT * FROM af),
+{_nprobe_curve_sql('duck', 'afm', f'c{KMEANS_ITERS}')}
+"""
+
+
 OUTLIER_TOP_K = 5
 
 
@@ -2831,6 +2921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_kmeans": ann_ivf_kmeans,
         "ann_ivf_probe2": ann_ivf_probe2,
         "ann_ivf_probe3_k5": ann_ivf_probe3_k5,
+        "ann_nprobe_recall_curve": ann_nprobe_recall_curve,
         "ann_lsh_hyperplane": ann_lsh_hyperplane,
         "ann_rerank": ann_rerank,
         "dedup_embedding": dedup_embedding,
@@ -2867,6 +2958,7 @@ def oracles() -> dict[str, str]:
         "ann_ivf_kmeans": _ivf_kmeans_oracle(),
         "ann_ivf_probe2": _ivf_probe2_oracle(),
         "ann_ivf_probe3_k5": _ivf_probe3_k5_oracle(),
+        "ann_nprobe_recall_curve": _nprobe_curve_oracle(),
         "ann_lsh_hyperplane": _lsh_oracle(),
         "ann_rerank": _rerank_oracle(),
         "dedup_embedding": _dedup_embedding_oracle(),

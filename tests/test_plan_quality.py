@@ -206,6 +206,10 @@ _CARTESIAN_EXEMPT = {
     # broadcast cross join against the 8-row centroid literal
     "ann_ivf_probe3_k5",
     "ann_filtered_search",
+    # intentional: embeds the brute-force exact side AND the 8-row
+    # centroid probe cross join by construction (eval lane, same
+    # family as ann_recall_eval / ann_pq_recall)
+    "ann_nprobe_recall_curve",
     "ann_recall_eval",
     # intentional: PQ codebook is a PQ_K-row broadcast relation, and the
     # ADC LUT build is a (queries x subspaces x codewords) cross join of

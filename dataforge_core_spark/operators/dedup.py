@@ -491,6 +491,110 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BAND_GRID = (1, 2, 3, 4, 6, 12)  # divisors of MINHASH_N
+
+
+def _band_catch_expr(bands: int, a: str = "a", b: str = "b") -> str:
+    """1 iff the two signatures agree on ALL rows of >= 1 band under a
+    (bands x MINHASH_N/bands) layout — pure expression per pair row."""
+    r = MINHASH_N // bands
+    ors = " OR ".join(
+        "("
+        + " AND ".join(
+            f"{a}{bi * r + j} = {b}{bi * r + j}" for j in range(r)
+        )
+        + ")"
+        for bi in range(bands)
+    )
+    return f"CASE WHEN {ors} THEN 1 ELSE 0 END"
+
+
+def dedup_lsh_band_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH banding tuning curve — the dedup counterpart of
+    ann_nprobe_recall_curve: for every (bands, rows) layout of the
+    MINHASH_N=12 signature, the catch rate of near-dup pairs BY exact-
+    Jaccard decile (the S-curve of Leskovec-Rajaraman-Ullman ch.3,
+    measured on real pairs).  A deployment reads this to pick the
+    banding whose threshold knee sits at its dup definition.
+
+    Scope: evaluated over the VERIFIED candidate pair set (the stored
+    near-dup pair table) — catch rate CONDITIONAL on a pair being a
+    near-dup candidate at the production 4x3 setting; configs with
+    fewer bands than production can only lose pairs (monotone in
+    bands, pinned by test), which is exactly the trade the curve
+    prices.  One pass: every config's caught flag is a pure expression
+    over the pair's 24 signature columns — no per-config joins or
+    re-probes."""
+    from pyspark.sql import functions as F
+
+    pairs = _verified_pairs(spark, sf_dir, MAX_BAND_BUCKET)
+    sig = _minhash_sig_df(spark, sf_dir)
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"s{i}").alias(f"a{i}") for i in range(MINHASH_N)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"s{i}").alias(f"b{i}") for i in range(MINHASH_N)],
+    )
+    structs = ", ".join(
+        f"named_struct('bands', {bc}, 'caught', {_band_catch_expr(bc)})"
+        for bc in BAND_GRID
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .selectExpr(
+            "CAST((1000000 * inter_n) DIV (n_a + n_b - inter_n)"
+            " DIV 100000 AS INT) AS jac_decile",
+            f"explode(array({structs})) AS e",
+        )
+        .selectExpr("e.bands AS bands", "jac_decile", "e.caught AS caught")
+        .groupBy("bands", "jac_decile")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_pairs"),
+            F.expr("CAST(SUM(caught) AS BIGINT)").alias("n_caught"),
+            F.expr(
+                "CAST((1000000 * SUM(caught)) DIV COUNT(*) AS BIGINT)"
+            ).alias("catch_ppm"),
+        )
+    )
+
+
+def _lsh_band_curve_oracle() -> str:
+    blocks = []
+    for bc in BAND_GRID:
+        catch = _band_catch_expr(bc, "a.s", "b.s")
+        blocks.append(f"""
+  SELECT CAST({bc} AS INTEGER) AS bands, jac_decile,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(caught) AS BIGINT) AS n_caught,
+         CAST((1000000 * SUM(caught)) // COUNT(*) AS BIGINT) AS catch_ppm
+  FROM (
+    SELECT CAST((1000000 * v.inter_n) // (v.union_n) // 100000
+             AS INTEGER) AS jac_decile,
+           {catch} AS caught
+    FROM ver v
+    JOIN sig a ON a.doc_id = v.doc_a
+    JOIN sig b ON b.doc_id = v.doc_b
+  ) t GROUP BY jac_decile""")
+    union = "\n  UNION ALL\n".join(blocks)
+    return f"""
+WITH {_minhash_chain(MAX_BAND_BUCKET)},
+ver AS MATERIALIZED (
+  SELECT i.doc_a, i.doc_b, i.inter_n,
+         sa.n + sb.n - i.inter_n AS union_n
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE i.inter_n > 0
+    AND CAST(i.inter_n AS DOUBLE) / (sa.n + sb.n - i.inter_n)
+        >= {JACCARD_THRESHOLD}
+)
+{union}
+"""
+
+
 def _minhash_accuracy_oracle() -> str:
     matched = " + ".join(
         f"CASE WHEN a.s{i} = b.s{i} THEN 1 ELSE 0 END"
@@ -1519,6 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_minhash_accuracy": dedup_minhash_accuracy,
+        "dedup_lsh_band_curve": dedup_lsh_band_curve,
         "dedup_incremental": dedup_incremental,
         "dedup_cluster": dedup_cluster,
         "dedup_cluster_pd": dedup_cluster_pd,
@@ -1538,6 +1643,7 @@ def oracles() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "dedup_minhash": _minhash_oracle(),
         "dedup_minhash_accuracy": _minhash_accuracy_oracle(),
+        "dedup_lsh_band_curve": _lsh_band_curve_oracle(),
         "dedup_incremental": _incremental_oracle(),
         "dedup_cluster": _DEDUP_CLUSTER_ORACLE,
         "dedup_cluster_pd": _DEDUP_CLUSTER_ORACLE,

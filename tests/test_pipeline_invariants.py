@@ -574,3 +574,35 @@ def test_stream_dd_quantiles_matches_batch_referee(spark, sf_dir):
         assert r.est_p50_milli == read_q(hist, 50), key
         assert r.est_p90_milli == read_q(hist, 90), key
         assert r.est_p99_milli == read_q(hist, 99), key
+
+
+def test_lsh_band_curve_structure(spark):
+    """dedup_lsh_band_curve invariants on real data: (1) every config
+    whose layout refines the production 4x3 banding (bands 4, 6, 12 —
+    each aligned 3-row production band contains a full band of theirs)
+    must catch every verified pair; (2) along divisor chains
+    (1|2|4|12 and 1|3|6|12) a finer layout can only catch more, so
+    catch_ppm is non-decreasing per Jaccard decile."""
+    from collections import defaultdict
+
+    import dataforge_core_spark.operators.dedup as D
+
+    rows = D.dedup_lsh_band_curve(spark, "/root/testdata/sf0.001").collect()
+    by_cfg = defaultdict(dict)
+    for r in rows:
+        by_cfg[r.bands][r.jac_decile] = r
+    assert set(by_cfg) == set(D.BAND_GRID)
+    for bc in (4, 6, 12):
+        for r in by_cfg[bc].values():
+            assert r.catch_ppm == 1_000_000, (bc, r)
+    for chain in ((1, 2, 4, 12), (1, 3, 6, 12)):
+        for lo, hi in zip(chain, chain[1:]):
+            for dec, r in by_cfg[lo].items():
+                assert r.catch_ppm <= by_cfg[hi][dec].catch_ppm, (
+                    lo,
+                    hi,
+                    dec,
+                )
+    # deciles partition the same pair set in every config
+    counts = {bc: sum(r.n_pairs for r in m.values()) for bc, m in by_cfg.items()}
+    assert len(set(counts.values())) == 1

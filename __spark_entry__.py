@@ -84,7 +84,10 @@ Coverage map (SURVEY.md §2 -> query):
                                 per-partition merge == global pinned by
                                 invariant test), sketch_cms_heavy_hitters
                                 (Count-Min matrix + top-20 eval,
-                                one-sided by construction)
+                                one-sided by construction),
+                                sketch_accuracy_eval (estimate-vs-exact
+                                error for kmv/dd/cms in one frame — the
+                                acceptance artifact)
   LLM-pipeline operators     -> events_quantiles (exact interpolated
                                 percentiles, 1e-6-quantized) /
                                 events_anomaly (decimal-exact per-user
@@ -96,7 +99,15 @@ Coverage map (SURVEY.md §2 -> query):
                                 ann_outliers (distance to own-label
                                 centroid, fixed-point centroid sums),
                                 ann_recall_eval (recall@K of IVF vs
-                                exact; nprobe dial via ann_ivf_search),
+                                exact; nprobe/top_k dials via
+                                ann_ivf_search and the parameterized
+                                contract queries_parameterized();
+                                ann_ivf_probe3_k5 = driver-proven
+                                off-default setting),
+                                ann_nprobe_recall_curve (recall@K across
+                                the nprobe grid, one candidate pass),
+                                dedup_lsh_band_curve (measured LSH
+                                S-curve across signature band layouts),
                                 ann_knn_graph (bucket-keyed kNN edge
                                 list, WindowGroupLimit top-k),
                                 ann_ivf_stats (per-cell index balance

@@ -330,9 +330,17 @@ def queries_parameterized() -> dict[str, dict]:
     tests/test_parameterized.py value-checks further settings through
     this entry.
     """
+    from dataforge_core_spark.operators import dedup as D
     from dataforge_core_spark.operators import similarity as S
 
     return {
+        "dedup_minhash": {
+            "fn": D.dedup_minhash,
+            "params": {"max_band_bucket": D.MAX_BAND_BUCKET},
+            "oracle_sql": lambda max_band_bucket=D.MAX_BAND_BUCKET: (
+                D._minhash_oracle(max_band_bucket)
+            ),
+        },
         "ann_ivf_search": {
             "fn": S.ann_ivf_search,
             "params": {"nprobe": 1, "top_k": S.TOP_K},

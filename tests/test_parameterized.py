@@ -37,6 +37,7 @@ def test_contract_shape():
         ("ann_ivf_search", {"nprobe": 1, "top_k": 7}),
         ("ann_filtered_search", {"nprobe": 3, "top_k": 4}),
         ("ann_semantic_decontaminate", {"nprobe": 3, "thresh_q": 300_000}),
+        ("dedup_minhash", {"max_band_bucket": 25}),
     ],
 )
 def test_dials_are_live(name, params, spark):
@@ -44,7 +45,7 @@ def test_dials_are_live(name, params, spark):
     sdf = spec["fn"](spark, SF, **params)
     spark_cols = list(sdf.columns)
     spark_rows = [tuple(r) for r in sdf.collect()]
-    if "top_k" in params:
+    if "query_id" in spark_cols and "top_k" in params:
         # top_k must actually bind: no query may exceed it
         per_q = {}
         for r in spark_rows:

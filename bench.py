@@ -165,6 +165,9 @@ def _clear_operator_caches(spark) -> None:
     for _name, df in similarity._sq_cache.values():
         free_local_checkpoint(df)
     similarity._sq_cache.clear()
+    for _name, df in similarity._nprobe_scored_cache.values():
+        free_local_checkpoint(df)
+    similarity._nprobe_scored_cache.clear()
     for _name, df in sketches._toks_cache.values():
         free_local_checkpoint(df)
     sketches._toks_cache.clear()

@@ -87,3 +87,21 @@ def test_ivf_cell_cap_in_plan_and_binds(spark, monkeypatch):
         tuple(r) for r in _con().execute(S._ivf_probe2_oracle()).fetchall()
     }
     assert got == want and got
+
+
+def test_literal_probe_top1_matches_stored_assignment(spark):
+    """_probe_sorted_expr's nearest cell must equal the stored af.cid
+    for EVERY vector — the literal-projection probe (semantic
+    decontamination) and the ROW_NUMBER probe (ivf search, oracle) are
+    the same argmin bit-for-bit, or probed lanes would silently search
+    different cells than the index stores."""
+    import dataforge_core_spark.operators.similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    af = S._kmeans_assignments(spark, sf)
+    cent = S._kmeans_centroids(spark, sf)
+    sa = S._probe_sorted_expr(cent, "emb")
+    bad = spark.sql(
+        f"SELECT COUNT(*) AS n FROM {af} WHERE ({sa})[0].c <> cid"
+    ).collect()[0].n
+    assert bad == 0

@@ -85,3 +85,21 @@ def test_nprobe_widens_candidates(spark):
         rec.append(len(got & brute) / len(brute))
     assert rec[0] <= rec[1] <= rec[2]
     assert rec[2] == 1.0  # nprobe=K scans every cell == exact
+
+
+def test_curve_nprobe1_matches_recall_eval(spark):
+    """Cross-lane referee: ann_nprobe_recall_curve's nprobe=1 rows must
+    equal ann_recall_eval (both are recall@K of the nprobe=1 search vs
+    brute force, built through different plans)."""
+    import dataforge_core_spark.operators.similarity as S
+
+    curve = {
+        r.query_id: (r.n_exact, r.n_hits)
+        for r in S.ann_nprobe_recall_curve(spark, SF).collect()
+        if r.nprobe == 1
+    }
+    ref = {
+        r.query_id: (r.n_exact, r.n_hits)
+        for r in S.ann_recall_eval(spark, SF).collect()
+    }
+    assert curve == ref

@@ -158,6 +158,7 @@ def _clear_operator_caches(spark) -> None:
         free_local_checkpoint(df)
     similarity._xq_cache.clear()
     similarity._top_pc_cache.clear()
+    similarity._pc2_cache.clear()
     for _out, ckpts in similarity._kcore_cache.values():
         for df in ckpts:
             free_local_checkpoint(df)

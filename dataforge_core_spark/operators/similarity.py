@@ -1712,31 +1712,33 @@ def _sidiv(x: str, d: str, op: str) -> str:
     )
 
 
-def _power_iter_chain(op: str) -> str:
-    """Shared CTE chain v0 -> vK over relation x(vec_id, i, eq); the
-    dialect differs only in the integer-division operator."""
+def _power_iter_chain(op: str, src: str = "x", pfx: str = "") -> str:
+    """Shared CTE chain {pfx}v0 -> {pfx}vK over relation
+    ``src``(vec_id, i, eq); the dialect differs only in the
+    integer-division operator.  ``pfx`` namespaces the CTEs so two
+    chains (PC1 fit, deflated PC2 fit) compose in one statement."""
     parts = [
-        f"v0 AS (SELECT DISTINCT i, CAST({PI_SCALE} AS BIGINT) AS vq"
-        " FROM x)",
+        f"{pfx}v0 AS (SELECT DISTINCT i, CAST({PI_SCALE} AS BIGINT) AS vq"
+        " FROM " + src + ")",
     ]
     for k in range(1, PI_ITERS + 1):
         parts += [
-            f"""s{k} AS (
+            f"""{pfx}s{k} AS (
   SELECT x.vec_id, CAST(SUM(x.eq * v.vq) AS BIGINT) AS s
-  FROM x JOIN v{k - 1} v ON v.i = x.i GROUP BY x.vec_id
+  FROM {src} x JOIN {pfx}v{k - 1} v ON v.i = x.i GROUP BY x.vec_id
 )""",
-            f"""p{k} AS (
-  SELECT vec_id, {_sidiv('s', str(PI_RESCALE), op)} AS sp FROM s{k}
+            f"""{pfx}p{k} AS (
+  SELECT vec_id, {_sidiv('s', str(PI_RESCALE), op)} AS sp FROM {pfx}s{k}
 )""",
-            f"""w{k} AS (
+            f"""{pfx}w{k} AS (
   SELECT x.i, CAST(SUM(p.sp * x.eq) AS BIGINT) AS w
-  FROM x JOIN p{k} p ON p.vec_id = x.vec_id GROUP BY x.i
+  FROM {src} x JOIN {pfx}p{k} p ON p.vec_id = x.vec_id GROUP BY x.i
 )""",
-            f"""m{k} AS (
-  SELECT GREATEST(MAX(ABS(w)) {op} {PI_SCALE}, 1) AS d FROM w{k}
+            f"""{pfx}m{k} AS (
+  SELECT GREATEST(MAX(ABS(w)) {op} {PI_SCALE}, 1) AS d FROM {pfx}w{k}
 )""",
-            f"""v{k} AS (
-  SELECT i, {_sidiv('w', f'(SELECT d FROM m{k})', op)} AS vq FROM w{k}
+            f"""{pfx}v{k} AS (
+  SELECT i, {_sidiv('w', f'(SELECT d FROM {pfx}m{k})', op)} AS vq FROM {pfx}w{k}
 )""",
         ]
     return ",\n".join(parts)
@@ -1788,6 +1790,98 @@ def _fit_top_pc(spark: SparkSession, sf_dir: str) -> list[tuple[int, int]]:
         ).collect()
         _top_pc_cache[key] = sorted((r.dim, r.pc_q) for r in rows)
     return _top_pc_cache[key]
+
+
+def _deflate_ctes(op: str, x: str, v1: str) -> str:
+    """CTEs n1/cf/x2: subtract each vector's PC1 component from the
+    quantized matrix ``x`` (deflation), keeping every quantity in the
+    same 1e6 fixed-point ledger.  True coefficient <e,u>/<u,u> maps to
+    cp = sidiv(sum(eq*vq), 1e6) over n1 = sidiv(sum(vq^2), 1e6), so
+    eq2 = eq - sidiv(cp*vq, n1) is the projection residual at eq's own
+    scale.  Overflow ledger: |cp| <= ~3e8, |cp*vq| <= ~3e14 — int64
+    safe; identical expression trees on both engines."""
+    return f"""n1 AS (
+  SELECT GREATEST(CAST(SUM(vq * vq) AS BIGINT) {op} {PI_SCALE}, 1) AS d
+  FROM {v1}
+),
+cf AS (
+  SELECT x.vec_id,
+         {_sidiv('CAST(SUM(x.eq * v.vq) AS BIGINT)', str(PI_SCALE), op)}
+           AS cp
+  FROM {x} x JOIN {v1} v ON v.i = x.i GROUP BY x.vec_id
+),
+x2 AS (
+  SELECT x.vec_id, x.i,
+         x.eq - {_sidiv('c.cp * v.vq', '(SELECT d FROM n1)', op)} AS eq
+  FROM {x} x
+  JOIN cf c ON c.vec_id = x.vec_id
+  JOIN {v1} v ON v.i = x.i
+)"""
+
+
+_pc2_cache: dict = {}
+
+
+def _fit_top_pc2(spark: SparkSession, sf_dir: str) -> list[tuple[int, int]]:
+    """Second principal direction by DEFLATION: subtract the fitted
+    PC1 component from every vector (one pass over the checkpointed
+    quantized matrix, itself checkpointed) and re-run the same
+    quantized power iteration on the residuals.  Cached per
+    (session, sf) like the PC1 fit; the deflated matrix's checkpoint
+    blocks are freed as soon as the 64-int direction is collected."""
+    from dataforge_core_spark.session import free_local_checkpoint
+
+    key = (session_key(spark), sf_dir)
+    if key not in _pc2_cache:
+        x = _xq_view(spark, sf_dir)
+        v1 = " UNION ALL ".join(
+            f"SELECT {d} AS i, CAST({q} AS BIGINT) AS vq"
+            for d, q in _fit_top_pc(spark, sf_dir)
+        )
+        x2 = spark.sql(
+            f"WITH xm AS (SELECT * FROM {x}), v1 AS ({v1}),\n"
+            + _deflate_ctes("DIV", "xm", "v1")
+            + "\nSELECT * FROM x2"
+        ).localCheckpoint(eager=True)
+        name = f"xq2_{abs(hash(key)) % 10**8}"
+        x2.createOrReplaceTempView(name)
+        rows = spark.sql(
+            f"WITH x2m AS (SELECT * FROM {name}),\n"
+            + _power_iter_chain("DIV", src="x2m", pfx="b")
+            + f"\nSELECT CAST(i AS INT) AS dim,"
+            f" CAST(vq AS BIGINT) AS pc2_q FROM bv{PI_ITERS}"
+        ).collect()
+        free_local_checkpoint(x2)
+        _pc2_cache[key] = sorted((r.dim, r.pc2_q) for r in rows)
+    return _pc2_cache[key]
+
+
+def embeddings_top_pc2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second principal direction (quantized to ~1e6) via deflation
+    power iteration — with embeddings_top_pc this is the start of the
+    PCA-k / whitening family: at 100 TB the fit is one extra pass over
+    the stored quantized matrix per additional component.
+    Near-orthogonality to PC1 is pinned by
+    tests/test_parameterized.py::test_pc2_orthogonal_to_pc1."""
+    fitted = _fit_top_pc2(spark, sf_dir)
+    return spark.createDataFrame(fitted, "dim int, pc2_q bigint")
+
+
+def _top_pc2_oracle() -> str:
+    return f"""
+WITH {_duck_v_cte()},
+x AS MATERIALIZED (
+  SELECT v.vec_id, u.i - 1 AS i,
+         CAST(trunc(v.emb[u.i] * {PI_SCALE}) AS BIGINT) AS eq
+  FROM v, (SELECT unnest(generate_series(1, {DIM})) AS i) u
+),
+{_power_iter_chain('//')},
+{_deflate_ctes('//', 'x', f'v{PI_ITERS}')},
+x2m AS MATERIALIZED (SELECT * FROM x2),
+{_power_iter_chain('//', src='x2m', pfx='b')}
+SELECT CAST(i AS INTEGER) AS dim, CAST(vq AS BIGINT) AS pc2_q
+FROM bv{PI_ITERS}
+"""
 
 
 def embeddings_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2926,6 +3020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_triangles": ann_triangles,
         "ann_kcore": ann_kcore,
         "embeddings_top_pc": embeddings_top_pc,
+        "embeddings_top_pc2": embeddings_top_pc2,
         "embeddings_pc_project": embeddings_pc_project,
         "ann_ivf_stats": ann_ivf_stats,
         "ann_outliers": ann_outliers,
@@ -2964,6 +3059,7 @@ def oracles() -> dict[str, str]:
         "ann_triangles": _triangles_oracle(),
         "ann_kcore": _kcore_oracle(),
         "embeddings_top_pc": _top_pc_oracle(),
+        "embeddings_top_pc2": _top_pc2_oracle(),
         "embeddings_pc_project": _pc_project_oracle(),
         "ann_ivf_stats": _ivf_stats_oracle(),
         "ann_recall_eval": _recall_eval_oracle(),

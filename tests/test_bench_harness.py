@@ -51,6 +51,7 @@ def test_index_builders_run_and_caches_clear(spark, sf_dir):
         similarity._kcore_cache,
         similarity._kmeans_cache,
         similarity._nprobe_scored_cache,
+        similarity._pc2_cache,
         sketches._toks_cache,
     ):
         assert cache == {}, "cache survived _clear_operator_caches"

@@ -103,3 +103,22 @@ def test_curve_nprobe1_matches_recall_eval(spark):
         for r in S.ann_recall_eval(spark, SF).collect()
     }
     assert curve == ref
+
+
+def test_pc2_orthogonal_to_pc1(spark):
+    """Deflation sanity: the fitted second direction must be
+    near-orthogonal to the first (|cos| small — exact orthogonality is
+    not preserved by the 1e6 fixed-point ledger, but both engines share
+    the same residual) and not a rescaling of it."""
+    import math
+
+    import dataforge_core_spark.operators.similarity as S
+
+    pc1 = dict(S._fit_top_pc(spark, SF))
+    pc2 = dict(S._fit_top_pc2(spark, SF))
+    assert set(pc1) == set(pc2) == set(range(S.DIM))
+    dot = sum(pc1[i] * pc2[i] for i in range(S.DIM))
+    n1 = math.sqrt(sum(v * v for v in pc1.values()))
+    n2 = math.sqrt(sum(v * v for v in pc2.values()))
+    assert n1 > 0 and n2 > 0
+    assert abs(dot) / (n1 * n2) < 0.05

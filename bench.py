@@ -254,10 +254,15 @@ def _index_builders():
             "cms_matrix",
             lambda s: sketches._cms_views(s, SF_DIR),
         ),
-        # power-iteration PC fit (the whitening-direction index)
+        # power-iteration PC fits (the whitening-direction index;
+        # pc2 = deflation pass over the same checkpointed matrix)
         (
             "embeddings_pc_fit",
             lambda s: similarity._fit_top_pc(s, SF_DIR),
+        ),
+        (
+            "embeddings_pc2_fit",
+            lambda s: similarity._fit_top_pc2(s, SF_DIR),
         ),
         (
             "embedding_cluster_labels",

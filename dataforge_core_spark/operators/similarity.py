@@ -1792,29 +1792,32 @@ def _fit_top_pc(spark: SparkSession, sf_dir: str) -> list[tuple[int, int]]:
     return _top_pc_cache[key]
 
 
-def _deflate_ctes(op: str, x: str, v1: str) -> str:
+def _deflate_ctes(op: str, x: str, v1: str, pfx: str = "") -> str:
     """CTEs n1/cf/x2: subtract each vector's PC1 component from the
     quantized matrix ``x`` (deflation), keeping every quantity in the
     same 1e6 fixed-point ledger.  True coefficient <e,u>/<u,u> maps to
     cp = sidiv(sum(eq*vq), 1e6) over n1 = sidiv(sum(vq^2), 1e6), so
     eq2 = eq - sidiv(cp*vq, n1) is the projection residual at eq's own
     scale.  Overflow ledger: |cp| <= ~3e8, |cp*vq| <= ~3e14 — int64
-    safe; identical expression trees on both engines."""
-    return f"""n1 AS (
+    safe; identical expression trees on both engines.  ``pfx``
+    namespaces the CTEs so deflations chain (ABTT removes two
+    directions sequentially)."""
+    return f"""{pfx}n1 AS (
   SELECT GREATEST(CAST(SUM(vq * vq) AS BIGINT) {op} {PI_SCALE}, 1) AS d
   FROM {v1}
 ),
-cf AS (
+{pfx}cf AS (
   SELECT x.vec_id,
          {_sidiv('CAST(SUM(x.eq * v.vq) AS BIGINT)', str(PI_SCALE), op)}
            AS cp
   FROM {x} x JOIN {v1} v ON v.i = x.i GROUP BY x.vec_id
 ),
-x2 AS (
+{pfx}x2 AS (
   SELECT x.vec_id, x.i,
-         x.eq - {_sidiv('c.cp * v.vq', '(SELECT d FROM n1)', op)} AS eq
+         x.eq - {_sidiv('c.cp * v.vq', f'(SELECT d FROM {pfx}n1)', op)}
+           AS eq
   FROM {x} x
-  JOIN cf c ON c.vec_id = x.vec_id
+  JOIN {pfx}cf c ON c.vec_id = x.vec_id
   JOIN {v1} v ON v.i = x.i
 )"""
 
@@ -1881,6 +1884,84 @@ x2m AS MATERIALIZED (SELECT * FROM x2),
 {_power_iter_chain('//', src='x2m', pfx='b')}
 SELECT CAST(i AS INTEGER) AS dim, CAST(vq AS BIGINT) AS pc2_q
 FROM bv{PI_ITERS}
+"""
+
+
+def embeddings_abtt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top post-processing (Mu & Viswanath, ICLR 2018):
+    remove the top TWO principal directions from every embedding —
+    the standard isotropy fix before cosine retrieval.  Sequential
+    integer deflation: cp1 = component along the fitted PC1, residual
+    r1 = e - proj1, cp2 = component of r1 along the fitted PC2,
+    r2 = r1 - proj2; emits (vec_id, proj1_q, proj2_q, resid_ssq_q)
+    with resid_ssq_q = SUM(r2^2) DIV 1e6 — all in the shared 1e6
+    fixed-point ledger, so integer sums are order-free and the oracle
+    value-hashes.  Plan shape: the fitted directions are 64-int
+    LITERAL arrays (the centroid pattern) — two vec_id-partitioned
+    window sums + one aggregate over the checkpointed component
+    relation, one exchange, no joins."""
+    fitted1 = _fit_top_pc(spark, sf_dir)
+    fitted2 = _fit_top_pc2(spark, sf_dir)
+    a1 = ", ".join(str(q) for _d, q in fitted1)
+    a2 = ", ".join(str(q) for _d, q in fitted2)
+    n1 = max(sum(q * q for _d, q in fitted1) // PI_SCALE, 1)
+    n2 = max(sum(q * q for _d, q in fitted2) // PI_SCALE, 1)
+    x = _xq_view(spark, sf_dir)
+    u1 = f"element_at(array({a1}), CAST(i AS INT) + 1)"
+    u2 = f"element_at(array({a2}), CAST(i AS INT) + 1)"
+    w = "OVER (PARTITION BY vec_id)"
+    cp1 = _sidiv(f"CAST(SUM(eq * {u1}) {w} AS BIGINT)", str(PI_SCALE), "DIV")
+    return spark.sql(
+        f"""
+        WITH r1 AS (
+          SELECT vec_id, i,
+                 eq - {_sidiv(f'({cp1}) * {u1}', str(n1), 'DIV')} AS eq,
+                 {cp1} AS cp1
+          FROM {x}
+        ),
+        r2 AS (
+          SELECT vec_id, cp1,
+                 {_sidiv(f"CAST(SUM(eq * {u2}) {w} AS BIGINT)",
+                         str(PI_SCALE), 'DIV')} AS cp2,
+                 eq, i
+          FROM r1
+        ),
+        res AS (
+          SELECT vec_id, cp1, cp2,
+                 eq - {_sidiv(f'cp2 * {u2}', str(n2), 'DIV')} AS r
+          FROM r2
+        )
+        SELECT vec_id, MIN(cp1) AS proj1_q, MIN(cp2) AS proj2_q,
+               CAST(SUM(r * r) DIV {PI_SCALE} AS BIGINT) AS resid_ssq_q
+        FROM res GROUP BY vec_id
+        """
+    )
+
+
+def _abtt_oracle() -> str:
+    """Full inlined re-derivation: chain1 -> deflate -> chain2 ->
+    second deflate (pfx 'c', over the SAME x2 the pc2 fit used) ->
+    per-vector stats.  cf/ccf are exactly the lane's cp1/cp2 (integer
+    sums are order-free, so window-vs-join grouping cannot differ)."""
+    op = "//"
+    return f"""
+WITH {_duck_v_cte()},
+x AS MATERIALIZED (
+  SELECT v.vec_id, u.i - 1 AS i,
+         CAST(trunc(v.emb[u.i] * {PI_SCALE}) AS BIGINT) AS eq
+  FROM v, (SELECT unnest(generate_series(1, {DIM})) AS i) u
+),
+{_power_iter_chain(op)},
+{_deflate_ctes(op, 'x', f'v{PI_ITERS}')},
+x2m AS MATERIALIZED (SELECT * FROM x2),
+{_power_iter_chain(op, src='x2m', pfx='b')},
+{_deflate_ctes(op, 'x2m', f'bv{PI_ITERS}', pfx='c')}
+SELECT r.vec_id, c1.cp AS proj1_q, c2.cp AS proj2_q,
+       CAST(SUM(r.eq * r.eq) {op} {PI_SCALE} AS BIGINT) AS resid_ssq_q
+FROM cx2 r
+JOIN cf c1 ON c1.vec_id = r.vec_id
+JOIN ccf c2 ON c2.vec_id = r.vec_id
+GROUP BY r.vec_id, c1.cp, c2.cp
 """
 
 
@@ -3021,6 +3102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_kcore": ann_kcore,
         "embeddings_top_pc": embeddings_top_pc,
         "embeddings_top_pc2": embeddings_top_pc2,
+        "embeddings_abtt": embeddings_abtt,
         "embeddings_pc_project": embeddings_pc_project,
         "ann_ivf_stats": ann_ivf_stats,
         "ann_outliers": ann_outliers,
@@ -3060,6 +3142,7 @@ def oracles() -> dict[str, str]:
         "ann_kcore": _kcore_oracle(),
         "embeddings_top_pc": _top_pc_oracle(),
         "embeddings_top_pc2": _top_pc2_oracle(),
+        "embeddings_abtt": _abtt_oracle(),
         "embeddings_pc_project": _pc_project_oracle(),
         "ann_ivf_stats": _ivf_stats_oracle(),
         "ann_recall_eval": _recall_eval_oracle(),

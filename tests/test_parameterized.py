@@ -122,3 +122,29 @@ def test_pc2_orthogonal_to_pc1(spark):
     n2 = math.sqrt(sum(v * v for v in pc2.values()))
     assert n1 > 0 and n2 > 0
     assert abs(dot) / (n1 * n2) < 0.05
+
+
+def test_abtt_proj1_matches_pc_project_and_reduces_energy(spark):
+    """Cross-lane referee: embeddings_abtt's proj1_q must equal
+    embeddings_pc_project's proj_q (same definition through different
+    plans), and removing two directions can only reduce a vector's
+    energy: resid_ssq_q <= ssq of the original quantized components."""
+    import dataforge_core_spark.operators.similarity as S
+
+    abtt = {r.vec_id: r for r in S.embeddings_abtt(spark, SF).collect()}
+    proj = {
+        r.vec_id: r.proj_q
+        for r in S.embeddings_pc_project(spark, SF).collect()
+    }
+    assert set(abtt) == set(proj)
+    assert all(abtt[v].proj1_q == proj[v] for v in proj)
+    x = S._xq_view(spark, SF)
+    ssq = {
+        r.vec_id: r.ssq
+        for r in spark.sql(
+            f"SELECT vec_id, CAST(SUM(eq * eq) DIV {S.PI_SCALE} AS BIGINT)"
+            f" AS ssq FROM {x} GROUP BY vec_id"
+        ).collect()
+    }
+    # quantization slack: one ledger unit per removed direction
+    assert all(abtt[v].resid_ssq_q <= ssq[v] + 2 for v in abtt)

@@ -162,6 +162,90 @@ FROM scoped
 """
 
 
+KMV_K_GRID = (16, 32, 64)
+
+
+def _kmv_k_curve_sql(dialect: str, toks_src: str | None = None) -> str:
+    """Sketch-size tuning curve: the KMV estimate and its error at
+    every K in KMV_K_GRID, from ONE ranked pass — the bottom-k of a
+    bottom-K sketch is the bottom-k sketch (prefix property), so each
+    smaller K is a conditional aggregate over the same <= K_max rows
+    per scope, never a re-scan.  Completes the tuning-artifact trilogy
+    (nprobe cells, LSH bands, sketch size): a deployment reads this to
+    size its sketches against an error budget."""
+    kmax = max(KMV_K_GRID)
+    toks = toks_src or _toks_cte(dialect)
+    mat = "MATERIALIZED " if dialect == "duck" else ""
+    idiv = "DIV" if dialect == "spark" else "//"
+    if dialect == "spark":
+        grid = (
+            "LATERAL VIEW explode(array("
+            + ", ".join(str(k) for k in KMV_K_GRID)
+            + ")) kk AS k"
+        )
+    else:
+        grid = (
+            ", unnest(["
+            + ", ".join(str(k) for k in KMV_K_GRID)
+            + "]) AS kk(k)"
+        )
+    est = (
+        f"CASE WHEN cnt < k THEN cnt "
+        f"ELSE CAST(((k - 1) * {_HSPACE}) {idiv} GREATEST(h_k, 1) "
+        f"AS BIGINT) END"
+    )
+    return f"""
+WITH toks AS {mat}({toks}),
+exact AS (SELECT source, COUNT(*) AS n_exact FROM toks GROUP BY source),
+ranked AS (
+  SELECT source, h,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM toks
+),
+bk AS {mat}(SELECT source, h, rn FROM ranked WHERE rn <= {kmax}),
+mranked AS (
+  SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+  FROM (SELECT DISTINCT h FROM bk) m
+),
+scoped AS (
+  SELECT b.source AS scope, e.n_exact, b.h, b.rn
+  FROM bk b JOIN exact e ON b.source = e.source
+  UNION ALL
+  SELECT '__all__' AS scope,
+         (SELECT CAST(COUNT(DISTINCT h) AS BIGINT) FROM toks) AS n_exact,
+         h, rn
+  FROM mranked WHERE rn <= {kmax}
+),
+g AS (
+  SELECT scope, CAST(k AS INT) AS k,
+         CAST(MAX(n_exact) AS BIGINT) AS n_exact,
+         CAST(SUM(CASE WHEN rn <= k THEN 1 ELSE 0 END) AS BIGINT) AS cnt,
+         MAX(CASE WHEN rn = k THEN h END) AS h_k
+  FROM scoped {grid}
+  GROUP BY scope, k
+)
+SELECT scope, k, n_exact,
+       CAST({est} AS BIGINT) AS kmv_est,
+       CAST((1000000 * ABS({est} - n_exact)) {idiv} n_exact AS BIGINT)
+         AS err_ppm
+FROM g
+"""
+
+
+def sketch_kmv_k_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV estimate-vs-exact error at K in KMV_K_GRID per scope — the
+    sketch-size dial's acceptance artifact (see _kmv_k_curve_sql); the
+    K=64 rows must equal sketch_kmv_distinct's (cross-lane referee in
+    tests/test_parameterized.py)."""
+    toks = _toks_view(spark, sf_dir)
+    return spark.sql(
+        _kmv_k_curve_sql("spark", f"SELECT source, h FROM {toks}")
+    )
+
+
+_KMV_K_CURVE_ORACLE = _kmv_k_curve_sql("duck")
+
+
 def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source + merged KMV distinct-token sketch vs exact counts.
 
@@ -738,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_dd_quantiles": sketch_dd_quantiles,
         "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
         "sketch_accuracy_eval": sketch_accuracy_eval,
+        "sketch_kmv_k_curve": sketch_kmv_k_curve,
     }
 
 
@@ -749,4 +834,5 @@ def oracles() -> dict[str, str]:
         "sketch_dd_quantiles": _DD_ORACLE,
         "sketch_cms_heavy_hitters": _CMS_ORACLE,
         "sketch_accuracy_eval": _ACCURACY_ORACLE,
+        "sketch_kmv_k_curve": _KMV_K_CURVE_ORACLE,
     }

@@ -148,3 +148,25 @@ def test_abtt_proj1_matches_pc_project_and_reduces_energy(spark):
     }
     # quantization slack: one ledger unit per removed direction
     assert all(abtt[v].resid_ssq_q <= ssq[v] + 2 for v in abtt)
+
+
+def test_kmv_k_curve_k64_matches_kmv_distinct(spark):
+    """Cross-lane referee: the K=64 rows of the sketch-size curve must
+    equal sketch_kmv_distinct (same estimator through different
+    plans), and each scope's bottom-k rows must nest (prefix
+    property => estimates exist for every K)."""
+    import dataforge_core_spark.operators.sketches as SK
+
+    curve = {
+        (r.scope, r.k): (r.n_exact, r.kmv_est, r.err_ppm)
+        for r in SK.sketch_kmv_k_curve(spark, SF).collect()
+    }
+    ref = {
+        r.scope: (r.n_exact, r.kmv_est, r.err_ppm)
+        for r in SK.sketch_kmv_distinct(spark, SF).collect()
+    }
+    assert {s for s, _k in curve} == set(ref)
+    for s, v in ref.items():
+        assert curve[(s, max(SK.KMV_K_GRID))] == v, s
+    for k in SK.KMV_K_GRID:
+        assert {s for s, kk in curve if kk == k} == set(ref)

@@ -1373,6 +1373,95 @@ def _knn_graph_body(cell_cap: int | None = None) -> str:
 # edge relation is the checkpointed kNN index built once per session.
 # ---------------------------------------------------------------------------
 
+# deterministic negative-draw constants (Kirsch-Mitzenmacher style,
+# same family as the minhash permutations); 4 probe candidates
+TRIPLET_PROBES = 4
+_TRI_M = 1_000_003
+
+
+def _triplet_sql(dialect: str, edges: str, v: str) -> str:
+    """(anchor, positive, hard-negative, easy-negative) triplets from
+    the kNN edge list: pos = rank-1 neighbor, hard_neg = rank-K
+    neighbor (similar-but-not-nearest — the standard hard negative),
+    easy_neg = first of TRIPLET_PROBES deterministic hash draws that
+    collides with neither the anchor, the positive, nor any kNN
+    neighbor (falls back to draw 0 with neg_valid = 0 — total and
+    engine-identical either way).  The draw maps into [0, n_vecs) and
+    assumes dense vec_ids (true of the testdata; a production corpus
+    keeps a ROW_NUMBER side table and joins the draw through it)."""
+    if dialect == "spark":
+        mx, contains = "max_by(dst, rank)", "array_contains(arr, cand)"
+        arr_agg = "collect_set(dst)"
+        fan = (
+            f"LATERAL VIEW explode(sequence(0, {TRIPLET_PROBES - 1}))"
+            " s AS j"
+        )
+        icast = "INT"
+    else:
+        mx, contains = "max_by(dst, rank)", "list_contains(arr, cand)"
+        arr_agg = "list(dst)"
+        fan = f", unnest(generate_series(0, {TRIPLET_PROBES - 1})) AS s(j)"
+        icast = "INTEGER"
+    cand = (
+        f"((anchor_id % {_TRI_M}) * 2654435761 + j * 40503 + 17)"
+        f" % (SELECT n FROM nv)"
+    )
+    return f"""
+nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {v}),
+agg AS (
+  SELECT src AS anchor_id,
+         MAX(CASE WHEN rank = 1 THEN dst END) AS pos_id,
+         {mx} AS hard_neg_id,
+         {arr_agg} AS arr
+  FROM {edges} GROUP BY src
+),
+c AS (
+  SELECT anchor_id, pos_id, hard_neg_id, j,
+         CAST({cand} AS BIGINT) AS cand, arr
+  FROM agg {fan}
+),
+p AS (
+  SELECT anchor_id, pos_id, hard_neg_id, cand,
+         (cand <> anchor_id AND cand <> pos_id
+          AND NOT {contains}) AS ok,
+         ROW_NUMBER() OVER (PARTITION BY anchor_id
+              ORDER BY (cand <> anchor_id AND cand <> pos_id
+                        AND NOT {contains}) DESC, j) AS rn
+  FROM c
+)
+SELECT anchor_id, pos_id, hard_neg_id, cand AS easy_neg_id,
+       CAST(CASE WHEN ok THEN 1 ELSE 0 END AS {icast}) AS neg_valid
+FROM p WHERE rn = 1
+"""
+
+
+def train_contrastive_triplets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Contrastive training triplets (anchor, positive, hard negative,
+    easy negative) mined from the stored kNN index — the data-prep
+    step for contrastive embedding training (SimCSE/InfoNCE-style):
+    positives come from the nearest neighbor, hard negatives from the
+    edge of the neighborhood, easy negatives from a deterministic
+    corpus draw that provably avoids the neighborhood.  One aggregate
+    over the checkpointed kNN edges + a TRIPLET_PROBES-way fanout over
+    the K-row-per-anchor result; no corpus re-scan."""
+    v = _normed(spark, sf_dir)
+    edges = ann_knn_graph(spark, sf_dir)
+    tag = abs(hash((session_key(spark), sf_dir))) % 10**8
+    name = f"knn_full_{tag}"
+    edges.createOrReplaceTempView(name)
+    return spark.sql(f"WITH {_triplet_sql('spark', name, v)}")
+
+
+def _triplet_oracle() -> str:
+    return f"""
+WITH {_duck_v_cte()},
+e AS MATERIALIZED ({_knn_graph_body()}),
+{_triplet_sql('duck', 'e', 'v')}
+"""
+
+
 PR_SCALE = 1_000_000
 PR_ITERS = 3
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
@@ -3109,6 +3198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_eval": ann_recall_eval,
         "ann_mrr": ann_mrr,
         "ann_knn_graph": ann_knn_graph,
+        "train_contrastive_triplets": train_contrastive_triplets,
         "embeddings_quantize": embeddings_quantize,
         "embeddings_dim_stats": embeddings_dim_stats,
         "ann_bruteforce": ann_bruteforce,
@@ -3148,6 +3238,7 @@ def oracles() -> dict[str, str]:
         "ann_recall_eval": _recall_eval_oracle(),
         "ann_mrr": _mrr_oracle(),
         "ann_knn_graph": f"WITH {_duck_v_cte()}\n{_knn_graph_body()}",
+        "train_contrastive_triplets": _triplet_oracle(),
         "embeddings_quantize": _quantize_oracle(),
         "embeddings_dim_stats": _DIM_STATS_ORACLE,
         "ann_bruteforce": _bruteforce_oracle(),

@@ -606,3 +606,29 @@ def test_lsh_band_curve_structure(spark):
     # deciles partition the same pair set in every config
     counts = {bc: sum(r.n_pairs for r in m.values()) for bc, m in by_cfg.items()}
     assert len(set(counts.values())) == 1
+
+
+def test_contrastive_triplets_semantics(spark):
+    """Constructive check on real data: pos = the anchor's rank-1
+    neighbor, hard_neg = its rank-K neighbor, easy_neg (when flagged
+    valid) collides with neither the anchor, the positive, nor ANY kNN
+    neighbor."""
+    from collections import defaultdict
+
+    import dataforge_core_spark.operators.similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    edges = defaultdict(dict)
+    for r in S.ann_knn_graph(spark, sf).collect():
+        edges[r.src][r.rank] = r.dst
+    rows = S.train_contrastive_triplets(spark, sf).collect()
+    assert {r.anchor_id for r in rows} == set(edges)
+    for r in rows:
+        e = edges[r.anchor_id]
+        assert r.pos_id == e[1], r
+        assert r.hard_neg_id == e[max(e)], r
+        if r.neg_valid:
+            assert r.easy_neg_id != r.anchor_id
+            assert r.easy_neg_id != r.pos_id
+            assert r.easy_neg_id not in set(e.values())
+    assert sum(r.neg_valid for r in rows) > 0.9 * len(rows)

@@ -162,6 +162,133 @@ FROM scoped
 """
 
 
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007) — the production cardinality
+# sketch: m = 2^p registers, register j = max leading-zero rank of the
+# hashes routed to it, estimate = alpha * m^2 / sum(2^-M_j) with the
+# linear-counting small-range correction.  Fixed-size (256 bytes here
+# vs KMV's K values), mergeable by REGISTER-WISE MAX — the reason
+# every warehouse exposes it.  Everything below is INTEGER-EXACT so
+# the DuckDB oracle value-hashes: the harmonic sum is computed as
+# Sints = sum(2^(49 - M_j)) (register ranks live in [1, 49], empties
+# contribute 2^49), the alpha multiply is a documented Q14 rational
+# (ALPHA_Q14 / 2^14), and the linear-counting ln is the libm-free
+# quantized-log2 construction (text._qlog2) times a Q-scaled ln 2.
+# Overflow ledger (int64): Sints <= 256 * 2^49 < 2^57; the estimator's
+# largest intermediate is ALPHA_Q14 * (2^57 DIV Sints) <= 11768 * 2^49
+# ~ 6.6e18 < 2^63.
+# ---------------------------------------------------------------------------
+
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 registers
+_HLL_WBITS = 56 - HLL_P  # rank bits per hash
+_HLL_W = 1 << _HLL_WBITS
+_HLL_RMAX = _HLL_WBITS + 1  # rank of an all-zero suffix
+# alpha_256 = 0.7213 / (1 + 1.079/256) ~ 0.71827, as a Q14 rational
+ALPHA_Q14 = 11768
+_LN2_Q6 = 693147  # ln 2 * 1e6
+
+
+def _hll_sql(dialect: str, toks_src: str | None = None) -> str:
+    from dataforge_core_spark.operators.text import _QL_SCALE, _qlog2
+
+    toks = toks_src or _toks_cte(dialect)
+    mat = "MATERIALIZED " if dialect == "duck" else ""
+    idiv = "DIV" if dialect == "spark" else "//"
+    m = HLL_M
+    m2_rmax = m * (1 << _HLL_RMAX)  # m * 2^49 = 2^57
+    rho = (
+        f"CASE WHEN w = 0 THEN {_HLL_RMAX} "
+        f"ELSE {_HLL_RMAX} - LENGTH(bin(w)) END"
+    )
+    if dialect == "spark":
+        pw = f"SHIFTLEFT(CAST(1 AS BIGINT), {_HLL_RMAX} - r)"
+    else:
+        pw = f"(CAST(1 AS BIGINT) << ({_HLL_RMAX} - r))"
+    dq = (
+        f"({_qlog2(dialect, str(m))}"
+        f" - {_qlog2(dialect, 'GREATEST(v_zero, 1)')})"
+    )
+    # exact floor(m^2 * 2^49 / Sints) by two-step long division
+    # (single-shot m^2 * 2^49 = 2^65 overflows): m*q + (m*rem) DIV S
+    # with rem < S, so the refinement term is < m and exact.  Guards:
+    # q capped at 2^40 (binds only above ~10^12 true cardinality —
+    # far past m=256's design range) and the refinement skipped when
+    # S >= 2^55 (the near-empty regime where linear counting rules
+    # and m*rem would overflow) — both CASEs identical on both
+    # engines.  Alpha applies ONCE at the end in Q14, so the estimate
+    # grain is O(1), not O(m).
+    qc = f"LEAST(q, {1 << 40})"
+    refine = (
+        f"CASE WHEN sints < {1 << 55} THEN ({m} * rem) {idiv} sints "
+        f"ELSE 0 END"
+    )
+    est_raw = (
+        f"(({ALPHA_Q14} * ({m} * {qc} + {refine})) {idiv} {1 << 14})"
+    )
+    est_lin = f"(({m} * ({dq}) * {_LN2_Q6}) {idiv} {_QL_SCALE * 10**6})"
+    est = (
+        f"CASE WHEN v_zero > 0 AND {est_raw} <= {(5 * m) // 2} "
+        f"THEN {est_lin} ELSE {est_raw} END"
+    )
+    return f"""
+WITH toks AS {mat}({toks}),
+exact AS (SELECT source, COUNT(*) AS n_exact FROM toks GROUP BY source),
+rho AS (
+  SELECT source, h {idiv} {_HLL_W} AS bucket,
+         {rho} AS r
+  FROM (SELECT source, h, h % {_HLL_W} AS w FROM toks) t
+),
+regs AS {mat}(
+  SELECT source, bucket, MAX(r) AS r FROM rho GROUP BY source, bucket
+),
+allregs AS (
+  SELECT source AS scope, bucket, r FROM regs
+  UNION ALL
+  SELECT '__all__' AS scope, bucket, MAX(r) AS r
+  FROM regs GROUP BY bucket
+),
+scoped AS (
+  SELECT scope, v_zero, sints,
+         ({m2_rmax}) {idiv} sints AS q,
+         ({m2_rmax}) % sints AS rem
+  FROM (
+    SELECT a.scope,
+           CAST({m} - COUNT(*) AS BIGINT) AS v_zero,
+           CAST(SUM({pw}) AS BIGINT)
+             + ({m} - COUNT(*)) * {1 << _HLL_RMAX} AS sints
+    FROM allregs a GROUP BY a.scope
+  ) base
+),
+ex AS (
+  SELECT source AS scope, CAST(n_exact AS BIGINT) AS n_exact FROM exact
+  UNION ALL
+  SELECT '__all__' AS scope,
+         (SELECT CAST(COUNT(DISTINCT h) AS BIGINT) FROM toks) AS n_exact
+)
+SELECT s.scope, e.n_exact, s.v_zero,
+       CAST({est} AS BIGINT) AS hll_est,
+       CAST((1000000 * ABS({est} - e.n_exact)) {idiv} e.n_exact
+         AS BIGINT) AS err_ppm
+FROM scoped s JOIN ex e ON e.scope = s.scope
+"""
+
+
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source + merged HLL cardinality estimates vs exact counts.
+
+    The ``__all__`` row is merged FROM the per-source register tables
+    (bucket-wise MAX — the true HLL merge, in-plan), never from a
+    second corpus scan; the register build is one map-side-combinable
+    (scope, bucket) aggregate with CONSTANT output cardinality
+    (m = 256 per scope), the shape that survives any corpus size."""
+    toks = _toks_view(spark, sf_dir)
+    return spark.sql(_hll_sql("spark", f"SELECT source, h FROM {toks}"))
+
+
+_HLL_ORACLE = _hll_sql("duck")
+
+
 KMV_K_GRID = (16, 32, 64)
 
 
@@ -823,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
         "sketch_accuracy_eval": sketch_accuracy_eval,
         "sketch_kmv_k_curve": sketch_kmv_k_curve,
+        "sketch_hll_distinct": sketch_hll_distinct,
     }
 
 
@@ -835,4 +963,5 @@ def oracles() -> dict[str, str]:
         "sketch_cms_heavy_hitters": _CMS_ORACLE,
         "sketch_accuracy_eval": _ACCURACY_ORACLE,
         "sketch_kmv_k_curve": _KMV_K_CURVE_ORACLE,
+        "sketch_hll_distinct": _HLL_ORACLE,
     }

@@ -152,3 +152,43 @@ def test_accuracy_eval_error_bounds(spark):
         v == {"p50_milli", "p90_milli", "p99_milli"}
         for v in dd_scopes.values()
     )
+
+
+def test_hll_register_merge_is_global(spark):
+    """HLL mergeability on real data: bucket-wise MAX of the per-source
+    register tables must equal the registers of a direct global build —
+    the property that lets 1000 executors sketch independently and
+    combine.  Also pins the estimator's sane-range behavior: every
+    scope's estimate within 3 sigma (sigma ~ 1.04/sqrt(m)) of exact."""
+    import dataforge_core_spark.operators.sketches as SK
+
+    sf = "/root/testdata/sf0.001"
+    toks = SK._toks_view(spark, sf)
+    w = SK._HLL_W
+    rmax = SK._HLL_RMAX
+    rows = spark.sql(
+        f"""
+        SELECT source, h DIV {w} AS bucket,
+               CASE WHEN h % {w} = 0 THEN {rmax}
+                    ELSE {rmax} - LENGTH(bin(h % {w})) END AS r
+        FROM {toks}
+        """
+    ).collect()
+    per_source: dict = {}
+    direct: dict = {}
+    for row in rows:
+        key = (row.source, row.bucket)
+        per_source[key] = max(per_source.get(key, 0), row.r)
+        direct[row.bucket] = max(direct.get(row.bucket, 0), row.r)
+    merged: dict = {}
+    for (_s, b), r in per_source.items():
+        merged[b] = max(merged.get(b, 0), r)
+    assert merged == direct
+
+    est = {
+        r.scope: (r.hll_est, r.n_exact)
+        for r in SK.sketch_hll_distinct(spark, sf).collect()
+    }
+    sigma = 1.04 / (SK.HLL_M ** 0.5)
+    for scope, (e, exact) in est.items():
+        assert abs(e - exact) <= 3 * sigma * exact + 2, (scope, e, exact)

@@ -87,7 +87,12 @@ Coverage map (SURVEY.md §2 -> query):
                                 one-sided by construction),
                                 sketch_accuracy_eval (estimate-vs-exact
                                 error for kmv/dd/cms in one frame — the
-                                acceptance artifact)
+                                acceptance artifact),
+                                sketch_kmv_k_curve (error vs sketch
+                                size from one ranked pass),
+                                sketch_hll_distinct (integer-exact
+                                HyperLogLog, register-MAX merge
+                                in-plan)
   LLM-pipeline operators     -> events_quantiles (exact interpolated
                                 percentiles, 1e-6-quantized) /
                                 events_anomaly (decimal-exact per-user

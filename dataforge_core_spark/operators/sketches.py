@@ -189,35 +189,52 @@ ALPHA_Q14 = 11768
 _LN2_Q6 = 693147  # ln 2 * 1e6
 
 
-def _hll_sql(dialect: str, toks_src: str | None = None) -> str:
-    from dataforge_core_spark.operators.text import _QL_SCALE, _qlog2
-
-    toks = toks_src or _toks_cte(dialect)
-    mat = "MATERIALIZED " if dialect == "duck" else ""
-    idiv = "DIV" if dialect == "spark" else "//"
-    m = HLL_M
-    m2_rmax = m * (1 << _HLL_RMAX)  # m * 2^49 = 2^57
-    rho = (
+def _hll_rho_expr(dialect: str) -> str:
+    """rho over column ``w`` (the low 48 hash bits)."""
+    del dialect  # identical on both engines (bin() parity)
+    return (
         f"CASE WHEN w = 0 THEN {_HLL_RMAX} "
         f"ELSE {_HLL_RMAX} - LENGTH(bin(w)) END"
     )
+
+
+def _hll_pw_expr(dialect: str) -> str:
+    """2^(RMAX - r) over register column ``r``."""
     if dialect == "spark":
-        pw = f"SHIFTLEFT(CAST(1 AS BIGINT), {_HLL_RMAX} - r)"
-    else:
-        pw = f"(CAST(1 AS BIGINT) << ({_HLL_RMAX} - r))"
+        return f"SHIFTLEFT(CAST(1 AS BIGINT), {_HLL_RMAX} - r)"
+    return f"(CAST(1 AS BIGINT) << ({_HLL_RMAX} - r))"
+
+
+def _hll_qrem_cols(dialect: str) -> str:
+    """q/rem columns over a base relation exposing (v_zero, sints)."""
+    idiv = "DIV" if dialect == "spark" else "//"
+    m2_rmax = HLL_M * (1 << _HLL_RMAX)  # m * 2^49 = 2^57
+    return (
+        f"({m2_rmax}) {idiv} sints AS q, ({m2_rmax}) % sints AS rem"
+    )
+
+
+def _hll_est_expr(dialect: str) -> str:
+    """The estimate over columns (v_zero, sints, q, rem).
+
+    Exact floor(m^2 * 2^49 / Sints) by two-step long division
+    (single-shot m^2 * 2^49 = 2^65 overflows): m*q + (m*rem) DIV S
+    with rem < S, so the refinement term is < m and exact.  Guards:
+    q capped at 2^40 (binds only above ~10^12 true cardinality —
+    far past m=256's design range) and the refinement skipped when
+    S >= 2^55 (the near-empty regime where linear counting rules
+    and m*rem would overflow) — both CASEs identical on both
+    engines.  Alpha applies ONCE at the end in Q14, so the estimate
+    grain is O(1), not O(m); the small-range branch is the
+    linear-counting correction through the libm-free qlog2."""
+    from dataforge_core_spark.operators.text import _QL_SCALE, _qlog2
+
+    idiv = "DIV" if dialect == "spark" else "//"
+    m = HLL_M
     dq = (
         f"({_qlog2(dialect, str(m))}"
         f" - {_qlog2(dialect, 'GREATEST(v_zero, 1)')})"
     )
-    # exact floor(m^2 * 2^49 / Sints) by two-step long division
-    # (single-shot m^2 * 2^49 = 2^65 overflows): m*q + (m*rem) DIV S
-    # with rem < S, so the refinement term is < m and exact.  Guards:
-    # q capped at 2^40 (binds only above ~10^12 true cardinality —
-    # far past m=256's design range) and the refinement skipped when
-    # S >= 2^55 (the near-empty regime where linear counting rules
-    # and m*rem would overflow) — both CASEs identical on both
-    # engines.  Alpha applies ONCE at the end in Q14, so the estimate
-    # grain is O(1), not O(m).
     qc = f"LEAST(q, {1 << 40})"
     refine = (
         f"CASE WHEN sints < {1 << 55} THEN ({m} * rem) {idiv} sints "
@@ -227,10 +244,20 @@ def _hll_sql(dialect: str, toks_src: str | None = None) -> str:
         f"(({ALPHA_Q14} * ({m} * {qc} + {refine})) {idiv} {1 << 14})"
     )
     est_lin = f"(({m} * ({dq}) * {_LN2_Q6}) {idiv} {_QL_SCALE * 10**6})"
-    est = (
+    return (
         f"CASE WHEN v_zero > 0 AND {est_raw} <= {(5 * m) // 2} "
         f"THEN {est_lin} ELSE {est_raw} END"
     )
+
+
+def _hll_sql(dialect: str, toks_src: str | None = None) -> str:
+    toks = toks_src or _toks_cte(dialect)
+    mat = "MATERIALIZED " if dialect == "duck" else ""
+    idiv = "DIV" if dialect == "spark" else "//"
+    m = HLL_M
+    rho = _hll_rho_expr(dialect)
+    pw = _hll_pw_expr(dialect)
+    est = _hll_est_expr(dialect)
     return f"""
 WITH toks AS {mat}({toks}),
 exact AS (SELECT source, COUNT(*) AS n_exact FROM toks GROUP BY source),
@@ -249,9 +276,7 @@ allregs AS (
   FROM regs GROUP BY bucket
 ),
 scoped AS (
-  SELECT scope, v_zero, sints,
-         ({m2_rmax}) {idiv} sints AS q,
-         ({m2_rmax}) % sints AS rem
+  SELECT scope, v_zero, sints, {_hll_qrem_cols(dialect)}
   FROM (
     SELECT a.scope,
            CAST({m} - COUNT(*) AS BIGINT) AS v_zero,

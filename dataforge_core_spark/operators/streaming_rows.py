@@ -678,6 +678,126 @@ def stream_dd_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cardinality monitoring — distinct users per (hour,
+    event type) estimated by the HyperLogLog registers maintained
+    INCREMENTALLY in stream state (the HLL twin of
+    stream_dd_quantiles): the watermarked per-(hour, type, bucket) MAX
+    aggregate IS the register merge (register-wise MAX is exactly how
+    per-micro-batch sketches combine — the mergeability
+    tests/test_sketch_properties.py pins at batch scale), so state
+    holds n_types x <= 256 bounded registers per window, never user
+    sets — the shape that survives any event rate.  Estimates (the
+    sketches.py integer-exact estimator: exact long division, Q14
+    alpha, qlog2 linear-counting) are read off the tiny materialized
+    register tables at query time; exact counts ride along from the
+    same registers' scope for the error signal... (exact is computed
+    by the ORACLE only — the stream side never holds user sets)."""
+    from dataforge_core_spark.operators.sketches import (
+        _HLL_RMAX,
+        _HLL_W,
+        HLL_M,
+        _hll_est_expr,
+        _hll_pw_expr,
+        _hll_qrem_cols,
+        _hll_rho_expr,
+    )
+    from dataforge_core_spark.streaming import stream_events
+
+    ev = stream_events(spark, sf_dir)
+    bkt = (
+        ev.selectExpr(
+            "ts",
+            "event_type",
+            "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 14),"
+            " 16, 10) AS BIGINT) AS h",
+        )
+        .selectExpr(
+            "ts",
+            "event_type",
+            f"h DIV {_HLL_W} AS bucket",
+            f"h % {_HLL_W} AS w",
+        )
+        .selectExpr(
+            "ts", "event_type", "bucket", f"{_hll_rho_expr('spark')} AS r"
+        )
+    )
+    regs = (
+        bkt.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.window("ts", "1 hour").alias("win"), "event_type", "bucket"
+        )
+        .agg(F.max("r").alias("r"))
+    )
+    out = _run_to_memory(regs, "drv_stream_hll", spark, "complete")
+    out.createOrReplaceTempView("drv_stream_hll_regs")
+    pw = _hll_pw_expr("spark")
+    return spark.sql(
+        f"""
+        WITH scoped AS (
+          SELECT window_start, event_type, v_zero, sints,
+                 {_hll_qrem_cols("spark")}
+          FROM (
+            SELECT win.start AS window_start, event_type,
+                   CAST({HLL_M} - COUNT(*) AS BIGINT) AS v_zero,
+                   CAST(SUM({pw}) AS BIGINT)
+                     + ({HLL_M} - COUNT(*)) * {1 << _HLL_RMAX} AS sints
+            FROM drv_stream_hll_regs
+            GROUP BY win.start, event_type
+          ) base
+        )
+        SELECT window_start, event_type, v_zero,
+               CAST({_hll_est_expr("spark")} AS BIGINT) AS est_users
+        FROM scoped
+        """
+    )
+
+
+def _stream_hll_oracle() -> str:
+    from dataforge_core_spark.operators.sketches import (
+        _HLL_RMAX,
+        _HLL_W,
+        HLL_M,
+        _hll_est_expr,
+        _hll_pw_expr,
+        _hll_qrem_cols,
+        _hll_rho_expr,
+    )
+
+    return f"""
+WITH bkt AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         h // {_HLL_W} AS bucket, h % {_HLL_W} AS w
+  FROM (
+    SELECT ts, event_type,
+           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 14))::BIGINT
+             AS h
+    FROM events
+  ) t
+),
+regs AS (
+  SELECT window_start, event_type, bucket,
+         MAX({_hll_rho_expr("duck")}) AS r
+  FROM bkt
+  GROUP BY window_start, event_type, bucket
+),
+scoped AS (
+  SELECT window_start, event_type, v_zero, sints,
+         {_hll_qrem_cols("duck")}
+  FROM (
+    SELECT window_start, event_type,
+           CAST({HLL_M} - COUNT(*) AS BIGINT) AS v_zero,
+           CAST(SUM({_hll_pw_expr("duck")}) AS BIGINT)
+             + ({HLL_M} - COUNT(*)) * {1 << _HLL_RMAX} AS sints
+    FROM regs GROUP BY window_start, event_type
+  ) base
+)
+SELECT window_start, event_type, v_zero,
+       CAST({_hll_est_expr("duck")} AS BIGINT) AS est_users
+FROM scoped
+"""
+
+
 def _stream_dd_oracle() -> str:
     from dataforge_core_spark.operators.sketches import HIST_S
 
@@ -740,6 +860,7 @@ GROUP BY d.source
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stream_dd_quantiles": stream_dd_quantiles,
+        "stream_hll_distinct": stream_hll_distinct,
         "stream_corpus_ingest": stream_corpus_ingest,
         "stream_topk": stream_topk,
         "stream_late_data": stream_late_data,
@@ -755,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracles() -> dict[str, str]:
     return {
         "stream_dd_quantiles": _stream_dd_oracle(),
+        "stream_hll_distinct": _stream_hll_oracle(),
         "stream_corpus_ingest": _corpus_ingest_oracle(),
         "stream_topk": _STREAM_TOPK_ORACLE,
         "stream_late_data": _LATE_ORACLE,

@@ -733,13 +733,15 @@ def ann_ivf_search(
 ) -> DataFrame:
     """IVF search with a configurable probe count — THE recall dial of
     an IVF index.  Each query probes its ``nprobe`` nearest centroid
-    cells: the probe assignment is a broadcast cross join against the
-    checkpointed K-row centroid table (ROW_NUMBER <= nprobe), and the
-    cell search is the same cid-keyed equi-join for every nprobe; a
-    corpus vector lives in exactly one cell, so probing distinct cells
-    can never produce duplicate pairs.  nprobe=1 short-circuits the
-    probe stage entirely (a vector's nearest centroid IS its assigned
-    cell, so the assignment column already holds the answer).
+    cells: the probe assignment is a PURE LITERAL PROJECTION over the
+    K driver-side centroid literals (_probe_sorted_expr — no cross
+    join, so the whole family plans WITHOUT BroadcastNestedLoopJoin;
+    round-10 rebuild of the former 8-row broadcast cross join), and
+    the cell search is the same cid-keyed equi-join for every nprobe;
+    a corpus vector lives in exactly one cell, so probing distinct
+    cells can never produce duplicate pairs.  nprobe=1 short-circuits
+    the probe stage entirely (a vector's nearest centroid IS its
+    assigned cell, so the assignment column already holds the answer).
 
     ``nprobe``/``top_k`` are the DRIVER-VISIBLE dials of the
     parameterized contract (__spark_entry__.queries_parameterized);
@@ -749,21 +751,19 @@ def ann_ivf_search(
         raise ValueError(f"nprobe must be in [1, {KMEANS_K}]")
     if top_k < 1:
         raise ValueError("top_k must be >= 1")
-    af, cv = _kmeans_index(spark, sf_dir)
+    af, _cv = _kmeans_index(spark, sf_dir)
     cos = _spark_cosine("q.emb", "c.emb", "q.nrm", "c.nrm")
     cf = f" AND ({corpus_filter})" if corpus_filter else ""
     if nprobe == 1:
         qsrc = f"(SELECT * FROM {af} WHERE vec_id < {N_QUERIES})"
     else:
-        qdot = _unrolled_dot("a.emb", "c.emb", "spark")
+        sa = _probe_sorted_expr(_kmeans_centroids(spark, sf_dir), "emb")
+        picks = ", ".join(f"__sa[{j}].c" for j in range(nprobe))
         qsrc = f"""(
-          SELECT vec_id, emb, nrm, cid FROM (
-            SELECT /*+ BROADCAST(c) */ a.vec_id, a.emb, a.nrm, c.cid,
-                   ROW_NUMBER() OVER (PARTITION BY a.vec_id
-                        ORDER BY (c.cc - (2 * ({qdot}))) ASC, c.cid) AS rn
-            FROM (SELECT * FROM {af} WHERE vec_id < {N_QUERIES}) a
-            CROSS JOIN {cv} c
-          ) t WHERE rn <= {nprobe}
+          SELECT vec_id, emb, nrm, pcid AS cid FROM (
+            SELECT vec_id, emb, nrm, {sa} AS __sa
+            FROM {af} WHERE vec_id < {N_QUERIES}
+          ) t LATERAL VIEW explode(array({picks})) p AS pcid
         )"""
     return spark.sql(
         f"""
@@ -2355,9 +2355,20 @@ def ann_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost model as ann_pq_recall, paid once instead of five times."""
     key = (session_key(spark), sf_dir)
     if key not in _nprobe_scored_cache:
-        af, cv = _kmeans_index(spark, sf_dir)
+        af, _cv = _kmeans_index(spark, sf_dir)
+        # literal-projection probe (no cross join, like ann_ivf_search):
+        # cellrank = 1 + position in the sorted (dist, cid) struct array
+        sa = _probe_sorted_expr(_kmeans_centroids(spark, sf_dir), "emb")
+        qp = f"""
+          SELECT vec_id, emb, nrm, pcid AS cid, idx + 1 AS cellrank
+          FROM (
+            SELECT vec_id, emb, nrm, {sa} AS __sa
+            FROM {af} WHERE vec_id < {N_QUERIES}
+          ) t LATERAL VIEW posexplode(transform(__sa, s -> s.c))
+            p AS idx, pcid
+        """
         sc = spark.sql(
-            f"WITH qp AS ({_nprobe_qp_sql('spark', af, cv)})"
+            f"WITH qp AS ({qp})"
             f"{_nprobe_scored_body('spark', af)}"
         ).localCheckpoint(eager=True)
         name = f"nprobe_scored_{abs(hash(key)) % 10**8}"

@@ -201,15 +201,12 @@ _CARTESIAN_EXEMPT = {
     # (the recall eval embeds both the SQ and the exact side)
     "ann_sq_search",
     "ann_sq_recall",
-    "ann_ivf_probe2",
-    # same probe shape as ann_ivf_probe2: nprobe>1 assignment is a
-    # broadcast cross join against the 8-row centroid literal
-    "ann_ivf_probe3_k5",
-    "ann_filtered_search",
-    # intentional: embeds the brute-force exact side AND the 8-row
-    # centroid probe cross join by construction (eval lane, same
-    # family as ann_recall_eval / ann_pq_recall)
-    "ann_nprobe_recall_curve",
+    # NOTE (r10): the IVF probe family (ann_ivf_probe2/probe3_k5,
+    # ann_filtered_search, ann_nprobe_recall_curve, and the
+    # semantic-decontamination screen) moved OFF this list — their
+    # probe assignment is now a literal projection over the K
+    # driver-side centroids (_probe_sorted_expr), not a broadcast
+    # cross join, so they plan with zero BroadcastNestedLoopJoins.
     "ann_recall_eval",
     # intentional: PQ codebook is a PQ_K-row broadcast relation, and the
     # ADC LUT build is a (queries x subspaces x codewords) cross join of

@@ -287,9 +287,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # re-proven instead of riding on their old records forever.
     from dataforge_core_spark.operators import stale_hubs
 
-    tbl = dict(relegated_hubs)
+    hub_tbl = dict(relegated_hubs)
     for name in stale_hubs():
-        q[name] = _hub(tbl[name])
+        q[name] = _hub(hub_tbl[name])
     q.update(extension_queries())
     for name, tbl in relegated_hubs:
         q.setdefault(name, _hub(tbl))

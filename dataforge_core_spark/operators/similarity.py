@@ -2342,9 +2342,16 @@ def ann_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     PROBE_GRID, in one frame — the acceptance artifact for the
     parameterized nprobe dial (queries_parameterized): a deployment
     reads this to pick the cheapest nprobe meeting its recall floor.
-    nprobe=K scans every cell, so its rows must be recall=1.0 exactly
-    (pinned in tests/test_parameterized.py's monotonicity check and by
-    the oracle).
+    nprobe=K scans every cell, so its rows are recall=1.0 exactly
+    WHILE every cell fits under IVF_CELL_CAP (pinned for that regime in
+    tests/test_parameterized.py's monotonicity check and by the oracle);
+    the per-nprobe 'found' blocks rank only capped candidates
+    (cellrn <= IVF_CELL_CAP) while the brute baseline ranks uncapped
+    rows, so above the cap the curve measures nprobe loss PLUS cap loss
+    — the oracle mirrors the cap, so correctness holds at any scale,
+    but the =1.0 endpoint claim is cap-regime-only by design (the cap
+    is the scale guard; an uncapped curve would be the quadratic scan
+    the guard exists to prevent).
 
     Plan shape: the scored (query x corpus, cellrank) relation is
     computed ONCE and localCheckpoint-ed per (session, sf), then the brute

@@ -84,7 +84,20 @@ def test_nprobe_widens_candidates(spark):
         }
         rec.append(len(got & brute) / len(brute))
     assert rec[0] <= rec[1] <= rec[2]
-    assert rec[2] == 1.0  # nprobe=K scans every cell == exact
+    # nprobe=K scans every cell == exact WHILE every cell fits under
+    # IVF_CELL_CAP (true at every test sf; above the cap the search
+    # intentionally measures nprobe loss + cap loss — see the
+    # ann_nprobe_recall_curve docstring).  Guard the regime so the
+    # assertion can't silently turn into a flake at a bigger fixture.
+    from dataforge_core_spark.operators.similarity import IVF_CELL_CAP
+
+    af, _cv = S._kmeans_index(spark, SF)
+    max_cell = spark.sql(
+        f"SELECT max(cnt) m FROM (SELECT cid, count(*) cnt FROM {af} "
+        "GROUP BY cid)"
+    ).collect()[0].m
+    assert max_cell <= IVF_CELL_CAP, "fixture outgrew the cap regime"
+    assert rec[2] == 1.0  # exact in the cap regime
 
 
 def test_curve_nprobe1_matches_recall_eval(spark):

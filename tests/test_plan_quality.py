@@ -703,3 +703,25 @@ def test_incremental_assign_one_pass_over_index(spark):
     assert "ExistingRDD" in plan, "drift report re-derives the index"
     assert "Parquet" not in plan, "drift report re-scans the corpus"
     assert "Join" not in plan, "drift report plans a join"
+
+
+def test_substring_clean_is_fully_index_served(spark):
+    """dedup_substring_clean: positions, lengths AND token rows all come
+    from the checkpointed index relations — an execution plans NO parquet
+    scan and no tokenize (the r10 inline-toks form re-ran scan + split +
+    posexplode over the corpus per execution; serving toks from the token
+    base measured 0.87 -> 0.55s warm at sf0.1 and is one corpus read at
+    100 TB)."""
+    from dataforge_core_spark.operators import dedup as D
+
+    plan = (
+        D.dedup_substring_clean(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan ExistingRDD") == 3, (
+        "expected pos + lens + toks index scans"
+    )
+    assert "parquet" not in plan.lower(), (
+        "clean lane re-scans the corpus — toks not served from the base"
+    )
+    assert "posexplode" not in plan, "clean lane re-tokenizes the corpus"

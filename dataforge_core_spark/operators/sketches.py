@@ -872,10 +872,16 @@ SELECT scope, {picks} FROM (
 """
 
 
-def _accuracy_sql(dialect: str, kmv_src: str, cms_src: str) -> str:
-    """The unified eval statement; ``kmv_src``/``cms_src`` are the
-    dialect's full kmv / cms-probe statements (Spark serves both from
-    checkpointed index views; DuckDB re-derives them inline)."""
+def _accuracy_sql(
+    dialect: str, kmv_src: str, cms_src: str, hll_src: str
+) -> str:
+    """The unified eval statement; ``kmv_src``/``cms_src``/``hll_src``
+    are the dialect's full kmv / cms-probe / hll statements (Spark
+    serves all three from checkpointed index views; DuckDB re-derives
+    them inline).  One row per (sketch, scope, metric) across the WHOLE
+    mergeable-sketch family — kmv + hll distincts, dd quantiles, cms
+    counts — so the acceptance artifact covers every estimator the repo
+    ships (the r10 verdict's HLL gap)."""
     idiv = "DIV" if dialect == "spark" else "//"
     if dialect == "spark":
         fan = (
@@ -911,6 +917,10 @@ FROM (
   SELECT 'cms' AS sketch, tok AS scope, 'token_count' AS metric,
          cms_est AS est, exact_cnt AS exact
   FROM ({cms_src}) cm
+  UNION ALL
+  SELECT 'hll' AS sketch, scope, 'distinct_tokens' AS metric,
+         hll_est AS est, n_exact AS exact
+  FROM ({hll_src}) hl
 ) u
 """
 
@@ -941,7 +951,7 @@ def _cms_probe_sql(mname: str, tname: str) -> str:
 
 
 def sketch_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Estimate-vs-exact error for the kmv/dd/cms sketches on the same
+    """Estimate-vs-exact error for the kmv/dd/cms/hll sketches on the same
     corpus, one integer-exact row per (sketch, scope, metric) — the
     sketch counterpart of ann_recall_eval / dedup_minhash_accuracy.
     Served from the same checkpointed indexes as the individual lanes
@@ -957,12 +967,13 @@ def sketch_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spark",
             _kmv_sql("spark", f"SELECT source, h FROM {toks}"),
             _cms_probe_sql(mname, tname),
+            _hll_sql("spark", f"SELECT source, h FROM {toks}"),
         )
     )
 
 
 _ACCURACY_ORACLE = _accuracy_sql(
-    "duck", _kmv_sql("duck"), _cms_oracle_sql()
+    "duck", _kmv_sql("duck"), _cms_oracle_sql(), _hll_sql("duck")
 )
 
 

@@ -125,12 +125,15 @@ def test_cms_merge_and_one_sided(rows):
 def test_accuracy_eval_error_bounds(spark):
     """sketch_accuracy_eval rows must honor each family's guarantee on
     real data: DD quantile lower bounds never overshoot and sit within
-    the 2^(1-HIST_S) relative band; CMS never undercounts; every row's
-    abs_err/err_ppm are consistent with (est, exact)."""
+    the 2^(1-HIST_S) relative band; CMS never undercounts; HLL rows
+    match the standalone lane and stay within the estimator's sane
+    range; every row's abs_err/err_ppm are consistent with
+    (est, exact)."""
     import dataforge_core_spark.operators.sketches as SK
 
-    rows = SK.sketch_accuracy_eval(spark, "/root/testdata/sf0.001").collect()
-    assert {r.sketch for r in rows} == {"kmv", "dd", "cms"}
+    sf = "/root/testdata/sf0.001"
+    rows = SK.sketch_accuracy_eval(spark, sf).collect()
+    assert {r.sketch for r in rows} == {"kmv", "dd", "cms", "hll"}
     for r in rows:
         assert r.abs_err == abs(r.est - r.exact), r
         assert r.err_ppm == (1000000 * r.abs_err) // max(r.exact, 1), r
@@ -142,6 +145,15 @@ def test_accuracy_eval_error_bounds(spark):
             ) < r.exact, r
         elif r.sketch == "cms":
             assert r.est >= r.exact, r
+    # hll rows are the standalone lane's (scope, est, exact) verbatim
+    hll_lane = {
+        r.scope: (r.hll_est, r.n_exact)
+        for r in SK.sketch_hll_distinct(spark, sf).collect()
+    }
+    hll_eval = {
+        r.scope: (r.est, r.exact) for r in rows if r.sketch == "hll"
+    }
+    assert hll_eval == hll_lane
     # dd covers all three percentiles for every scope
     dd_scopes = {}
     for r in rows:

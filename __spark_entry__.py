@@ -341,9 +341,15 @@ def queries_parameterized() -> dict[str, dict]:
     return {
         "dedup_minhash": {
             "fn": D.dedup_minhash,
-            "params": {"max_band_bucket": D.MAX_BAND_BUCKET},
-            "oracle_sql": lambda max_band_bucket=D.MAX_BAND_BUCKET: (
-                D._minhash_oracle(max_band_bucket)
+            "params": {
+                "max_band_bucket": D.MAX_BAND_BUCKET,
+                "bands": D.MINHASH_BANDS,
+                "rows": D.MINHASH_R,
+            },
+            "oracle_sql": lambda max_band_bucket=D.MAX_BAND_BUCKET, bands=(
+                D.MINHASH_BANDS
+            ), rows=D.MINHASH_R: D._minhash_oracle(
+                max_band_bucket, bands, rows
             ),
         },
         "ann_ivf_search": {

@@ -302,15 +302,33 @@ _pairs_cache: dict = {}
 
 
 def dedup_minhash(
-    spark: SparkSession, sf_dir: str, max_band_bucket: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    max_band_bucket: int | None = None,
+    bands: int | None = None,
+    rows: int | None = None,
 ) -> DataFrame:
     """MinHash/LSH candidate pairs + exact-Jaccard verification.
 
     The verified pair set is persisted per (session, sf): the clustering
     operator consumes it as its edge list, so one materialization serves
-    both driver rows (at scale: the stored near-dup pair table)."""
+    both driver rows (at scale: the stored near-dup pair table).
+
+    ``bands``/``rows`` select the LSH layout over the first
+    bands*rows <= MINHASH_N signature columns (default 4x3) — the dial
+    dedup_lsh_band_curve prices: fewer bands x longer rows pushes the
+    S-curve knee right (high precision), more bands x shorter rows
+    pushes it left (high recall).  Candidate sets refine monotonically
+    along the divisor chain (every full r-row band match implies a
+    match of each of its sub-bands), pinned by test."""
     cap = MAX_BAND_BUCKET if max_band_bucket is None else max_band_bucket
-    wide = _verified_pairs(spark, sf_dir, cap)
+    wide = _verified_pairs(
+        spark,
+        sf_dir,
+        cap,
+        MINHASH_BANDS if bands is None else bands,
+        MINHASH_R if rows is None else rows,
+    )
     return wide.select("doc_a", "doc_b", "jaccard")
 
 
@@ -333,19 +351,28 @@ def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _verified_pairs(
-    spark: SparkSession, sf_dir: str, cap: int
+    spark: SparkSession,
+    sf_dir: str,
+    cap: int,
+    bands_n: int = MINHASH_BANDS,
+    rows_n: int = MINHASH_R,
 ) -> DataFrame:
     """Verified near-dup pairs WITH their integer basis
-    (inter_n, n_a, n_b), persisted per (session, sf, cap)."""
+    (inter_n, n_a, n_b), persisted per (session, sf, cap, layout)."""
     from pyspark.sql import functions as F
 
-    key = (session_key(spark), sf_dir, cap)
+    if bands_n < 1 or rows_n < 1 or bands_n * rows_n > MINHASH_N:
+        raise ValueError(
+            f"LSH layout {bands_n}x{rows_n} exceeds the "
+            f"{MINHASH_N}-column signature"
+        )
+    key = (session_key(spark), sf_dir, cap, bands_n, rows_n)
     if key in _pairs_cache:
         return _pairs_cache[key]
 
     ex = _ex_df(spark, sf_dir)
     sig = _minhash_sig_df(spark, sf_dir)
-    keys = ", ".join(_band_keys(MINHASH_BANDS, MINHASH_R))
+    keys = ", ".join(_band_keys(bands_n, rows_n))
     bands = sig.selectExpr(
         "doc_id", f"explode(array({keys})) AS band_key"
     )
@@ -384,7 +411,11 @@ def _verified_pairs(
     return out
 
 
-def _minhash_chain(max_band_bucket: int = MAX_BAND_BUCKET) -> str:
+def _minhash_chain(
+    max_band_bucket: int = MAX_BAND_BUCKET,
+    bands_n: int = MINHASH_BANDS,
+    rows_n: int = MINHASH_R,
+) -> str:
     """The shared DuckDB CTE chain ex -> sig -> cand -> sizes/inter
     (no WITH, no final SELECT) — base of the minhash pair oracle and
     the accuracy-eval oracle."""
@@ -396,7 +427,7 @@ sig AS (
 ),
 bands AS (
   SELECT doc_id,
-         unnest([{", ".join(_band_keys(MINHASH_BANDS, MINHASH_R))}])
+         unnest([{", ".join(_band_keys(bands_n, rows_n))}])
            AS band_key
   FROM sig
 ),
@@ -425,9 +456,13 @@ inter AS (
 )"""
 
 
-def _minhash_oracle(max_band_bucket: int = MAX_BAND_BUCKET) -> str:
+def _minhash_oracle(
+    max_band_bucket: int = MAX_BAND_BUCKET,
+    bands: int = MINHASH_BANDS,
+    rows: int = MINHASH_R,
+) -> str:
     return f"""
-WITH {_minhash_chain(max_band_bucket)}
+WITH {_minhash_chain(max_band_bucket, bands, rows)}
 SELECT i.doc_a, i.doc_b,
        CAST(i.inter_n AS DOUBLE) / (sa.n + sb.n - i.inter_n) AS jaccard
 FROM inter i

@@ -38,6 +38,8 @@ def test_contract_shape():
         ("ann_filtered_search", {"nprobe": 3, "top_k": 4}),
         ("ann_semantic_decontaminate", {"nprobe": 3, "thresh_q": 300_000}),
         ("dedup_minhash", {"max_band_bucket": 25}),
+        ("dedup_minhash", {"bands": 6, "rows": 2}),
+        ("dedup_minhash", {"bands": 2, "rows": 6, "max_band_bucket": 100}),
     ],
 )
 def test_dials_are_live(name, params, spark):
@@ -183,3 +185,52 @@ def test_kmv_k_curve_k64_matches_kmv_distinct(spark):
         assert curve[(s, max(SK.KMV_K_GRID))] == v, s
     for k in SK.KMV_K_GRID:
         assert {s for s, kk in curve if kk == k} == set(ref)
+
+
+def test_band_layout_refinement_chain(spark):
+    """Monotone refinement along the divisor chain: every full r-row
+    band match implies a match of each of its sub-bands, so the
+    verified pair set can only grow as rows shrink —
+    (1x12) <= (4x3) <= (12x1).  The liveness half of the (bands, rows)
+    dial: the inclusions must also be strict somewhere at this fixture
+    or the dial isn't doing anything."""
+    import dataforge_core_spark.operators.dedup as D
+
+    sets = {}
+    for bands, rows in ((1, 12), (4, 3), (12, 1)):
+        sets[bands] = {
+            (r.doc_a, r.doc_b)
+            for r in D.dedup_minhash(
+                spark, SF, bands=bands, rows=rows
+            ).collect()
+        }
+    assert sets[1] <= sets[4] <= sets[12]
+    assert sets[1] != sets[12], "layout dial is dead at this fixture"
+
+
+def test_band_curve_matches_dialed_operator(spark):
+    """Cross-lane referee closing the tuning loop (r10 verdict #6): the
+    S-curve's total caught count at layout (bc, 12/bc) must equal the
+    number of production-verified pairs the DIALED operator also finds
+    at that layout — the curve prices exactly the operator the dial
+    instantiates.  (Exact while no band bucket exceeds the cap: the
+    curve's caught flag is unsalted; true by construction at this
+    fixture, |docs| < MAX_BAND_BUCKET.)"""
+    import dataforge_core_spark.operators.dedup as D
+
+    prod = {
+        (r.doc_a, r.doc_b) for r in D.dedup_minhash(spark, SF).collect()
+    }
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert n_docs <= D.MAX_BAND_BUCKET, "fixture outgrew the unsalted regime"
+    caught = {}
+    for r in D.dedup_lsh_band_curve(spark, SF).collect():
+        caught[r.bands] = caught.get(r.bands, 0) + r.n_caught
+    for bc in (1, 2, 6, 12):
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in D.dedup_minhash(
+                spark, SF, bands=bc, rows=12 // bc
+            ).collect()
+        }
+        assert caught[bc] == len(got & prod), f"bands={bc}"

@@ -159,6 +159,7 @@ def _clear_operator_caches(spark) -> None:
     similarity._xq_cache.clear()
     similarity._top_pc_cache.clear()
     similarity._pc2_cache.clear()
+    similarity._pcs_cache.clear()
     for _out, ckpts in similarity._kcore_cache.values():
         for df in ckpts:
             free_local_checkpoint(df)
@@ -263,6 +264,12 @@ def _index_builders():
         (
             "embeddings_pc2_fit",
             lambda s: similarity._fit_top_pc2(s, SF_DIR),
+        ),
+        # deflation continued to N_PC directions (PCs 3-4: one deflate
+        # pass + one chain each over the re-checkpointed residuals)
+        (
+            "embeddings_pcs_fit",
+            lambda s: similarity._fit_top_pcs(s, SF_DIR),
         ),
         (
             "embedding_cluster_labels",

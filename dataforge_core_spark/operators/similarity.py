@@ -2054,6 +2054,181 @@ GROUP BY r.vec_id, c1.cp, c2.cp
 """
 
 
+N_PC = 4  # depth of the multi-PC whitening family
+_pcs_cache: dict = {}
+
+
+def _fit_top_pcs(
+    spark: SparkSession, sf_dir: str, n_pc: int = N_PC
+) -> list[list[tuple[int, int]]]:
+    """Top-``n_pc`` principal directions by SEQUENTIAL deflation power
+    iteration (the r10 pc2 machinery generalized, r10 verdict #5):
+    x_{k+1} = deflate(x_k, v_k), v_{k+1} = the same quantized chain
+    over the re-checkpointed residual matrix.  PCs 1-2 reuse the cached
+    PC1/PC2 fits (their chains are bit-identical to this loop's);
+    deeper directions cost one deflate pass + one 3-step chain each —
+    at 100 TB that is one extra pass over the stored quantized matrix
+    per component, the same cost model the pc2 docstring promises.
+    Every intermediate checkpoint is freed as soon as the next matrix
+    is pinned; only the 64-int fits stay resident."""
+    from dataforge_core_spark.session import free_local_checkpoint
+
+    key = (session_key(spark), sf_dir, n_pc)
+    if key not in _pcs_cache:
+        fits: list[list[tuple[int, int]]] = []
+        cur = _xq_view(spark, sf_dir)
+        cur_df = None
+        for k in range(n_pc):
+            if k == 0:
+                fits.append(_fit_top_pc(spark, sf_dir))
+            elif k == 1:
+                fits.append(_fit_top_pc2(spark, sf_dir))
+            else:
+                rows = spark.sql(
+                    f"WITH xm AS (SELECT * FROM {cur}),\n"
+                    + _power_iter_chain("DIV", src="xm", pfx="g")
+                    + f"\nSELECT CAST(i AS INT) AS dim,"
+                    f" CAST(vq AS BIGINT) AS pc_q FROM gv{PI_ITERS}"
+                ).collect()
+                fits.append(sorted((r.dim, r.pc_q) for r in rows))
+            if k < n_pc - 1:
+                vlit = " UNION ALL ".join(
+                    f"SELECT {d} AS i, CAST({q} AS BIGINT) AS vq"
+                    for d, q in fits[k]
+                )
+                nxt = spark.sql(
+                    f"WITH xm AS (SELECT * FROM {cur}), vd AS ({vlit}),\n"
+                    + _deflate_ctes("DIV", "xm", "vd")
+                    + "\nSELECT * FROM x2"
+                ).localCheckpoint(eager=True)
+                name = f"xq{k + 2}_{abs(hash(key)) % 10**8}"
+                nxt.createOrReplaceTempView(name)
+                if cur_df is not None:
+                    free_local_checkpoint(cur_df)
+                cur, cur_df = name, nxt
+        if cur_df is not None:
+            free_local_checkpoint(cur_df)
+        _pcs_cache[key] = fits
+    return _pcs_cache[key]
+
+
+def _pcs_oracle_base(n_pc: int = N_PC) -> tuple[str, list, list, str]:
+    """The inlined DuckDB derivation shared by the top-pcs and whiten
+    oracles: x -> (chain -> deflate -> materialize)^n_pc.  Returns
+    (cte_text, fit CTE names, per-direction cf names, final residual
+    matrix name); DuckDB prunes whatever a consumer doesn't reference.
+    Every multiply-referenced relation is MATERIALIZED (duck 1.0
+    inlines plain CTEs — the ROADMAP oracle rule)."""
+    op = "//"
+    chain_pfx = ["", "b", "d", "f", "h"]
+    parts = [
+        _duck_v_cte(),
+        f"""x AS MATERIALIZED (
+  SELECT v.vec_id, u.i - 1 AS i,
+         CAST(trunc(v.emb[u.i] * {PI_SCALE}) AS BIGINT) AS eq
+  FROM v, (SELECT unnest(generate_series(1, {DIM})) AS i) u
+)""",
+    ]
+    fit_names, cf_names = [], []
+    src = "x"
+    for k in range(n_pc):
+        parts.append(_power_iter_chain(op, src=src, pfx=chain_pfx[k]))
+        fit = f"{chain_pfx[k]}v{PI_ITERS}"
+        fit_names.append(fit)
+        dp = f"c{k + 1}"
+        parts.append(_deflate_ctes(op, src, fit, pfx=dp))
+        cf_names.append(f"{dp}cf")
+        nxt = f"x{k + 2}m"
+        parts.append(f"{nxt} AS MATERIALIZED (SELECT * FROM {dp}x2)")
+        src = nxt
+    return ",\n".join(parts), fit_names, cf_names, src
+
+
+def embeddings_top_pcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The top-N_PC principal directions in one frame — rows
+    (pc, dim, pc_q), pc in 1..N_PC.  With embeddings_top_pc/pc2 this
+    completes the dim-reduction eval family; pairwise near-
+    orthogonality and agreement with the single-PC lanes are pinned in
+    tests/test_parameterized.py."""
+    fits = _fit_top_pcs(spark, sf_dir)
+    rows = [
+        (k + 1, d, q) for k, f in enumerate(fits) for d, q in f
+    ]
+    return spark.createDataFrame(rows, "pc int, dim int, pc_q bigint")
+
+
+def _top_pcs_oracle() -> str:
+    ctes, fit_names, _cf, _res = _pcs_oracle_base()
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({k + 1} AS INTEGER) AS pc, CAST(i AS INTEGER) AS dim,"
+        f" CAST(vq AS BIGINT) AS pc_q FROM {name}"
+        for k, name in enumerate(fit_names)
+    )
+    return f"WITH {ctes}\n{union}"
+
+
+def embeddings_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top-N_PC whitening: embeddings_abtt generalized from
+    2 to N_PC removed directions (Mu & Viswanath's D ~ dim/100 rule at
+    a 64-dim corpus).  Emits (vec_id, proj1_q..proj{N_PC}_q,
+    resid_ssq_q), all in the shared 1e6 fixed-point ledger.  Plan
+    shape: the fitted directions are 64-int LITERAL arrays — N_PC
+    chained vec_id-partitioned window sums + one aggregate over the
+    checkpointed component relation, one exchange, no joins.  Overflow
+    ledger: |eq| <= ~1e6, DIM=64 => |sum(eq*u)| <= 6.4e13,
+    |cp| <= ~6.4e7, |cp*vq| <= 6.4e13 — int64-safe at every step."""
+    fits = _fit_top_pcs(spark, sf_dir)
+    x = _xq_view(spark, sf_dir)
+    w = "OVER (PARTITION BY vec_id)"
+    ctes = []
+    src = x
+    for k, f in enumerate(fits, 1):
+        arr = ", ".join(str(q) for _d, q in f)
+        nk = max(sum(q * q for _d, q in f) // PI_SCALE, 1)
+        uk = f"element_at(array({arr}), CAST(i AS INT) + 1)"
+        cpk = _sidiv(
+            f"CAST(SUM(eq * {uk}) {w} AS BIGINT)", str(PI_SCALE), "DIV"
+        )
+        carry = "".join(f", cp{j}" for j in range(1, k))
+        ctes.append(
+            f"r{k} AS (SELECT vec_id, i,"
+            f" eq - {_sidiv(f'({cpk}) * {uk}', str(nk), 'DIV')} AS eq,"
+            f" {cpk} AS cp{k}{carry} FROM {src})"
+        )
+        src = f"r{k}"
+    projs = ", ".join(
+        f"MIN(cp{k}) AS proj{k}_q" for k in range(1, len(fits) + 1)
+    )
+    return spark.sql(
+        f"""
+        WITH {",".join(ctes)}
+        SELECT vec_id, {projs},
+               CAST(SUM(eq * eq) DIV {PI_SCALE} AS BIGINT) AS resid_ssq_q
+        FROM {src} GROUP BY vec_id
+        """
+    )
+
+
+def _whiten_oracle() -> str:
+    ctes, _fits, cf_names, res = _pcs_oracle_base()
+    joins = "\n".join(
+        f"JOIN {cf} c{k + 1} ON c{k + 1}.vec_id = r.vec_id"
+        for k, cf in enumerate(cf_names)
+    )
+    projs = ", ".join(
+        f"c{k + 1}.cp AS proj{k + 1}_q" for k in range(len(cf_names))
+    )
+    group = ", ".join(f"c{k + 1}.cp" for k in range(len(cf_names)))
+    return f"""
+WITH {ctes}
+SELECT r.vec_id, {projs},
+       CAST(SUM(r.eq * r.eq) // {PI_SCALE} AS BIGINT) AS resid_ssq_q
+FROM {res} r
+{joins}
+GROUP BY r.vec_id, {group}
+"""
+
+
 def embeddings_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal direction (quantized to ~1e6) via power iteration."""
     fitted = _fit_top_pc(spark, sf_dir)
@@ -3209,7 +3384,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_kcore": ann_kcore,
         "embeddings_top_pc": embeddings_top_pc,
         "embeddings_top_pc2": embeddings_top_pc2,
+        "embeddings_top_pcs": embeddings_top_pcs,
         "embeddings_abtt": embeddings_abtt,
+        "embeddings_whiten": embeddings_whiten,
         "embeddings_pc_project": embeddings_pc_project,
         "ann_ivf_stats": ann_ivf_stats,
         "ann_outliers": ann_outliers,
@@ -3250,7 +3427,9 @@ def oracles() -> dict[str, str]:
         "ann_kcore": _kcore_oracle(),
         "embeddings_top_pc": _top_pc_oracle(),
         "embeddings_top_pc2": _top_pc2_oracle(),
+        "embeddings_top_pcs": _top_pcs_oracle(),
         "embeddings_abtt": _abtt_oracle(),
+        "embeddings_whiten": _whiten_oracle(),
         "embeddings_pc_project": _pc_project_oracle(),
         "ann_ivf_stats": _ivf_stats_oracle(),
         "ann_recall_eval": _recall_eval_oracle(),

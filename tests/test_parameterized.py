@@ -234,3 +234,52 @@ def test_band_curve_matches_dialed_operator(spark):
             ).collect()
         }
         assert caught[bc] == len(got & prod), f"bands={bc}"
+
+
+def test_top_pcs_orthogonal_family_and_matches_single_lanes(spark):
+    """Multi-PC whitening invariants (r10 verdict #5): the N_PC fitted
+    directions are pairwise near-orthogonal (deflation sanity — exact
+    orthogonality is not preserved by the 1e6 ledger, but |cos| must
+    stay small), none is degenerate, and the pc=1/pc=2 rows equal the
+    standalone embeddings_top_pc / embeddings_top_pc2 lanes (the fits
+    are shared, so this pins the frame assembly, not just the math)."""
+    import math
+
+    import dataforge_core_spark.operators.similarity as S
+
+    rows = S.embeddings_top_pcs(spark, SF).collect()
+    dirs = {}
+    for r in rows:
+        dirs.setdefault(r.pc, {})[r.dim] = r.pc_q
+    assert set(dirs) == set(range(1, S.N_PC + 1))
+    norms = {}
+    for pc, v in dirs.items():
+        assert set(v) == set(range(S.DIM))
+        norms[pc] = math.sqrt(sum(q * q for q in v.values()))
+        assert norms[pc] > 0
+    for a in range(1, S.N_PC + 1):
+        for b in range(a + 1, S.N_PC + 1):
+            dot = sum(dirs[a][i] * dirs[b][i] for i in range(S.DIM))
+            assert abs(dot) / (norms[a] * norms[b]) < 0.05, (a, b)
+    pc1 = {r.dim: r.pc_q for r in S.embeddings_top_pc(spark, SF).collect()}
+    pc2 = {r.dim: r.pc2_q for r in S.embeddings_top_pc2(spark, SF).collect()}
+    assert dirs[1] == pc1
+    assert dirs[2] == pc2
+
+
+def test_whiten_extends_abtt_and_reduces_energy(spark):
+    """embeddings_whiten is abtt continued to N_PC directions: its
+    proj1_q/proj2_q equal abtt's verbatim (same fits, same ledger), and
+    removing two MORE directions can only reduce the residual energy —
+    resid_ssq_q(whiten) <= resid_ssq_q(abtt) + quantization slack."""
+    import dataforge_core_spark.operators.similarity as S
+
+    wh = {r.vec_id: r for r in S.embeddings_whiten(spark, SF).collect()}
+    ab = {r.vec_id: r for r in S.embeddings_abtt(spark, SF).collect()}
+    assert set(wh) == set(ab)
+    for v in wh:
+        assert wh[v].proj1_q == ab[v].proj1_q, v
+        assert wh[v].proj2_q == ab[v].proj2_q, v
+        # one ledger unit of slack per extra removed direction
+        assert wh[v].resid_ssq_q <= ab[v].resid_ssq_q + 2, v
+        assert wh[v].resid_ssq_q >= 0, v

@@ -160,6 +160,9 @@ def _clear_operator_caches(spark) -> None:
     similarity._top_pc_cache.clear()
     similarity._pc2_cache.clear()
     similarity._pcs_cache.clear()
+    for _name, df in similarity._x2_cache.values():
+        free_local_checkpoint(df)
+    similarity._x2_cache.clear()
     for _out, ckpts in similarity._kcore_cache.values():
         for df in ckpts:
             free_local_checkpoint(df)

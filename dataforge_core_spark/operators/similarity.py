@@ -908,15 +908,27 @@ COSINE_DUP_THRESHOLD = 0.40
 EMB_BUCKET_CAP = 1000
 
 
-def _emb_pairs_sql(dialect: str, v: str, cap: int) -> str:
+def _emb_pairs_sql(
+    dialect: str,
+    v: str,
+    cap: int,
+    select: str | None = None,
+    min_cos: float = COSINE_DUP_THRESHOLD,
+) -> str:
     """Salted bucket self-join emitting (vec_a, vec_b) near-dup pairs.
 
     ``v`` is the normed relation's name (Spark temp view or the
-    oracle's ``v`` CTE); identical construction in both dialects."""
+    oracle's ``v`` CTE); identical construction in both dialects.
+    ``select``/``min_cos`` let the threshold-curve lane reuse the exact
+    same candidate join with the cosine carried along and a lower
+    verification floor (defaults emit the historical pair shape
+    verbatim)."""
     cosf = _spark_cosine if dialect == "spark" else _duck_cosine
     cos = cosf("a.emb", "b.emb", "a.nrm", "b.nrm")
+    sel = select or "a.vec_id AS vec_a, b.vec_id AS vec_b"
+    sel = sel.replace("{cos}", cos)
     return f"""
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+SELECT {sel}
 FROM (
   SELECT vv.*, vv.vec_id % COALESCE(h.nsalt, 1) AS salt
   FROM {v} vv LEFT JOIN (
@@ -933,7 +945,7 @@ FROM (
   ) h ON vv.bucket = h.bucket
 ) b
   ON a.bucket = b.bucket AND a.salt = b.salt AND a.vec_id < b.vec_id
-WHERE {cos} >= {COSINE_DUP_THRESHOLD}
+WHERE {cos} >= {min_cos}
 """
 
 
@@ -955,6 +967,75 @@ def _dedup_embedding_oracle(bucket_cap: int | None = None) -> str:
     return f"""
 WITH {_duck_v_cte()}
 {_emb_pairs_sql("duck", "v", cap)}
+"""
+
+
+# milli-cosine grid for the threshold tuning curve; COSINE_DUP_THRESHOLD
+# (400) must be a grid point so the curve cross-checks the production lane
+COS_CURVE_GRID = (300, 350, 400, 450, 500)
+
+
+def _cos_curve_sql(dialect: str, v: str, cap: int) -> str:
+    """Threshold tuning curve for the embedding near-dup verifier —
+    the dedup_lsh_band_curve pattern applied to the cosine floor: ONE
+    candidate relation (the same salted bucket join, floored at the
+    grid minimum) carries its cosine, and every grid threshold is a
+    pure CASE expression over it — no per-config re-join.  Per
+    threshold: surviving pair count and distinct docs touched (the
+    removal-budget number a deployment reads the curve for)."""
+    grid = ", ".join(str(t) for t in COS_CURVE_GRID)
+    lo = min(COS_CURVE_GRID) / 1000.0
+    cand = _emb_pairs_sql(
+        dialect,
+        v,
+        cap,
+        select="a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos",
+        min_cos=lo,
+    )
+    if dialect == "spark":
+        fan = (
+            f"LATERAL VIEW explode(array({grid})) g AS thresh\n"
+            "  LATERAL VIEW explode(array(0, 1)) sd AS s"
+        )
+        idiv = "DIV"
+    else:
+        fan = f", unnest([{grid}]) AS g(thresh), unnest([0, 1]) AS sd(s)"
+        idiv = "//"
+    return f"""
+WITH cand AS ({cand}),
+fan AS (
+  SELECT g.thresh,
+         CASE WHEN cos >= g.thresh / 1000.0 THEN 1 ELSE 0 END AS hit,
+         CASE WHEN sd.s = 0 THEN vec_a ELSE vec_b END AS vec
+  FROM cand
+  {fan}
+)
+SELECT CAST(thresh AS INTEGER) AS thresh_milli,
+       CAST(SUM(hit) {idiv} 2 AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT CASE WHEN hit = 1 THEN vec END) AS BIGINT)
+         AS n_docs
+FROM fan GROUP BY thresh
+"""
+
+
+def dedup_cos_threshold_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cosine-threshold tuning curve for embedding near-dup removal:
+    (thresh_milli, n_pairs, n_docs) per grid point from one candidate
+    pass.  n_pairs is non-increasing in the threshold and the 400-milli
+    row equals dedup_embedding's pair count (both pinned by test) —
+    completes the per-index tuning-artifact family (nprobe cells, LSH
+    bands, sketch size, cosine floor)."""
+    v = _normed(spark, sf_dir)
+    return spark.sql(_cos_curve_sql("spark", v, EMB_BUCKET_CAP))
+
+
+def _cos_curve_oracle() -> str:
+    return f"""
+WITH {_duck_v_cte()},
+curve AS ({_cos_curve_sql("duck", "v", EMB_BUCKET_CAP)})
+SELECT * FROM curve
 """
 
 
@@ -1912,6 +1993,10 @@ def _deflate_ctes(op: str, x: str, v1: str, pfx: str = "") -> str:
 
 
 _pc2_cache: dict = {}
+# the deflated (x - PC1) matrix checkpoint, kept for the multi-PC fit
+# to continue from (freed by the bench clearer, not eagerly — the
+# deeper fits would otherwise re-pay the first deflate pass)
+_x2_cache: dict = {}
 
 
 def _fit_top_pc2(spark: SparkSession, sf_dir: str) -> list[tuple[int, int]]:
@@ -1919,10 +2004,9 @@ def _fit_top_pc2(spark: SparkSession, sf_dir: str) -> list[tuple[int, int]]:
     PC1 component from every vector (one pass over the checkpointed
     quantized matrix, itself checkpointed) and re-run the same
     quantized power iteration on the residuals.  Cached per
-    (session, sf) like the PC1 fit; the deflated matrix's checkpoint
-    blocks are freed as soon as the 64-int direction is collected."""
-    from dataforge_core_spark.session import free_local_checkpoint
-
+    (session, sf) like the PC1 fit; the deflated matrix stays
+    checkpointed in _x2_cache so _fit_top_pcs continues the deflation
+    without re-paying this pass."""
     key = (session_key(spark), sf_dir)
     if key not in _pc2_cache:
         x = _xq_view(spark, sf_dir)
@@ -1937,13 +2021,13 @@ def _fit_top_pc2(spark: SparkSession, sf_dir: str) -> list[tuple[int, int]]:
         ).localCheckpoint(eager=True)
         name = f"xq2_{abs(hash(key)) % 10**8}"
         x2.createOrReplaceTempView(name)
+        _x2_cache[key] = (name, x2)
         rows = spark.sql(
             f"WITH x2m AS (SELECT * FROM {name}),\n"
             + _power_iter_chain("DIV", src="x2m", pfx="b")
             + f"\nSELECT CAST(i AS INT) AS dim,"
             f" CAST(vq AS BIGINT) AS pc2_q FROM bv{PI_ITERS}"
         ).collect()
-        free_local_checkpoint(x2)
         _pc2_cache[key] = sorted((r.dim, r.pc2_q) for r in rows)
     return _pc2_cache[key]
 
@@ -2075,15 +2159,17 @@ def _fit_top_pcs(
 
     key = (session_key(spark), sf_dir, n_pc)
     if key not in _pcs_cache:
-        fits: list[list[tuple[int, int]]] = []
-        cur = _xq_view(spark, sf_dir)
-        cur_df = None
-        for k in range(n_pc):
-            if k == 0:
-                fits.append(_fit_top_pc(spark, sf_dir))
-            elif k == 1:
-                fits.append(_fit_top_pc2(spark, sf_dir))
-            else:
+        fits: list[list[tuple[int, int]]] = [
+            _fit_top_pc(spark, sf_dir),
+            _fit_top_pc2(spark, sf_dir),
+        ][:n_pc]
+        # continue from the pc2 fit's deflated matrix (x - PC1), kept
+        # checkpointed in _x2_cache — the first deflate pass is paid
+        # exactly once across the pc2 and multi-PC fits
+        cur, cur_df = _x2_cache[(session_key(spark), sf_dir)]
+        owned = False
+        for k in range(1, n_pc):
+            if k >= len(fits):
                 rows = spark.sql(
                     f"WITH xm AS (SELECT * FROM {cur}),\n"
                     + _power_iter_chain("DIV", src="xm", pfx="g")
@@ -2103,10 +2189,10 @@ def _fit_top_pcs(
                 ).localCheckpoint(eager=True)
                 name = f"xq{k + 2}_{abs(hash(key)) % 10**8}"
                 nxt.createOrReplaceTempView(name)
-                if cur_df is not None:
+                if owned:
                     free_local_checkpoint(cur_df)
-                cur, cur_df = name, nxt
-        if cur_df is not None:
+                cur, cur_df, owned = name, nxt, True
+        if owned:
             free_local_checkpoint(cur_df)
         _pcs_cache[key] = fits
     return _pcs_cache[key]
@@ -3387,6 +3473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_top_pcs": embeddings_top_pcs,
         "embeddings_abtt": embeddings_abtt,
         "embeddings_whiten": embeddings_whiten,
+        "dedup_cos_threshold_curve": dedup_cos_threshold_curve,
         "embeddings_pc_project": embeddings_pc_project,
         "ann_ivf_stats": ann_ivf_stats,
         "ann_outliers": ann_outliers,
@@ -3430,6 +3517,7 @@ def oracles() -> dict[str, str]:
         "embeddings_top_pcs": _top_pcs_oracle(),
         "embeddings_abtt": _abtt_oracle(),
         "embeddings_whiten": _whiten_oracle(),
+        "dedup_cos_threshold_curve": _cos_curve_oracle(),
         "embeddings_pc_project": _pc_project_oracle(),
         "ann_ivf_stats": _ivf_stats_oracle(),
         "ann_recall_eval": _recall_eval_oracle(),

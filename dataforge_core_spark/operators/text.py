@@ -1010,6 +1010,77 @@ GROUP BY doc_id
     )
 
 
+def train_tokenizer_fertility(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer fertility by language — the fairness eval every
+    multilingual tokenizer ships with (pieces per word and per kchar
+    by language; a language with high fertility pays more sequence
+    length per character, which skews mixing weights and packing).
+    Served from the same checkpointed (word, n_pieces) vocabulary the
+    encode lane uses: one corpus word-extract pass, a broadcast-sized
+    vocab join, constant output cardinality (one row per language)."""
+    train_bpe_merges(spark, sf_dir)  # ensures merge + vocab caches
+    key = (session_key(spark), sf_dir)
+    _bpe_wp_cache[key].createOrReplaceTempView("bpe_vocab")
+    _view(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH dw AS (
+          SELECT doc_id, lang,
+                 explode(regexp_extract_all(text, '{_BPE_RE_SPARK}', 0))
+                   AS word
+          FROM documents
+        )
+        SELECT lang,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(COALESCE(v.n_pieces, 1)) AS BIGINT)
+                 AS n_bpe_tokens,
+               (1000 * CAST(SUM(COALESCE(v.n_pieces, 1)) AS BIGINT))
+                 DIV CAST(COUNT(*) AS BIGINT) AS pieces_per_kword,
+               (1000 * CAST(SUM(COALESCE(v.n_pieces, 1)) AS BIGINT))
+                 DIV CAST(SUM(length(dw.word)) AS BIGINT)
+                 AS tokens_per_kchar
+        FROM dw LEFT JOIN bpe_vocab v ON dw.word = v.word
+        GROUP BY lang
+        """
+    )
+
+
+def _tokenizer_fertility_oracle() -> str:
+    parts, final_sym = _bpe_cte_parts()
+    parts.append(
+        f"""enc AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_pieces
+  FROM {final_sym} GROUP BY word
+)"""
+    )
+    parts.append(
+        f"""dw AS (
+  SELECT doc_id, lang,
+         unnest(regexp_extract_all(text, '{_BPE_RE_DUCK}')) AS word
+  FROM documents
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT lang,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(COALESCE(e.n_pieces, 1)) AS BIGINT) AS n_bpe_tokens,
+       (1000 * CAST(SUM(COALESCE(e.n_pieces, 1)) AS BIGINT))
+         // CAST(COUNT(*) AS BIGINT) AS pieces_per_kword,
+       (1000 * CAST(SUM(COALESCE(e.n_pieces, 1)) AS BIGINT))
+         // CAST(SUM(len(dw.word)) AS BIGINT) AS tokens_per_kchar
+FROM dw LEFT JOIN enc e ON dw.word = e.word
+GROUP BY lang
+"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # Hashed linear quality scorer: the fastText-classifier quality-filter
 # stage (CCNet / LLaMA corpus filtering) reduced to its relational
@@ -1206,6 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher_rules": text_gopher_rules,
         "text_quality_linear": text_quality_linear,
         "train_bpe_encode": train_bpe_encode,
+        "train_tokenizer_fertility": train_tokenizer_fertility,
         "text_vocab_coverage": text_vocab_coverage,
         "text_readability": text_readability,
         "text_entropy": text_entropy,
@@ -1226,6 +1298,7 @@ def oracles() -> dict[str, str]:
         "text_gopher_rules": _gopher_sql("duck"),
         "text_quality_linear": _quality_linear_sql("duck"),
         "train_bpe_encode": _bpe_encode_oracle(),
+        "train_tokenizer_fertility": _tokenizer_fertility_oracle(),
         "text_entropy": _ENTROPY_ORACLE,
         "text_tokens_bpe": _TOKENS_BPE_ORACLE,
         "text_bigram_lm": _BIGRAM_LM_ORACLE,

@@ -283,3 +283,23 @@ def test_whiten_extends_abtt_and_reduces_energy(spark):
         # one ledger unit of slack per extra removed direction
         assert wh[v].resid_ssq_q <= ab[v].resid_ssq_q + 2, v
         assert wh[v].resid_ssq_q >= 0, v
+
+
+def test_cos_threshold_curve_monotone_and_matches_lane(spark):
+    """Threshold-curve invariants: n_pairs/n_docs non-increasing in the
+    threshold, and the production grid point (COSINE_DUP_THRESHOLD =
+    0.400) reproduces dedup_embedding's pair count exactly — the curve
+    prices the operator it tunes."""
+    import dataforge_core_spark.operators.similarity as S
+
+    rows = sorted(
+        (r.thresh_milli, r.n_pairs, r.n_docs)
+        for r in S.dedup_cos_threshold_curve(spark, SF).collect()
+    )
+    assert [t for t, _p, _d in rows] == sorted(S.COS_CURVE_GRID)
+    for (t1, p1, d1), (t2, p2, d2) in zip(rows, rows[1:]):
+        assert p1 >= p2 and d1 >= d2, (t1, t2)
+    prod = dict((t, p) for t, p, _d in rows)[
+        int(S.COSINE_DUP_THRESHOLD * 1000)
+    ]
+    assert prod == S.dedup_embedding(spark, SF).count()

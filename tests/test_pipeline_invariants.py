@@ -632,3 +632,22 @@ def test_contrastive_triplets_semantics(spark):
             assert r.easy_neg_id != r.pos_id
             assert r.easy_neg_id not in set(e.values())
     assert sum(r.neg_valid for r in rows) > 0.9 * len(rows)
+
+
+def test_tokenizer_fertility_consistent_with_encode(spark, sf_dir):
+    """Cross-lane referee: train_tokenizer_fertility's per-language
+    totals must sum to train_bpe_encode's per-doc totals (same word
+    extract, same vocab join, different grouping), and fertility is
+    bounded below by construction: >= 1 piece per word."""
+    import dataforge_core_spark.operators.text as T
+
+    fert = T.train_tokenizer_fertility(spark, sf_dir).collect()
+    enc = T.train_bpe_encode(spark, sf_dir).collect()
+    assert sum(r.n_words for r in fert) == sum(r.n_words for r in enc)
+    assert sum(r.n_bpe_tokens for r in fert) == sum(
+        r.n_bpe_tokens for r in enc
+    )
+    assert sum(r.n_docs for r in fert) == len(enc)
+    for r in fert:
+        assert r.n_bpe_tokens >= r.n_words, r.lang
+        assert r.pieces_per_kword >= 1000, r.lang

@@ -371,6 +371,23 @@ def queries_parameterized() -> dict[str, dict]:
                 nprobe=nprobe, thresh_q=thresh_q
             ),
         },
+        "embeddings_top_pcs": {
+            "fn": S.embeddings_top_pcs,
+            "params": {"n_pc": S.N_PC},
+            "oracle_sql": lambda n_pc=S.N_PC: S._top_pcs_oracle(n_pc),
+        },
+        "embeddings_whiten": {
+            "fn": S.embeddings_whiten,
+            "params": {"n_pc": S.N_PC},
+            "oracle_sql": lambda n_pc=S.N_PC: S._whiten_oracle(n_pc),
+        },
+        "dedup_cos_threshold_curve": {
+            "fn": S.dedup_cos_threshold_curve,
+            "params": {"bucket_cap": S.EMB_BUCKET_CAP},
+            "oracle_sql": lambda bucket_cap=S.EMB_BUCKET_CAP: (
+                S._cos_curve_oracle(bucket_cap)
+            ),
+        },
         "ann_filtered_search": {
             "fn": lambda spark, sf_dir, nprobe=2, top_k=S.TOP_K: (
                 S.ann_ivf_search(

@@ -1019,7 +1019,7 @@ FROM fan GROUP BY thresh
 
 
 def dedup_cos_threshold_curve(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, bucket_cap: int | None = None
 ) -> DataFrame:
     """Cosine-threshold tuning curve for embedding near-dup removal:
     (thresh_milli, n_pairs, n_docs) per grid point from one candidate
@@ -1027,14 +1027,16 @@ def dedup_cos_threshold_curve(
     row equals dedup_embedding's pair count (both pinned by test) —
     completes the per-index tuning-artifact family (nprobe cells, LSH
     bands, sketch size, cosine floor)."""
+    cap = EMB_BUCKET_CAP if bucket_cap is None else bucket_cap
     v = _normed(spark, sf_dir)
-    return spark.sql(_cos_curve_sql("spark", v, EMB_BUCKET_CAP))
+    return spark.sql(_cos_curve_sql("spark", v, cap))
 
 
-def _cos_curve_oracle() -> str:
+def _cos_curve_oracle(bucket_cap: int | None = None) -> str:
+    cap = EMB_BUCKET_CAP if bucket_cap is None else bucket_cap
     return f"""
 WITH {_duck_v_cte()},
-curve AS ({_cos_curve_sql("duck", "v", EMB_BUCKET_CAP)})
+curve AS ({_cos_curve_sql("duck", "v", cap)})
 SELECT * FROM curve
 """
 
@@ -2230,21 +2232,23 @@ def _pcs_oracle_base(n_pc: int = N_PC) -> tuple[str, list, list, str]:
     return ",\n".join(parts), fit_names, cf_names, src
 
 
-def embeddings_top_pcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embeddings_top_pcs(
+    spark: SparkSession, sf_dir: str, n_pc: int | None = None
+) -> DataFrame:
     """The top-N_PC principal directions in one frame — rows
     (pc, dim, pc_q), pc in 1..N_PC.  With embeddings_top_pc/pc2 this
     completes the dim-reduction eval family; pairwise near-
     orthogonality and agreement with the single-PC lanes are pinned in
     tests/test_parameterized.py."""
-    fits = _fit_top_pcs(spark, sf_dir)
+    fits = _fit_top_pcs(spark, sf_dir, N_PC if n_pc is None else n_pc)
     rows = [
         (k + 1, d, q) for k, f in enumerate(fits) for d, q in f
     ]
     return spark.createDataFrame(rows, "pc int, dim int, pc_q bigint")
 
 
-def _top_pcs_oracle() -> str:
-    ctes, fit_names, _cf, _res = _pcs_oracle_base()
+def _top_pcs_oracle(n_pc: int = N_PC) -> str:
+    ctes, fit_names, _cf, _res = _pcs_oracle_base(n_pc)
     union = "\nUNION ALL\n".join(
         f"SELECT CAST({k + 1} AS INTEGER) AS pc, CAST(i AS INTEGER) AS dim,"
         f" CAST(vq AS BIGINT) AS pc_q FROM {name}"
@@ -2253,7 +2257,9 @@ def _top_pcs_oracle() -> str:
     return f"WITH {ctes}\n{union}"
 
 
-def embeddings_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embeddings_whiten(
+    spark: SparkSession, sf_dir: str, n_pc: int | None = None
+) -> DataFrame:
     """All-but-the-top-N_PC whitening: embeddings_abtt generalized from
     2 to N_PC removed directions (Mu & Viswanath's D ~ dim/100 rule at
     a 64-dim corpus).  Emits (vec_id, proj1_q..proj{N_PC}_q,
@@ -2263,7 +2269,7 @@ def embeddings_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointed component relation, one exchange, no joins.  Overflow
     ledger: |eq| <= ~1e6, DIM=64 => |sum(eq*u)| <= 6.4e13,
     |cp| <= ~6.4e7, |cp*vq| <= 6.4e13 — int64-safe at every step."""
-    fits = _fit_top_pcs(spark, sf_dir)
+    fits = _fit_top_pcs(spark, sf_dir, N_PC if n_pc is None else n_pc)
     x = _xq_view(spark, sf_dir)
     w = "OVER (PARTITION BY vec_id)"
     ctes = []
@@ -2295,8 +2301,8 @@ def embeddings_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _whiten_oracle() -> str:
-    ctes, _fits, cf_names, res = _pcs_oracle_base()
+def _whiten_oracle(n_pc: int = N_PC) -> str:
+    ctes, _fits, cf_names, res = _pcs_oracle_base(n_pc)
     joins = "\n".join(
         f"JOIN {cf} c{k + 1} ON c{k + 1}.vec_id = r.vec_id"
         for k, cf in enumerate(cf_names)

@@ -40,6 +40,9 @@ def test_contract_shape():
         ("dedup_minhash", {"max_band_bucket": 25}),
         ("dedup_minhash", {"bands": 6, "rows": 2}),
         ("dedup_minhash", {"bands": 2, "rows": 6, "max_band_bucket": 100}),
+        ("embeddings_top_pcs", {"n_pc": 3}),
+        ("embeddings_whiten", {"n_pc": 3}),
+        ("dedup_cos_threshold_curve", {"bucket_cap": 10}),
     ],
 )
 def test_dials_are_live(name, params, spark):

@@ -129,6 +129,10 @@ def _clear_operator_caches(spark) -> None:
         free_local_checkpoint(pos)
         free_local_checkpoint(lens)
     dedup._substr_cache.clear()
+    for _b, _k, bands, kdf in dedup._nd_index_cache.values():
+        free_local_checkpoint(bands)
+        free_local_checkpoint(kdf)
+    dedup._nd_index_cache.clear()
     for df in dedup._tokbase_cache.values():
         free_local_checkpoint(df)
     dedup._tokbase_cache.clear()
@@ -220,6 +224,11 @@ def _index_builders():
         (
             "dedup_cluster_labels",
             lambda s: dedup._cluster_labels(s, SF_DIR, False).count(),
+        ),
+        # the corpus-side probe index of the streaming near-dedup gate
+        (
+            "near_dedup_probe_index",
+            lambda s: dedup._near_dedup_index(s, SF_DIR),
         ),
         (
             "simhash_signatures",

@@ -729,6 +729,66 @@ LEFT JOIN nr r ON r.doc_id = n.doc_id
 """
 
 
+_nd_index_cache: dict = {}
+
+
+def _near_dedup_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """(band view, exact-key view): the corpus-side probe index of the
+    STREAMING near-dedup gate (streaming_rows.stream_near_dedup).
+    Corpus docs only (doc_id % INCR_MOD < INCR_NEW_GE):
+
+    - banded minhash rows (band_key, doc_id, chs) where chs is the
+      doc's sorted distinct shingle-hash array, carried so a probing
+      stream row verifies exact Jaccard IN PLACE (array_intersect on
+      the joined row — no second join back to the shingle relation);
+      rows per band key capped at MAX_BAND_BUCKET by doc_id rank (the
+      deterministic hot-bucket guard, mirrored in the oracle);
+    - the distinct md5 exact-key set.
+
+    Both derive from the checkpointed shingle/signature relations (one
+    corpus read) and are themselves checkpointed: at scale this IS the
+    stored dedup index a continuous ingest probes."""
+    from pyspark.sql import functions as F
+
+    key = (session_key(spark), sf_dir)
+    if key not in _nd_index_cache:
+        corp = f"doc_id % {INCR_MOD} < {INCR_NEW_GE}"
+        ex = _ex_df(spark, sf_dir).filter(corp)
+        arrs = ex.groupBy("doc_id").agg(
+            F.sort_array(F.collect_list("s")).alias("chs")
+        )
+        keys = ", ".join(_band_keys(MINHASH_BANDS, MINHASH_R))
+        bands = (
+            _minhash_sig_df(spark, sf_dir)
+            .filter(corp)
+            .selectExpr("doc_id", f"explode(array({keys})) AS band_key")
+            .join(arrs, "doc_id")
+            .selectExpr(
+                "band_key",
+                "doc_id",
+                "chs",
+                "ROW_NUMBER() OVER (PARTITION BY band_key ORDER BY doc_id)"
+                " AS rn",
+            )
+            .filter(f"rn <= {MAX_BAND_BUCKET}")
+            .drop("rn")
+            .localCheckpoint(eager=True)
+        )
+        kdf = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(corp)
+            .selectExpr(f"md5({_SPARK_NORM}) AS ck")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        tag = abs(hash(key)) % 10**8
+        bname, kname = f"nd_bands_{tag}", f"nd_keys_{tag}"
+        bands.createOrReplaceTempView(bname)
+        kdf.createOrReplaceTempView(kname)
+        _nd_index_cache[key] = (bname, kname, bands, kdf)
+    return _nd_index_cache[key][0], _nd_index_cache[key][1]
+
+
 CC_MAX_ITERS = 20  # label propagation rounds (bound = cluster diameter)
 
 

@@ -857,8 +857,179 @@ GROUP BY d.source
 """
 
 
+def stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming content-based near-dedup gate: an incoming document
+    stream (the same doc_id % INCR_MOD >= INCR_NEW_GE "new batch" split
+    as the batch dedup_incremental lane) is classified
+    exact_dup / near_dup / unique against the STORED corpus index by a
+    stream-static join — the continuous-ingest shape of a training
+    pipeline: the corpus index is built once by the batch pipeline
+    (dedup._near_dedup_index: banded minhash rows carrying each corpus
+    doc's sorted shingle-hash array, plus the exact-key set), and each
+    micro-batch probes it with NO stateful operator except the final
+    per-doc aggregation.
+
+    The stream computes its minhash signature with SCALAR array
+    expressions (array_min over the permuted distinct shingle hashes —
+    value-identical to the batch MIN-aggregate signature, same
+    multiset) because a streaming query can hold at most one stateful
+    aggregation: the signature must not be one.  Candidate = any shared
+    band (corpus side bucket-capped); verification = exact Jaccard of
+    the two shingle-hash arrays evaluated in place on the joined row
+    (array_intersect — no second join).  Empty-shingle docs (< 3
+    tokens) probe a NULL sentinel band that can never match and are
+    classified by the exact key alone, like the batch lane."""
+    from dataforge_core_spark.operators.dedup import (
+        INCR_MOD,
+        INCR_NEW_GE,
+        JACCARD_THRESHOLD,
+        MINHASH_BANDS,
+        MINHASH_N,
+        MINHASH_R,
+        _band_keys,
+        _near_dedup_index,
+        _P,
+        _perm_consts,
+        _SPARK_NORM,
+        _SPARK_SHINGLES,
+        _SPARK_TOKENS,
+    )
+    from dataforge_core_spark.streaming import stream_documents
+
+    bname, kname = _near_dedup_index(spark, sf_dir)
+    h = "CAST(conv(substr(md5(x), 1, 14), 16, 10) AS BIGINT)"
+    sig_cols = [
+        f"array_min(transform(hm, h -> ({a} * h + {b}) % {_P})) AS s{i}"
+        for i, (a, b) in enumerate(_perm_consts(MINHASH_N))
+    ]
+    bk_arr = "array(" + ", ".join(_band_keys(MINHASH_BANDS, MINHASH_R)) + ")"
+    new = (
+        stream_documents(spark, sf_dir)
+        .where(f"doc_id % {INCR_MOD} >= {INCR_NEW_GE}")
+        .selectExpr(
+            "doc_id", f"md5({_SPARK_NORM}) AS k", f"{_SPARK_TOKENS} AS tok"
+        )
+        .selectExpr("doc_id", "k", f"{_SPARK_SHINGLES} AS sh")
+        .selectExpr(
+            "doc_id",
+            "k",
+            f"array_sort(array_distinct(transform(sh, x -> {h}))) AS hs",
+        )
+        .selectExpr(
+            "doc_id", "k", "hs", f"transform(hs, h -> h % {_P}) AS hm"
+        )
+        .selectExpr("doc_id", "k", "hs", *sig_cols)
+        .selectExpr(
+            "doc_id",
+            "k",
+            "hs",
+            f"""explode(CASE WHEN size(hs) >= 1 THEN {bk_arr}
+                 ELSE array(CAST(NULL AS STRING)) END) AS band_key""",
+        )
+    )
+    probed = (
+        new.join(
+            spark.table(kname), F.expr(f"k = ck"), "left"
+        )
+        .join(spark.table(bname).withColumnRenamed("doc_id", "cdoc"),
+              "band_key", "left")
+        .selectExpr(
+            "doc_id",
+            "CASE WHEN ck IS NOT NULL THEN 1 ELSE 0 END AS exf",
+            f"""CASE WHEN cdoc IS NOT NULL
+                  AND CAST(size(array_intersect(hs, chs)) AS DOUBLE)
+                      / (size(hs) + size(chs)
+                         - size(array_intersect(hs, chs)))
+                      >= {JACCARD_THRESHOLD}
+                THEN 1 ELSE 0 END AS nearf""",
+        )
+    )
+    agg = probed.groupBy("doc_id").agg(
+        F.expr(
+            "CASE WHEN MAX(exf) = 1 THEN 'exact_dup' "
+            "WHEN MAX(nearf) = 1 THEN 'near_dup' "
+            "ELSE 'unique' END"
+        ).alias("status")
+    )
+    return _run_to_memory(agg, "drv_stream_near_dedup", spark, "complete")
+
+
+def _near_dedup_oracle() -> str:
+    from dataforge_core_spark.operators.dedup import (
+        INCR_MOD,
+        INCR_NEW_GE,
+        JACCARD_THRESHOLD,
+        MAX_BAND_BUCKET,
+        MINHASH_BANDS,
+        MINHASH_N,
+        MINHASH_R,
+        _band_keys,
+        _duck_ex_sql,
+        _DUCK_NORM,
+        _P,
+        _sig_cols,
+    )
+
+    corp = f"doc_id % {INCR_MOD} < {INCR_NEW_GE}"
+    new = f"doc_id % {INCR_MOD} >= {INCR_NEW_GE}"
+    keys = ", ".join(_band_keys(MINHASH_BANDS, MINHASH_R))
+    return f"""
+WITH ex AS MATERIALIZED ({_duck_ex_sql()}),
+hx AS (SELECT doc_id, s % {_P} AS h FROM ex),
+sig AS MATERIALIZED (
+  SELECT doc_id, {_sig_cols(MINHASH_N)} FROM hx GROUP BY doc_id
+),
+bands AS MATERIALIZED (
+  SELECT doc_id, unnest([{keys}]) AS band_key FROM sig
+),
+corpb AS MATERIALIZED (
+  SELECT band_key, doc_id FROM (
+    SELECT band_key, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY band_key ORDER BY doc_id) AS rn
+    FROM bands WHERE {corp}
+  ) t WHERE rn <= {MAX_BAND_BUCKET}
+),
+dk AS MATERIALIZED (
+  SELECT doc_id, md5({_DUCK_NORM}) AS k FROM documents
+),
+exact AS (
+  SELECT DISTINCT n.doc_id FROM dk n JOIN dk c ON c.k = n.k
+  WHERE n.{new} AND c.{corp}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+cand AS (
+  SELECT DISTINCT nb.doc_id AS doc_n, cb.doc_id AS doc_c
+  FROM bands nb JOIN corpb cb ON cb.band_key = nb.band_key
+  WHERE nb.{new}
+),
+inter AS (
+  SELECT c.doc_n, c.doc_c, COUNT(*) AS inter_n
+  FROM cand c
+  JOIN ex ea ON ea.doc_id = c.doc_n
+  JOIN ex eb ON eb.doc_id = c.doc_c AND ea.s = eb.s
+  GROUP BY c.doc_n, c.doc_c
+),
+near AS (
+  SELECT DISTINCT i.doc_n AS doc_id
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_n
+  JOIN sizes sb ON sb.doc_id = i.doc_c
+  WHERE CAST(i.inter_n AS DOUBLE) / (sa.n + sb.n - i.inter_n)
+        >= {JACCARD_THRESHOLD}
+)
+SELECT n.doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+            WHEN r.doc_id IS NOT NULL THEN 'near_dup'
+            ELSE 'unique' END AS status
+FROM (SELECT doc_id FROM documents WHERE {new}) n
+LEFT JOIN exact e ON e.doc_id = n.doc_id
+LEFT JOIN near r ON r.doc_id = n.doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "stream_near_dedup": stream_near_dedup,
         "stream_dd_quantiles": stream_dd_quantiles,
         "stream_hll_distinct": stream_hll_distinct,
         "stream_corpus_ingest": stream_corpus_ingest,
@@ -875,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracles() -> dict[str, str]:
     return {
+        "stream_near_dedup": _near_dedup_oracle(),
         "stream_dd_quantiles": _stream_dd_oracle(),
         "stream_hll_distinct": _stream_hll_oracle(),
         "stream_corpus_ingest": _corpus_ingest_oracle(),

@@ -504,3 +504,62 @@ def test_late_data_actually_dropped(spark, sf_dir):
         f"late batch leaked into state: dropped={dropped}, "
         f"expected {n_late_groups} late groups"
     )
+
+
+def test_stream_near_dedup_semantics(spark, sf_dir):
+    """Semantic guarantees of the streaming near-dedup gate (exact
+    relational parity with the definition is covered by its DuckDB
+    oracle in tests/test_oracle.py): every new-batch doc is classified
+    exactly once, and every doc flagged near_dup has a VERIFIED corpus
+    partner (exact Jaccard >= threshold against a doc in the stored
+    band index) — re-derived here through the batch MIN-aggregate
+    signature path, so the stream's scalar array-expression signature
+    cannot silently diverge from the batch machinery."""
+    from dataforge_core_spark.operators.dedup import (
+        INCR_MOD,
+        INCR_NEW_GE,
+        JACCARD_THRESHOLD,
+        _ex_df,
+        _near_dedup_index,
+    )
+    from dataforge_core_spark.operators.streaming_rows import (
+        stream_near_dedup,
+    )
+
+    got = {
+        r.doc_id: r.status
+        for r in stream_near_dedup(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new_ids = {
+        r.doc_id
+        for r in docs.filter(
+            f"doc_id % {INCR_MOD} >= {INCR_NEW_GE}"
+        ).collect()
+    }
+    assert set(got) == new_ids  # total classification, exactly once
+
+    bname, _kname = _near_dedup_index(spark, sf_dir)
+    _ex_df(spark, sf_dir).createOrReplaceTempView("nd_ref_ex")
+    pairs = spark.sql(
+        f"""
+        WITH arrs AS (
+          SELECT doc_id, sort_array(collect_list(s)) AS hs
+          FROM nd_ref_ex GROUP BY doc_id
+        )
+        SELECT n.doc_id,
+               MAX(CASE WHEN
+                 CAST(size(array_intersect(n.hs, b.chs)) AS DOUBLE)
+                 / (size(n.hs) + size(b.chs)
+                    - size(array_intersect(n.hs, b.chs)))
+                 >= {JACCARD_THRESHOLD} THEN 1 ELSE 0 END) AS has_partner
+        FROM (SELECT doc_id, hs FROM arrs
+              WHERE doc_id % {INCR_MOD} >= {INCR_NEW_GE}) n
+        JOIN {bname} b
+        GROUP BY n.doc_id
+        """
+    ).collect()
+    partner = {r.doc_id: r.has_partner for r in pairs}
+    for d, s in got.items():
+        if s == "near_dup":
+            assert partner.get(d) == 1, d

@@ -170,9 +170,18 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the documents parquet (schema from the
     footer — a file stream source cannot infer per-batch)."""
+    import glob
+    import os
+
     import pyarrow.parquet as pq
 
-    sch = pq.read_schema(f"{sf_dir}/documents.parquet")
+    path = f"{sf_dir}/documents.parquet"
+    is_dir = os.path.isdir(path)
+    sch = pq.read_schema(
+        # multi-file layout (e.g. the .scale10 fixture): the footer of
+        # any part file carries the shared schema
+        sorted(glob.glob(f"{path}/*.parquet"))[0] if is_dir else path
+    )
     fields = []
     for f in sch:
         t = str(f.type)
@@ -185,6 +194,11 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         if spark_t is None:
             raise ValueError(f"unmapped documents dtype {t} for {f.name}")
         fields.append(T.StructField(f.name, spark_t))
+    if is_dir:
+        # stream straight off the directory (pathGlobFilter matches
+        # FILE names only, so it cannot select a directory-shaped table
+        # from its parent)
+        return spark.readStream.schema(T.StructType(fields)).parquet(path)
     return (
         spark.readStream.schema(T.StructType(fields))
         .option("pathGlobFilter", "documents.parquet")

@@ -112,7 +112,21 @@ Coverage map (SURVEY.md §2 -> query):
                                 ann_nprobe_recall_curve (recall@K across
                                 the nprobe grid, one candidate pass),
                                 dedup_lsh_band_curve (measured LSH
-                                S-curve across signature band layouts),
+                                S-curve across signature band layouts;
+                                the (bands, rows) layout is itself a
+                                dial on dedup_minhash),
+                                dedup_cos_threshold_curve (cosine-floor
+                                tuning curve for embedding near-dup,
+                                one candidate pass),
+                                embeddings_top_pcs (top-4 deflation
+                                directions in one frame) /
+                                embeddings_whiten (all-but-the-top-4
+                                residuals, n_pc dialable),
+                                train_tokenizer_fertility (BPE
+                                pieces-per-word by language),
+                                stream_near_dedup (streaming near-dup
+                                gate probing the stored corpus LSH
+                                index via stream-static joins),
                                 ann_knn_graph (bucket-keyed kNN edge
                                 list, WindowGroupLimit top-k),
                                 ann_ivf_stats (per-cell index balance

@@ -1272,8 +1272,82 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_gopher_sql("spark"))
 
 
+def _quality_calibration_sql(dialect: str) -> str:
+    """Per-source confusion matrix of the hashed-linear scorer's keep
+    decision against text_quality's heuristic quality_pass as labels —
+    the calibration artifact a deployment reads before trusting a
+    cheap classifier to stand in for the heuristic gate at 100 TB.
+    (The Gopher battery was measured as the label and REJECTED: the
+    synthetic corpus fails it corpus-wide at every sf, so the matrix
+    would have a never-firing label column.)  ONE corpus scan: the
+    label and the exploded token score derive from the same tokenize."""
+    if dialect == "spark":
+        tok = _SPARK_TOK
+        bkt = "CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT)"
+        ex = "explode(tok) AS t"
+        div = "DIV"
+        size, dis = "size", "array_distinct"
+    else:
+        tok = _DUCK_TOK
+        bkt = "('0x' || substr(md5(t), 1, 8))::BIGINT"
+        ex = "unnest(tok) AS t"
+        div = "//"
+        size, dis = "len", "list_distinct"
+    # exactly text_quality's quality_pass expression
+    qpass = (
+        f"{size}(tok) BETWEEN 20 AND 1000"
+        f" AND CAST({size}({dis}(tok)) AS DOUBLE) / {size}(tok) > 0.2"
+    )
+    tp = "CASE WHEN keep AND gpass THEN 1 ELSE 0 END"
+    return f"""
+WITH f AS (
+  SELECT doc_id, source, tok, ({qpass}) AS gpass
+  FROM (SELECT doc_id, source, {tok} AS tok FROM documents)
+  WHERE {size}(tok) > 0
+),
+e AS (
+  SELECT doc_id, source, gpass, {ex}
+  FROM f
+),
+sc AS (
+  SELECT doc_id, source, gpass,
+         (1000 * (CAST(SUM((({bkt} % {QL_BUCKETS}) * {QL_MIX}) % 2001
+                        - 1000) AS BIGINT)
+                  + 1000 * COUNT(*))) {div} COUNT(*)
+           >= {QL_KEEP_MILLI} AS keep
+  FROM e GROUP BY doc_id, source, gpass
+)
+SELECT source,
+       CAST(SUM({tp}) AS BIGINT) AS tp,
+       CAST(SUM(CASE WHEN keep AND NOT gpass THEN 1 ELSE 0 END)
+            AS BIGINT) AS fp,
+       CAST(SUM(CASE WHEN NOT keep AND gpass THEN 1 ELSE 0 END)
+            AS BIGINT) AS fn,
+       CAST(SUM(CASE WHEN NOT keep AND NOT gpass THEN 1 ELSE 0 END)
+            AS BIGINT) AS tn,
+       CAST((1000000 * CAST(SUM({tp}) AS BIGINT))
+         {div} GREATEST(SUM(CASE WHEN keep THEN 1 ELSE 0 END), 1)
+         AS BIGINT) AS precision_ppm,
+       CAST((1000000 * CAST(SUM({tp}) AS BIGINT))
+         {div} GREATEST(SUM(CASE WHEN gpass THEN 1 ELSE 0 END), 1)
+         AS BIGINT) AS recall_ppm
+FROM sc GROUP BY source
+"""
+
+
+def text_quality_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Confusion matrix + precision/recall (ppm) of text_quality_linear
+    vs text_quality's quality_pass, per source — referee-tested against
+    the two standalone lanes joined row-wise."""
+    _view(spark, sf_dir)
+    return spark.sql(_quality_calibration_sql("spark"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "text_quality_calibration": text_quality_calibration,
         "text_gopher_rules": text_gopher_rules,
         "text_quality_linear": text_quality_linear,
         "train_bpe_encode": train_bpe_encode,
@@ -1295,6 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracles() -> dict[str, str]:
     return {
+        "text_quality_calibration": _quality_calibration_sql("duck"),
         "text_gopher_rules": _gopher_sql("duck"),
         "text_quality_linear": _quality_linear_sql("duck"),
         "train_bpe_encode": _bpe_encode_oracle(),

@@ -651,3 +651,49 @@ def test_tokenizer_fertility_consistent_with_encode(spark, sf_dir):
     for r in fert:
         assert r.n_bpe_tokens >= r.n_words, r.lang
         assert r.pieces_per_kword >= 1000, r.lang
+
+
+def test_quality_calibration_matches_joined_lanes(spark, sf_dir):
+    """Cross-lane referee: text_quality_calibration's per-source
+    confusion matrix must equal the row-wise join of the two standalone
+    lanes it calibrates (text_quality_linear.keep vs
+    text_quality.quality_pass), recomputed in Python."""
+    from collections import Counter
+
+    import dataforge_core_spark.operators.text as T
+
+    keep = {
+        r.doc_id: bool(r.keep)
+        for r in T.text_quality_linear(spark, sf_dir).collect()
+    }
+    qp = {
+        r.doc_id: bool(r.quality_pass)
+        for r in T.text_quality(spark, sf_dir).collect()
+    }
+    src = {
+        r.doc_id: r.source
+        for r in spark.read.parquet(
+            f"{sf_dir}/documents.parquet"
+        ).collect()
+    }
+    assert set(keep) == set(qp)
+    exp: dict = {}
+    for d in keep:
+        c = exp.setdefault(src[d], Counter())
+        c[(keep[d], qp[d])] += 1
+    got = {
+        r.source: r for r in T.text_quality_calibration(
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(exp)
+    for s, c in exp.items():
+        r = got[s]
+        assert (r.tp, r.fp, r.fn, r.tn) == (
+            c[(True, True)],
+            c[(True, False)],
+            c[(False, True)],
+            c[(False, False)],
+        ), s
+        assert r.precision_ppm == (1000000 * r.tp) // max(r.tp + r.fp, 1)
+        assert r.recall_ppm == (1000000 * r.tp) // max(r.tp + r.fn, 1)

@@ -306,3 +306,16 @@ def test_cos_threshold_curve_monotone_and_matches_lane(spark):
         int(S.COSINE_DUP_THRESHOLD * 1000)
     ]
     assert prod == S.dedup_embedding(spark, SF).count()
+
+
+def test_band_layout_rejects_oversized(spark):
+    """A (bands, rows) layout needing more than MINHASH_N signature
+    columns must fail loudly, not silently read garbage columns."""
+    import pytest
+
+    import dataforge_core_spark.operators.dedup as D
+
+    with pytest.raises(ValueError, match="exceeds"):
+        D.dedup_minhash(spark, SF, bands=5, rows=3)
+    with pytest.raises(ValueError, match="exceeds"):
+        D.dedup_minhash(spark, SF, bands=0, rows=1)

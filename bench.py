@@ -180,6 +180,9 @@ def _clear_operator_caches(spark) -> None:
     for _name, df in sketches._toks_cache.values():
         free_local_checkpoint(df)
     sketches._toks_cache.clear()
+    for _name, df in sketches._hll_regs_cache.values():
+        free_local_checkpoint(df)
+    sketches._hll_regs_cache.clear()
     for _m, _t, mat, topdf in sketches._cms_cache.values():
         free_local_checkpoint(mat)
         free_local_checkpoint(topdf)
@@ -266,6 +269,11 @@ def _index_builders():
         (
             "cms_matrix",
             lambda s: sketches._cms_views(s, SF_DIR),
+        ),
+        # the stored HLL register table (m=256 rows per source)
+        (
+            "hll_registers",
+            lambda s: sketches._hll_regs_view(s, SF_DIR),
         ),
         # power-iteration PC fits (the whitening-direction index;
         # pc2 = deflation pass over the same checkpointed matrix)

@@ -2001,6 +2001,29 @@ _pc2_cache: dict = {}
 _x2_cache: dict = {}
 
 
+def _deflate_projection(fit: list[tuple[int, int]], src: str) -> str:
+    """Spark-side deflation as a JOIN-FREE window projection (the abtt
+    pattern): the fitted direction is a 64-int literal array, cp is a
+    vec_id-window sum, n1 is computed in Python — one exchange instead
+    of a 64-way literal-union join.  Integer sums are order-free, so
+    the values are bit-identical to the oracle's join-CTE deflation
+    (_deflate_ctes) — the equality embeddings_abtt's oracle already
+    proves for this exact shape."""
+    arr = ", ".join(str(q) for _d, q in fit)
+    n1 = max(sum(q * q for _d, q in fit) // PI_SCALE, 1)
+    u = f"element_at(array({arr}), CAST(i AS INT) + 1)"
+    cp = _sidiv(
+        f"CAST(SUM(eq * {u}) OVER (PARTITION BY vec_id) AS BIGINT)",
+        str(PI_SCALE),
+        "DIV",
+    )
+    return (
+        f"SELECT vec_id, i,"
+        f" eq - {_sidiv(f'({cp}) * {u}', str(n1), 'DIV')} AS eq"
+        f" FROM {src}"
+    )
+
+
 def _fit_top_pc2(spark: SparkSession, sf_dir: str) -> list[tuple[int, int]]:
     """Second principal direction by DEFLATION: subtract the fitted
     PC1 component from every vector (one pass over the checkpointed
@@ -2012,14 +2035,8 @@ def _fit_top_pc2(spark: SparkSession, sf_dir: str) -> list[tuple[int, int]]:
     key = (session_key(spark), sf_dir)
     if key not in _pc2_cache:
         x = _xq_view(spark, sf_dir)
-        v1 = " UNION ALL ".join(
-            f"SELECT {d} AS i, CAST({q} AS BIGINT) AS vq"
-            for d, q in _fit_top_pc(spark, sf_dir)
-        )
         x2 = spark.sql(
-            f"WITH xm AS (SELECT * FROM {x}), v1 AS ({v1}),\n"
-            + _deflate_ctes("DIV", "xm", "v1")
-            + "\nSELECT * FROM x2"
+            _deflate_projection(_fit_top_pc(spark, sf_dir), x)
         ).localCheckpoint(eager=True)
         name = f"xq2_{abs(hash(key)) % 10**8}"
         x2.createOrReplaceTempView(name)
@@ -2180,14 +2197,8 @@ def _fit_top_pcs(
                 ).collect()
                 fits.append(sorted((r.dim, r.pc_q) for r in rows))
             if k < n_pc - 1:
-                vlit = " UNION ALL ".join(
-                    f"SELECT {d} AS i, CAST({q} AS BIGINT) AS vq"
-                    for d, q in fits[k]
-                )
                 nxt = spark.sql(
-                    f"WITH xm AS (SELECT * FROM {cur}), vd AS ({vlit}),\n"
-                    + _deflate_ctes("DIV", "xm", "vd")
-                    + "\nSELECT * FROM x2"
+                    _deflate_projection(fits[k], cur)
                 ).localCheckpoint(eager=True)
                 name = f"xq{k + 2}_{abs(hash(key)) % 10**8}"
                 nxt.createOrReplaceTempView(name)

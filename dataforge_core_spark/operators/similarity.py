@@ -1928,6 +1928,38 @@ _xq_cache: dict = {}
 _top_pc_cache: dict = {}
 
 
+def _power_iter_fit(spark: SparkSession, src: str) -> list[tuple[int, int]]:
+    """Spark-side power iteration as a DRIVER LOOP with literal
+    directions (the Lloyd's-k-means pattern): each of the PI_ITERS
+    rounds is ONE small query — a vec_id-window sum against the
+    64-int literal v_{k-1} plus a 64-group aggregate — whose 64-row
+    result becomes the next round's literal; the max-normalize runs on
+    exact Python ints.  Bit-identical to the inlined CTE chain the
+    oracles keep (window SUM == GROUP BY SUM for integer multisets,
+    same _sidiv ledger), at a fraction of the plan depth: the chain
+    form planned 6 shuffles and a deep codegen DAG per fit."""
+    v = [PI_SCALE] * DIM  # v0
+    for _ in range(PI_ITERS):
+        u = (
+            f"element_at(array({', '.join(str(q) for q in v)}),"
+            " CAST(i AS INT) + 1)"
+        )
+        sp = _sidiv(
+            f"CAST(SUM(eq * {u}) OVER (PARTITION BY vec_id) AS BIGINT)",
+            str(PI_RESCALE),
+            "DIV",
+        )
+        rows = spark.sql(
+            f"SELECT i, CAST(SUM(sp * eq) AS BIGINT) AS w FROM"
+            f" (SELECT i, eq, {sp} AS sp FROM {src}) t GROUP BY i"
+        ).collect()
+        w = {r.i: r.w for r in rows}
+        wv = [w.get(i, 0) for i in range(DIM)]
+        d = max(max(abs(x) for x in wv) // PI_SCALE, 1)
+        v = [(-1 if x < 0 else 1) * (abs(x) // d) for x in wv]
+    return sorted((i, v[i]) for i in range(DIM))
+
+
 def _xq_view(spark: SparkSession, sf_dir: str) -> str:
     """Checkpointed exploded quantized-component relation
     (vec_id, i, eq) — the matrix the power-iteration aggregates
@@ -1956,11 +1988,9 @@ def _fit_top_pc(spark: SparkSession, sf_dir: str) -> list[tuple[int, int]]:
     an index build, queries serve from the fitted vector."""
     key = (session_key(spark), sf_dir)
     if key not in _top_pc_cache:
-        x = _xq_view(spark, sf_dir)
-        rows = spark.sql(
-            f"WITH x AS (SELECT * FROM {x}),\n{_power_iter_tail('DIV')}"
-        ).collect()
-        _top_pc_cache[key] = sorted((r.dim, r.pc_q) for r in rows)
+        _top_pc_cache[key] = _power_iter_fit(
+            spark, _xq_view(spark, sf_dir)
+        )
     return _top_pc_cache[key]
 
 
@@ -2041,13 +2071,7 @@ def _fit_top_pc2(spark: SparkSession, sf_dir: str) -> list[tuple[int, int]]:
         name = f"xq2_{abs(hash(key)) % 10**8}"
         x2.createOrReplaceTempView(name)
         _x2_cache[key] = (name, x2)
-        rows = spark.sql(
-            f"WITH x2m AS (SELECT * FROM {name}),\n"
-            + _power_iter_chain("DIV", src="x2m", pfx="b")
-            + f"\nSELECT CAST(i AS INT) AS dim,"
-            f" CAST(vq AS BIGINT) AS pc2_q FROM bv{PI_ITERS}"
-        ).collect()
-        _pc2_cache[key] = sorted((r.dim, r.pc2_q) for r in rows)
+        _pc2_cache[key] = _power_iter_fit(spark, name)
     return _pc2_cache[key]
 
 
@@ -2189,13 +2213,7 @@ def _fit_top_pcs(
         owned = False
         for k in range(1, n_pc):
             if k >= len(fits):
-                rows = spark.sql(
-                    f"WITH xm AS (SELECT * FROM {cur}),\n"
-                    + _power_iter_chain("DIV", src="xm", pfx="g")
-                    + f"\nSELECT CAST(i AS INT) AS dim,"
-                    f" CAST(vq AS BIGINT) AS pc_q FROM gv{PI_ITERS}"
-                ).collect()
-                fits.append(sorted((r.dim, r.pc_q) for r in rows))
+                fits.append(_power_iter_fit(spark, cur))
             if k < n_pc - 1:
                 nxt = spark.sql(
                     _deflate_projection(fits[k], cur)

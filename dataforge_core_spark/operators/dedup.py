@@ -729,6 +729,25 @@ LEFT JOIN nr r ON r.doc_id = n.doc_id
 """
 
 
+def scalar_sig_exprs() -> tuple[str, list[str]]:
+    """The AGGREGATION-FREE minhash signature (stream-side): given a
+    shingle-string array column ``sh``, ``hs`` is the sorted distinct
+    56-bit hash array and each sig expr is an array_min over the
+    permuted ``hm`` (= transform(hs, h -> h % P)) — the same multiset
+    MIN as _minhash_sig_df's aggregate form, so the values are
+    identical by construction (pinned on adversarial texts by
+    tests/test_streaming.py::test_scalar_signature_matches_batch).
+    A streaming query can hold only one stateful aggregation, which is
+    why the signature must not be one."""
+    h = "CAST(conv(substr(md5(x), 1, 14), 16, 10) AS BIGINT)"
+    hs = f"array_sort(array_distinct(transform(sh, x -> {h})))"
+    sig = [
+        f"array_min(transform(hm, h -> ({a} * h + {b}) % {_P})) AS s{i}"
+        for i, (a, b) in enumerate(_perm_consts(MINHASH_N))
+    ]
+    return hs, sig
+
+
 _nd_index_cache: dict = {}
 
 

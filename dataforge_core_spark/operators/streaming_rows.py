@@ -884,24 +884,19 @@ def stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         INCR_NEW_GE,
         JACCARD_THRESHOLD,
         MINHASH_BANDS,
-        MINHASH_N,
         MINHASH_R,
         _band_keys,
         _near_dedup_index,
         _P,
-        _perm_consts,
         _SPARK_NORM,
         _SPARK_SHINGLES,
         _SPARK_TOKENS,
+        scalar_sig_exprs,
     )
     from dataforge_core_spark.streaming import stream_documents
 
     bname, kname = _near_dedup_index(spark, sf_dir)
-    h = "CAST(conv(substr(md5(x), 1, 14), 16, 10) AS BIGINT)"
-    sig_cols = [
-        f"array_min(transform(hm, h -> ({a} * h + {b}) % {_P})) AS s{i}"
-        for i, (a, b) in enumerate(_perm_consts(MINHASH_N))
-    ]
+    hs_expr, sig_cols = scalar_sig_exprs()
     bk_arr = "array(" + ", ".join(_band_keys(MINHASH_BANDS, MINHASH_R)) + ")"
     new = (
         stream_documents(spark, sf_dir)
@@ -910,11 +905,7 @@ def stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", f"md5({_SPARK_NORM}) AS k", f"{_SPARK_TOKENS} AS tok"
         )
         .selectExpr("doc_id", "k", f"{_SPARK_SHINGLES} AS sh")
-        .selectExpr(
-            "doc_id",
-            "k",
-            f"array_sort(array_distinct(transform(sh, x -> {h}))) AS hs",
-        )
+        .selectExpr("doc_id", "k", f"{hs_expr} AS hs")
         .selectExpr(
             "doc_id", "k", "hs", f"transform(hs, h -> h % {_P}) AS hm"
         )

@@ -563,3 +563,66 @@ def test_stream_near_dedup_semantics(spark, sf_dir):
     for d, s in got.items():
         if s == "near_dup":
             assert partner.get(d) == 1, d
+
+
+def test_scalar_signature_matches_batch(spark, tmp_path):
+    """The stream lane's aggregation-free minhash signature
+    (dedup.scalar_sig_exprs: array_min over permuted distinct shingle
+    hashes) must equal the batch MIN-aggregate signature
+    (_minhash_sig_df) on ADVERSARIAL texts — NULL, empty, whitespace,
+    below-shingle-length, heavy repetition, unicode — not just the
+    fixture corpus.  Docs with no shingles are absent from the batch
+    sig table and must come out all-NULL on the scalar path."""
+    import dataforge_core_spark.operators.dedup as D
+
+    texts = [
+        (0, None),
+        (1, ""),
+        (2, "   "),
+        (3, "one"),
+        (4, "one two"),
+        (5, "one two three"),
+        (6, "a a a a a a a a"),
+        (7, "x y z x y z x y z"),
+        (8, "Ünïcode tökens ünïcode tökens mixed CASE case"),
+        (9, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+    ]
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(texts, "doc_id long, text string").write.parquet(
+        p
+    )
+    import shutil
+
+    d = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    shutil.move(p, f"{d}/documents.parquet")
+
+    batch = {
+        r.doc_id: tuple(r[f"s{i}"] for i in range(D.MINHASH_N))
+        for r in D._minhash_sig_df(spark, d).collect()
+    }
+    hs_expr, sig_cols = D.scalar_sig_exprs()
+    scal = {
+        r.doc_id: tuple(r[f"s{i}"] for i in range(D.MINHASH_N))
+        for r in spark.sql(
+            f"""
+            SELECT doc_id, {", ".join(sig_cols)} FROM (
+              SELECT doc_id, transform(hs, h -> h % {D._P}) AS hm,
+                     size(hs) AS nsh
+              FROM (
+                SELECT doc_id, {hs_expr} AS hs FROM (
+                  SELECT doc_id, {D._SPARK_SHINGLES} AS sh FROM (
+                    SELECT doc_id, {D._SPARK_TOKENS} AS tok
+                    FROM parquet.`{d}/documents.parquet`
+                  )
+                )
+              )
+            ) WHERE nsh > 0
+            """
+        ).collect()
+    }
+    assert scal == batch
+    # and the no-shingle docs really are the ones the scalar path drops
+    assert set(batch) == {5, 6, 7, 8, 9}

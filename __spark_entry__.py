@@ -351,6 +351,7 @@ def queries_parameterized() -> dict[str, dict]:
     """
     from dataforge_core_spark.operators import dedup as D
     from dataforge_core_spark.operators import similarity as S
+    from dataforge_core_spark.operators import streaming_rows as SR
 
     return {
         "dedup_minhash": {
@@ -383,6 +384,13 @@ def queries_parameterized() -> dict[str, dict]:
                 S.SEM_DECON_THRESH_Q
             ): S._semantic_decontaminate_oracle(
                 nprobe=nprobe, thresh_q=thresh_q
+            ),
+        },
+        "stream_near_dedup": {
+            "fn": SR.stream_near_dedup,
+            "params": {"threshold": D.JACCARD_THRESHOLD},
+            "oracle_sql": lambda threshold=D.JACCARD_THRESHOLD: (
+                SR._near_dedup_oracle(threshold)
             ),
         },
         "embeddings_top_pcs": {

@@ -857,7 +857,9 @@ GROUP BY d.source
 """
 
 
-def stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_near_dedup(
+    spark: SparkSession, sf_dir: str, threshold: float | None = None
+) -> DataFrame:
     """Streaming content-based near-dedup gate: an incoming document
     stream (the same doc_id % INCR_MOD >= INCR_NEW_GE "new batch" split
     as the batch dedup_incremental lane) is classified
@@ -895,6 +897,7 @@ def stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from dataforge_core_spark.streaming import stream_documents
 
+    thr = JACCARD_THRESHOLD if threshold is None else threshold
     bname, kname = _near_dedup_index(spark, sf_dir)
     hs_expr, sig_cols = scalar_sig_exprs()
     bk_arr = "array(" + ", ".join(_band_keys(MINHASH_BANDS, MINHASH_R)) + ")"
@@ -931,7 +934,7 @@ def stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AND CAST(size(array_intersect(hs, chs)) AS DOUBLE)
                       / (size(hs) + size(chs)
                          - size(array_intersect(hs, chs)))
-                      >= {JACCARD_THRESHOLD}
+                      >= {thr}
                 THEN 1 ELSE 0 END AS nearf""",
         )
     )
@@ -945,7 +948,7 @@ def stream_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "drv_stream_near_dedup", spark, "complete")
 
 
-def _near_dedup_oracle() -> str:
+def _near_dedup_oracle(threshold: float | None = None) -> str:
     from dataforge_core_spark.operators.dedup import (
         INCR_MOD,
         INCR_NEW_GE,
@@ -961,6 +964,7 @@ def _near_dedup_oracle() -> str:
         _sig_cols,
     )
 
+    thr = JACCARD_THRESHOLD if threshold is None else threshold
     corp = f"doc_id % {INCR_MOD} < {INCR_NEW_GE}"
     new = f"doc_id % {INCR_MOD} >= {INCR_NEW_GE}"
     keys = ", ".join(_band_keys(MINHASH_BANDS, MINHASH_R))
@@ -1006,7 +1010,7 @@ near AS (
   JOIN sizes sa ON sa.doc_id = i.doc_n
   JOIN sizes sb ON sb.doc_id = i.doc_c
   WHERE CAST(i.inter_n AS DOUBLE) / (sa.n + sb.n - i.inter_n)
-        >= {JACCARD_THRESHOLD}
+        >= {thr}
 )
 SELECT n.doc_id,
        CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'

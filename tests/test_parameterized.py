@@ -43,6 +43,7 @@ def test_contract_shape():
         ("embeddings_top_pcs", {"n_pc": 3}),
         ("embeddings_whiten", {"n_pc": 3}),
         ("dedup_cos_threshold_curve", {"bucket_cap": 10}),
+        ("stream_near_dedup", {"threshold": 0.35}),
     ],
 )
 def test_dials_are_live(name, params, spark):

@@ -2656,6 +2656,16 @@ def ann_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTE per reference (five corpus-shaped joins; measured 2.2 -> 0.6s
     at sf0.1).  Query-set-bounded x corpus rows: the same eval-lane
     cost model as ann_pq_recall, paid once instead of five times."""
+    return spark.sql(
+        f"WITH {_nprobe_curve_blocks('spark', _nprobe_scored_view(spark, sf_dir))}"
+    )
+
+
+def _nprobe_scored_view(spark: SparkSession, sf_dir: str) -> str:
+    """The checkpointed scored (query x corpus, cellrank) relation —
+    the shared base of ann_nprobe_recall_curve and ann_k_recall_curve
+    (one probe-assignment pass + one cid equi-join serve the exact
+    baseline and every probe depth / K)."""
     key = (session_key(spark), sf_dir)
     if key not in _nprobe_scored_cache:
         af, _cv = _kmeans_index(spark, sf_dir)
@@ -2677,9 +2687,7 @@ def ann_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         name = f"nprobe_scored_{abs(hash(key)) % 10**8}"
         sc.createOrReplaceTempView(name)
         _nprobe_scored_cache[key] = (name, sc)
-    return spark.sql(
-        f"WITH {_nprobe_curve_blocks('spark', _nprobe_scored_cache[key][0])}"
-    )
+    return _nprobe_scored_cache[key][0]
 
 
 def _nprobe_curve_oracle() -> str:
@@ -2690,6 +2698,88 @@ afm AS MATERIALIZED (SELECT * FROM af),
 qp AS ({_nprobe_qp_sql('duck', 'afm', f'c{KMEANS_ITERS}')}),
 scored AS MATERIALIZED ({_nprobe_scored_body('duck', 'afm')}),
 {_nprobe_curve_blocks('duck', 'scored')}
+"""
+
+
+ANN_K_GRID = (1, 5, 10)  # TOP_K must be a grid point (cross-lane referee)
+K_CURVE_NPROBE = 1
+
+
+def _k_recall_sql(dialect: str, scored: str, nprobe: int) -> str:
+    """Recall@K across ANN_K_GRID at fixed nprobe from the shared
+    scored relation: ONE brute ranking + ONE found ranking (windows
+    over the materialized rows), then every K is a rank filter inside
+    a conditional sum — no per-K re-rank, the same one-pass grid
+    pattern as the nprobe/band/threshold/sketch-size curves."""
+    kmax = max(ANN_K_GRID)
+    grid = ", ".join(str(k) for k in ANN_K_GRID)
+    if dialect == "spark":
+        fan = f"LATERAL VIEW explode(array({grid})) g AS k"
+        idiv = "DIV"
+        kcast = "INT"
+    else:
+        fan = f", unnest([{grid}]) AS g(k)"
+        idiv = "//"
+        kcast = "INTEGER"
+    return f"""
+brute AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score DESC, neighbor_id) AS brank
+  FROM {scored}
+),
+found AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score DESC, neighbor_id) AS frank
+  FROM {scored} WHERE cellrank <= {nprobe} AND capped
+),
+j AS (
+  SELECT b.query_id, b.brank, f.frank
+  FROM brute b LEFT JOIN found f
+    ON f.query_id = b.query_id AND f.neighbor_id = b.neighbor_id
+  WHERE b.brank <= {kmax}
+),
+fan AS (
+  SELECT query_id, g.k,
+         CASE WHEN brank <= g.k THEN 1 ELSE 0 END AS ex,
+         CASE WHEN brank <= g.k AND frank IS NOT NULL
+                   AND frank <= g.k THEN 1 ELSE 0 END AS hit
+  FROM j
+  {fan}
+)
+SELECT CAST(k AS {kcast}) AS k, query_id,
+       CAST(SUM(ex) AS BIGINT) AS n_exact,
+       CAST(SUM(hit) AS BIGINT) AS n_hits,
+       CAST((1000000 * SUM(hit)) {idiv} GREATEST(SUM(ex), 1) AS BIGINT)
+         AS recall_ppm
+FROM fan GROUP BY k, query_id
+"""
+
+
+def ann_k_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K for K in ANN_K_GRID (the recall@1/@5/@10 table every
+    ANN eval reports) at nprobe=K_CURVE_NPROBE, per query, from the
+    SAME checkpointed scored relation as the nprobe curve — together
+    the two curves span the (nprobe, K) tuning plane from one index
+    pass each way.  The K=TOP_K rows equal the nprobe curve's
+    nprobe=1 rows (cross-lane referee in tests/test_parameterized.py)."""
+    return spark.sql(
+        "WITH "
+        + _k_recall_sql(
+            "spark", _nprobe_scored_view(spark, sf_dir), K_CURVE_NPROBE
+        )
+    )
+
+
+def _k_recall_oracle() -> str:
+    return f"""
+WITH {_duck_v_cte()},
+{_kmeans_ctes('v', 'duck')},
+afm AS MATERIALIZED (SELECT * FROM af),
+qp AS ({_nprobe_qp_sql('duck', 'afm', f'c{KMEANS_ITERS}')}),
+scored AS MATERIALIZED ({_nprobe_scored_body('duck', 'afm')}),
+{_k_recall_sql('duck', 'scored', K_CURVE_NPROBE)}
 """
 
 
@@ -3509,6 +3599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_abtt": embeddings_abtt,
         "embeddings_whiten": embeddings_whiten,
         "dedup_cos_threshold_curve": dedup_cos_threshold_curve,
+        "ann_k_recall_curve": ann_k_recall_curve,
         "embeddings_pc_project": embeddings_pc_project,
         "ann_ivf_stats": ann_ivf_stats,
         "ann_outliers": ann_outliers,
@@ -3553,6 +3644,7 @@ def oracles() -> dict[str, str]:
         "embeddings_abtt": _abtt_oracle(),
         "embeddings_whiten": _whiten_oracle(),
         "dedup_cos_threshold_curve": _cos_curve_oracle(),
+        "ann_k_recall_curve": _k_recall_oracle(),
         "embeddings_pc_project": _pc_project_oracle(),
         "ann_ivf_stats": _ivf_stats_oracle(),
         "ann_recall_eval": _recall_eval_oracle(),

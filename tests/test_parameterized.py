@@ -320,3 +320,33 @@ def test_band_layout_rejects_oversized(spark):
         D.dedup_minhash(spark, SF, bands=5, rows=3)
     with pytest.raises(ValueError, match="exceeds"):
         D.dedup_minhash(spark, SF, bands=0, rows=1)
+
+
+def test_k_recall_curve_referees_and_monotone(spark):
+    """Cross-lane referee: ann_k_recall_curve's K=TOP_K rows equal the
+    nprobe curve's nprobe=1 rows (same recall@TOP_K of the nprobe=1
+    search, built through different rankings); per query, n_hits is
+    non-decreasing in K and n_exact == K (corpus >> K at every sf)."""
+    import dataforge_core_spark.operators.similarity as S
+
+    rows = S.ann_k_recall_curve(spark, SF).collect()
+    byq: dict = {}
+    for r in rows:
+        assert r.n_exact == r.k, (r.query_id, r.k)
+        byq.setdefault(r.query_id, {})[r.k] = r.n_hits
+    ks = sorted(S.ANN_K_GRID)
+    for q, m in byq.items():
+        assert set(m) == set(ks)
+        for a, b in zip(ks, ks[1:]):
+            assert m[a] <= m[b], q
+    k10 = {
+        r.query_id: (r.n_exact, r.n_hits)
+        for r in rows
+        if r.k == S.TOP_K
+    }
+    np1 = {
+        r.query_id: (r.n_exact, r.n_hits)
+        for r in S.ann_nprobe_recall_curve(spark, SF).collect()
+        if r.nprobe == 1
+    }
+    assert k10 == np1

@@ -1,0 +1,97 @@
+"""Pure-Python integer differential for the HLL lane: universe build
+(per-source distinct 3-gram md5 hashes), register tables, bucket-wise
+`__all__` merge, and the WHOLE integer-exact estimator (harmonic sum,
+two-step long division, Q14 alpha, qlog2 linear-counting correction)
+re-derived with hashlib + exact Python ints and compared to
+sketch_hll_distinct by equality — the SQL-free third derivation next
+to the Spark plan and the DuckDB oracle."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import pyarrow.parquet as pq
+import pytest
+
+from tests.conftest import spark  # noqa: F401
+
+SF = "/root/testdata/sf0.001"
+
+
+def _qlog2(n: int) -> int:
+    # text._qlog2's exact definition: top-10-bit mantissa via the
+    # floor(log2 * 1e4) lookup + 1e4 * shift
+    b = n.bit_length()
+    e = max(b - 10, 0)
+    mant = n >> e
+    return math.floor(math.log2(mant) * 10000) + 10000 * e
+
+
+def _py_universe() -> dict[str, set[int]]:
+    t = pq.read_table(f"{SF}/documents.parquet")
+    out: dict[str, set[int]] = {}
+    for src, text in zip(
+        t.column("source").to_pylist(), t.column("text").to_pylist()
+    ):
+        if text is None:
+            continue
+        toks = re.sub(r"\s+", " ", text).strip().lower().split(" ")
+        s = out.setdefault(src, set())
+        for i in range(len(toks) - 2):
+            sh = " ".join(toks[i : i + 3])
+            s.add(int(hashlib.md5(sh.encode()).hexdigest()[:14], 16))
+    return out
+
+
+def _py_estimate(regs: dict[int, int], m: int, rmax: int,
+                 alpha_q14: int) -> tuple[int, int, int]:
+    v_zero = m - len(regs)
+    sints = sum(1 << (rmax - r) for r in regs.values()) + v_zero * (
+        1 << rmax
+    )
+    q, rem = divmod(m * (1 << rmax), sints)
+    qc = min(q, 1 << 40)
+    refine = (m * rem) // sints if sints < (1 << 55) else 0
+    est_raw = (alpha_q14 * (m * qc + refine)) // (1 << 14)
+    dq = _qlog2(m) - _qlog2(max(v_zero, 1))
+    est_lin = (m * dq * 693147) // (10000 * 10**6)
+    est = est_lin if (v_zero > 0 and est_raw <= (5 * m) // 2) else est_raw
+    return v_zero, sints, est
+
+
+def test_hll_lane_matches_python_ledger(spark):  # noqa: F811
+    import dataforge_core_spark.operators.sketches as SK
+
+    uni = _py_universe()
+    w, rmax, m = SK._HLL_W, SK._HLL_RMAX, SK.HLL_M
+
+    def regs_of(hs: set[int]) -> dict[int, int]:
+        regs: dict[int, int] = {}
+        for h in hs:
+            b, ww = divmod(h, w)
+            r = rmax if ww == 0 else rmax - ww.bit_length()
+            regs[b] = max(regs.get(b, 0), r)
+        return regs
+
+    exp = {}
+    merged: dict[int, int] = {}
+    all_h: set[int] = set()
+    for src, hs in uni.items():
+        regs = regs_of(hs)
+        for b, r in regs.items():
+            merged[b] = max(merged.get(b, 0), r)
+        all_h |= hs
+        v_zero, _s, est = _py_estimate(regs, m, rmax, SK.ALPHA_Q14)
+        n = len(hs)
+        exp[src] = (n, v_zero, est, (1000000 * abs(est - n)) // n)
+    v_zero, _s, est = _py_estimate(merged, m, rmax, SK.ALPHA_Q14)
+    n = len(all_h)
+    exp["__all__"] = (n, v_zero, est, (1000000 * abs(est - n)) // n)
+
+    got = {
+        r.scope: (r.n_exact, r.v_zero, r.hll_est, r.err_ppm)
+        for r in SK.sketch_hll_distinct(spark, SF).collect()
+    }
+    assert got == exp

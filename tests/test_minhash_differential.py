@@ -99,3 +99,92 @@ def test_minhash_layout_matches_python_reference(
         assert (0, 1) in exp
     if (bands, rows) == (12, 1):
         assert (0, 1) in exp and (7, 8) in exp
+
+
+def test_stream_near_dedup_matches_python_reference(spark, tmp_path):  # noqa: F811
+    """End-to-end Python reference for the streaming near-dup gate on a
+    planted corpus: split by doc_id % INCR_MOD, exact = normalized-text
+    md5 match with ANY corpus doc, near = any shared band between the
+    new doc's signature and a corpus doc's, verified at exact Jaccard —
+    all re-derived with hashlib, then compared to the lane's statuses
+    by equality.  Together with the oracle this gives the lane three
+    independent derivations (stream plan / DuckDB / Python)."""
+    import dataforge_core_spark.operators.dedup as D
+    from dataforge_core_spark.operators.streaming_rows import (
+        stream_near_dedup,
+    )
+
+    texts = [
+        # corpus (doc_id % 10 < 8)
+        (0, "the quick brown fox jumps over the lazy dog tonight again"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (4, "one two three four five six seven eight nine ten"),
+        (5, "  The   QUICK brown fox jumps over the lazy dog tonight again "),
+        (6, "spam spam spam spam spam spam spam spam spam spam"),
+        # new batch (doc_id % 10 >= 8)
+        (8, "the quick brown fox jumps over the lazy dog tonight again"),
+        (9, "alpha beta gamma delta epsilon zeta eta theta iota kappa extra"),
+        (18, "totally unrelated words with no overlap whatsoever here now"),
+        (19, "xs"),
+        (28, None),
+    ]
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(texts, "doc_id long, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+
+    got = {
+        r.doc_id: r.status
+        for r in stream_near_dedup(spark, d).collect()
+    }
+
+    def norm(t):
+        return re.sub(r"\s+", " ", (t or "")).strip().lower()
+
+    consts = D._perm_consts(D.MINHASH_N)
+    corp = [(i, t) for i, t in texts if i % D.INCR_MOD < D.INCR_NEW_GE]
+    newb = [(i, t) for i, t in texts if i % D.INCR_MOD >= D.INCR_NEW_GE]
+    corp_keys = {
+        hashlib.md5(norm(t).encode()).hexdigest() for _i, t in corp
+    }
+    chs = {i: _py_shingle_hashes(t) for i, t in corp}
+    csig = {i: _py_signature(h, consts) for i, h in chs.items() if h}
+
+    def bands_of(sig):
+        # band identity includes the band INDEX, as in _band_keys'
+        # md5(concat(band, sigs)) — band b only matches band b
+        return {
+            (b, tuple(sig[b * D.MINHASH_R + j] for j in range(D.MINHASH_R)))
+            for b in range(D.MINHASH_BANDS)
+        }
+
+    cbands = {i: bands_of(s) for i, s in csig.items()}
+    exp = {}
+    for i, t in newb:
+        if hashlib.md5(norm(t).encode()).hexdigest() in corp_keys:
+            exp[i] = "exact_dup"
+            continue
+        hs = _py_shingle_hashes(t)
+        near = False
+        if hs:
+            sig = _py_signature(hs, consts)
+            nb = bands_of(sig)
+            for c, cb in cbands.items():
+                if nb & cb:
+                    inter = len(hs & chs[c])
+                    if inter and inter / len(hs | chs[c]) >= (
+                        D.JACCARD_THRESHOLD
+                    ):
+                        near = True
+                        break
+        exp[i] = "near_dup" if near else "unique"
+    assert got == exp
+    # planted structure: 8 is an exact dup (also of the
+    # whitespace/case-variant doc 5), 9 a near dup, 18/19/28 unique
+    assert exp == {
+        8: "exact_dup",
+        9: "near_dup",
+        18: "unique",
+        19: "unique",
+        28: "unique",
+    }

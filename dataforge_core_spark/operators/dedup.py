@@ -808,6 +808,119 @@ def _near_dedup_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     return _nd_index_cache[key][0], _nd_index_cache[key][1]
 
 
+def dedup_index_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew observability across the four bucketed pair/probe indexes —
+    the MEASUREMENT companion of the salting/cap guards: per index
+    (minhash bands, simhash bands, embedding hyperplane buckets, IVF
+    cells) the bucket count, row count, worst bucket and the number of
+    buckets over that index's cap (what the guard would salt/cap).  At
+    100 TB this is the report an operator reads BEFORE a dedup run to
+    see whether the quadratic-within-bucket work is bounded; all four
+    distributions come from the already-checkpointed index relations
+    (the minhash band fan-out is one aggregate over the persisted
+    shingle-signature base), each a constant-per-bucket-cardinality
+    map-side-combinable GROUP BY."""
+    from pyspark.sql import functions as F
+
+    from dataforge_core_spark.operators import simhash
+    from dataforge_core_spark.operators import similarity as S
+
+    keys = ", ".join(_band_keys(MINHASH_BANDS, MINHASH_R))
+    mh = (
+        _minhash_sig_df(spark, sf_dir)
+        .selectExpr(
+            "'minhash_bands' AS index_name",
+            f"explode(array({keys})) AS bucket",
+        )
+    )
+    sb = simhash._salted_bands(
+        spark, sf_dir, simhash.MAX_BLOCK_BUCKET
+    ).selectExpr(
+        "'simhash_bands' AS index_name",
+        "concat(CAST(bno AS STRING), ':', blk) AS bucket",
+    )
+    v = S._normed(spark, sf_dir)
+    eb = spark.sql(
+        "SELECT 'embedding_buckets' AS index_name,"
+        f" CAST(bucket AS STRING) AS bucket FROM {v}"
+    )
+    af, _cv = S._kmeans_index(spark, sf_dir)
+    iv = spark.sql(
+        "SELECT 'ivf_cells' AS index_name,"
+        f" CAST(cid AS STRING) AS bucket FROM {af}"
+    )
+    cap = (
+        f"CASE index_name WHEN 'minhash_bands' THEN {MAX_BAND_BUCKET}"
+        f" WHEN 'simhash_bands' THEN {simhash.MAX_BLOCK_BUCKET}"
+        f" WHEN 'embedding_buckets' THEN {S.EMB_BUCKET_CAP}"
+        f" ELSE {S.IVF_CELL_CAP} END"
+    )
+    return (
+        mh.unionByName(sb)
+        .unionByName(eb)
+        .unionByName(iv)
+        .groupBy("index_name", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("index_name")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_buckets"),
+            F.expr("CAST(SUM(cnt) AS BIGINT)").alias("n_rows"),
+            F.expr("CAST(MAX(cnt) AS BIGINT)").alias("max_bucket"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN cnt > {cap} THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("n_over_cap"),
+        )
+    )
+
+
+def _index_skew_oracle() -> str:
+    from dataforge_core_spark.operators import simhash
+    from dataforge_core_spark.operators import similarity as S
+
+    sblocks = " UNION ALL ".join(
+        f"SELECT {i} AS bno, substr(simhash, {i * 4 + 1}, 4) AS blk"
+        " FROM ssig"
+        for i in range(4)
+    )
+    cap = (
+        f"CASE index_name WHEN 'minhash_bands' THEN {MAX_BAND_BUCKET}"
+        f" WHEN 'simhash_bands' THEN {simhash.MAX_BLOCK_BUCKET}"
+        f" WHEN 'embedding_buckets' THEN {S.EMB_BUCKET_CAP}"
+        f" ELSE {S.IVF_CELL_CAP} END"
+    )
+    return f"""
+WITH {S._duck_v_cte()},
+{S._kmeans_ctes('v', 'duck')},
+{_minhash_chain()},
+ssig AS MATERIALIZED ({simhash._sig_sql('duck')}),
+u AS (
+  SELECT 'minhash_bands' AS index_name, band_key AS bucket FROM bands
+  UNION ALL
+  SELECT 'simhash_bands' AS index_name,
+         CAST(bno AS VARCHAR) || ':' || blk AS bucket
+  FROM ({sblocks}) sb
+  UNION ALL
+  SELECT 'embedding_buckets' AS index_name,
+         CAST(bucket AS VARCHAR) AS bucket FROM v
+  UNION ALL
+  SELECT 'ivf_cells' AS index_name, CAST(cid AS VARCHAR) AS bucket
+  FROM af
+),
+c AS (
+  SELECT index_name, bucket, COUNT(*) AS cnt
+  FROM u GROUP BY index_name, bucket
+)
+SELECT index_name,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(MAX(cnt) AS BIGINT) AS max_bucket,
+       CAST(SUM(CASE WHEN cnt > {cap} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_over_cap
+FROM c GROUP BY index_name
+"""
+
+
 CC_MAX_ITERS = 20  # label propagation rounds (bound = cluster diameter)
 
 
@@ -1750,6 +1863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": dedup_minhash,
         "dedup_minhash_accuracy": dedup_minhash_accuracy,
         "dedup_lsh_band_curve": dedup_lsh_band_curve,
+        "dedup_index_skew": dedup_index_skew,
         "dedup_incremental": dedup_incremental,
         "dedup_cluster": dedup_cluster,
         "dedup_cluster_pd": dedup_cluster_pd,
@@ -1770,6 +1884,7 @@ def oracles() -> dict[str, str]:
         "dedup_minhash": _minhash_oracle(),
         "dedup_minhash_accuracy": _minhash_accuracy_oracle(),
         "dedup_lsh_band_curve": _lsh_band_curve_oracle(),
+        "dedup_index_skew": _index_skew_oracle(),
         "dedup_incremental": _incremental_oracle(),
         "dedup_cluster": _DEDUP_CLUSTER_ORACLE,
         "dedup_cluster_pd": _DEDUP_CLUSTER_ORACLE,

@@ -697,3 +697,37 @@ def test_quality_calibration_matches_joined_lanes(spark, sf_dir):
         ), s
         assert r.precision_ppm == (1000000 * r.tp) // max(r.tp + r.fp, 1)
         assert r.recall_ppm == (1000000 * r.tp) // max(r.tp + r.fn, 1)
+
+
+def test_index_skew_report_referees(spark, sf_dir):
+    """dedup_index_skew cross-checks against the index relations it
+    reports on: row totals equal 4 bands per signature doc (minhash /
+    simhash) and one row per vector (buckets / cells); the worst
+    ivf cell equals a direct count over the assignment index; at the
+    test fixtures nothing exceeds any cap."""
+    import dataforge_core_spark.operators.dedup as D
+    import dataforge_core_spark.operators.similarity as S
+
+    rows = {r.index_name: r for r in D.dedup_index_skew(spark, sf_dir).collect()}
+    assert set(rows) == {
+        "minhash_bands",
+        "simhash_bands",
+        "embedding_buckets",
+        "ivf_cells",
+    }
+    n_sig_docs = D._minhash_sig_df(spark, sf_dir).count()
+    assert rows["minhash_bands"].n_rows == 4 * n_sig_docs
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert rows["simhash_bands"].n_rows == 4 * n_docs
+    n_vec = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert rows["embedding_buckets"].n_rows == n_vec
+    assert rows["ivf_cells"].n_rows == n_vec
+    af, _cv = S._kmeans_index(spark, sf_dir)
+    mx = spark.sql(
+        f"SELECT MAX(cnt) m FROM (SELECT cid, COUNT(*) cnt FROM {af}"
+        " GROUP BY cid)"
+    ).collect()[0].m
+    assert rows["ivf_cells"].max_bucket == mx
+    for r in rows.values():
+        assert r.n_over_cap == 0, r.index_name
+        assert r.max_bucket <= r.n_rows

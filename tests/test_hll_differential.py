@@ -95,3 +95,40 @@ def test_hll_lane_matches_python_ledger(spark):  # noqa: F811
         for r in SK.sketch_hll_distinct(spark, SF).collect()
     }
     assert got == exp
+
+
+def test_kmv_lane_matches_python_ledger(spark):  # noqa: F811
+    """Same SQL-free protocol for the KMV sketch: per-source bottom-K,
+    the order-statistic estimate (exact when n < K), and the merged
+    __all__ sketch (union of bottom-K sets re-truncated to bottom-K)
+    re-derived with hashlib + exact Python ints and compared to
+    sketch_kmv_distinct by equality."""
+    import dataforge_core_spark.operators.sketches as SK
+
+    uni = _py_universe()
+    k, hspace = SK.KMV_K, 1 << 56
+
+    def est_of(hs: set[int]) -> tuple[int, int]:
+        bot = sorted(hs)[:k]
+        n_kept, h_k = len(bot), (bot[-1] if bot else 0)
+        est = n_kept if n_kept < k else ((k - 1) * hspace) // max(h_k, 1)
+        return est, n_kept
+
+    exp = {}
+    merged: set[int] = set()
+    all_h: set[int] = set()
+    for src, hs in uni.items():
+        est, _n = est_of(hs)
+        n = len(hs)
+        exp[src] = (n, est, (1000000 * abs(est - n)) // n)
+        merged |= set(sorted(hs)[:k])
+        all_h |= hs
+    est, _n = est_of(merged)
+    n = len(all_h)
+    exp["__all__"] = (n, est, (1000000 * abs(est - n)) // n)
+
+    got = {
+        r.scope: (r.n_exact, r.kmv_est, r.err_ppm)
+        for r in SK.sketch_kmv_distinct(spark, SF).collect()
+    }
+    assert got == exp

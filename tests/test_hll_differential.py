@@ -132,3 +132,38 @@ def test_kmv_lane_matches_python_ledger(spark):  # noqa: F811
         for r in SK.sketch_kmv_distinct(spark, SF).collect()
     }
     assert got == exp
+
+
+def test_simhash_signatures_match_python_ledger(spark):  # noqa: F811
+    """SQL-free derivation of the simhash signatures: per token
+    OCCURRENCE the 64-bit md5 prefix votes +-1 on each bit, digit =
+    majority (ties set the bit) — recomputed with hashlib and compared
+    to the lane's 16-hex signatures by equality for every doc."""
+    import hashlib as _hl
+
+    import dataforge_core_spark.operators.simhash as SH
+
+    t = pq.read_table(f"{SF}/documents.parquet")
+    hexd = "0123456789abcdef"
+    exp = {}
+    for did, text in zip(
+        t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+    ):
+        toks = re.sub(r"\s+", " ", (text or "")).strip().lower().split(" ")
+        sums = [[0] * 4 for _ in range(16)]
+        for tk in toks:
+            h = int(_hl.md5(tk.encode()).hexdigest()[:16], 16)
+            for j in range(16):
+                d = (h >> (60 - 4 * j)) & 15
+                for k in range(4):
+                    sums[j][k] += 1 if (d >> (3 - k)) & 1 else -1
+        exp[did] = "".join(
+            hexd[
+                sum((8 >> k) if sums[j][k] >= 0 else 0 for k in range(4))
+            ]
+            for j in range(16)
+        )
+    got = {
+        r.doc_id: r.simhash for r in SH._sig_df(spark, SF).collect()
+    }
+    assert got == exp

@@ -350,10 +350,18 @@ def queries_parameterized() -> dict[str, dict]:
     this entry.
     """
     from dataforge_core_spark.operators import dedup as D
+    from dataforge_core_spark.operators import multimodal as M
     from dataforge_core_spark.operators import similarity as S
     from dataforge_core_spark.operators import streaming_rows as SR
 
     return {
+        "multimodal_phash_neardup": {
+            "fn": M.multimodal_phash_neardup,
+            "params": {"max_bucket": M.MAX_PHASH_BUCKET},
+            "oracle_sql": lambda max_bucket=M.MAX_PHASH_BUCKET: (
+                M._phash_neardup_oracle(max_bucket)
+            ),
+        },
         "dedup_minhash": {
             "fn": D.dedup_minhash,
             "params": {

@@ -44,6 +44,8 @@ def test_contract_shape():
         ("embeddings_whiten", {"n_pc": 3}),
         ("dedup_cos_threshold_curve", {"bucket_cap": 10}),
         ("stream_near_dedup", {"threshold": 0.35}),
+        # cap 2 forces the salt guard on the planted-dup-heavy fixture
+        ("multimodal_phash_neardup", {"max_bucket": 2}),
     ],
 )
 def test_dials_are_live(name, params, spark):

@@ -731,3 +731,66 @@ def test_index_skew_report_referees(spark, sf_dir):
     for r in rows.values():
         assert r.n_over_cap == 0, r.index_name
         assert r.max_bucket <= r.n_rows
+
+
+def test_phash_neardup_hand_hashes(spark):
+    """Banded-dHash near-dup semantics on planted 56-bit hashes where
+    every hamming distance and band collision is hand-checkable:
+
+      doc1 = 0          doc2 = 0b111 (3 bits in band 0)
+      doc3 = 0 (exact dup of doc1)
+      doc4 = one flipped bit in EACH of the 4 bands (hamming 4 from
+             doc1 AND no shared band -> invisible to the LSH, correctly
+             so: 4 > PHASH_HAMMING_MAX)
+      doc5 = 0b11
+
+    Expected pairs at threshold 3: (1,2,3) (1,3,0) (1,5,2) (2,3,3)
+    (2,5,1) (3,5,2); doc4 isolated.  The identical planted table runs
+    through the DuckDB dialect of the SAME body as a mini-differential.
+    """
+    import duckdb
+
+    from dataforge_core_spark.operators import multimodal as M
+
+    assert M.PHASH_BANDS == 4 and M.PHASH_HAMMING_MAX == 3
+    hashes = {
+        1: 0,
+        2: 0b111,
+        3: 0,
+        4: (1 << 0) | (1 << 14) | (1 << 28) | (1 << 42),
+        5: 0b11,
+    }
+    spark.createDataFrame(
+        list(hashes.items()), "doc_id bigint, phash bigint"
+    ).createOrReplaceTempView("phash_hand")
+    got = {
+        r.doc_id: (r.n_near, r.min_hamming, r.nearest)
+        for r in spark.sql(
+            f"WITH {M._phash_neardup_body('spark', 'phash_hand', 1000)}"
+        ).collect()
+    }
+    expect = {
+        1: (3, 0, 3),
+        2: (3, 1, 5),
+        3: (3, 0, 1),
+        4: (0, None, None),
+        5: (3, 1, 2),
+    }
+    assert got == expect
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE TABLE phash_hand AS SELECT * FROM (VALUES "
+            + ", ".join(f"({d}, {h})" for d, h in hashes.items())
+            + ") t(doc_id, phash)"
+        )
+        duck = {
+            r[0]: (r[2], r[3], r[4])
+            for r in con.execute(
+                "WITH "
+                + M._phash_neardup_body("duck", "phash_hand", 1000)
+            ).fetchall()
+        }
+    finally:
+        con.close()
+    assert duck == expect

@@ -725,3 +725,25 @@ def test_substring_clean_is_fully_index_served(spark):
         "clean lane re-scans the corpus — toks not served from the base"
     )
     assert "posexplode" not in plan, "clean lane re-tokenizes the corpus"
+
+
+def test_phash_neardup_salted_and_index_served(spark):
+    """multimodal_phash_neardup: the band self-join must carry the
+    oversized-bucket salt conjunct (the 14-bit block key space is fixed
+    at 4 * 16384 buckets regardless of corpus size — and the synthetic
+    images are pathologically self-similar, so hot blocks are the norm,
+    not the edge case), the heavy-bucket relation must attach via
+    broadcast, and the hash rows must come from the checkpointed image
+    index — an execution plans NO Python stage and NO parquet scan (the
+    decode pass is paid once per session by the index build)."""
+    from dataforge_core_spark.operators import multimodal as M
+
+    plan = (
+        M.multimodal_phash_neardup(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "salt" in plan, "band join lost the bucket-salt conjunct"
+    assert "BroadcastHashJoin" in plan, "heavy-bucket attach not broadcast"
+    assert "MapInPandas" not in plan, "lane re-runs the Python decode pass"
+    assert "parquet" not in plan.lower(), "lane re-scans the corpus"
+    assert "ExistingRDD" in plan, "hash rows not served from the index"

@@ -202,6 +202,51 @@ FROM t
 """
 
 
+def _langid_eval_sql(dialect: str) -> str:
+    """Confusion matrix of the heuristic language ID against the
+    labeled ``lang`` column — the calibration artifact a deployment
+    reads before trusting the cheap stopword classifier to route a
+    100 TB corpus (per cell: document count, recall share of the label
+    row, precision share of the prediction column, exact integer ppm).
+    On the DRIVER TESTDATA the matrix shows near-total collapse onto
+    'en': the synthetic corpus draws every document's text from one
+    English-ish vocabulary regardless of its lang label, so labels are
+    uncorrelated with content and no classifier could do better — the
+    lane's value here is that it MEASURES that (on a real multilingual
+    corpus the same artifact reads recall/precision per language).
+    ONE corpus scan; everything after the per-doc argmax is three tiny
+    aggregates."""
+    tok = _SPARK_TOK if dialect == "spark" else _DUCK_TOK
+    div = "DIV" if dialect == "spark" else "//"
+    return f"""
+WITH t AS (SELECT lang, {tok} AS tok FROM documents),
+p AS (SELECT lang AS labeled_lang, {_langid_case(dialect)} AS predicted_lang
+      FROM t),
+cm AS (
+  SELECT labeled_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM p GROUP BY labeled_lang, predicted_lang
+),
+lt AS (SELECT labeled_lang, SUM(n_docs) AS n_labeled FROM cm
+       GROUP BY labeled_lang),
+pt AS (SELECT predicted_lang, SUM(n_docs) AS n_predicted FROM cm
+       GROUP BY predicted_lang)
+SELECT c.labeled_lang, c.predicted_lang, c.n_docs,
+       CAST((1000000 * c.n_docs) {div} l.n_labeled AS BIGINT)
+         AS recall_ppm,
+       CAST((1000000 * c.n_docs) {div} q.n_predicted AS BIGINT)
+         AS precision_ppm
+FROM cm c
+JOIN lt l ON c.labeled_lang = l.labeled_lang
+JOIN pt q ON c.predicted_lang = q.predicted_lang
+"""
+
+
+def text_lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix vs the labeled lang column."""
+    _view(spark, sf_dir)
+    return spark.sql(_langid_eval_sql("spark"))
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content + shingle fingerprints (md5 — identical across engines).
 
@@ -1361,6 +1406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": text_tokens,
         "text_quality": text_quality,
         "text_lang_id": text_lang_id,
+        "text_lang_id_eval": text_lang_id_eval,
         "text_fingerprint": text_fingerprint,
         "train_tokenizer_vocab": train_tokenizer_vocab,
         "train_bpe_merges": train_bpe_merges,
@@ -1383,6 +1429,7 @@ def oracles() -> dict[str, str]:
         "text_readability": _READABILITY_ORACLE,
         "text_vocab_coverage": _VOCAB_COVERAGE_ORACLE,
         "text_lang_id": _LANGID_ORACLE,
+        "text_lang_id_eval": _langid_eval_sql("duck"),
         "text_fingerprint": _FINGERPRINT_ORACLE,
         "train_tokenizer_vocab": _VOCAB_ORACLE,
         "train_bpe_merges": _bpe_merges_oracle(),

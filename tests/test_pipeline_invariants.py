@@ -794,3 +794,41 @@ def test_phash_neardup_hand_hashes(spark):
     finally:
         con.close()
     assert duck == expect
+
+
+def test_lang_id_eval_hand_corpus(spark, tmp_path):
+    """Confusion-matrix semantics on a planted corpus where every
+    stopword count, argmax tie-break, and ppm share is hand-checkable
+    (doc6 'la la la' ties es==fr on 3 hits and must resolve to 'es' —
+    the documented fixed tie-break order de < en < es < fr)."""
+    from dataforge_core_spark.operators import text as X
+
+    rows = [
+        (1, "the a of cat", "en"),
+        (2, "der die und hund", "de"),
+        (3, "el la y gato", "es"),
+        (4, "xyz qqq", "zh"),
+        (5, "le la et chien", "fr"),
+        (6, "la la la", "fr"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, lang, "test", len(t)) for i, t, lang in rows],
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    )
+    out = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(out)
+    got = {
+        (r.labeled_lang, r.predicted_lang): (
+            r.n_docs, r.recall_ppm, r.precision_ppm
+        )
+        for r in X.text_lang_id_eval(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("en", "en"): (1, 1000000, 1000000),
+        ("de", "de"): (1, 1000000, 1000000),
+        ("es", "es"): (1, 1000000, 500000),
+        ("zh", "und"): (1, 1000000, 1000000),
+        ("fr", "fr"): (1, 500000, 1000000),
+        ("fr", "es"): (1, 500000, 500000),
+    }

@@ -3104,6 +3104,141 @@ WITH {_duck_v_cte()},
 """
 
 
+# ---------------------------------------------------------------------------
+# Residual IVF-PQ — IVFADC proper (Jégou et al., "Product Quantization
+# for Nearest Neighbor Search", §IV-A): PQ-encode the RESIDUAL
+# x - centroid(cell(x)) instead of the raw vector.  Residuals
+# concentrate around zero with far less spread than raw vectors, so the
+# same PQ_K codewords quantize them with lower error — this is the
+# variant every production IVFADC index (FAISS IVFxx,PQyy) actually
+# ships.  The codebook follows the same external-supply convention as
+# ann_pq_encode: the first PQ_K vectors' RESIDUALS.
+#
+# Query path (nprobe=1, the ann_ivf_pq shape): the query's OWN residual
+# q - centroid(cell(q)) builds the LUT against the residual codebook,
+# and candidates come from the query's cell — asymmetric distance in
+# residual space, exactly ADC.  Scale shape identical to ann_ivf_pq:
+# encode is corpus x PQ_K-codebook (broadcast literal at deployment),
+# query work is a broadcast-LUT hash join over one cell's codes; the
+# centroid join adds only an 8-row broadcast.
+#
+# Determinism: residual arithmetic is two chained binary64 subtractions
+# inside the same balanced unrolled tree both engines emit, so argmin
+# codes and ADC ranks stay bit-identical; only integer ranks are output.
+# ---------------------------------------------------------------------------
+
+
+def _pq_rdist(dialect: str, a: str, ctr: str, c: str, m: str) -> str:
+    """Unrolled squared L2 between subvector m of the residual
+    (``a`` - ``ctr``) and codeword subvector m of ``c``."""
+    off = 0 if dialect == "spark" else 1
+    idx = [f"{m} * {_PQ_SUBDIM} + {i + off}" for i in range(_PQ_SUBDIM)]
+    terms = [
+        f"((({a}[{ix}] - {ctr}[{ix}]) - {c}[{ix}])"
+        f" * (({a}[{ix}] - {ctr}[{ix}]) - {c}[{ix}]))"
+        for ix in idx
+    ]
+    while len(terms) > 1:
+        terms = [
+            f"({terms[i]} + {terms[i + 1]})"
+            if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
+
+
+def _ivf_pq_residual_body(dialect: str, af: str, cv: str) -> str:
+    """Residual codebook + residual encode + residual-ADC search, shared
+    between the Spark lane (checkpointed ``af``/literal ``cv`` views)
+    and the DuckDB oracle (fully inlined k-means chain)."""
+    off = 0 if dialect == "spark" else 1
+    res_elems = ", ".join(
+        f"(a.emb[{i + off}] - c.emb[{i + off}])" for i in range(DIM)
+    )
+    res_arr = (
+        f"array({res_elems})" if dialect == "spark" else f"[{res_elems}]"
+    )
+    enum = (
+        f"explode(sequence(0, {PQ_M - 1}))"
+        if dialect == "spark"
+        else f"unnest(generate_series(0, {PQ_M - 1}))"
+    )
+    rdist = _pq_rdist(dialect, "s.emb", "s.ctr", "rcb.cemb", "s.m")
+    qrdist = _pq_rdist(dialect, "q.qemb", "c.emb", "rcb.cemb", "mm.m")
+    pivots = ",\n         ".join(
+        f"MAX(CASE WHEN co.m = {i} THEN l.d END) AS s{i}"
+        for i in range(PQ_M)
+    )
+    hint_q = "/*+ BROADCAST(q) */ " if dialect == "spark" else ""
+    hint_l = "/*+ BROADCAST(ca, l) */ " if dialect == "spark" else ""
+    int_t = "INT" if dialect == "spark" else "INTEGER"
+    return f"""rcb AS (
+  SELECT a.vec_id AS code, {res_arr} AS cemb
+  FROM {af} a JOIN {cv} c ON a.cid = c.cid
+  WHERE a.vec_id < {PQ_K}
+),
+rsub AS (
+  SELECT a.vec_id, a.emb, c.emb AS ctr, {enum} AS m
+  FROM {af} a JOIN {cv} c ON a.cid = c.cid
+),
+rcodes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT s.vec_id, s.m, rcb.code,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                ORDER BY ({rdist}) ASC, rcb.code) AS rn
+    FROM rsub s CROSS JOIN rcb
+  ) t WHERE rn = 1
+),
+qs AS (
+  SELECT vec_id AS query_id, emb AS qemb, cid FROM {af}
+  WHERE vec_id < {N_QUERIES}
+),
+mm AS (SELECT {enum} AS m),
+lut AS (
+  SELECT q.query_id, mm.m, rcb.code, ({qrdist}) AS d
+  FROM qs q JOIN {cv} c ON q.cid = c.cid
+  CROSS JOIN mm CROSS JOIN rcb
+),
+cand AS (
+  SELECT {hint_q}q.query_id, c.vec_id
+  FROM qs q JOIN {af} c
+    ON q.cid = c.cid AND c.cellrn <= {IVF_CELL_CAP}
+   AND c.vec_id <> q.query_id
+),
+adc AS (
+  SELECT {hint_l}ca.query_id, ca.vec_id,
+         {pivots}
+  FROM cand ca
+  JOIN rcodes co ON co.vec_id = ca.vec_id
+  JOIN lut l ON l.query_id = ca.query_id
+            AND l.m = co.m AND l.code = co.code
+  GROUP BY ca.query_id, ca.vec_id
+)
+SELECT query_id, CAST(rank AS {int_t}) AS rank, vec_id AS neighbor_id
+FROM (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY ({_pq_adc_tree()}) ASC, vec_id) AS rank
+  FROM adc
+) t WHERE rank <= {TOP_K}"""
+
+
+def ann_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC with residual encoding — the production IVF-PQ variant."""
+    af, cv = _kmeans_index(spark, sf_dir)
+    return spark.sql(
+        f"WITH {_ivf_pq_residual_body('spark', af, cv)}"
+    )
+
+
+def _ivf_pq_residual_oracle() -> str:
+    return f"""
+WITH {_duck_v_cte()},
+{_kmeans_ctes('v', 'duck')},
+{_ivf_pq_residual_body('duck', 'af', f'c{KMEANS_ITERS}')}
+"""
+
+
 MRL_DIM = 16  # Matryoshka prefix length
 
 
@@ -3588,6 +3723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_encode": ann_pq_encode,
         "ann_pq_search": ann_pq_search,
         "ann_ivf_pq": ann_ivf_pq,
+        "ann_ivf_pq_residual": ann_ivf_pq_residual,
         "ann_pq_recall": ann_pq_recall,
         "ann_mrl_recall": ann_mrl_recall,
         "ann_pagerank": ann_pagerank,
@@ -3633,6 +3769,7 @@ def oracles() -> dict[str, str]:
         "ann_pq_encode": _pq_encode_oracle(),
         "ann_pq_search": _pq_search_oracle(),
         "ann_ivf_pq": _ivf_pq_oracle(),
+        "ann_ivf_pq_residual": _ivf_pq_residual_oracle(),
         "ann_pq_recall": _pq_recall_oracle(),
         "ann_mrl_recall": _mrl_recall_oracle(),
         "ann_pagerank": _pagerank_oracle(),

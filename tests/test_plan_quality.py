@@ -215,6 +215,11 @@ _CARTESIAN_EXEMPT = {
     "ann_pq_search",
     "ann_pq_recall",
     "ann_ivf_pq",
+    # intentional: same PQ shapes in residual space — the encode side
+    # cross-joins the corpus against the PQ_K-row residual codebook,
+    # the LUT against two tiny broadcast relations; the centroid join
+    # is an 8-row broadcast equi-join on cid
+    "ann_ivf_pq_residual",
     # intentional: the exact-baseline side of the Matryoshka recall
     # eval is the same all-pairs shape as ann_bruteforce
     "ann_mrl_recall",

@@ -189,7 +189,15 @@ Coverage map (SURVEY.md §2 -> query):
                                 multimodal_meta / multimodal_frame_sample /
                                 multimodal_decode (real stdlib header
                                 parse) / multimodal_resize (real stdlib
-                                pixel/sample resize, NN resample)
+                                pixel/sample resize, NN resample) /
+                                multimodal_phash_neardup (banded-dHash
+                                image near-dup report, salted LSH),
+                                text_lang_id_eval (language-ID
+                                confusion matrix vs labels, exact ppm),
+                                ann_ivf_pq_residual (IVFADC with
+                                residual encoding) /
+                                ann_pq_residual_recall (raw-vs-residual
+                                quantization-loss eval)
 """
 
 from __future__ import annotations

@@ -107,6 +107,7 @@ def _clear_operator_caches(spark) -> None:
     import __spark_entry__ as entry
     from dataforge_core_spark.operators import (
         dedup,
+        multimodal,
         simhash,
         similarity,
         sketches,
@@ -177,6 +178,19 @@ def _clear_operator_caches(spark) -> None:
     for _name, df in similarity._nprobe_scored_cache.values():
         free_local_checkpoint(df)
     similarity._nprobe_scored_cache.clear()
+    for _rn, _cn, _con, rs_df, codes_df in (
+        similarity._trained_cb_cache.values()
+    ):
+        free_local_checkpoint(rs_df)
+        free_local_checkpoint(codes_df)
+    similarity._trained_cb_cache.clear()
+    for cache in (similarity._pq_codes_cache, similarity._rpq_codes_cache):
+        for _name, df in cache.values():
+            free_local_checkpoint(df)
+        cache.clear()
+    for df in multimodal._phash_cache.values():
+        free_local_checkpoint(df)
+    multimodal._phash_cache.clear()
     for _name, df in sketches._toks_cache.values():
         free_local_checkpoint(df)
     sketches._toks_cache.clear()
@@ -302,6 +316,29 @@ def _index_builders():
         (
             "ann_outlier_centroids",
             lambda s: similarity._label_centroids(s, SF_DIR),
+        ),
+        # the stored PQ code tables (raw + untrained-residual): encode
+        # once per session, every ADC consumer reads codes
+        (
+            "pq_codes",
+            lambda s: similarity._pq_codes_view(s, SF_DIR),
+        ),
+        (
+            "pq_residual_codes",
+            lambda s: similarity._rpq_codes_view(s, SF_DIR),
+        ),
+        # the trained residual-PQ codebook + its stored codes
+        # (per-subspace Lloyd rounds over the checkpointed
+        # residual-subvector relation; needs the k-means index above)
+        (
+            "pq_trained_codebook",
+            lambda s: similarity._trained_rcb(s, SF_DIR),
+        ),
+        # the checkpointed image-hash index (the Python decode+hash
+        # pass both phash lanes serve from)
+        (
+            "multimodal_phash_index",
+            lambda s: multimodal._phash_df(s, SF_DIR).count(),
         ),
         # the BPE merge-train loop (its lane then serves literal rows)
         (

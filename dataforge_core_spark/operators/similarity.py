@@ -2935,15 +2935,64 @@ codes AS (
 )"""
 
 
+_pq_codes_cache: dict = {}
+
+
+def _pq_codes_view(spark: SparkSession, sf_dir: str) -> str:
+    """Checkpointed raw-PQ code table (vec_id, m, code) — the STORED
+    index.  Encode runs once per (session, sf); every ADC consumer
+    reads codes instead of re-running the corpus x codebook argmin
+    (the same stored-index treatment the SQ8 codes, kNN edges and HLL
+    registers already get — a production PQ index never re-encodes at
+    query time)."""
+    key = (session_key(spark), sf_dir)
+    if key not in _pq_codes_cache:
+        v = _normed(spark, sf_dir)
+        name = f"pq_codes_{abs(hash(key)) % 10**8}"
+        df = spark.sql(
+            f"WITH {_pq_codes_ctes('spark', v)}"
+            " SELECT vec_id, m, code FROM codes"
+        ).localCheckpoint(eager=True)
+        df.createOrReplaceTempView(name)
+        _pq_codes_cache[key] = (name, df)
+    return _pq_codes_cache[key][0]
+
+
+_rpq_codes_cache: dict = {}
+
+
+def _rpq_codes_view(spark: SparkSession, sf_dir: str) -> str:
+    """Checkpointed untrained-residual code table — see
+    ``_pq_codes_view``."""
+    key = (session_key(spark), sf_dir)
+    if key not in _rpq_codes_cache:
+        af, cv = _kmeans_index(spark, sf_dir)
+        name = f"rpq_codes_{abs(hash(key)) % 10**8}"
+        df = spark.sql(
+            f"WITH {_res_codes_ctes('spark', af, cv)}"
+            " SELECT vec_id, m, code FROM rcodes"
+        ).localCheckpoint(eager=True)
+        df.createOrReplaceTempView(name)
+        _rpq_codes_cache[key] = (name, df)
+    return _rpq_codes_cache[key][0]
+
+
+def _pq_stored_prelude(src: str, view: str) -> str:
+    """Spark-side cb + codes CTE pair serving the stored code table
+    (drop-in for ``_pq_codes_ctes`` in any ADC body)."""
+    return f"""cb AS (
+  SELECT vec_id AS code, emb AS cemb FROM {src} WHERE vec_id < {PQ_K}
+),
+codes AS (SELECT vec_id, m, code FROM {view})"""
+
+
 def ann_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ codes: nearest codeword per (vector, subspace)."""
-    v = _normed(spark, sf_dir)
+    """PQ codes: nearest codeword per (vector, subspace) — served from
+    the stored code table."""
+    view = _pq_codes_view(spark, sf_dir)
     return spark.sql(
-        f"""
-        WITH {_pq_codes_ctes('spark', v)}
-        SELECT vec_id, CAST(m AS INT) AS subspace, CAST(code AS INT) AS code
-        FROM codes
-        """
+        f"SELECT vec_id, CAST(m AS INT) AS subspace,"
+        f" CAST(code AS INT) AS code FROM {view}"
     )
 
 
@@ -3087,9 +3136,10 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash join over one cell's codes."""
     v = _normed(spark, sf_dir)
     af = _kmeans_assignments(spark, sf_dir)
+    view = _pq_codes_view(spark, sf_dir)
     return spark.sql(
         f"""
-        WITH {_pq_codes_ctes('spark', v)},
+        WITH {_pq_stored_prelude(v, view)},
         {_ivf_pq_body('spark', af)}
         """
     )
@@ -3147,10 +3197,8 @@ def _pq_rdist(dialect: str, a: str, ctr: str, c: str, m: str) -> str:
     return terms[0]
 
 
-def _ivf_pq_residual_body(dialect: str, af: str, cv: str) -> str:
-    """Residual codebook + residual encode + residual-ADC search, shared
-    between the Spark lane (checkpointed ``af``/literal ``cv`` views)
-    and the DuckDB oracle (fully inlined k-means chain)."""
+def _res_codes_ctes(dialect: str, af: str, cv: str) -> str:
+    """rcb + rsub + rcodes — the untrained-residual encode chain."""
     off = 0 if dialect == "spark" else 1
     res_elems = ", ".join(
         f"(a.emb[{i + off}] - c.emb[{i + off}])" for i in range(DIM)
@@ -3164,14 +3212,6 @@ def _ivf_pq_residual_body(dialect: str, af: str, cv: str) -> str:
         else f"unnest(generate_series(0, {PQ_M - 1}))"
     )
     rdist = _pq_rdist(dialect, "s.emb", "s.ctr", "rcb.cemb", "s.m")
-    qrdist = _pq_rdist(dialect, "q.qemb", "c.emb", "rcb.cemb", "mm.m")
-    pivots = ",\n         ".join(
-        f"MAX(CASE WHEN co.m = {i} THEN l.d END) AS s{i}"
-        for i in range(PQ_M)
-    )
-    hint_q = "/*+ BROADCAST(q) */ " if dialect == "spark" else ""
-    hint_l = "/*+ BROADCAST(ca, l) */ " if dialect == "spark" else ""
-    int_t = "INT" if dialect == "spark" else "INTEGER"
     return f"""rcb AS (
   SELECT a.vec_id AS code, {res_arr} AS cemb
   FROM {af} a JOIN {cv} c ON a.cid = c.cid
@@ -3188,7 +3228,53 @@ rcodes AS (
                 ORDER BY ({rdist}) ASC, rcb.code) AS rn
     FROM rsub s CROSS JOIN rcb
   ) t WHERE rn = 1
-),
+)"""
+
+
+def _res_cb_cte(dialect: str, af: str, cv: str) -> str:
+    """Just the residual codebook CTE (the LUT build needs it even
+    when codes come from the stored index)."""
+    off = 0 if dialect == "spark" else 1
+    res_elems = ", ".join(
+        f"(a.emb[{i + off}] - c.emb[{i + off}])" for i in range(DIM)
+    )
+    res_arr = (
+        f"array({res_elems})" if dialect == "spark" else f"[{res_elems}]"
+    )
+    return f"""rcb AS (
+  SELECT a.vec_id AS code, {res_arr} AS cemb
+  FROM {af} a JOIN {cv} c ON a.cid = c.cid
+  WHERE a.vec_id < {PQ_K}
+)"""
+
+
+def _ivf_pq_residual_body(
+    dialect: str, af: str, cv: str, codes_src: str | None = None
+) -> str:
+    """Residual codebook + residual encode + residual-ADC search, shared
+    between the Spark lane (checkpointed ``af``/literal ``cv`` views,
+    codes served from the STORED code table via ``codes_src``) and the
+    DuckDB oracle (fully inlined chain, ``codes_src=None``)."""
+    enum = (
+        f"explode(sequence(0, {PQ_M - 1}))"
+        if dialect == "spark"
+        else f"unnest(generate_series(0, {PQ_M - 1}))"
+    )
+    qrdist = _pq_rdist(dialect, "q.qemb", "c.emb", "rcb.cemb", "mm.m")
+    pivots = ",\n         ".join(
+        f"MAX(CASE WHEN co.m = {i} THEN l.d END) AS s{i}"
+        for i in range(PQ_M)
+    )
+    hint_q = "/*+ BROADCAST(q) */ " if dialect == "spark" else ""
+    hint_l = "/*+ BROADCAST(ca, l) */ " if dialect == "spark" else ""
+    int_t = "INT" if dialect == "spark" else "INTEGER"
+    codes_part = (
+        _res_codes_ctes(dialect, af, cv)
+        if codes_src is None
+        else f"{_res_cb_cte(dialect, af, cv)},\n"
+        f"rcodes AS (SELECT vec_id, m, code FROM {codes_src})"
+    )
+    return f"""{codes_part},
 qs AS (
   SELECT vec_id AS query_id, emb AS qemb, cid FROM {af}
   WHERE vec_id < {N_QUERIES}
@@ -3224,10 +3310,13 @@ FROM (
 
 
 def ann_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVFADC with residual encoding — the production IVF-PQ variant."""
+    """IVFADC with residual encoding — the production IVF-PQ variant.
+    Codes served from the stored residual-code table."""
     af, cv = _kmeans_index(spark, sf_dir)
+    view = _rpq_codes_view(spark, sf_dir)
     return spark.sql(
-        f"WITH {_ivf_pq_residual_body('spark', af, cv)}"
+        "WITH "
+        + _ivf_pq_residual_body("spark", af, cv, codes_src=view)
     )
 
 
@@ -3259,21 +3348,34 @@ def _pq_full_l2(dialect: str, a: str, b: str) -> str:
     return terms[0]
 
 
-def _pq_residual_recall_body(dialect: str, af: str, cv: str) -> str:
-    """raw-PQ vs residual-PQ ADC recall against the exact in-cell
-    top-K — the acceptance artifact of the IVF-PQ family (the
-    sketch_accuracy_eval counterpart for quantized search).  Both ADC
-    variants rank the SAME candidate set as the exact baseline (the
-    query's own cell), so the recall gap isolates pure quantization
-    loss — no coarse-probe loss mixed in."""
+def _pq_residual_recall_body(
+    dialect: str, af: str, cv: str, rsub: str, cb: str,
+    codes_src: str | None = None,
+    raw_codes_src: str | None = None,
+    res_codes_src: str | None = None,
+) -> str:
+    """raw-PQ vs residual-PQ vs TRAINED-residual-PQ ADC recall against
+    the exact in-cell top-K — the acceptance artifact of the IVF-PQ
+    family (the sketch_accuracy_eval counterpart for quantized search).
+    All ADC variants rank the SAME candidate set as the exact baseline
+    (the query's own cell), so the recall gaps isolate pure
+    quantization loss — no coarse-probe loss mixed in — and the
+    raw -> residual -> trained progression is the codebook-engineering
+    story measured end to end."""
     full_l2 = _pq_full_l2(dialect, "q.qemb", "c.emb")
+    raw_prelude = (
+        _pq_codes_ctes(dialect, af)
+        if raw_codes_src is None
+        else _pq_stored_prelude(af, raw_codes_src)
+    )
     return f"""rawk AS (
-  WITH {_pq_codes_ctes(dialect, af)},
+  WITH {raw_prelude},
   {_ivf_pq_body(dialect, af)}
 ),
 resk AS (
-  WITH {_ivf_pq_residual_body(dialect, af, cv)}
+  WITH {_ivf_pq_residual_body(dialect, af, cv, codes_src=res_codes_src)}
 ),
+{_ivf_pq_trained_body(dialect, af, cv, rsub, cb, out='trk', codes_src=codes_src)},
 exq AS (
   SELECT vec_id AS query_id, emb AS qemb, cid FROM {af}
   WHERE vec_id < {N_QUERIES}
@@ -3302,28 +3404,323 @@ SELECT e.query_id, 'residual' AS variant,
        CAST(COUNT(r.neighbor_id) AS DOUBLE) / COUNT(*) AS recall
 FROM exact e LEFT JOIN resk r
   ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id
+GROUP BY e.query_id
+UNION ALL
+SELECT e.query_id, 'residual_trained' AS variant,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(COUNT(r.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(r.neighbor_id) AS DOUBLE) / COUNT(*) AS recall
+FROM exact e LEFT JOIN trk r
+  ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id
 GROUP BY e.query_id"""
+
+
+# ---------------------------------------------------------------------------
+# TRAINED residual codebook — per-subspace k-means over the residual
+# distribution (the codebook-training step every production IVFADC
+# index runs; FAISS's `train()`).  Init = the external-supply codebook
+# (first PQ_K residual subvectors), then TRAINED_PQ_ITERS Lloyd rounds:
+# argmin-assign every (vector, subspace) residual to its nearest
+# codeword, recompute codewords as fixed-point-exact means — the same
+# integer-sum construction as the coarse k-means (_kmeans_update), so
+# codebooks are bit-reproducible under any partitioning and the DuckDB
+# oracle's fully-inlined chain matches exactly.
+#
+# Spark runs the loop driver-side like the coarse quantizer and the PC
+# fits: each round is ONE job ending in a <=PQ_M*PQ_K-row collect that
+# is inlined as literals into the next round (repr round-trip — see
+# _centroid_literal_sql).  Lloyd monotonicity gives the testable
+# invariant: total quantization distortion(trained) <= distortion(init).
+# ---------------------------------------------------------------------------
+
+TRAINED_PQ_ITERS = 2
+
+
+def _rsub_sql(dialect: str, af: str, cv: str) -> str:
+    """(vec_id, m, r[8]) residual subvectors of every corpus vector."""
+    off = 0 if dialect == "spark" else 1
+    elems = ", ".join(
+        f"(emb[m * {_PQ_SUBDIM} + {i + off}]"
+        f" - ctr[m * {_PQ_SUBDIM} + {i + off}])"
+        for i in range(_PQ_SUBDIM)
+    )
+    if dialect == "spark":
+        return f"""SELECT vec_id, m, array({elems}) AS r FROM (
+  SELECT a.vec_id, a.emb, c.emb AS ctr,
+         explode(sequence(0, {PQ_M - 1})) AS m
+  FROM {af} a JOIN {cv} c ON a.cid = c.cid)"""
+    return f"""SELECT a.vec_id, s.m, [{elems}] AS r FROM
+  (SELECT a.vec_id, a.emb, c.emb AS ctr FROM {af} a
+   JOIN {cv} c ON a.cid = c.cid) a,
+  unnest(generate_series(0, {PQ_M - 1})) AS s(m)"""
+
+
+def _r8_dist(dialect: str, r: str, c: str) -> str:
+    """Unrolled squared L2 between two 8-component arrays."""
+    off = 0 if dialect == "spark" else 1
+    terms = [
+        f"(({r}[{i + off}] - {c}[{i + off}])"
+        f" * ({r}[{i + off}] - {c}[{i + off}]))"
+        for i in range(_PQ_SUBDIM)
+    ]
+    while len(terms) > 1:
+        terms = [
+            f"({terms[i]} + {terms[i + 1]})"
+            if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
+
+
+def _tcb_assign_sql(dialect: str, rsub: str, cb: str) -> str:
+    """argmin codeword per (vec_id, m) residual subvector."""
+    dist = _r8_dist(dialect, "s.r", "cb.cemb")
+    return f"""SELECT vec_id, m, r, code FROM (
+  SELECT s.vec_id, s.m, s.r, cb.code,
+         ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+              ORDER BY ({dist}) ASC, cb.code) AS rn
+  FROM {rsub} s JOIN {cb} cb ON s.m = cb.m) t WHERE rn = 1"""
+
+
+def _tcb_update_sql(dialect: str, assigned: str) -> str:
+    """Fixed-point-exact codeword means (mirrors _kmeans_update)."""
+    off = 0 if dialect == "spark" else 1
+    arr_open, arr_close = ("array(", ")") if dialect == "spark" else ("[", "]")
+    elems = ",\n       ".join(
+        f"CAST(SUM(CAST(FLOOR(r[{i + off}] * {_FP_SCALE}) AS BIGINT))"
+        f" AS DOUBLE) / (COUNT(*) * {_FP_SCALE})"
+        for i in range(_PQ_SUBDIM)
+    )
+    return (
+        f"SELECT m, code, {arr_open}{elems}{arr_close} AS cemb"
+        f" FROM {assigned} GROUP BY m, code"
+    )
+
+
+def _tcb_literal_sql(rows) -> str:
+    """(m, code, cemb[8]) codebook as a SQL literal — repr round-trip,
+    exact (see _centroid_literal_sql)."""
+    selects = " UNION ALL ".join(
+        f"SELECT {int(r['m'])} AS m, {int(r['code'])} AS code, array("
+        + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in r["cemb"])
+        + ") AS cemb"
+        for r in rows
+    )
+    return f"SELECT m, code, cemb FROM ({selects}) lit"
+
+
+_trained_cb_cache: dict = {}
+
+
+def _trained_rcb(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
+    """(rsub view, trained-codebook view, stored-codes view) — the
+    trained-PQ index.  rsub is checkpointed (corpus x PQ_M narrow
+    rows); the Lloyd loop runs driver-side with literal codebooks per
+    round; the final CODES are checkpointed too — encode happens once
+    at index build, exactly like a production IVFADC index stores
+    codes, so the query path never re-runs the corpus x codebook
+    argmin (measured 2.46 -> ~0.6s on the trained search lane at
+    sf0.1)."""
+    key = (session_key(spark), sf_dir)
+    if key not in _trained_cb_cache:
+        af, cv = _kmeans_index(spark, sf_dir)
+        tag = abs(hash(key)) % 10**8
+        rsub_name = f"pq_rsub_{tag}"
+        rs = spark.sql(_rsub_sql("spark", af, cv)).localCheckpoint(
+            eager=True
+        )
+        rs.createOrReplaceTempView(rsub_name)
+        rows = spark.sql(
+            f"SELECT m, vec_id AS code, r AS cemb FROM {rsub_name}"
+            f" WHERE vec_id < {PQ_K}"
+        ).collect()
+        for _ in range(TRAINED_PQ_ITERS):
+            cb_lit = f"({_tcb_literal_sql(rows)})"
+            assigned = _tcb_assign_sql("spark", rsub_name, cb_lit)
+            rows = spark.sql(
+                _tcb_update_sql("spark", f"({assigned}) a_it")
+            ).collect()
+        cb_name = f"pq_tcb_{tag}"
+        # checkpointed, not a literal view: the 128-row UNION ALL
+        # literal re-enters analysis/codegen on every consumer (the
+        # trained lane measured ~1MB task binaries); the checkpoint is
+        # a plain LogicalRDD with the identical binary64 rows
+        cb_df = spark.sql(_tcb_literal_sql(rows)).localCheckpoint(
+            eager=True
+        )
+        cb_df.createOrReplaceTempView(cb_name)
+        codes_name = f"pq_tcodes_{tag}"
+        cdf = spark.sql(
+            "SELECT vec_id, m, code FROM ("
+            + _tcb_assign_sql("spark", rsub_name, cb_name)
+            + ") asg"
+        ).localCheckpoint(eager=True)
+        cdf.createOrReplaceTempView(codes_name)
+        # rs/cdf kept so bench's cold path can free the checkpoints
+        _trained_cb_cache[key] = (rsub_name, cb_name, codes_name, rs, cdf)
+    return _trained_cb_cache[key][:3]
+
+
+def _tcb_chain_sql(dialect: str, af: str, cv: str) -> str:
+    """DuckDB-side inlined training chain (rsub -> tcb0 -> ... ->
+    tcb{ITERS}); every relation MATERIALIZED (multiply referenced)."""
+    # NOTE the relation is named trsub, NOT rsub: _ivf_pq_residual_body
+    # defines its own nested rsub CTE, and shadowing an outer
+    # MATERIALIZED CTE of the same name trips duckdb 1.0's binder
+    # ('LATERAL join cannot contain window functions') when both appear
+    # in one statement (the recall eval does exactly that)
+    parts = [
+        f"trsub AS MATERIALIZED ({_rsub_sql(dialect, af, cv)})",
+        f"tcb0 AS MATERIALIZED (SELECT m, vec_id AS code, r AS cemb"
+        f" FROM trsub WHERE vec_id < {PQ_K})",
+    ]
+    prev = "tcb0"
+    for i in range(1, TRAINED_PQ_ITERS + 1):
+        parts.append(
+            f"ta{i} AS ({_tcb_assign_sql(dialect, 'trsub', prev)})"
+        )
+        parts.append(
+            f"tcb{i} AS MATERIALIZED ({_tcb_update_sql(dialect, f'ta{i}')})"
+        )
+        prev = f"tcb{i}"
+    return ",\n".join(parts)
+
+
+def _ivf_pq_trained_body(
+    dialect: str, af: str, cv: str, rsub: str, cb: str,
+    out: str = "trained_topk", codes_src: str | None = None,
+) -> str:
+    """Residual-ADC search with the TRAINED codebook: codes = argmin
+    over ``cb``; LUT from the query's own-cell residual subvectors.
+    Emitted as a FLAT CTE chain ending in the ``out`` relation (never
+    a nested parenthesized WITH: duckdb 1.0's binder rejects window
+    functions inside a nested-WITH subquery that also carries the
+    lateral unnest — 'LATERAL join cannot contain window functions')."""
+    off = 0 if dialect == "spark" else 1
+    qr_elems = ", ".join(
+        f"(qemb[m * {_PQ_SUBDIM} + {i + off}]"
+        f" - ctr[m * {_PQ_SUBDIM} + {i + off}])"
+        for i in range(_PQ_SUBDIM)
+    )
+    if dialect == "spark":
+        qr = f"""SELECT query_id, m, array({qr_elems}) AS r FROM (
+    SELECT q.vec_id AS query_id, q.emb AS qemb, c.emb AS ctr,
+           explode(sequence(0, {PQ_M - 1})) AS m
+    FROM {af} q JOIN {cv} c ON q.cid = c.cid
+    WHERE q.vec_id < {N_QUERIES})"""
+    else:
+        qr = f"""SELECT a.query_id, s.m, [{qr_elems}] AS r FROM
+    (SELECT q.vec_id AS query_id, q.emb AS qemb, c.emb AS ctr, q.cid
+     FROM {af} q JOIN {cv} c ON q.cid = c.cid
+     WHERE q.vec_id < {N_QUERIES}) a,
+    unnest(generate_series(0, {PQ_M - 1})) AS s(m)"""
+    ldist = _r8_dist(dialect, "q.r", "cb.cemb")
+    pivots = ",\n         ".join(
+        f"MAX(CASE WHEN co.m = {i} THEN l.d END) AS s{i}"
+        for i in range(PQ_M)
+    )
+    hint_q = "/*+ BROADCAST(q) */ " if dialect == "spark" else ""
+    hint_l = "/*+ BROADCAST(ca, l) */ " if dialect == "spark" else ""
+    int_t = "INT" if dialect == "spark" else "INTEGER"
+    tcodes = (
+        f"SELECT vec_id, m, code FROM {codes_src}"
+        if codes_src
+        else f"SELECT vec_id, m, code"
+        f" FROM ({_tcb_assign_sql(dialect, rsub, cb)}) asg"
+    )
+    return f"""tcodes AS (
+  {tcodes}
+),
+tqs AS (
+  SELECT vec_id AS query_id, cid FROM {af} WHERE vec_id < {N_QUERIES}
+),
+tqr AS ({qr}),
+tlut AS (
+  SELECT q.query_id, q.m, cb.code, ({ldist}) AS d
+  FROM tqr q JOIN {cb} cb ON q.m = cb.m
+),
+tcand AS (
+  SELECT {hint_q}q.query_id, c.vec_id
+  FROM tqs q JOIN {af} c
+    ON q.cid = c.cid AND c.cellrn <= {IVF_CELL_CAP}
+   AND c.vec_id <> q.query_id
+),
+tadc AS (
+  SELECT {hint_l}ca.query_id, ca.vec_id,
+         {pivots}
+  FROM tcand ca
+  JOIN tcodes co ON co.vec_id = ca.vec_id
+  JOIN tlut l ON l.query_id = ca.query_id
+            AND l.m = co.m AND l.code = co.code
+  GROUP BY ca.query_id, ca.vec_id
+),
+{out} AS (
+  SELECT query_id, CAST(rank AS {int_t}) AS rank, vec_id AS neighbor_id
+  FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY ({_pq_adc_tree()}) ASC, vec_id) AS rank
+    FROM tadc
+  ) t WHERE rank <= {TOP_K}
+)"""
+
+
+def ann_ivf_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC with the k-means-TRAINED residual codebook — the full
+    production index: train(), encode, own-cell ADC search."""
+    af, cv = _kmeans_index(spark, sf_dir)
+    rsub, cb, codes = _trained_rcb(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _ivf_pq_trained_body(
+            "spark", af, cv, rsub, cb, codes_src=codes
+        )
+        + " SELECT * FROM trained_topk"
+    )
+
+
+def _ivf_pq_trained_oracle() -> str:
+    cvn = f"c{KMEANS_ITERS}"
+    return f"""
+WITH {_duck_v_cte()},
+{_kmeans_ctes('v', 'duck')},
+afm AS MATERIALIZED (SELECT * FROM af),
+cvm AS MATERIALIZED (SELECT * FROM {cvn}),
+{_tcb_chain_sql('duck', 'afm', 'cvm')},
+{_ivf_pq_trained_body('duck', 'afm', 'cvm', 'trsub',
+                      f'tcb{TRAINED_PQ_ITERS}')}
+SELECT * FROM trained_topk
+"""
 
 
 def ann_pq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantization-loss eval: raw vs residual IVF-PQ recall@K against
     the exact in-cell ranking (2 rows per query).
 
-    Honest driver-testdata reading: with the external-supply codebook
-    convention (first PQ_K vectors, NOT trained on the residual
-    distribution) residual encoding holds no guaranteed edge — at
-    sf0.01 it measures 0.35 vs raw's 0.39 mean recall.  The residual
-    win in production IVFADC comes from k-means-training the codebook
-    on residuals; this artifact is the measurement that would justify
-    (or reject) that training spend on a real corpus."""
+    Honest driver-testdata reading, measured at sf0.01: raw 0.39,
+    untrained residual 0.35, TRAINED residual 0.45 mean recall.  The
+    untrained rows show the external-supply codebook gives residual
+    encoding no edge by itself; the residual_trained rows show the
+    k-means training step (TRAINED_PQ_ITERS Lloyd rounds on the
+    residual distribution — what FAISS train() does) is where the
+    IVFADC win actually comes from.  The Lloyd distortion monotonicity
+    (trained <= init on total quantization error) is pinned by
+    tests/test_pipeline_invariants.py; the recall improvement is the
+    measured consequence, not an assumed one."""
     af, cv = _kmeans_index(spark, sf_dir)
+    rsub, cb, codes = _trained_rcb(spark, sf_dir)
     return spark.sql(
-        f"WITH {_pq_residual_recall_body('spark', af, cv)}"
+        "WITH "
+        + _pq_residual_recall_body(
+            "spark", af, cv, rsub, cb, codes_src=codes,
+            raw_codes_src=_pq_codes_view(spark, sf_dir),
+            res_codes_src=_rpq_codes_view(spark, sf_dir),
+        )
     )
 
 
 def _pq_residual_recall_oracle() -> str:
-    # see _ivf_pq_residual_oracle: af is referenced ~6x across the two
+    # see _ivf_pq_residual_oracle: af is referenced ~8x across the three
     # ADC variants + the exact baseline — MATERIALIZED or the inlined
     # Lloyd chains blow duckdb 1.0's allocator
     return f"""
@@ -3331,7 +3728,9 @@ WITH {_duck_v_cte()},
 {_kmeans_ctes('v', 'duck')},
 afm AS MATERIALIZED (SELECT * FROM af),
 cvm AS MATERIALIZED (SELECT * FROM c{KMEANS_ITERS}),
-{_pq_residual_recall_body('duck', 'afm', 'cvm')}
+{_tcb_chain_sql('duck', 'afm', 'cvm')},
+{_pq_residual_recall_body('duck', 'afm', 'cvm', 'trsub',
+                          f'tcb{TRAINED_PQ_ITERS}')}
 """
 
 
@@ -3697,11 +4096,12 @@ JOIN documents d ON d.doc_id = a.vec_id
 
 
 def ann_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ADC top-K per query over the PQ-coded corpus."""
+    """ADC top-K per query over the STORED PQ code table."""
     v = _normed(spark, sf_dir)
+    view = _pq_codes_view(spark, sf_dir)
     return spark.sql(
         f"""
-        WITH {_pq_codes_ctes('spark', v)},
+        WITH {_pq_stored_prelude(v, view)},
         {_pq_search_body('spark').format(v=v)}
         """
     )
@@ -3821,6 +4221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_pq": ann_ivf_pq,
         "ann_ivf_pq_residual": ann_ivf_pq_residual,
         "ann_pq_residual_recall": ann_pq_residual_recall,
+        "ann_ivf_pq_trained": ann_ivf_pq_trained,
         "ann_pq_recall": ann_pq_recall,
         "ann_mrl_recall": ann_mrl_recall,
         "ann_pagerank": ann_pagerank,
@@ -3868,6 +4269,7 @@ def oracles() -> dict[str, str]:
         "ann_ivf_pq": _ivf_pq_oracle(),
         "ann_ivf_pq_residual": _ivf_pq_residual_oracle(),
         "ann_pq_residual_recall": _pq_residual_recall_oracle(),
+        "ann_ivf_pq_trained": _ivf_pq_trained_oracle(),
         "ann_pq_recall": _pq_recall_oracle(),
         "ann_mrl_recall": _mrl_recall_oracle(),
         "ann_pagerank": _pagerank_oracle(),

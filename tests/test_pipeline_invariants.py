@@ -832,3 +832,34 @@ def test_lang_id_eval_hand_corpus(spark, tmp_path):
         ("fr", "fr"): (1, 500000, 1000000),
         ("fr", "es"): (1, 500000, 500000),
     }
+
+
+def test_trained_pq_codebook_reduces_distortion(spark):
+    """Lloyd monotonicity: the trained residual codebook's total
+    quantization distortion (sum over every (vector, subspace) residual
+    of the squared distance to its nearest codeword) must be <= the
+    init codebook's (the first-PQ_K external-supply convention) —
+    k-means never increases distortion over its own init.  This is the
+    invariant behind ann_pq_residual_recall's measured recall gain."""
+    from dataforge_core_spark.operators import similarity as S
+
+    SF = "/root/testdata/sf0.001"
+    rsub, cb, _codes = S._trained_rcb(spark, SF)
+    dist = S._r8_dist("spark", "s.r", "cb.cemb")
+
+    def distortion(cb_rel):
+        return spark.sql(
+            f"""SELECT SUM(d) AS total FROM (
+              SELECT MIN({dist}) AS d
+              FROM {rsub} s JOIN {cb_rel} cb ON s.m = cb.m
+              GROUP BY s.vec_id, s.m)"""
+        ).collect()[0].total
+
+    init = (
+        f"(SELECT m, vec_id AS code, r AS cemb FROM {rsub}"
+        f" WHERE vec_id < {S.PQ_K})"
+    )
+    d_init = distortion(init)
+    d_trained = distortion(cb)
+    assert d_trained <= d_init
+    assert d_trained > 0  # not degenerate

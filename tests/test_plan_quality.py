@@ -220,8 +220,11 @@ _CARTESIAN_EXEMPT = {
     # the LUT against two tiny broadcast relations; the centroid join
     # is an 8-row broadcast equi-join on cid
     "ann_ivf_pq_residual",
-    # intentional: embeds BOTH ADC variants above, so it carries their
-    # tiny-broadcast LUT/codebook cross joins
+    # intentional: the trained-codebook lane carries the same
+    # tiny-broadcast LUT cross join in residual space
+    "ann_ivf_pq_trained",
+    # intentional: embeds ALL THREE ADC variants above, so it carries
+    # their tiny-broadcast LUT/codebook cross joins
     "ann_pq_residual_recall",
     # intentional: the exact-baseline side of the Matryoshka recall
     # eval is the same all-pairs shape as ann_bruteforce

@@ -178,10 +178,11 @@ def _clear_operator_caches(spark) -> None:
     for _name, df in similarity._nprobe_scored_cache.values():
         free_local_checkpoint(df)
     similarity._nprobe_scored_cache.clear()
-    for _rn, _cn, _con, rs_df, codes_df in (
+    for _rn, _cn, _con, rs_df, cb_df, codes_df in (
         similarity._trained_cb_cache.values()
     ):
         free_local_checkpoint(rs_df)
+        free_local_checkpoint(cb_df)
         free_local_checkpoint(codes_df)
     similarity._trained_cb_cache.clear()
     for cache in (similarity._pq_codes_cache, similarity._rpq_codes_cache):
@@ -191,6 +192,9 @@ def _clear_operator_caches(spark) -> None:
     for df in multimodal._phash_cache.values():
         free_local_checkpoint(df)
     multimodal._phash_cache.clear()
+    for _name, df in multimodal._phash_probe_cache.values():
+        free_local_checkpoint(df)
+    multimodal._phash_probe_cache.clear()
     for _name, df in sketches._toks_cache.values():
         free_local_checkpoint(df)
     sketches._toks_cache.clear()
@@ -210,6 +214,7 @@ def _index_builders():
     import __spark_entry__ as entry
     from dataforge_core_spark.operators import (
         dedup,
+        multimodal,
         simhash,
         similarity,
         sketches,
@@ -339,6 +344,11 @@ def _index_builders():
         (
             "multimodal_phash_index",
             lambda s: multimodal._phash_df(s, SF_DIR).count(),
+        ),
+        # the corpus-side band table of the streaming image gate
+        (
+            "phash_probe_index",
+            lambda s: multimodal._phash_probe_index(s, SF_DIR),
         ),
         # the BPE merge-train loop (its lane then serves literal rows)
         (

@@ -1187,6 +1187,48 @@ FROM {src} s LEFT JOIN agg a ON s.doc_id = a.doc_id
 """
 
 
+_phash_probe_cache: dict = {}
+
+
+def _phash_probe_index(spark: SparkSession, sf_dir: str) -> str:
+    """Checkpointed CORPUS-side band table (bno, blk, cphash) for the
+    streaming image gate — corpus docs only (the dedup_incremental
+    doc_id split), per-bucket membership rn-capped at MAX_PHASH_BUCKET
+    like the minhash probe index (stream_near_dedup's corpb), so an
+    incoming image probes at most PHASH_BANDS * cap candidates."""
+    from dataforge_core_spark.operators.dedup import INCR_MOD, INCR_NEW_GE
+    from dataforge_core_spark.session import session_key
+
+    key = (session_key(spark), sf_dir)
+    if key not in _phash_probe_cache:
+        view = f"phash_src_{abs(hash(key)) % 10**8}"
+        _phash_df(spark, sf_dir).createOrReplaceTempView(view)
+        blocks = ", ".join(
+            f"(shiftright(phash, {_PHASH_BAND_BITS * i})"
+            f" & {_PHASH_BAND_MASK})"
+            for i in range(PHASH_BANDS)
+        )
+        df = spark.sql(
+            f"""
+            SELECT bno, blk, cphash FROM (
+              SELECT bno, blk, phash AS cphash,
+                     ROW_NUMBER() OVER (PARTITION BY bno, blk
+                          ORDER BY doc_id) AS rn
+              FROM (
+                SELECT doc_id, phash,
+                       posexplode(array({blocks})) AS (bno, blk)
+                FROM {view}
+                WHERE doc_id % {INCR_MOD} < {INCR_NEW_GE}
+              ) b
+            ) t WHERE rn <= {MAX_PHASH_BUCKET}
+            """
+        ).localCheckpoint(eager=True)
+        name = f"phash_probe_{abs(hash(key)) % 10**8}"
+        df.createOrReplaceTempView(name)
+        _phash_probe_cache[key] = (name, df)
+    return _phash_probe_cache[key][0]
+
+
 def multimodal_phash_neardup(
     spark: SparkSession, sf_dir: str, max_bucket: int | None = None
 ) -> DataFrame:

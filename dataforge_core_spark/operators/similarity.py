@@ -3556,8 +3556,10 @@ def _trained_rcb(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
             + ") asg"
         ).localCheckpoint(eager=True)
         cdf.createOrReplaceTempView(codes_name)
-        # rs/cdf kept so bench's cold path can free the checkpoints
-        _trained_cb_cache[key] = (rsub_name, cb_name, codes_name, rs, cdf)
+        # rs/cb_df/cdf kept so bench's cold path can free the checkpoints
+        _trained_cb_cache[key] = (
+            rsub_name, cb_name, codes_name, rs, cb_df, cdf
+        )
     return _trained_cb_cache[key][:3]
 
 

@@ -948,6 +948,133 @@ def stream_near_dedup(
     return _run_to_memory(agg, "drv_stream_near_dedup", spark, "complete")
 
 
+def stream_phash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IMAGE near-dedup gate — the multimodal sibling of
+    stream_near_dedup: incoming images (the dedup_incremental doc_id
+    split) are dHashed per micro-batch by the same fused Arrow
+    synth+hash pass the batch lanes use (mapInPandas is stateless, so
+    it streams), then probe the STORED corpus band index
+    (multimodal._phash_probe_index) via a stream-static join and are
+    classified exact_dup (hamming 0) / near_dup (<= PHASH_HAMMING_MAX)
+    / unique.  No stateful operator except the final per-doc aggregate
+    — the continuous-ingest shape of an image-corpus pipeline, with
+    the index built once by the batch side."""
+    from dataforge_core_spark.operators.dedup import INCR_MOD, INCR_NEW_GE
+    from dataforge_core_spark.operators.multimodal import (
+        _PHASH_BAND_BITS,
+        _PHASH_BAND_MASK,
+        PHASH_BANDS,
+        PHASH_HAMMING_MAX,
+        _phash_probe_index,
+        image_phash_fn,
+        image_synth_fn,
+    )
+    from dataforge_core_spark.streaming import stream_documents
+
+    idx = _phash_probe_index(spark, sf_dir)
+    synth, ph = image_synth_fn(), image_phash_fn()
+
+    def fused(batches):
+        return ph(synth(batches))
+
+    blocks = ", ".join(
+        f"(shiftright(phash, {_PHASH_BAND_BITS * i}) & {_PHASH_BAND_MASK})"
+        for i in range(PHASH_BANDS)
+    )
+    new = (
+        stream_documents(spark, sf_dir)
+        .where(f"doc_id % {INCR_MOD} >= {INCR_NEW_GE}")
+        .selectExpr("doc_id")
+        .mapInPandas(fused, "doc_id bigint, phash bigint")
+        .selectExpr(
+            "doc_id", "phash",
+            f"posexplode(array({blocks})) AS (bno, blk)",
+        )
+    )
+    probed = new.join(spark.table(idx), ["bno", "blk"], "left").selectExpr(
+        "doc_id",
+        "CASE WHEN cphash IS NOT NULL"
+        " AND bit_count(phash ^ cphash) = 0 THEN 1 ELSE 0 END AS exf",
+        "CASE WHEN cphash IS NOT NULL"
+        f" AND bit_count(phash ^ cphash) <= {PHASH_HAMMING_MAX}"
+        " THEN 1 ELSE 0 END AS nearf",
+    )
+    agg = probed.groupBy("doc_id").agg(
+        F.expr(
+            "CASE WHEN MAX(exf) = 1 THEN 'exact_dup' "
+            "WHEN MAX(nearf) = 1 THEN 'near_dup' "
+            "ELSE 'unique' END"
+        ).alias("status")
+    )
+    return _run_to_memory(agg, "drv_stream_phash_gate", spark, "complete")
+
+
+def _phash_gate_oracle() -> str:
+    from dataforge_core_spark.operators.dedup import INCR_MOD, INCR_NEW_GE
+    from dataforge_core_spark.operators.multimodal import (
+        _PHASH_BAND_BITS,
+        _PHASH_BAND_MASK,
+        _PHASH_BLOCK,
+        MAX_PHASH_BUCKET,
+        PATCH_IMG,
+        PHASH_BANDS,
+        PHASH_GRID,
+        PHASH_HAMMING_MAX,
+    )
+
+    corp = f"doc_id % {INCR_MOD} < {INCR_NEW_GE}"
+    new = f"doc_id % {INCR_MOD} >= {INCR_NEW_GE}"
+    return f"""
+WITH px AS (
+  SELECT d.doc_id, x.x, y.y,
+         (x.x * 7 + y.y * 13 + d.doc_id) % 256 AS v
+  FROM documents d,
+       (SELECT unnest(generate_series(0, {PATCH_IMG - 1})) AS x) x,
+       (SELECT unnest(generate_series(0, {PATCH_IMG - 1})) AS y) y
+),
+blk AS (
+  SELECT doc_id, x // {_PHASH_BLOCK} AS bx, y // {_PHASH_BLOCK} AS by,
+         SUM(v) AS s
+  FROM px GROUP BY doc_id, x // {_PHASH_BLOCK}, y // {_PHASH_BLOCK}
+),
+bits AS (
+  SELECT a.doc_id,
+         CAST(CASE WHEN b.s > a.s THEN 1 ELSE 0 END AS BIGINT)
+           << (a.by * {PHASH_GRID - 1} + a.bx) AS bit
+  FROM blk a
+  JOIN blk b ON b.doc_id = a.doc_id AND b.by = a.by AND b.bx = a.bx + 1
+  WHERE a.bx < {PHASH_GRID - 1}
+),
+h AS MATERIALIZED (SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS phash
+      FROM bits GROUP BY doc_id),
+bands AS MATERIALIZED (
+  SELECT doc_id, phash, i AS bno,
+         (phash >> {_PHASH_BAND_BITS} * i) & {_PHASH_BAND_MASK} AS blk
+  FROM h, unnest(generate_series(0, {PHASH_BANDS - 1})) AS u(i)
+),
+corpb AS MATERIALIZED (
+  SELECT bno, blk, cphash FROM (
+    SELECT bno, blk, phash AS cphash,
+           ROW_NUMBER() OVER (PARTITION BY bno, blk
+                ORDER BY doc_id) AS rn
+    FROM bands WHERE {corp}
+  ) t WHERE rn <= {MAX_PHASH_BUCKET}
+)
+SELECT n.doc_id,
+       CASE WHEN MAX(CASE WHEN c.cphash IS NOT NULL
+                 AND bit_count(xor(n.phash, c.cphash)) = 0
+                 THEN 1 ELSE 0 END) = 1 THEN 'exact_dup'
+            WHEN MAX(CASE WHEN c.cphash IS NOT NULL
+                 AND bit_count(xor(n.phash, c.cphash))
+                     <= {PHASH_HAMMING_MAX}
+                 THEN 1 ELSE 0 END) = 1 THEN 'near_dup'
+            ELSE 'unique' END AS status
+FROM bands n LEFT JOIN corpb c ON n.bno = c.bno AND n.blk = c.blk
+WHERE n.{new}
+GROUP BY n.doc_id
+"""
+
+
 def _near_dedup_oracle(threshold: float | None = None) -> str:
     from dataforge_core_spark.operators.dedup import (
         INCR_MOD,
@@ -1025,6 +1152,7 @@ LEFT JOIN near r ON r.doc_id = n.doc_id
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stream_near_dedup": stream_near_dedup,
+        "stream_phash_gate": stream_phash_gate,
         "stream_dd_quantiles": stream_dd_quantiles,
         "stream_hll_distinct": stream_hll_distinct,
         "stream_corpus_ingest": stream_corpus_ingest,
@@ -1042,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracles() -> dict[str, str]:
     return {
         "stream_near_dedup": _near_dedup_oracle(),
+        "stream_phash_gate": _phash_gate_oracle(),
         "stream_dd_quantiles": _stream_dd_oracle(),
         "stream_hll_distinct": _stream_hll_oracle(),
         "stream_corpus_ingest": _corpus_ingest_oracle(),

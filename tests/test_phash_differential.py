@@ -119,3 +119,60 @@ def test_phash_neardup_salting_matches_python_reference(spark):
         .collect()
     }
     assert got == expect
+
+
+def test_stream_phash_gate_matches_python_reference(spark):
+    """The streaming image gate's statuses re-derived in pure Python:
+    corpus band buckets (rn-capped by doc order), probe, hamming
+    classify — validates the stream-static join path end to end,
+    including the mapInPandas hash stage running inside a streaming
+    query."""
+    from dataforge_core_spark.operators import multimodal as M
+    from dataforge_core_spark.operators import streaming_rows as SR
+    from dataforge_core_spark.operators.dedup import INCR_MOD, INCR_NEW_GE
+
+    docs = [
+        r.doc_id
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id").collect()
+    ]
+    hashes = {
+        d: _py_phash(d, M.PATCH_IMG, M.PHASH_GRID, M._PHASH_BLOCK)
+        for d in docs
+    }
+    mask = (1 << M._PHASH_BAND_BITS) - 1
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for d in sorted(d for d in docs if d % INCR_MOD < INCR_NEW_GE):
+        for b in range(M.PHASH_BANDS):
+            key = (b, (hashes[d] >> (M._PHASH_BAND_BITS * b)) & mask)
+            members = buckets.setdefault(key, [])
+            if len(members) < M.MAX_PHASH_BUCKET:
+                members.append(d)
+    expect = {}
+    for d in docs:
+        if d % INCR_MOD < INCR_NEW_GE:
+            continue
+        hams = [
+            bin(hashes[d] ^ hashes[c]).count("1")
+            for b in range(M.PHASH_BANDS)
+            for c in buckets.get(
+                (b, (hashes[d] >> (M._PHASH_BAND_BITS * b)) & mask), []
+            )
+        ]
+        if any(h == 0 for h in hams):
+            expect[d] = "exact_dup"
+        elif any(h <= M.PHASH_HAMMING_MAX for h in hams):
+            expect[d] = "near_dup"
+        else:
+            expect[d] = "unique"
+    got = {
+        r.doc_id: r.status
+        for r in SR.stream_phash_gate(spark, SF).collect()
+    }
+    assert got == expect
+    # the synthetic corpus is exact-dup-saturated (most new images have
+    # a pixel-identical corpus sibling via the mod-256 doc_id offset or
+    # an accidental hash collision) — the multi-status classify logic
+    # is exercised by the planted-hash constructive test instead; here
+    # we only require the gate to have actually classified something
+    assert expect and "exact_dup" in expect.values()

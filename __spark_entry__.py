@@ -196,8 +196,16 @@ Coverage map (SURVEY.md §2 -> query):
                                 confusion matrix vs labels, exact ppm),
                                 ann_ivf_pq_residual (IVFADC with
                                 residual encoding) /
-                                ann_pq_residual_recall (raw-vs-residual
-                                quantization-loss eval)
+                                ann_ivf_pq_trained (k-means-trained
+                                residual codebook, stored codes) /
+                                ann_pq_residual_recall (raw vs residual
+                                vs trained quantization-loss eval),
+                                stream_phash_gate (streaming image
+                                near-dup gate over the stored phash
+                                band index),
+                                train_perplexity_filter (CCNet-style
+                                mean-NLL percentile corpus filter,
+                                pct dial)
 """
 
 from __future__ import annotations
@@ -361,8 +369,16 @@ def queries_parameterized() -> dict[str, dict]:
     from dataforge_core_spark.operators import multimodal as M
     from dataforge_core_spark.operators import similarity as S
     from dataforge_core_spark.operators import streaming_rows as SR
+    from dataforge_core_spark.operators import text as X
 
     return {
+        "train_perplexity_filter": {
+            "fn": X.train_perplexity_filter,
+            "params": {"pct": X.PPL_KEEP_PCT},
+            "oracle_sql": lambda pct=X.PPL_KEEP_PCT: (
+                X._ppl_filter_sql("duck", pct=pct)
+            ),
+        },
         "multimodal_phash_neardup": {
             "fn": M.multimodal_phash_neardup,
             "params": {"max_bucket": M.MAX_PHASH_BUCKET},

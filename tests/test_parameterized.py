@@ -46,6 +46,7 @@ def test_contract_shape():
         ("stream_near_dedup", {"threshold": 0.35}),
         # cap 2 forces the salt guard on the planted-dup-heavy fixture
         ("multimodal_phash_neardup", {"max_bucket": 2}),
+        ("train_perplexity_filter", {"pct": 50}),
     ],
 )
 def test_dials_are_live(name, params, spark):

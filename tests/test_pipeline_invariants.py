@@ -863,3 +863,42 @@ def test_trained_pq_codebook_reduces_distortion(spark):
     d_trained = distortion(cb)
     assert d_trained <= d_init
     assert d_trained > 0  # not degenerate
+
+
+def test_perplexity_filter_referee_and_threshold(spark, sf_dir):
+    """train_perplexity_filter semantics: (1) mean_nll_q re-derives
+    from text_bigram_lm row-by-row (truncating division of the negated
+    quantized log-prob sum); (2) the gate is the exact nearest-rank
+    percentile — kept count >= the rank index, and the threshold is
+    minimal (tightening it by one value group would drop below)."""
+    from dataforge_core_spark.operators import text as X
+
+    lm = {
+        r.doc_id: (r.n_bigrams, r.lp_sum_q)
+        for r in X.text_bigram_lm(spark, sf_dir).collect()
+    }
+    rows = X.train_perplexity_filter(spark, sf_dir).collect()
+    assert {r.doc_id for r in rows} == set(lm)
+    for r in rows:
+        nb, lp = lm[r.doc_id]
+        assert r.n_bigrams == nb
+        assert r.mean_nll_q == (-lp) // nb  # non-negative: // == trunc
+    n = len(rows)
+    rank = 1 + (X.PPL_KEEP_PCT * (n - 1)) // 100
+    kept = sorted(r.mean_nll_q for r in rows if r.ppl_keep)
+    assert len(kept) >= rank, "kept fewer than the rank index"
+    thr = max(kept)
+    below = sum(1 for r in rows if r.mean_nll_q < thr)
+    assert below < rank, "threshold not minimal"
+
+
+def test_perplexity_filter_pct_dial_live(spark, sf_dir):
+    """A stricter pct keeps a subset of the default's keep set."""
+    from dataforge_core_spark.operators import text as X
+
+    d75 = {r.doc_id for r in
+           X.train_perplexity_filter(spark, sf_dir).collect() if r.ppl_keep}
+    d50 = {r.doc_id for r in
+           X.train_perplexity_filter(spark, sf_dir, pct=50).collect()
+           if r.ppl_keep}
+    assert d50 < d75

@@ -565,6 +565,148 @@ def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# KMV set ALGEBRA (the DataSketches theta-sketch a-not-b/union/
+# intersection recipe): for every source pair, estimate |A u B|,
+# |A n B|, |A \ B| and |B \ A| FROM THE K-ROW SKETCHES ALONE —
+# union = the KMV estimator over the re-truncated merged sketch;
+# intersection = union * (theta-intersection ratio m_inter/m_n);
+# differences = per-source estimate minus intersection, floored at 0.
+# This is how cross-source audits answer "how much of B is new over A"
+# at 100 TB without any corpus-vs-corpus join.  Integer-exact: the
+# intersection product uses the decomposition
+# floor(u*i/n) = (u DIV n)*i + ((u % n)*i) DIV n (exact identity; the
+# second product is < K^2, so no int64 overflow even when u is at the
+# estimator's ceiling).  Exact counterparts ride along as the eval
+# baseline, reusing the distinct-hash relation once.
+# ---------------------------------------------------------------------------
+
+
+def _kmv_setops_sql(dialect: str, toks_src: str | None = None) -> str:
+    k = KMV_K
+    idiv = "DIV" if dialect == "spark" else "//"
+    toks = toks_src or _toks_cte(dialect)
+    mat = "MATERIALIZED " if dialect == "duck" else ""
+    if dialect == "spark":
+        pairs = (
+            "SELECT sa, sb FROM "
+            "(SELECT sort_array(collect_set(source)) AS ss FROM srcs) "
+            "LATERAL VIEW posexplode(ss) A AS ia, sa "
+            "LATERAL VIEW posexplode(ss) B AS ib, sb "
+            "WHERE ia < ib"
+        )
+    else:
+        pairs = (
+            "SELECT a.source AS sa, b.source AS sb "
+            "FROM srcs a JOIN srcs b ON a.source < b.source"
+        )
+    est_u = (
+        f"CASE WHEN m_n < {k} THEN m_n "
+        f"ELSE CAST(({k - 1} * {_HSPACE}) {idiv} GREATEST(h_k, 1) "
+        f"AS BIGINT) END"
+    )
+    est_s = (
+        f"CASE WHEN n_kept < {k} THEN n_kept "
+        f"ELSE CAST(({k - 1} * {_HSPACE}) {idiv} GREATEST(h_k, 1) "
+        f"AS BIGINT) END"
+    )
+    # floor(est_union * m_inter / m_n), overflow-free (see header)
+    est_i = (
+        f"(est_union {idiv} m_n) * m_inter"
+        f" + ((est_union % m_n) * m_inter) {idiv} m_n"
+    )
+    return f"""
+WITH toks AS {mat}({toks}),
+ranked AS (
+  SELECT source, h,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM toks
+),
+bk AS {mat}(SELECT source, h FROM ranked WHERE rn <= {k}),
+per_source AS {mat}(
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(h) AS h_k
+  FROM bk GROUP BY source
+),
+srcs AS (SELECT DISTINCT source FROM toks),
+pairs AS {mat}({pairs}),
+ph0 AS (
+  SELECT p.sa, p.sb, k.h, 1 AS in_a, 0 AS in_b
+  FROM pairs p JOIN bk k ON k.source = p.sa
+  UNION ALL
+  SELECT p.sa, p.sb, k.h, 0 AS in_a, 1 AS in_b
+  FROM pairs p JOIN bk k ON k.source = p.sb
+),
+ph AS (
+  SELECT sa, sb, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+  FROM ph0 GROUP BY sa, sb, h
+),
+m AS (
+  SELECT sa, sb, h, in_a, in_b,
+         ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+  FROM ph
+),
+msk AS (
+  SELECT sa, sb,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS m_inter,
+         CAST(COUNT(*) AS BIGINT) AS m_n,
+         MAX(h) AS h_k
+  FROM m WHERE rn <= {k} GROUP BY sa, sb
+),
+ests AS (
+  SELECT s.sa, s.sb, s.m_inter, s.m_n,
+         CAST({est_u} AS BIGINT) AS est_union,
+         ea.est_s AS est_a, eb.est_s AS est_b
+  FROM msk s
+  JOIN (SELECT source, CAST({est_s} AS BIGINT) AS est_s
+        FROM per_source) ea ON ea.source = s.sa
+  JOIN (SELECT source, CAST({est_s} AS BIGINT) AS est_s
+        FROM per_source) eb ON eb.source = s.sb
+),
+algebra AS (
+  SELECT sa, sb, est_union,
+         CAST({est_i} AS BIGINT) AS est_inter,
+         est_a, est_b
+  FROM ests
+),
+sizes AS (SELECT source, COUNT(*) AS n FROM toks GROUP BY source),
+inter AS (
+  SELECT a.source AS sa, b.source AS sb, COUNT(*) AS n_inter
+  FROM toks a JOIN toks b ON a.h = b.h AND a.source < b.source
+  GROUP BY a.source, b.source
+),
+exact AS (
+  SELECT p.sa, p.sb,
+         CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+         CAST(za.n + zb.n - COALESCE(i.n_inter, 0) AS BIGINT) AS n_union,
+         CAST(za.n - COALESCE(i.n_inter, 0) AS BIGINT) AS n_diff_ab,
+         CAST(zb.n - COALESCE(i.n_inter, 0) AS BIGINT) AS n_diff_ba
+  FROM pairs p
+  JOIN sizes za ON za.source = p.sa
+  JOIN sizes zb ON zb.source = p.sb
+  LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb
+)
+SELECT e.sa, e.sb,
+       e.n_union, g.est_union,
+       CAST((1000000 * ABS(g.est_union - e.n_union)) {idiv} e.n_union
+            AS BIGINT) AS err_union_ppm,
+       e.n_inter, g.est_inter,
+       e.n_diff_ab,
+       CAST(GREATEST(g.est_a - g.est_inter, 0) AS BIGINT) AS est_diff_ab,
+       e.n_diff_ba,
+       CAST(GREATEST(g.est_b - g.est_inter, 0) AS BIGINT) AS est_diff_ba
+FROM exact e JOIN algebra g ON g.sa = e.sa AND g.sb = e.sb
+"""
+
+
+def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source-pair union/intersection/difference estimates from the
+    K-row sketches alone, exact counterparts as eval baseline."""
+    toks = _toks_view(spark, sf_dir)
+    return spark.sql(
+        _kmv_setops_sql("spark", f"SELECT source, h FROM {toks}")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Hash-sample quantile sketch: a deterministic Bernoulli sample (keep a
 # row iff its 56-bit event_id hash falls under SAMPLE_P of the hash
 # space — row-local, order-free, MERGEABLE: the union of per-partition
@@ -1029,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "sketch_kmv_distinct": sketch_kmv_distinct,
         "sketch_kmv_jaccard": sketch_kmv_jaccard,
+        "sketch_kmv_setops": sketch_kmv_setops,
         "sketch_sample_quantiles": sketch_sample_quantiles,
         "sketch_dd_quantiles": sketch_dd_quantiles,
         "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
@@ -1042,6 +1185,7 @@ def oracles() -> dict[str, str]:
     return {
         "sketch_kmv_distinct": _KMV_ORACLE,
         "sketch_kmv_jaccard": _KMV_JACCARD_ORACLE,
+        "sketch_kmv_setops": _kmv_setops_sql("duck"),
         "sketch_sample_quantiles": _SAMPLE_QUANTILES_ORACLE,
         "sketch_dd_quantiles": _DD_ORACLE,
         "sketch_cms_heavy_hitters": _CMS_ORACLE,

@@ -204,3 +204,39 @@ def test_hll_register_merge_is_global(spark):
     sigma = 1.04 / (SK.HLL_M ** 0.5)
     for scope, (e, exact) in est.items():
         assert abs(e - exact) <= 3 * sigma * exact + 2, (scope, e, exact)
+
+
+def test_kmv_setops_algebra_referees(spark, sf_dir):
+    """sketch_kmv_setops must be pure set algebra over the other two
+    KMV lanes' quantities: per-source union estimates re-derive from
+    sketch_kmv_distinct's estimator; est_inter re-derives as
+    floor(est_union * m_inter / m_n) with (m_inter, m_n) exactly the
+    theta-intersection counts behind sketch_kmv_jaccard's est_ppm; the
+    differences are the clamped per-source remainders; and the exact
+    baseline obeys inclusion-exclusion row-wise."""
+    import dataforge_core_spark.operators.sketches as SK
+
+    per_src = {
+        r.scope: r.kmv_est
+        for r in SK.sketch_kmv_distinct(spark, sf_dir).collect()
+        if r.scope != "__all__"
+    }
+    jac = {
+        (r.sa, r.sb): r.est_ppm
+        for r in SK.sketch_kmv_jaccard(spark, sf_dir).collect()
+    }
+    rows = SK.sketch_kmv_setops(spark, sf_dir).collect()
+    assert {(r.sa, r.sb) for r in rows} == set(jac)
+    for r in rows:
+        # inclusion-exclusion on the exact side
+        assert r.n_union == r.n_diff_ab + r.n_diff_ba + r.n_inter
+        # estimates are internally consistent
+        assert 0 <= r.est_inter <= r.est_union
+        assert r.est_diff_ab == max(per_src[r.sa] - r.est_inter, 0)
+        assert r.est_diff_ba == max(per_src[r.sb] - r.est_inter, 0)
+        # the intersection ratio matches the jaccard lane's estimate:
+        # est_inter/est_union and est_ppm/1e6 are the same m_inter/m_n
+        # rational, so floor(est_union * est_ppm / 1e6) can differ from
+        # est_inter only by the two floors' interaction — bound it
+        approx = (r.est_union * jac[(r.sa, r.sb)]) // 1_000_000
+        assert abs(r.est_inter - approx) <= 1 + r.est_union // 1_000_000

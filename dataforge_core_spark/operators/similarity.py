@@ -3199,24 +3199,13 @@ def _pq_rdist(dialect: str, a: str, ctr: str, c: str, m: str) -> str:
 
 def _res_codes_ctes(dialect: str, af: str, cv: str) -> str:
     """rcb + rsub + rcodes — the untrained-residual encode chain."""
-    off = 0 if dialect == "spark" else 1
-    res_elems = ", ".join(
-        f"(a.emb[{i + off}] - c.emb[{i + off}])" for i in range(DIM)
-    )
-    res_arr = (
-        f"array({res_elems})" if dialect == "spark" else f"[{res_elems}]"
-    )
     enum = (
         f"explode(sequence(0, {PQ_M - 1}))"
         if dialect == "spark"
         else f"unnest(generate_series(0, {PQ_M - 1}))"
     )
     rdist = _pq_rdist(dialect, "s.emb", "s.ctr", "rcb.cemb", "s.m")
-    return f"""rcb AS (
-  SELECT a.vec_id AS code, {res_arr} AS cemb
-  FROM {af} a JOIN {cv} c ON a.cid = c.cid
-  WHERE a.vec_id < {PQ_K}
-),
+    return f"""{_res_cb_cte(dialect, af, cv)},
 rsub AS (
   SELECT a.vec_id, a.emb, c.emb AS ctr, {enum} AS m
   FROM {af} a JOIN {cv} c ON a.cid = c.cid

@@ -122,6 +122,13 @@ def _clear_operator_caches(spark) -> None:
         free_local_checkpoint(df)
     text._bpe_wp_cache.clear()
     text._bpe_cache.clear()
+    for _m, _u, _qv, _t, mdf, udf, cntdf in (
+        text._ppl_model_cache.values()
+    ):
+        free_local_checkpoint(mdf)
+        free_local_checkpoint(udf)
+        free_local_checkpoint(cntdf)
+    text._ppl_model_cache.clear()
     for hubs, _outs in entry._hub_cache.values():
         for df in hubs.values():
             free_local_checkpoint(df)
@@ -354,6 +361,12 @@ def _index_builders():
         (
             "train_bpe_merge_train",
             lambda s: text.train_bpe_merges(s, SF_DIR).count(),
+        ),
+        # the stored LM-gate model (bigram scores + smoothing
+        # denominators + threshold scalars, corpus split only)
+        (
+            "ppl_gate_model",
+            lambda s: text._ppl_model(s, SF_DIR),
         ),
     ]
 

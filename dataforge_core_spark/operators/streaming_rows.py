@@ -1075,6 +1075,123 @@ GROUP BY n.doc_id
 """
 
 
+def stream_ppl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming LM quality gate — CCNet's ingest architecture: the
+    bigram model, smoothing denominators, vocabulary fallback and keep
+    threshold are all built ONCE from the corpus split and stored
+    (text._ppl_model); each incoming document is scored per micro-batch
+    by two stream-static LEFT joins (seen-bigram score; else the
+    add-one fallback from the w1 denominator; else the unseen-w1
+    vocabulary fallback — all exact quantized-log integers) and gated
+    at the stored threshold.  The only stateful operator is the final
+    per-doc aggregate.  Model-based sibling of the rule-based
+    stream_corpus_ingest gate."""
+    from dataforge_core_spark.operators.dedup import INCR_MOD, INCR_NEW_GE
+    from dataforge_core_spark.operators.text import _ppl_model, _SPARK_TOK
+    from dataforge_core_spark.streaming import stream_documents
+
+    mname, uname, ql_v, thr = _ppl_model(spark, sf_dir)
+    bg = (
+        stream_documents(spark, sf_dir)
+        .where(f"doc_id % {INCR_MOD} >= {INCR_NEW_GE}")
+        .selectExpr("doc_id", f"{_SPARK_TOK} AS tok")
+        .where("size(tok) >= 2")
+        .selectExpr(
+            "doc_id",
+            "tok",
+            "explode(sequence(1, size(tok) - 1)) AS i",
+        )
+        .selectExpr(
+            "doc_id",
+            "element_at(tok, i) AS w1",
+            "element_at(tok, i + 1) AS w2",
+        )
+    )
+    scored = (
+        bg.join(spark.table(mname), ["w1", "w2"], "left")
+        .join(spark.table(uname), ["w1"], "left")
+        .selectExpr(
+            "doc_id",
+            f"COALESCE(s, 0 - COALESCE(ql_cuv, {ql_v})) AS s_eff",
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_bigrams"),
+        F.expr(
+            "CAST((-SUM(s_eff)) DIV COUNT(*) AS BIGINT)"
+        ).alias("mean_nll_q"),
+    )
+    out = agg.selectExpr(
+        "doc_id", "n_bigrams", "mean_nll_q",
+        f"mean_nll_q <= {thr} AS ppl_keep",
+    )
+    return _run_to_memory(out, "drv_stream_ppl_gate", spark, "complete")
+
+
+def _ppl_gate_oracle() -> str:
+    from dataforge_core_spark.operators.dedup import INCR_MOD, INCR_NEW_GE
+    from dataforge_core_spark.operators.text import (
+        _DUCK_TOK,
+        _qlog2,
+        PPL_KEEP_PCT,
+    )
+
+    ql = lambda e: _qlog2("duck", e)  # noqa: E731
+    corp = f"doc_id % {INCR_MOD} < {INCR_NEW_GE}"
+    new = f"doc_id % {INCR_MOD} >= {INCR_NEW_GE}"
+    return f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOK} AS tok FROM documents),
+bgall AS (
+  SELECT doc_id, tok[i] AS w1, tok[i + 1] AS w2
+  FROM t, unnest(generate_series(1, len(tok) - 1)) AS s(i)
+  WHERE len(tok) >= 2
+),
+bgc AS MATERIALIZED (SELECT * FROM bgall WHERE {corp}),
+cnt AS MATERIALIZED (SELECT w1, w2, COUNT(*) AS c FROM bgc
+                     GROUP BY w1, w2),
+vv AS MATERIALIZED (SELECT COUNT(DISTINCT w2) AS v FROM cnt),
+uni AS MATERIALIZED (
+  SELECT w1, COUNT(*) + (SELECT v FROM vv) AS cuv FROM bgc GROUP BY w1
+),
+model AS MATERIALIZED (
+  SELECT c.w1, c.w2,
+         CAST({ql('c.c + 1')} - {ql('u.cuv')} AS BIGINT) AS s
+  FROM cnt c JOIN uni u ON c.w1 = u.w1
+),
+dbg AS (SELECT doc_id, w1, w2, COUNT(*) AS k FROM bgc
+        GROUP BY doc_id, w1, w2),
+mcorp AS (
+  SELECT d.doc_id,
+         (-CAST(SUM(d.k * m.s) AS BIGINT)) // CAST(SUM(d.k) AS BIGINT)
+           AS mean_nll_q
+  FROM dbg d JOIN model m ON d.w1 = m.w1 AND d.w2 = m.w2
+  GROUP BY d.doc_id
+),
+vals AS (SELECT mean_nll_q AS v, COUNT(*) AS c FROM mcorp
+         GROUP BY mean_nll_q),
+cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cumc,
+               SUM(c) OVER () AS n FROM vals),
+thr AS (SELECT MIN(v) AS tt FROM cum
+        WHERE cumc >= 1 + ({PPL_KEEP_PCT} * (n - 1)) // 100),
+sc AS (
+  SELECT n.doc_id,
+         COALESCE(m.s,
+                  0 - COALESCE(u.ql_cuv, (SELECT CAST({ql('v')} AS BIGINT)
+                                          FROM vv))) AS s_eff
+  FROM (SELECT * FROM bgall WHERE {new}) n
+  LEFT JOIN model m ON n.w1 = m.w1 AND n.w2 = m.w2
+  LEFT JOIN (SELECT w1, CAST({ql('cuv')} AS BIGINT) AS ql_cuv
+             FROM uni) u ON n.w1 = u.w1
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST((-SUM(s_eff)) // COUNT(*) AS BIGINT) AS mean_nll_q,
+       CAST((-SUM(s_eff)) // COUNT(*) AS BIGINT)
+         <= (SELECT tt FROM thr) AS ppl_keep
+FROM sc GROUP BY doc_id
+"""
+
+
 def _near_dedup_oracle(threshold: float | None = None) -> str:
     from dataforge_core_spark.operators.dedup import (
         INCR_MOD,
@@ -1153,6 +1270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stream_near_dedup": stream_near_dedup,
         "stream_phash_gate": stream_phash_gate,
+        "stream_ppl_gate": stream_ppl_gate,
         "stream_dd_quantiles": stream_dd_quantiles,
         "stream_hll_distinct": stream_hll_distinct,
         "stream_corpus_ingest": stream_corpus_ingest,
@@ -1171,6 +1289,7 @@ def oracles() -> dict[str, str]:
     return {
         "stream_near_dedup": _near_dedup_oracle(),
         "stream_phash_gate": _phash_gate_oracle(),
+        "stream_ppl_gate": _ppl_gate_oracle(),
         "stream_dd_quantiles": _stream_dd_oracle(),
         "stream_hll_distinct": _stream_hll_oracle(),
         "stream_corpus_ingest": _corpus_ingest_oracle(),

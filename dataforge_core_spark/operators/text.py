@@ -434,6 +434,111 @@ FROM agg
 PPL_KEEP_PCT = 75  # keep docs at or below the p75 mean-NLL (CCNet-ish)
 
 
+# ---------------------------------------------------------------------------
+# STORED perplexity model — the index-build half of the streaming LM
+# gate (CCNet's actual architecture: a KenLM trained offline on the
+# reference corpus scores documents at ingest).  Built from the CORPUS
+# split only (doc_id % INCR_MOD < INCR_NEW_GE — the same held-out
+# convention as the near-dedup/phash gates): the add-one-smoothed
+# bigram score table, the per-w1 smoothing denominators, the
+# vocabulary fallback qlog2(V), and the keep threshold (nearest-rank
+# PPL_KEEP_PCT of the CORPUS docs' own mean NLL under the model) —
+# thr/ql_v are driver-side scalars, model/uni are checkpointed
+# relations an ingest stream joins against.
+# ---------------------------------------------------------------------------
+
+_ppl_model_cache: dict = {}
+
+
+def _ppl_model(spark: SparkSession, sf_dir: str):
+    """(model_view, uni_view, ql_v, thr) — the stored LM gate index."""
+    from dataforge_core_spark.operators.dedup import (
+        INCR_MOD,
+        INCR_NEW_GE,
+        _token_base_view,
+    )
+
+    key = (session_key(spark), sf_dir)
+    if key not in _ppl_model_cache:
+        tb = _token_base_view(spark, sf_dir)
+        tag = abs(hash(key)) % 10**8
+        corp_bg = f"""
+          SELECT doc_id, w1, w2 FROM (
+            SELECT doc_id, tk AS w1,
+                   LEAD(tk) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+            FROM {tb} WHERE doc_id % {INCR_MOD} < {INCR_NEW_GE}) x
+          WHERE w2 IS NOT NULL
+        """
+        # ONE bigram-count pass is the root of everything else (uni's
+        # per-w1 occurrence count = SUM(c); V = COUNT(DISTINCT w2)):
+        # deriving each artifact from the raw bigram chain instead
+        # measured 19.7s for the whole build at sf0.1 — from the
+        # checkpointed cnt it is ~4s including the threshold pass
+        cntv = f"ppl_cnt_{tag}"
+        cnt = spark.sql(
+            f"SELECT w1, w2, COUNT(*) AS c FROM ({corp_bg}) bgx"
+            " GROUP BY w1, w2"
+        ).localCheckpoint(eager=True)
+        cnt.createOrReplaceTempView(cntv)
+        uni_cte = f"""uni AS (
+          SELECT w1, SUM(c) + (SELECT COUNT(DISTINCT w2) FROM {cntv})
+                 AS cuv
+          FROM {cntv} GROUP BY w1
+        )"""
+        model = spark.sql(
+            f"""
+            WITH {uni_cte}
+            SELECT c.w1, c.w2,
+                   CAST({_qlog2('spark', 'c.c + 1')}
+                        - {_qlog2('spark', 'u.cuv')} AS BIGINT) AS s
+            FROM {cntv} c JOIN uni u ON c.w1 = u.w1
+            """
+        ).localCheckpoint(eager=True)
+        unim = spark.sql(
+            f"""
+            WITH {uni_cte}
+            SELECT w1, CAST({_qlog2('spark', 'cuv')} AS BIGINT) AS ql_cuv
+            FROM uni
+            """
+        ).localCheckpoint(eager=True)
+        mname, uname = f"ppl_model_{tag}", f"ppl_uni_{tag}"
+        model.createOrReplaceTempView(mname)
+        unim.createOrReplaceTempView(uname)
+        ql_v = spark.sql(
+            f"""
+            SELECT CAST({_qlog2('spark', 'v')} AS BIGINT) AS ql_v
+            FROM (SELECT COUNT(DISTINCT w2) AS v FROM {cntv})
+            """
+        ).collect()[0].ql_v
+        # threshold: nearest-rank pct of the CORPUS docs' mean NLL
+        # under this model (corpus bigrams are all seen by construction)
+        # — the one remaining bigram pass, joined against the stored
+        # model relation
+        thr = spark.sql(
+            f"""
+            WITH dbg AS (SELECT doc_id, w1, w2, COUNT(*) AS k
+                         FROM ({corp_bg}) bgx GROUP BY doc_id, w1, w2),
+            m AS (
+              SELECT d.doc_id,
+                     (-CAST(SUM(d.k * m.s) AS BIGINT))
+                       DIV CAST(SUM(d.k) AS BIGINT) AS mean_nll_q
+              FROM dbg d JOIN {mname} m ON d.w1 = m.w1 AND d.w2 = m.w2
+              GROUP BY d.doc_id
+            ),
+            vals AS (SELECT mean_nll_q AS v, COUNT(*) AS c FROM m
+                     GROUP BY mean_nll_q),
+            cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cumc,
+                           SUM(c) OVER () AS n FROM vals)
+            SELECT MIN(v) AS t FROM cum
+            WHERE cumc >= 1 + ({PPL_KEEP_PCT} * (n - 1)) DIV 100
+            """
+        ).collect()[0].t
+        _ppl_model_cache[key] = (
+            mname, uname, int(ql_v), int(thr), model, unim, cnt
+        )
+    return _ppl_model_cache[key][:4]
+
+
 def _ppl_filter_sql(
     dialect: str, bg_src: str | None = None, pct: int = PPL_KEEP_PCT
 ) -> str:

@@ -902,3 +902,61 @@ def test_perplexity_filter_pct_dial_live(spark, sf_dir):
            X.train_perplexity_filter(spark, sf_dir, pct=50).collect()
            if r.ppl_keep}
     assert d50 < d75
+
+
+def test_stream_ppl_gate_hand_corpus(spark, tmp_path):
+    """The streaming LM gate's three smoothing branches (seen bigram /
+    unseen w2 under a seen w1 / unseen w1 -> vocabulary fallback), the
+    stored threshold (nearest-rank pct of the CORPUS docs' own means)
+    and the keep flag, all hand-computed with an independent Python
+    replica of the quantized log2."""
+    import math
+
+    from dataforge_core_spark.operators import streaming_rows as SR
+    from dataforge_core_spark.operators import text as X
+
+    def qlog2(n: int) -> int:
+        b = n.bit_length()
+        e = max(b - X._QL_BITS, 0)
+        return math.floor(math.log2(n >> e) * X._QL_SCALE) + X._QL_SCALE * e
+
+    # corpus = doc_id % 10 < 8; new = >= 8
+    rows = [
+        (1, "a b a b c"),   # corpus: bigrams (a,b)x2 (b,a) (b,c)
+        (2, "a b"),         # corpus: (a,b)
+        (8, "a b x c q q"),  # new: seen / unseen-w2 / unseen-w1 cases
+        (9, "q q"),         # new: all unseen-w1
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in rows],
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    )
+    out = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(out)
+
+    # model by hand: cnt {(a,b):3 (b,a):1 (b,c):1}, V=3,
+    # uni cuv: a=3+3=6, b=2+3=5
+    s_ab = qlog2(4) - qlog2(6)
+    s_ba = qlog2(2) - qlog2(5)
+    s_bc = qlog2(2) - qlog2(5)
+    # corpus means: doc1 = -(2*s_ab+s_ba+s_bc) // 4, doc2 = -s_ab // 1
+    m1 = (-(2 * s_ab + s_ba + s_bc)) // 4
+    m2 = -s_ab
+    # nearest-rank p75 of 2 values: rank = 1 + (75*1)//100 = 1 -> min
+    thr = min(m1, m2)
+    # doc 8: (a,b)=s_ab, (b,x)=-qlog2(5), (x,c)=(c,q)=(q,q)=-qlog2(3)
+    nll8 = -(s_ab - qlog2(5) - 3 * qlog2(3))
+    # doc 9: (q,q) = -qlog2(3)
+    expect = {
+        8: (5, nll8 // 5, nll8 // 5 <= thr),
+        9: (1, qlog2(3), qlog2(3) <= thr),
+    }
+    got = {
+        r.doc_id: (r.n_bigrams, r.mean_nll_q, r.ppl_keep)
+        for r in SR.stream_ppl_gate(spark, str(tmp_path)).collect()
+    }
+    assert got == expect
+    # the stored scalars match the hand model too
+    _m, _u, ql_v, t = X._ppl_model(spark, str(tmp_path))
+    assert ql_v == qlog2(3) and t == thr

@@ -1069,8 +1069,11 @@ def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PHASH_ORACLE = f"""
-WITH px AS (
+def _phash_h_ctes() -> str:
+    """px/blk/bits/h — the DuckDB dHash re-derivation, the ONE
+    definition all three phash oracles (group count, near-dup report,
+    streaming gate) inline."""
+    return f"""px AS (
   SELECT d.doc_id, x.x, y.y,
          (x.x * 7 + y.y * 13 + d.doc_id) % 256 AS v
   FROM documents d,
@@ -1091,7 +1094,11 @@ bits AS (
   WHERE a.bx < {PHASH_GRID - 1}
 ),
 h AS (SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS phash
-      FROM bits GROUP BY doc_id)
+      FROM bits GROUP BY doc_id)"""
+
+
+_PHASH_ORACLE = f"""
+WITH {_phash_h_ctes()}
 SELECT doc_id, phash, COUNT(*) OVER (PARTITION BY phash) AS n_dups FROM h
 """
 
@@ -1125,20 +1132,26 @@ PHASH_HAMMING_MAX = PHASH_BANDS - 1  # pigeonhole-guaranteed recall
 MAX_PHASH_BUCKET = 1000
 
 
+def _phash_blocks_expr() -> str:
+    """Spark band-value elements (one shift/mask per band) — shared by
+    the near-dup body, the probe index and the streaming gate."""
+    return ", ".join(
+        f"(shiftright(phash, {_PHASH_BAND_BITS * i})"
+        f" & {_PHASH_BAND_MASK})"
+        for i in range(PHASH_BANDS)
+    )
+
+
 def _phash_neardup_body(dialect: str, src: str, cap: int) -> str:
     """Shared band/salt/join/aggregate SQL over any (doc_id, phash)
     relation ``src`` — the Spark lane passes the checkpointed hash
     view, the DuckDB oracle the recomputed ``h`` CTE, and the
     constructive test a planted literal table."""
     if dialect == "spark":
-        blocks = ", ".join(
-            f"(shiftright(phash, {_PHASH_BAND_BITS * i})"
-            f" & {_PHASH_BAND_MASK})"
-            for i in range(PHASH_BANDS)
-        )
         band = (
             f"SELECT doc_id, phash,"
-            f" posexplode(array({blocks})) AS (bno, blk) FROM {src}"
+            f" posexplode(array({_phash_blocks_expr()})) AS (bno, blk)"
+            f" FROM {src}"
         )
         ham = "CAST(bit_count(a.phash ^ b.phash) AS INT)"
     else:
@@ -1177,7 +1190,11 @@ sym AS (
 agg AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_near,
          MIN(hamming) AS min_hamming,
-         MIN_BY(nb, CAST(hamming AS BIGINT) * 1000000000 + nb) AS nearest
+         -- (min hamming, then min doc_id): hamming <= 56 packs into
+         -- the top bits (56 * 2^57 < 2^63) and doc_id < 2^57 fills the
+         -- rest — the full bigint doc_id range a 100 TB corpus uses,
+         -- unlike a decimal multiplier that silently reorders past 1e9
+         MIN_BY(nb, CAST(hamming AS BIGINT) * {1 << 57} + nb) AS nearest
   FROM sym GROUP BY doc_id
 )
 SELECT s.doc_id, s.phash,
@@ -1203,11 +1220,6 @@ def _phash_probe_index(spark: SparkSession, sf_dir: str) -> str:
     if key not in _phash_probe_cache:
         view = f"phash_src_{abs(hash(key)) % 10**8}"
         _phash_df(spark, sf_dir).createOrReplaceTempView(view)
-        blocks = ", ".join(
-            f"(shiftright(phash, {_PHASH_BAND_BITS * i})"
-            f" & {_PHASH_BAND_MASK})"
-            for i in range(PHASH_BANDS)
-        )
         df = spark.sql(
             f"""
             SELECT bno, blk, cphash FROM (
@@ -1216,7 +1228,8 @@ def _phash_probe_index(spark: SparkSession, sf_dir: str) -> str:
                           ORDER BY doc_id) AS rn
               FROM (
                 SELECT doc_id, phash,
-                       posexplode(array({blocks})) AS (bno, blk)
+                       posexplode(array({_phash_blocks_expr()}))
+                         AS (bno, blk)
                 FROM {view}
                 WHERE doc_id % {INCR_MOD} < {INCR_NEW_GE}
               ) b
@@ -1245,30 +1258,8 @@ def multimodal_phash_neardup(
 
 def _phash_neardup_oracle(max_bucket: int | None = None) -> str:
     cap = MAX_PHASH_BUCKET if max_bucket is None else max_bucket
-    # the h CTE re-derives (doc_id, phash) exactly as _PHASH_ORACLE
     return f"""
-WITH px AS (
-  SELECT d.doc_id, x.x, y.y,
-         (x.x * 7 + y.y * 13 + d.doc_id) % 256 AS v
-  FROM documents d,
-       (SELECT unnest(generate_series(0, {PATCH_IMG - 1})) AS x) x,
-       (SELECT unnest(generate_series(0, {PATCH_IMG - 1})) AS y) y
-),
-blk AS (
-  SELECT doc_id, x // {_PHASH_BLOCK} AS bx, y // {_PHASH_BLOCK} AS by,
-         SUM(v) AS s
-  FROM px GROUP BY doc_id, x // {_PHASH_BLOCK}, y // {_PHASH_BLOCK}
-),
-bits AS (
-  SELECT a.doc_id,
-         CAST(CASE WHEN b.s > a.s THEN 1 ELSE 0 END AS BIGINT)
-           << (a.by * {PHASH_GRID - 1} + a.bx) AS bit
-  FROM blk a
-  JOIN blk b ON b.doc_id = a.doc_id AND b.by = a.by AND b.bx = a.bx + 1
-  WHERE a.bx < {PHASH_GRID - 1}
-),
-h AS (SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS phash
-      FROM bits GROUP BY doc_id),
+WITH {_phash_h_ctes()},
 {_phash_neardup_body('duck', 'h', cap)}
 """
 

@@ -3337,6 +3337,25 @@ def _pq_full_l2(dialect: str, a: str, b: str) -> str:
     return terms[0]
 
 
+def _recall_arms_sql() -> str:
+    """One recall@K arm per (variant label, top-K relation) — a single
+    template so the recall computation cannot drift between variants."""
+    return "\nUNION ALL\n".join(
+        f"""SELECT e.query_id, '{variant}' AS variant,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(COUNT(r.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(r.neighbor_id) AS DOUBLE) / COUNT(*) AS recall
+FROM exact e LEFT JOIN {rel} r
+  ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id
+GROUP BY e.query_id"""
+        for variant, rel in (
+            ("raw", "rawk"),
+            ("residual", "resk"),
+            ("residual_trained", "trk"),
+        )
+    )
+
+
 def _pq_residual_recall_body(
     dialect: str, af: str, cv: str, rsub: str, cb: str,
     codes_src: str | None = None,
@@ -3379,29 +3398,7 @@ exact AS (
      AND c.vec_id <> q.query_id
   ) t WHERE rank <= {TOP_K}
 )
-SELECT e.query_id, 'raw' AS variant,
-       CAST(COUNT(*) AS BIGINT) AS n_exact,
-       CAST(COUNT(r.neighbor_id) AS BIGINT) AS n_hits,
-       CAST(COUNT(r.neighbor_id) AS DOUBLE) / COUNT(*) AS recall
-FROM exact e LEFT JOIN rawk r
-  ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id
-GROUP BY e.query_id
-UNION ALL
-SELECT e.query_id, 'residual' AS variant,
-       CAST(COUNT(*) AS BIGINT) AS n_exact,
-       CAST(COUNT(r.neighbor_id) AS BIGINT) AS n_hits,
-       CAST(COUNT(r.neighbor_id) AS DOUBLE) / COUNT(*) AS recall
-FROM exact e LEFT JOIN resk r
-  ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id
-GROUP BY e.query_id
-UNION ALL
-SELECT e.query_id, 'residual_trained' AS variant,
-       CAST(COUNT(*) AS BIGINT) AS n_exact,
-       CAST(COUNT(r.neighbor_id) AS BIGINT) AS n_hits,
-       CAST(COUNT(r.neighbor_id) AS DOUBLE) / COUNT(*) AS recall
-FROM exact e LEFT JOIN trk r
-  ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id
-GROUP BY e.query_id"""
+{_recall_arms_sql()}"""
 
 
 # ---------------------------------------------------------------------------

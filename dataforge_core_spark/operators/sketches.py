@@ -472,10 +472,12 @@ _KMV_ORACLE = _kmv_sql("duck")
 # ---------------------------------------------------------------------------
 
 
-def _kmv_jaccard_sql(dialect: str, toks_src: str | None = None) -> str:
+def _kmv_pair_merge_ctes(dialect: str) -> str:
+    """ranked/bk/srcs/pairs/ph0/ph/m — the per-source bottom-K build,
+    the bounded pair enumeration, and the merged pair sketch with
+    membership flags.  ONE definition shared by the jaccard and
+    set-algebra lanes (they diverge only in what they read off ``m``)."""
     k = KMV_K
-    idiv = "DIV" if dialect == "spark" else "//"
-    toks = toks_src or _toks_cte(dialect)
     mat = "MATERIALIZED " if dialect == "duck" else ""
     if dialect == "spark":
         # pair enumeration WITHOUT a non-equi join (which Spark can only
@@ -496,9 +498,7 @@ def _kmv_jaccard_sql(dialect: str, toks_src: str | None = None) -> str:
             "SELECT a.source AS sa, b.source AS sb "
             "FROM srcs a JOIN srcs b ON a.source < b.source"
         )
-    return f"""
-WITH toks AS {mat}({toks}),
-ranked AS (
+    return f"""ranked AS (
   SELECT source, h,
          ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
   FROM toks
@@ -514,27 +514,42 @@ ph0 AS (
   FROM pairs p JOIN bk k ON k.source = p.sb
 ),
 ph AS (
-  SELECT sa, sb, h,
-         MAX(in_a) AS in_a, MAX(in_b) AS in_b
+  SELECT sa, sb, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
   FROM ph0 GROUP BY sa, sb, h
 ),
 m AS (
-  SELECT sa, sb, in_a, in_b,
+  SELECT sa, sb, h, in_a, in_b,
          ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
   FROM ph
-),
+)"""
+
+
+def _kmv_exact_pair_ctes() -> str:
+    """sizes/inter — the exact per-source sizes and pairwise
+    intersection baseline (dialect-neutral)."""
+    return """sizes AS (SELECT source, COUNT(*) AS n FROM toks GROUP BY source),
+inter AS (
+  SELECT a.source AS sa, b.source AS sb, COUNT(*) AS n_inter
+  FROM toks a JOIN toks b ON a.h = b.h AND a.source < b.source
+  GROUP BY a.source, b.source
+)"""
+
+
+def _kmv_jaccard_sql(dialect: str, toks_src: str | None = None) -> str:
+    k = KMV_K
+    idiv = "DIV" if dialect == "spark" else "//"
+    toks = toks_src or _toks_cte(dialect)
+    mat = "MATERIALIZED " if dialect == "duck" else ""
+    return f"""
+WITH toks AS {mat}({toks}),
+{_kmv_pair_merge_ctes(dialect)},
 est AS (
   SELECT sa, sb,
          CAST(SUM(in_a * in_b) AS BIGINT) AS m_inter,
          CAST(COUNT(*) AS BIGINT) AS m_n
   FROM m WHERE rn <= {k} GROUP BY sa, sb
 ),
-sizes AS (SELECT source, COUNT(*) AS n FROM toks GROUP BY source),
-inter AS (
-  SELECT a.source AS sa, b.source AS sb, COUNT(*) AS n_inter
-  FROM toks a JOIN toks b ON a.h = b.h AND a.source < b.source
-  GROUP BY a.source, b.source
-),
+{_kmv_exact_pair_ctes()},
 exact AS (
   SELECT p.sa, p.sb,
          COALESCE(i.n_inter, 0) AS n_inter,
@@ -586,19 +601,6 @@ def _kmv_setops_sql(dialect: str, toks_src: str | None = None) -> str:
     idiv = "DIV" if dialect == "spark" else "//"
     toks = toks_src or _toks_cte(dialect)
     mat = "MATERIALIZED " if dialect == "duck" else ""
-    if dialect == "spark":
-        pairs = (
-            "SELECT sa, sb FROM "
-            "(SELECT sort_array(collect_set(source)) AS ss FROM srcs) "
-            "LATERAL VIEW posexplode(ss) A AS ia, sa "
-            "LATERAL VIEW posexplode(ss) B AS ib, sb "
-            "WHERE ia < ib"
-        )
-    else:
-        pairs = (
-            "SELECT a.source AS sa, b.source AS sb "
-            "FROM srcs a JOIN srcs b ON a.source < b.source"
-        )
     est_u = (
         f"CASE WHEN m_n < {k} THEN m_n "
         f"ELSE CAST(({k - 1} * {_HSPACE}) {idiv} GREATEST(h_k, 1) "
@@ -616,33 +618,10 @@ def _kmv_setops_sql(dialect: str, toks_src: str | None = None) -> str:
     )
     return f"""
 WITH toks AS {mat}({toks}),
-ranked AS (
-  SELECT source, h,
-         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
-  FROM toks
-),
-bk AS {mat}(SELECT source, h FROM ranked WHERE rn <= {k}),
+{_kmv_pair_merge_ctes(dialect)},
 per_source AS {mat}(
   SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(h) AS h_k
   FROM bk GROUP BY source
-),
-srcs AS (SELECT DISTINCT source FROM toks),
-pairs AS {mat}({pairs}),
-ph0 AS (
-  SELECT p.sa, p.sb, k.h, 1 AS in_a, 0 AS in_b
-  FROM pairs p JOIN bk k ON k.source = p.sa
-  UNION ALL
-  SELECT p.sa, p.sb, k.h, 0 AS in_a, 1 AS in_b
-  FROM pairs p JOIN bk k ON k.source = p.sb
-),
-ph AS (
-  SELECT sa, sb, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
-  FROM ph0 GROUP BY sa, sb, h
-),
-m AS (
-  SELECT sa, sb, h, in_a, in_b,
-         ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
-  FROM ph
 ),
 msk AS (
   SELECT sa, sb,
@@ -667,12 +646,7 @@ algebra AS (
          est_a, est_b
   FROM ests
 ),
-sizes AS (SELECT source, COUNT(*) AS n FROM toks GROUP BY source),
-inter AS (
-  SELECT a.source AS sa, b.source AS sb, COUNT(*) AS n_inter
-  FROM toks a JOIN toks b ON a.h = b.h AND a.source < b.source
-  GROUP BY a.source, b.source
-),
+{_kmv_exact_pair_ctes()},
 exact AS (
   SELECT p.sa, p.sb,
          CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,

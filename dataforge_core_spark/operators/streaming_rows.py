@@ -961,9 +961,6 @@ def stream_phash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the index built once by the batch side."""
     from dataforge_core_spark.operators.dedup import INCR_MOD, INCR_NEW_GE
     from dataforge_core_spark.operators.multimodal import (
-        _PHASH_BAND_BITS,
-        _PHASH_BAND_MASK,
-        PHASH_BANDS,
         PHASH_HAMMING_MAX,
         _phash_probe_index,
         image_phash_fn,
@@ -977,10 +974,10 @@ def stream_phash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fused(batches):
         return ph(synth(batches))
 
-    blocks = ", ".join(
-        f"(shiftright(phash, {_PHASH_BAND_BITS * i}) & {_PHASH_BAND_MASK})"
-        for i in range(PHASH_BANDS)
+    from dataforge_core_spark.operators.multimodal import (
+        _phash_blocks_expr,
     )
+
     new = (
         stream_documents(spark, sf_dir)
         .where(f"doc_id % {INCR_MOD} >= {INCR_NEW_GE}")
@@ -988,7 +985,7 @@ def stream_phash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(fused, "doc_id bigint, phash bigint")
         .selectExpr(
             "doc_id", "phash",
-            f"posexplode(array({blocks})) AS (bno, blk)",
+            f"posexplode(array({_phash_blocks_expr()})) AS (bno, blk)",
         )
     )
     probed = new.join(spark.table(idx), ["bno", "blk"], "left").selectExpr(
@@ -1014,39 +1011,16 @@ def _phash_gate_oracle() -> str:
     from dataforge_core_spark.operators.multimodal import (
         _PHASH_BAND_BITS,
         _PHASH_BAND_MASK,
-        _PHASH_BLOCK,
+        _phash_h_ctes,
         MAX_PHASH_BUCKET,
-        PATCH_IMG,
         PHASH_BANDS,
-        PHASH_GRID,
         PHASH_HAMMING_MAX,
     )
 
     corp = f"doc_id % {INCR_MOD} < {INCR_NEW_GE}"
     new = f"doc_id % {INCR_MOD} >= {INCR_NEW_GE}"
     return f"""
-WITH px AS (
-  SELECT d.doc_id, x.x, y.y,
-         (x.x * 7 + y.y * 13 + d.doc_id) % 256 AS v
-  FROM documents d,
-       (SELECT unnest(generate_series(0, {PATCH_IMG - 1})) AS x) x,
-       (SELECT unnest(generate_series(0, {PATCH_IMG - 1})) AS y) y
-),
-blk AS (
-  SELECT doc_id, x // {_PHASH_BLOCK} AS bx, y // {_PHASH_BLOCK} AS by,
-         SUM(v) AS s
-  FROM px GROUP BY doc_id, x // {_PHASH_BLOCK}, y // {_PHASH_BLOCK}
-),
-bits AS (
-  SELECT a.doc_id,
-         CAST(CASE WHEN b.s > a.s THEN 1 ELSE 0 END AS BIGINT)
-           << (a.by * {PHASH_GRID - 1} + a.bx) AS bit
-  FROM blk a
-  JOIN blk b ON b.doc_id = a.doc_id AND b.by = a.by AND b.bx = a.bx + 1
-  WHERE a.bx < {PHASH_GRID - 1}
-),
-h AS MATERIALIZED (SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS phash
-      FROM bits GROUP BY doc_id),
+WITH {_phash_h_ctes()},
 bands AS MATERIALIZED (
   SELECT doc_id, phash, i AS bno,
          (phash >> {_PHASH_BAND_BITS} * i) & {_PHASH_BAND_MASK} AS blk

@@ -363,6 +363,20 @@ GROUP BY d.doc_id
 """
 
 
+def _tb_bigram_sql(tb: str, where: str | None = None) -> str:
+    """(doc_id, w1, w2) bigram stream as a LEAD window over the
+    checkpointed token base — the ONE definition shared by the LM lane,
+    the perplexity filter and the stored gate model (value-identical to
+    the inline element_at fanout: adjacent (pos, pos+1) pairs)."""
+    w = f" WHERE {where}" if where else ""
+    return f"""
+          SELECT doc_id, w1, w2 FROM (
+            SELECT doc_id, tk AS w1,
+                   LEAD(tk) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+            FROM {tb}{w}) x WHERE w2 IS NOT NULL
+        """
+
+
 def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document summed quantized log2 bigram probability (corpus
     LM).  The bigram stream comes off the shared checkpointed token
@@ -375,13 +389,7 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _view(spark, sf_dir)  # the (pruned) t CTE still resolves documents
     tb = _token_base_view(spark, sf_dir)
-    bg = f"""
-          SELECT doc_id, w1, w2 FROM (
-            SELECT doc_id, tk AS w1,
-                   LEAD(tk) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
-            FROM {tb}) x WHERE w2 IS NOT NULL
-        """
-    return spark.sql(_bigram_lm_sql("spark", bg))
+    return spark.sql(_bigram_lm_sql("spark", _tb_bigram_sql(tb)))
 
 
 _BIGRAM_LM_ORACLE = _bigram_lm_sql("duck")
@@ -462,13 +470,9 @@ def _ppl_model(spark: SparkSession, sf_dir: str):
     if key not in _ppl_model_cache:
         tb = _token_base_view(spark, sf_dir)
         tag = abs(hash(key)) % 10**8
-        corp_bg = f"""
-          SELECT doc_id, w1, w2 FROM (
-            SELECT doc_id, tk AS w1,
-                   LEAD(tk) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
-            FROM {tb} WHERE doc_id % {INCR_MOD} < {INCR_NEW_GE}) x
-          WHERE w2 IS NOT NULL
-        """
+        corp_bg = _tb_bigram_sql(
+            tb, f"doc_id % {INCR_MOD} < {INCR_NEW_GE}"
+        )
         # ONE bigram-count pass is the root of everything else (uni's
         # per-w1 occurrence count = SUM(c); V = COUNT(DISTINCT w2)):
         # deriving each artifact from the raw bigram chain instead
@@ -480,10 +484,16 @@ def _ppl_model(spark: SparkSession, sf_dir: str):
             " GROUP BY w1, w2"
         ).localCheckpoint(eager=True)
         cnt.createOrReplaceTempView(cntv)
+        # V collected ONCE and inlined as a literal (the k-means
+        # centroid pattern) — the scalar subquery form re-ran the
+        # distinct-count aggregate inside every consumer statement
+        v = int(
+            spark.sql(
+                f"SELECT COUNT(DISTINCT w2) AS v FROM {cntv}"
+            ).collect()[0].v
+        )
         uni_cte = f"""uni AS (
-          SELECT w1, SUM(c) + (SELECT COUNT(DISTINCT w2) FROM {cntv})
-                 AS cuv
-          FROM {cntv} GROUP BY w1
+          SELECT w1, SUM(c) + {v} AS cuv FROM {cntv} GROUP BY w1
         )"""
         model = spark.sql(
             f"""
@@ -505,10 +515,7 @@ def _ppl_model(spark: SparkSession, sf_dir: str):
         model.createOrReplaceTempView(mname)
         unim.createOrReplaceTempView(uname)
         ql_v = spark.sql(
-            f"""
-            SELECT CAST({_qlog2('spark', 'v')} AS BIGINT) AS ql_v
-            FROM (SELECT COUNT(DISTINCT w2) AS v FROM {cntv})
-            """
+            f"SELECT CAST({_qlog2('spark', str(v))} AS BIGINT) AS ql_v"
         ).collect()[0].ql_v
         # threshold: nearest-rank pct of the CORPUS docs' mean NLL
         # under this model (corpus bigrams are all seen by construction)
@@ -591,13 +598,7 @@ def train_perplexity_filter(
 
     _view(spark, sf_dir)
     tb = _token_base_view(spark, sf_dir)
-    bg = f"""
-          SELECT doc_id, w1, w2 FROM (
-            SELECT doc_id, tk AS w1,
-                   LEAD(tk) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
-            FROM {tb}) x WHERE w2 IS NOT NULL
-        """
-    return spark.sql(_ppl_filter_sql("spark", bg, pct))
+    return spark.sql(_ppl_filter_sql("spark", _tb_bigram_sql(tb), pct))
 
 
 def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:

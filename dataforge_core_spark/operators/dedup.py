@@ -849,16 +849,31 @@ def dedup_index_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT 'ivf_cells' AS index_name,"
         f" CAST(cid AS STRING) AS bucket FROM {af}"
     )
+    from dataforge_core_spark.operators import multimodal as MM
+
+    pb = (
+        MM._phash_df(spark, sf_dir)
+        .selectExpr(
+            f"posexplode(array({MM._phash_blocks_expr()})) AS (bno, bv)"
+        )
+        .selectExpr(
+            "'phash_bands' AS index_name",
+            "concat(CAST(bno AS STRING), ':', CAST(bv AS STRING))"
+            " AS bucket",
+        )
+    )
     cap = (
         f"CASE index_name WHEN 'minhash_bands' THEN {MAX_BAND_BUCKET}"
         f" WHEN 'simhash_bands' THEN {simhash.MAX_BLOCK_BUCKET}"
         f" WHEN 'embedding_buckets' THEN {S.EMB_BUCKET_CAP}"
+        f" WHEN 'phash_bands' THEN {MM.MAX_PHASH_BUCKET}"
         f" ELSE {S.IVF_CELL_CAP} END"
     )
     return (
         mh.unionByName(sb)
         .unionByName(eb)
         .unionByName(iv)
+        .unionByName(pb)
         .groupBy("index_name", "bucket")
         .agg(F.count("*").alias("cnt"))
         .groupBy("index_name")
@@ -875,6 +890,7 @@ def dedup_index_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _index_skew_oracle() -> str:
+    from dataforge_core_spark.operators import multimodal as MM
     from dataforge_core_spark.operators import simhash
     from dataforge_core_spark.operators import similarity as S
 
@@ -887,13 +903,22 @@ def _index_skew_oracle() -> str:
         f"CASE index_name WHEN 'minhash_bands' THEN {MAX_BAND_BUCKET}"
         f" WHEN 'simhash_bands' THEN {simhash.MAX_BLOCK_BUCKET}"
         f" WHEN 'embedding_buckets' THEN {S.EMB_BUCKET_CAP}"
+        f" WHEN 'phash_bands' THEN {MM.MAX_PHASH_BUCKET}"
         f" ELSE {S.IVF_CELL_CAP} END"
+    )
+    pbands = (
+        f"SELECT CAST(i AS VARCHAR) || ':' || CAST("
+        f"(phash >> {MM._PHASH_BAND_BITS} * i) & {MM._PHASH_BAND_MASK}"
+        f" AS VARCHAR) AS bucket"
+        f" FROM h, unnest(generate_series(0, {MM.PHASH_BANDS - 1}))"
+        f" AS pu(i)"
     )
     return f"""
 WITH {S._duck_v_cte()},
 {S._kmeans_ctes('v', 'duck')},
 {_minhash_chain()},
 ssig AS MATERIALIZED ({simhash._sig_sql('duck')}),
+{MM._phash_h_ctes()},
 u AS (
   SELECT 'minhash_bands' AS index_name, band_key AS bucket FROM bands
   UNION ALL
@@ -906,6 +931,8 @@ u AS (
   UNION ALL
   SELECT 'ivf_cells' AS index_name, CAST(cid AS VARCHAR) AS bucket
   FROM af
+  UNION ALL
+  SELECT 'phash_bands' AS index_name, bucket FROM ({pbands}) pb
 ),
 c AS (
   SELECT index_name, bucket, COUNT(*) AS cnt

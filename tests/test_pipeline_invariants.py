@@ -714,11 +714,15 @@ def test_index_skew_report_referees(spark, sf_dir):
         "simhash_bands",
         "embedding_buckets",
         "ivf_cells",
+        "phash_bands",
     }
     n_sig_docs = D._minhash_sig_df(spark, sf_dir).count()
     assert rows["minhash_bands"].n_rows == 4 * n_sig_docs
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     assert rows["simhash_bands"].n_rows == 4 * n_docs
+    from dataforge_core_spark.operators import multimodal as MM
+
+    assert rows["phash_bands"].n_rows == MM.PHASH_BANDS * n_docs
     n_vec = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     assert rows["embedding_buckets"].n_rows == n_vec
     assert rows["ivf_cells"].n_rows == n_vec

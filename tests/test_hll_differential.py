@@ -167,3 +167,52 @@ def test_simhash_signatures_match_python_ledger(spark):  # noqa: F811
         r.doc_id: r.simhash for r in SH._sig_df(spark, SF).collect()
     }
     assert got == exp
+
+
+def test_kmv_setops_match_python_ledger(spark):  # noqa: F811
+    """SQL-free re-derivation of the theta set algebra: per source
+    pair, the merged bottom-K with membership flags, the union
+    estimate, the exact floor-decomposed intersection product, the
+    clamped differences and the exact baselines — compared to
+    sketch_kmv_setops by equality."""
+    import dataforge_core_spark.operators.sketches as SK
+
+    uni = _py_universe()
+    k, hspace = SK.KMV_K, 1 << 56
+
+    def est(n_kept: int, h_k: int) -> int:
+        return n_kept if n_kept < k else ((k - 1) * hspace) // max(h_k, 1)
+
+    bots = {s: sorted(hs)[:k] for s, hs in uni.items()}
+    exp = {}
+    for sa in sorted(uni):
+        for sb in sorted(uni):
+            if sa >= sb:
+                continue
+            merged = sorted(set(bots[sa]) | set(bots[sb]))[:k]
+            m_n = len(merged)
+            m_inter = sum(
+                1 for h in merged if h in set(bots[sa]) and h in set(bots[sb])
+            )
+            est_u = est(m_n, merged[-1] if merged else 0)
+            est_i = (est_u // m_n) * m_inter + ((est_u % m_n) * m_inter) // m_n
+            est_a = est(len(bots[sa]), bots[sa][-1])
+            est_b = est(len(bots[sb]), bots[sb][-1])
+            n_i = len(uni[sa] & uni[sb])
+            n_u = len(uni[sa] | uni[sb])
+            exp[(sa, sb)] = (
+                n_u, est_u, (1000000 * abs(est_u - n_u)) // n_u,
+                n_i, est_i,
+                len(uni[sa] - uni[sb]), max(est_a - est_i, 0),
+                len(uni[sb] - uni[sa]), max(est_b - est_i, 0),
+            )
+    got = {
+        (r.sa, r.sb): (
+            r.n_union, r.est_union, r.err_union_ppm,
+            r.n_inter, r.est_inter,
+            r.n_diff_ab, r.est_diff_ab,
+            r.n_diff_ba, r.est_diff_ba,
+        )
+        for r in SK.sketch_kmv_setops(spark, SF).collect()
+    }
+    assert got == exp

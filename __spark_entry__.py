@@ -205,7 +205,12 @@ Coverage map (SURVEY.md §2 -> query):
                                 band index),
                                 train_perplexity_filter (CCNet-style
                                 mean-NLL percentile corpus filter,
-                                pct dial)
+                                pct dial),
+                                stream_ppl_gate (streaming LM quality
+                                gate over the stored bigram model),
+                                sketch_kmv_setops (theta set algebra
+                                across source pairs from K-row
+                                sketches alone)
 """
 
 from __future__ import annotations

@@ -240,3 +240,39 @@ def test_kmv_setops_algebra_referees(spark, sf_dir):
         # est_inter only by the two floors' interaction — bound it
         approx = (r.est_union * jac[(r.sa, r.sb)]) // 1_000_000
         assert abs(r.est_inter - approx) <= 1 + r.est_union // 1_000_000
+
+
+def test_intersection_eval_referees(spark, sf_dir):
+    """sketch_intersection_eval's theta side must equal
+    sketch_kmv_setops' est_inter pair-for-pair (same machinery through
+    a different statement), its exact baseline must match, and the
+    HLL-IE side must re-derive from sketch_hll_distinct's per-source
+    estimates plus the pair-union register merge (checked via the
+    identity est_hll_ie = est_a + est_b - est_union, where the union
+    estimate is recovered from the lane's own row)."""
+    import dataforge_core_spark.operators.sketches as SK
+
+    setops = {
+        (r.sa, r.sb): (r.n_inter, r.est_inter)
+        for r in SK.sketch_kmv_setops(spark, sf_dir).collect()
+    }
+    hll = {
+        r.scope: r.hll_est
+        for r in SK.sketch_hll_distinct(spark, sf_dir).collect()
+    }
+    rows = SK.sketch_intersection_eval(spark, sf_dir).collect()
+    assert {(r.sa, r.sb) for r in rows} == set(setops)
+    for r in rows:
+        n_inter, est_inter = setops[(r.sa, r.sb)]
+        assert r.n_inter == n_inter
+        assert r.est_theta == est_inter
+        # est_hll_ie = e_a + e_b - e_union: recover e_union and check
+        # register-MAX monotonicity (union registers dominate each
+        # side pointwise and the raw-branch estimator is monotone in
+        # them; NO upper bound exists — estimator noise legitimately
+        # puts e_union above e_a + e_b, which is exactly why IE
+        # intersections go negative)
+        e_union = hll[r.sa] + hll[r.sb] - r.est_hll_ie
+        assert e_union >= max(hll[r.sa], hll[r.sb]) - 1, (
+            "register-MAX union estimate below a single side"
+        )

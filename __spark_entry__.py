@@ -447,6 +447,13 @@ def queries_parameterized() -> dict[str, dict]:
                 S._cos_curve_oracle(bucket_cap)
             ),
         },
+        "ann_mrl_rerank": {
+            "fn": S.ann_mrl_rerank,
+            "params": {"c_short": S.MRL_RERANK_C},
+            "oracle_sql": lambda c_short=S.MRL_RERANK_C: (
+                S._mrl_rerank_oracle(c_short)
+            ),
+        },
         "ann_filtered_search": {
             "fn": lambda spark, sf_dir, nprobe=2, top_k=S.TOP_K: (
                 S.ann_ivf_search(

@@ -3785,6 +3785,90 @@ def ann_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# MRL two-stage retrieval (the actual Matryoshka deployment pattern):
+# shortlist top-C by the cheap 16-of-64-component prefix score, then
+# re-rank ONLY the shortlist at full precision — per-pair scan cost
+# stays at prefix width while the full-dim work is C rows per query.
+# The eval carries three readings per query: exact-baseline recall of
+# the two-stage result, of the prefix-only top-K (what you get without
+# the rerank — the measured value of stage 2), and the candidate
+# budget C is a driver-visible dial.  Degenerate anchors are pinned by
+# test: C = TOP_K makes the two readings share one candidate set, and
+# C >= corpus makes the two-stage exact (recall 1.0).
+# ---------------------------------------------------------------------------
+
+MRL_RERANK_C = 32  # shortlist budget (candidates per query)
+
+
+def _mrl_rerank_body(dialect: str, v: str, c_short: int) -> str:
+    cosf = (_spark_cosine if dialect == "spark" else _duck_cosine)(
+        "q.emb", "c.emb", "q.nrm", "c.nrm"
+    )
+    pd_ = _prefix_dot("q.emb", "c.emb", dialect)
+    pq_ = _prefix_dot("q.emb", "q.emb", dialect)
+    pc_ = _prefix_dot("c.emb", "c.emb", dialect)
+    return f"""qv AS (SELECT * FROM {v} WHERE vec_id < {N_QUERIES}),
+pscored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              ORDER BY ({pd_}) / (sqrt({pq_}) * sqrt({pc_})) DESC,
+                       c.vec_id) AS prank
+  FROM qv q JOIN {v} c ON q.vec_id <> c.vec_id
+),
+short AS (SELECT query_id, neighbor_id, prank FROM pscored
+          WHERE prank <= {c_short}),
+reranked AS (
+  SELECT s.query_id, s.neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY s.query_id
+              ORDER BY ({cosf}) DESC, s.neighbor_id) AS rank
+  FROM short s
+  JOIN qv q ON q.vec_id = s.query_id
+  JOIN {v} c ON c.vec_id = s.neighbor_id
+),
+two AS (SELECT query_id, neighbor_id FROM reranked
+        WHERE rank <= {TOP_K}),
+pre_only AS (SELECT query_id, neighbor_id FROM short
+             WHERE prank <= {TOP_K}),
+exactk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                ORDER BY ({cosf}) DESC, c.vec_id) AS rank
+    FROM qv q JOIN {v} c ON q.vec_id <> c.vec_id
+  ) t WHERE rank <= {TOP_K}
+)
+SELECT e.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_hits_two_stage,
+       CAST(COUNT(p.neighbor_id) AS BIGINT) AS n_hits_prefix_only,
+       CAST(COUNT(t.neighbor_id) AS DOUBLE) / COUNT(*) AS recall
+FROM exactk e
+LEFT JOIN two t
+  ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id
+LEFT JOIN pre_only p
+  ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id
+GROUP BY e.query_id"""
+
+
+def ann_mrl_rerank(
+    spark: SparkSession, sf_dir: str, c_short: int = MRL_RERANK_C
+) -> DataFrame:
+    """Two-stage MRL retrieval eval: prefix shortlist (top-C), full-dim
+    rerank, recall vs exact alongside the prefix-only reading."""
+    v = _normed(spark, sf_dir)
+    return spark.sql(
+        f"WITH {_mrl_rerank_body('spark', v, c_short)}"
+    )
+
+
+def _mrl_rerank_oracle(c_short: int = MRL_RERANK_C) -> str:
+    return f"""
+WITH {_duck_v_cte()},
+{_mrl_rerank_body('duck', 'v', c_short)}
+"""
+
+
 def _mrl_recall_oracle() -> str:
     cos = _duck_cosine("q.emb", "c.emb", "q.nrm", "c.nrm")
     pd_ = _prefix_dot("q.emb", "c.emb", "duck")
@@ -4209,6 +4293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_pq": ann_ivf_pq,
         "ann_ivf_pq_residual": ann_ivf_pq_residual,
         "ann_pq_residual_recall": ann_pq_residual_recall,
+        "ann_mrl_rerank": ann_mrl_rerank,
         "ann_ivf_pq_trained": ann_ivf_pq_trained,
         "ann_pq_recall": ann_pq_recall,
         "ann_mrl_recall": ann_mrl_recall,
@@ -4257,6 +4342,7 @@ def oracles() -> dict[str, str]:
         "ann_ivf_pq": _ivf_pq_oracle(),
         "ann_ivf_pq_residual": _ivf_pq_residual_oracle(),
         "ann_pq_residual_recall": _pq_residual_recall_oracle(),
+        "ann_mrl_rerank": _mrl_rerank_oracle(),
         "ann_ivf_pq_trained": _ivf_pq_trained_oracle(),
         "ann_pq_recall": _pq_recall_oracle(),
         "ann_mrl_recall": _mrl_recall_oracle(),

@@ -47,6 +47,7 @@ def test_contract_shape():
         # cap 2 forces the salt guard on the planted-dup-heavy fixture
         ("multimodal_phash_neardup", {"max_bucket": 2}),
         ("train_perplexity_filter", {"pct": 50}),
+        ("ann_mrl_rerank", {"c_short": 16}),
     ],
 )
 def test_dials_are_live(name, params, spark):
@@ -353,3 +354,23 @@ def test_k_recall_curve_referees_and_monotone(spark):
         if r.nprobe == 1
     }
     assert k10 == np1
+
+
+def test_mrl_rerank_anchors(spark):
+    """Degenerate-dial anchors of the two-stage MRL eval: at
+    c_short = TOP_K the two-stage and prefix-only readings share one
+    candidate set (rerank reorders, membership identical), and at
+    c_short >= corpus the two-stage result IS exact (recall 1.0)."""
+    import dataforge_core_spark.operators.similarity as S
+
+    at_k = S.ann_mrl_rerank(spark, SF, c_short=S.TOP_K).collect()
+    assert all(r.n_hits_two_stage == r.n_hits_prefix_only for r in at_k)
+    n = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    full = S.ann_mrl_rerank(spark, SF, c_short=n).collect()
+    assert all(r.recall == 1.0 for r in full)
+    # and the production C sits strictly between: rerank must add hits
+    # somewhere on this fixture (else the lane demonstrates nothing)
+    prod = S.ann_mrl_rerank(spark, SF).collect()
+    assert sum(r.n_hits_two_stage for r in prod) > sum(
+        r.n_hits_prefix_only for r in prod
+    )

@@ -229,6 +229,9 @@ _CARTESIAN_EXEMPT = {
     # intentional: the exact-baseline side of the Matryoshka recall
     # eval is the same all-pairs shape as ann_bruteforce
     "ann_mrl_recall",
+    # intentional: the two-stage MRL eval's prefix scan + exact
+    # baseline are the same all-pairs eval shape
+    "ann_mrl_rerank",
     # intentional: MRR ranks the same broadcast-query all-pairs scan
     "ann_mrr",
 }

@@ -71,3 +71,49 @@ def test_noisy_lanes_are_registered_queries():
 
     missing = bench.NOISY_LANES - set(e.queries())
     assert not missing, missing
+
+
+def test_every_operator_cache_is_cleared_by_bench():
+    """The cold-path guarantee of bench.py depends on
+    _clear_operator_caches knowing EVERY module-level operator cache —
+    a forgotten one silently serves warm indexes inside 'cold' index
+    timings (continuation-session review finding).  This meta-test
+    enumerates every dict named *_cache in the operator/entry modules
+    and asserts its name appears in the clear function's source, so
+    adding a cache without registering it fails loudly here."""
+    import inspect
+
+    import bench
+    from dataforge_core_spark.operators import (
+        dedup,
+        engine_rows,
+        events,
+        multimodal,
+        nested,
+        similarity,
+        simhash,
+        sketches,
+        streaming_rows,
+        text,
+        training,
+    )
+
+    src = inspect.getsource(bench._clear_operator_caches)
+    missing = []
+    mods = [
+        dedup, engine_rows, events, multimodal, nested, similarity,
+        simhash, sketches, streaming_rows, text, training,
+    ]
+    for mod in mods:
+        for name, val in vars(mod).items():
+            if name.endswith("_cache") and isinstance(val, dict):
+                if f"{mod.__name__.rsplit('.', 1)[-1]}.{name}" not in src:
+                    missing.append(f"{mod.__name__}.{name}")
+    # the entry module's hub cache is cleared as entry._hub_cache
+    import __spark_entry__ as entry
+
+    if "_hub_cache" not in src or not hasattr(entry, "_hub_cache"):
+        missing.append("__spark_entry__._hub_cache")
+    assert not missing, (
+        "caches unknown to bench._clear_operator_caches: " + ", ".join(missing)
+    )

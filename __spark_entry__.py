@@ -210,7 +210,12 @@ Coverage map (SURVEY.md §2 -> query):
                                 gate over the stored bigram model),
                                 sketch_kmv_setops (theta set algebra
                                 across source pairs from K-row
-                                sketches alone)
+                                sketches alone),
+                                sketch_intersection_eval (theta vs
+                                HLL inclusion-exclusion intersection
+                                shoot-out from stored sketches),
+                                ann_mrl_rerank (two-stage Matryoshka
+                                retrieval eval, c_short dial)
 """
 
 from __future__ import annotations

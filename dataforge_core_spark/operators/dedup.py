@@ -809,13 +809,14 @@ def _near_dedup_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
 
 def dedup_index_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew observability across the four bucketed pair/probe indexes —
+    """Skew observability across the five bucketed pair/probe indexes —
     the MEASUREMENT companion of the salting/cap guards: per index
     (minhash bands, simhash bands, embedding hyperplane buckets, IVF
-    cells) the bucket count, row count, worst bucket and the number of
-    buckets over that index's cap (what the guard would salt/cap).  At
-    100 TB this is the report an operator reads BEFORE a dedup run to
-    see whether the quadratic-within-bucket work is bounded; all four
+    cells, phash image bands) the bucket count, row count, worst
+    bucket and the number of buckets over that index's cap (what the
+    guard would salt/cap).  At 100 TB this is the report an operator
+    reads BEFORE a dedup run to see whether the
+    quadratic-within-bucket work is bounded; all five
     distributions come from the already-checkpointed index relations
     (the minhash band fan-out is one aggregate over the persisted
     shingle-signature base), each a constant-per-bucket-cardinality
@@ -908,7 +909,7 @@ def _index_skew_oracle() -> str:
     )
     pbands = (
         f"SELECT CAST(i AS VARCHAR) || ':' || CAST("
-        f"(phash >> {MM._PHASH_BAND_BITS} * i) & {MM._PHASH_BAND_MASK}"
+        f"(phash >> ({MM._PHASH_BAND_BITS} * i)) & {MM._PHASH_BAND_MASK}"
         f" AS VARCHAR) AS bucket"
         f" FROM h, unnest(generate_series(0, {MM.PHASH_BANDS - 1}))"
         f" AS pu(i)"

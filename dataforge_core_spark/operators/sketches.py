@@ -596,25 +596,47 @@ def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _kmv_setops_sql(dialect: str, toks_src: str | None = None) -> str:
+def _theta_msk_ctes(idiv: str) -> str:
+    """msk + theta-intersection estimate off the merged pair sketch —
+    ONE definition shared by the set-algebra and shoot-out lanes (the
+    union estimator CASE and the overflow-free floor decomposition
+    floor(u*i/n) = (u DIV n)*i + ((u%n)*i) DIV n live only here)."""
     k = KMV_K
-    idiv = "DIV" if dialect == "spark" else "//"
-    toks = toks_src or _toks_cte(dialect)
-    mat = "MATERIALIZED " if dialect == "duck" else ""
     est_u = (
         f"CASE WHEN m_n < {k} THEN m_n "
         f"ELSE CAST(({k - 1} * {_HSPACE}) {idiv} GREATEST(h_k, 1) "
         f"AS BIGINT) END"
     )
+    theta_i = (
+        f"(est_union {idiv} m_n) * m_inter"
+        f" + ((est_union % m_n) * m_inter) {idiv} m_n"
+    )
+    return f"""msk AS (
+  SELECT sa, sb,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS m_inter,
+         CAST(COUNT(*) AS BIGINT) AS m_n,
+         MAX(h) AS h_k
+  FROM m WHERE rn <= {k} GROUP BY sa, sb
+),
+msk_u AS (
+  SELECT sa, sb, m_inter, m_n, CAST({est_u} AS BIGINT) AS est_union
+  FROM msk
+),
+theta AS (
+  SELECT sa, sb, est_union, CAST({theta_i} AS BIGINT) AS est_inter
+  FROM msk_u
+)"""
+
+
+def _kmv_setops_sql(dialect: str, toks_src: str | None = None) -> str:
+    k = KMV_K
+    idiv = "DIV" if dialect == "spark" else "//"
+    toks = toks_src or _toks_cte(dialect)
+    mat = "MATERIALIZED " if dialect == "duck" else ""
     est_s = (
         f"CASE WHEN n_kept < {k} THEN n_kept "
         f"ELSE CAST(({k - 1} * {_HSPACE}) {idiv} GREATEST(h_k, 1) "
         f"AS BIGINT) END"
-    )
-    # floor(est_union * m_inter / m_n), overflow-free (see header)
-    est_i = (
-        f"(est_union {idiv} m_n) * m_inter"
-        f" + ((est_union % m_n) * m_inter) {idiv} m_n"
     )
     return f"""
 WITH toks AS {mat}({toks}),
@@ -623,28 +645,15 @@ per_source AS {mat}(
   SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(h) AS h_k
   FROM bk GROUP BY source
 ),
-msk AS (
-  SELECT sa, sb,
-         CAST(SUM(in_a * in_b) AS BIGINT) AS m_inter,
-         CAST(COUNT(*) AS BIGINT) AS m_n,
-         MAX(h) AS h_k
-  FROM m WHERE rn <= {k} GROUP BY sa, sb
-),
-ests AS (
-  SELECT s.sa, s.sb, s.m_inter, s.m_n,
-         CAST({est_u} AS BIGINT) AS est_union,
-         ea.est_s AS est_a, eb.est_s AS est_b
-  FROM msk s
-  JOIN (SELECT source, CAST({est_s} AS BIGINT) AS est_s
-        FROM per_source) ea ON ea.source = s.sa
-  JOIN (SELECT source, CAST({est_s} AS BIGINT) AS est_s
-        FROM per_source) eb ON eb.source = s.sb
-),
+{_theta_msk_ctes(idiv)},
 algebra AS (
-  SELECT sa, sb, est_union,
-         CAST({est_i} AS BIGINT) AS est_inter,
-         est_a, est_b
-  FROM ests
+  SELECT t.sa, t.sb, t.est_union, t.est_inter,
+         ea.est_s AS est_a, eb.est_s AS est_b
+  FROM theta t
+  JOIN (SELECT source, CAST({est_s} AS BIGINT) AS est_s
+        FROM per_source) ea ON ea.source = t.sa
+  JOIN (SELECT source, CAST({est_s} AS BIGINT) AS est_s
+        FROM per_source) eb ON eb.source = t.sb
 ),
 {_kmv_exact_pair_ctes()},
 exact AS (
@@ -699,7 +708,6 @@ def _inter_eval_sql(
     toks_src: str | None = None,
     regs_src: str | None = None,
 ) -> str:
-    k = KMV_K
     idiv = "DIV" if dialect == "spark" else "//"
     toks = toks_src or _toks_cte(dialect)
     mat = "MATERIALIZED " if dialect == "duck" else ""
@@ -707,37 +715,16 @@ def _inter_eval_sql(
     pw = _hll_pw_expr(dialect)
     est = _hll_est_expr(dialect)
     rho = _hll_rho_expr(dialect)
-    w = "DIV" if dialect == "spark" else "//"
     regs_body = regs_src or f"""
   SELECT source, bucket, MAX(r) AS r FROM (
-    SELECT source, h {w} {_HLL_W} AS bucket, {rho} AS r
+    SELECT source, h {idiv} {_HLL_W} AS bucket, {rho} AS r
     FROM (SELECT source, h, h % {_HLL_W} AS w FROM toks) t
   ) rho GROUP BY source, bucket
 """
-    est_u = (
-        f"CASE WHEN m_n < {k} THEN m_n "
-        f"ELSE CAST(({k - 1} * {_HSPACE}) {idiv} GREATEST(h_k, 1) "
-        f"AS BIGINT) END"
-    )
-    theta_i = (
-        f"(est_union {idiv} m_n) * m_inter"
-        f" + ((est_union % m_n) * m_inter) {idiv} m_n"
-    )
     return f"""
 WITH toks AS {mat}({toks}),
 {_kmv_pair_merge_ctes(dialect)},
-msk AS (
-  SELECT sa, sb,
-         CAST(SUM(in_a * in_b) AS BIGINT) AS m_inter,
-         CAST(COUNT(*) AS BIGINT) AS m_n,
-         MAX(h) AS h_k
-  FROM m WHERE rn <= {k} GROUP BY sa, sb
-),
-theta AS (
-  SELECT sa, sb, CAST({theta_i} AS BIGINT) AS est_theta
-  FROM (SELECT sa, sb, m_inter, m_n,
-               CAST({est_u} AS BIGINT) AS est_union FROM msk) t
-),
+{_theta_msk_ctes(idiv)},
 regs AS {mat}({regs_body}),
 s_scoped AS (
   SELECT source, v_zero, sints, {_hll_qrem_cols(dialect)}
@@ -784,8 +771,8 @@ exact AS (
   FROM pairs p LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb
 )
 SELECT e.sa, e.sb, e.n_inter,
-       t.est_theta,
-       CAST((1000000 * ABS(t.est_theta - e.n_inter))
+       t.est_inter AS est_theta,
+       CAST((1000000 * ABS(t.est_inter - e.n_inter))
             {idiv} GREATEST(e.n_inter, 1) AS BIGINT) AS err_theta_ppm,
        h.est_hll_ie,
        CAST((1000000 * ABS(h.est_hll_ie - e.n_inter))

@@ -1023,7 +1023,7 @@ def _phash_gate_oracle() -> str:
 WITH {_phash_h_ctes()},
 bands AS MATERIALIZED (
   SELECT doc_id, phash, i AS bno,
-         (phash >> {_PHASH_BAND_BITS} * i) & {_PHASH_BAND_MASK} AS blk
+         (phash >> ({_PHASH_BAND_BITS} * i)) & {_PHASH_BAND_MASK} AS blk
   FROM h, unnest(generate_series(0, {PHASH_BANDS - 1})) AS u(i)
 ),
 corpb AS MATERIALIZED (

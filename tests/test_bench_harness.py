@@ -81,29 +81,22 @@ def test_every_operator_cache_is_cleared_by_bench():
     enumerates every dict named *_cache in the operator/entry modules
     and asserts its name appears in the clear function's source, so
     adding a cache without registering it fails loudly here."""
+    import importlib
     import inspect
+    import pkgutil
 
     import bench
-    from dataforge_core_spark.operators import (
-        dedup,
-        engine_rows,
-        events,
-        multimodal,
-        nested,
-        similarity,
-        simhash,
-        sketches,
-        streaming_rows,
-        text,
-        training,
-    )
+    from dataforge_core_spark import operators
 
     src = inspect.getsource(bench._clear_operator_caches)
     missing = []
+    # enumerate the PACKAGE, not a hardcoded module list — a cache in
+    # a brand-new operator module must not escape the guard
     mods = [
-        dedup, engine_rows, events, multimodal, nested, similarity,
-        simhash, sketches, streaming_rows, text, training,
+        importlib.import_module(f"dataforge_core_spark.operators.{m.name}")
+        for m in pkgutil.iter_modules(operators.__path__)
     ]
+    assert len(mods) >= 11, "operator package enumeration looks broken"
     for mod in mods:
         for name, val in vars(mod).items():
             if name.endswith("_cache") and isinstance(val, dict):

@@ -189,11 +189,10 @@ def test_kmv_setops_match_python_ledger(spark):  # noqa: F811
         for sb in sorted(uni):
             if sa >= sb:
                 continue
-            merged = sorted(set(bots[sa]) | set(bots[sb]))[:k]
+            sa_set, sb_set = set(bots[sa]), set(bots[sb])
+            merged = sorted(sa_set | sb_set)[:k]
             m_n = len(merged)
-            m_inter = sum(
-                1 for h in merged if h in set(bots[sa]) and h in set(bots[sb])
-            )
+            m_inter = sum(1 for h in merged if h in sa_set and h in sb_set)
             est_u = est(m_n, merged[-1] if merged else 0)
             est_i = (est_u // m_n) * m_inter + ((est_u % m_n) * m_inter) // m_n
             est_a = est(len(bots[sa]), bots[sa][-1])

@@ -215,7 +215,10 @@ Coverage map (SURVEY.md §2 -> query):
                                 HLL inclusion-exclusion intersection
                                 shoot-out from stored sketches),
                                 ann_mrl_rerank (two-stage Matryoshka
-                                retrieval eval, c_short dial)
+                                retrieval eval, c_short dial),
+                                multimodal_phash_clusters (image dup
+                                clusters: hash-space CC over the
+                                banded phash graph)
 """
 
 from __future__ import annotations

@@ -206,6 +206,9 @@ def _clear_operator_caches(spark) -> None:
     for _name, df in multimodal._phash_probe_cache.values():
         free_local_checkpoint(df)
     multimodal._phash_probe_cache.clear()
+    for df in multimodal._phash_clusters_cache.values():
+        free_local_checkpoint(df)
+    multimodal._phash_clusters_cache.clear()
     for _name, df in sketches._toks_cache.values():
         free_local_checkpoint(df)
     sketches._toks_cache.clear()
@@ -360,6 +363,14 @@ def _index_builders():
         (
             "phash_probe_index",
             lambda s: multimodal._phash_probe_index(s, SF_DIR),
+        ),
+        # the image dup-cluster labels (CC over the phash pair graph,
+        # cached in dedup._labels_cache like the text/embedding labels)
+        (
+            "phash_cluster_labels",
+            lambda s: multimodal.multimodal_phash_clusters(
+                s, SF_DIR
+            ).count(),
         ),
         # the BPE merge-train loop (its lane then serves literal rows)
         (

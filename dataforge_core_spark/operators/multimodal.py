@@ -1142,11 +1142,10 @@ def _phash_blocks_expr() -> str:
     )
 
 
-def _phash_neardup_body(dialect: str, src: str, cap: int) -> str:
-    """Shared band/salt/join/aggregate SQL over any (doc_id, phash)
-    relation ``src`` — the Spark lane passes the checkpointed hash
-    view, the DuckDB oracle the recomputed ``h`` CTE, and the
-    constructive test a planted literal table."""
+def _phash_pairs_ctes(dialect: str, src: str, cap: int) -> str:
+    """bands/heavy/salted/pairs — the banded + salted + verified pair
+    generation over any (doc_id, phash) relation ``src``, shared by
+    the per-image report and the cluster lane."""
     if dialect == "spark":
         band = (
             f"SELECT doc_id, phash,"
@@ -1162,8 +1161,7 @@ def _phash_neardup_body(dialect: str, src: str, cap: int) -> str:
             for i in range(PHASH_BANDS)
         )
         ham = "CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER)"
-    return f"""
-bands AS ({band}),
+    return f"""bands AS ({band}),
 heavy AS (
   SELECT bno, blk,
          CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / {cap}) AS BIGINT) AS nsalt
@@ -1181,7 +1179,16 @@ pairs AS (
     ON a.bno = b.bno AND a.blk = b.blk AND a.salt = b.salt
        AND a.doc_id < b.doc_id
   WHERE {ham} <= {PHASH_HAMMING_MAX}
-),
+)"""
+
+
+def _phash_neardup_body(dialect: str, src: str, cap: int) -> str:
+    """Shared band/salt/join/aggregate SQL over any (doc_id, phash)
+    relation ``src`` — the Spark lane passes the checkpointed hash
+    view, the DuckDB oracle the recomputed ``h`` CTE, and the
+    constructive test a planted literal table."""
+    return f"""
+{_phash_pairs_ctes(dialect, src, cap)},
 sym AS (
   SELECT doc_a AS doc_id, doc_b AS nb, hamming FROM pairs
   UNION ALL
@@ -1261,6 +1268,91 @@ def _phash_neardup_oracle(max_bucket: int | None = None) -> str:
     return f"""
 WITH {_phash_h_ctes()},
 {_phash_neardup_body('duck', 'h', cap)}
+"""
+
+
+_phash_clusters_cache: dict = {}
+
+
+def multimodal_phash_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Image duplicate CLUSTERS: connected components over the phash
+    near-dup graph, run in HASH SPACE — identical images (same 56-bit
+    hash) collapse to one node BEFORE the CC, so the propagation works
+    on distinct hashes, not documents (this corpus has ~138k exact-dup
+    doc pairs at sf0.1 that would otherwise all be CC edges; the
+    hash-level graph is ~30x smaller and the design holds at 100 TB,
+    where exact-dup multiplicity only grows).  Same min-label
+    machinery as the text/embedding cluster lanes; cluster_id = min
+    doc_id over the component's documents, singletons map to
+    themselves.  Hash-level banding reuses _phash_pairs_ctes with the
+    hash value as the node id (the salt guard keys on it
+    deterministically).  Labels cached per (session, sf)."""
+    from pyspark.sql import functions as F
+
+    from dataforge_core_spark.operators.dedup import _cc_min_label
+    from dataforge_core_spark.session import session_key
+
+    key = (session_key(spark), sf_dir)
+    if key not in _phash_clusters_cache:
+        view = f"phash_cl_{abs(hash(key)) % 10**8}"
+        _phash_df(spark, sf_dir).createOrReplaceTempView(view)
+        hsrc = (
+            f"(SELECT DISTINCT phash AS doc_id, phash FROM {view})"
+        )
+        pairs = spark.sql(
+            f"WITH {_phash_pairs_ctes('spark', hsrc, MAX_PHASH_BUCKET)}"
+            " SELECT doc_a, doc_b FROM pairs"
+        )
+        labels = _cc_min_label(pairs)[0]
+        docs = _phash_df(spark, sf_dir)
+        # hash -> component root (min hash), then min doc_id per root;
+        # the finished doc-level frame is the cached artifact (the
+        # rooted relation is referenced twice below)
+        rooted = docs.join(
+            labels, docs.phash == labels.doc_id, "left"
+        ).select(
+            docs.doc_id.alias("d"),
+            F.coalesce("cluster_id", docs.phash).alias("root"),
+        )
+        out = (
+            rooted.join(
+                rooted.groupBy("root").agg(
+                    F.min("d").alias("cluster_id")
+                ),
+                "root",
+            )
+            .select(F.col("d").alias("doc_id"), "cluster_id")
+            .localCheckpoint(eager=True)
+        )
+        _phash_clusters_cache[key] = out
+    return _phash_clusters_cache[key]
+
+
+def _phash_clusters_oracle() -> str:
+    hsrc = "(SELECT DISTINCT phash AS doc_id, phash FROM h)"
+    return f"""
+WITH RECURSIVE {_phash_h_ctes()},
+{_phash_pairs_ctes('duck', hsrc, MAX_PHASH_BUCKET)},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT DISTINCT phash AS node, phash AS lab FROM h
+  UNION
+  SELECT e.b AS node, r.lab FROM reach r JOIN edges e ON e.a = r.node
+),
+hroot AS (SELECT node, MIN(lab) AS root FROM reach GROUP BY node),
+rooted AS (
+  SELECT d.doc_id AS d, r.root FROM h d JOIN hroot r ON d.phash = r.node
+)
+SELECT a.d AS doc_id, m.cluster_id
+FROM rooted a
+JOIN (SELECT root, MIN(d) AS cluster_id FROM rooted GROUP BY root) m
+  ON m.root = a.root
 """
 
 
@@ -1351,6 +1443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "multimodal_phash": multimodal_phash,
         "multimodal_phash_neardup": multimodal_phash_neardup,
+        "multimodal_phash_clusters": multimodal_phash_clusters,
         "multimodal_aspect_buckets": multimodal_aspect_buckets,
         "multimodal_audio_vad": multimodal_audio_vad,
         "multimodal_patches": multimodal_patches,
@@ -1366,6 +1459,7 @@ def oracles() -> dict[str, str]:
     return {
         "multimodal_phash": _PHASH_ORACLE,
         "multimodal_phash_neardup": _phash_neardup_oracle(),
+        "multimodal_phash_clusters": _phash_clusters_oracle(),
         "multimodal_aspect_buckets": _ASPECT_ORACLE,
         "multimodal_audio_vad": _AUDIO_VAD_ORACLE,
         "multimodal_patches": _PATCHES_ORACLE,

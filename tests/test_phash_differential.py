@@ -176,3 +176,63 @@ def test_stream_phash_gate_matches_python_reference(spark):
     # is exercised by the planted-hash constructive test instead; here
     # we only require the gate to have actually classified something
     assert expect and "exact_dup" in expect.values()
+
+
+def test_phash_clusters_match_python_reference(spark):
+    """HASH-SPACE connected components re-derived with a pure-Python
+    union-find: distinct hashes are the nodes (exact dups collapse
+    before the CC, exactly as the lane does), banded+salted+verified
+    pairs are the edges, and each image's cluster_id must be the min
+    doc_id among the documents of its hash component."""
+    from dataforge_core_spark.operators import multimodal as M
+
+    docs = [
+        r.doc_id
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id").collect()
+    ]
+    hashes = {
+        d: _py_phash(d, M.PATCH_IMG, M.PHASH_GRID, M._PHASH_BLOCK)
+        for d in docs
+    }
+    nodes = sorted(set(hashes.values()))
+    parent = {h: h for h in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    mask = (1 << M._PHASH_BAND_BITS) - 1
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for h in nodes:
+        for b in range(M.PHASH_BANDS):
+            buckets.setdefault(
+                (b, (h >> (M._PHASH_BAND_BITS * b)) & mask), []
+            ).append(h)
+    for members in buckets.values():
+        nsalt = (
+            -(-len(members) // M.MAX_PHASH_BUCKET)
+            if len(members) > M.MAX_PHASH_BUCKET else 1
+        )
+        for i, a in enumerate(members):
+            for b in members[i + 1:]:
+                lo, hi = min(a, b), max(a, b)
+                if lo % nsalt != hi % nsalt:
+                    continue
+                if bin(lo ^ hi).count("1") <= M.PHASH_HAMMING_MAX:
+                    ra, rb = find(lo), find(hi)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    root_min_doc: dict[int, int] = {}
+    for d, h in hashes.items():
+        r = find(h)
+        root_min_doc[r] = min(root_min_doc.get(r, d), d)
+    expect = {d: root_min_doc[find(h)] for d, h in hashes.items()}
+    got = {
+        r.doc_id: r.cluster_id
+        for r in M.multimodal_phash_clusters(spark, SF).collect()
+    }
+    assert got == expect
+    assert len(set(expect.values())) < len(docs), "no clustering happened"

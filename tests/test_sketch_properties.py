@@ -276,3 +276,25 @@ def test_intersection_eval_referees(spark, sf_dir):
         assert e_union >= max(hll[r.sa], hll[r.sb]) - 1, (
             "register-MAX union estimate below a single side"
         )
+
+
+from hypothesis import given, strategies as st
+
+
+@given(
+    u=st.integers(min_value=0, max_value=(63 * (1 << 56))),
+    i=st.integers(min_value=0, max_value=64),
+    n=st.integers(min_value=1, max_value=64),
+)
+def test_theta_floor_decomposition_identity(u, i, n):
+    """The overflow-free intersection product used by _theta_msk_ctes:
+    (u // n) * i + ((u % n) * i) // n == (u * i) // n for every u up to
+    the KMV estimator's ceiling and every 0 <= i <= n <= K — the
+    identity that lets the SQL stay in int64 where the naive u*i
+    product would overflow."""
+    if i > n:
+        i = n  # m_inter <= m_n by construction
+    assert (u // n) * i + ((u % n) * i) // n == (u * i) // n
+    # and the int64 ledger holds at the extremes
+    assert (u // n) * i <= (1 << 63) - 1
+    assert (u % n) * i < 64 * 64

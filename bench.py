@@ -365,7 +365,7 @@ def _index_builders():
             lambda s: multimodal._phash_probe_index(s, SF_DIR),
         ),
         # the image dup-cluster labels (CC over the phash pair graph,
-        # cached in dedup._labels_cache like the text/embedding labels)
+        # cached in multimodal._phash_clusters_cache)
         (
             "phash_cluster_labels",
             lambda s: multimodal.multimodal_phash_clusters(

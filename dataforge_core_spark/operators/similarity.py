@@ -3683,7 +3683,8 @@ SELECT * FROM trained_topk
 
 def ann_pq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantization-loss eval: raw vs residual IVF-PQ recall@K against
-    the exact in-cell ranking (2 rows per query).
+    the exact in-cell ranking (3 rows per query: raw, residual,
+    residual_trained).
 
     Honest driver-testdata reading, measured at sf0.01: raw 0.39,
     untrained residual 0.35, TRAINED residual 0.45 mean recall.  The

@@ -669,6 +669,14 @@ exact AS (
 )
 SELECT e.sa, e.sb,
        e.n_union, g.est_union,
+       -- ppm ledger bound: 1e6*ABS(est-exact) stays in int64 while
+       -- est < 2^63/1e6 ~ 9.22e12.  est_union = 63*2^56/h_k exceeds
+       -- that only when h_k < ~4.9e5, and the Kth-smallest of n
+       -- uniform hashes over [0, 2^56) sits near K*2^56/n, so h_k
+       -- that small needs ~9e12 DISTINCT shingles — i.e. the estimate
+       -- itself would have to be >9 trillion before the pre-division
+       -- scaling could overflow.  Unreachable; recorded so the int64
+       -- ledger invariant is explicit rather than implied.
        CAST((1000000 * ABS(g.est_union - e.n_union)) {idiv} e.n_union
             AS BIGINT) AS err_union_ppm,
        e.n_inter, g.est_inter,

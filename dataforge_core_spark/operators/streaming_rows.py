@@ -1059,7 +1059,14 @@ def stream_ppl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary fallback — all exact quantized-log integers) and gated
     at the stored threshold.  The only stateful operator is the final
     per-doc aggregate.  Model-based sibling of the rule-based
-    stream_corpus_ingest gate."""
+    stream_corpus_ingest gate.
+
+    Gate policy note: documents with fewer than 2 tokens produce no
+    bigrams and are filtered BEFORE the explode, so they emit no row at
+    all — the gate neither keeps nor drops them (a deployment wraps
+    this with an explicit ungated-passthrough channel if short docs
+    must be classified).  The oracle mirrors the same exclusion, so
+    parity covers exactly the gated population."""
     from dataforge_core_spark.operators.dedup import INCR_MOD, INCR_NEW_GE
     from dataforge_core_spark.operators.text import _ppl_model, _SPARK_TOK
     from dataforge_core_spark.streaming import stream_documents

@@ -419,6 +419,34 @@ def queries_parameterized() -> dict[str, dict]:
                 S._ivf_search_oracle(nprobe=nprobe, top_k=top_k)
             ),
         },
+        # The IVF-PQ family's dials (r11 verdict #4): nprobe is the
+        # query-time recall dial on all three flavors; pq_m (subspace
+        # count — the compression/accuracy dial the 0.35-vs-0.45
+        # recall spread is tuned with) re-encodes inline off-default
+        # on raw/residual; the TRAINED codebook's m is fixed at train
+        # time (a stored-index property, like FAISS), so the trained
+        # lane exposes nprobe only.
+        "ann_ivf_pq": {
+            "fn": S.ann_ivf_pq,
+            "params": {"nprobe": 1, "pq_m": S.PQ_M},
+            "oracle_sql": lambda nprobe=1, pq_m=S.PQ_M: (
+                S._ivf_pq_oracle(nprobe=nprobe, pq_m=pq_m)
+            ),
+        },
+        "ann_ivf_pq_residual": {
+            "fn": S.ann_ivf_pq_residual,
+            "params": {"nprobe": 1, "pq_m": S.PQ_M},
+            "oracle_sql": lambda nprobe=1, pq_m=S.PQ_M: (
+                S._ivf_pq_residual_oracle(nprobe=nprobe, pq_m=pq_m)
+            ),
+        },
+        "ann_ivf_pq_trained": {
+            "fn": S.ann_ivf_pq_trained,
+            "params": {"nprobe": 1},
+            "oracle_sql": lambda nprobe=1: (
+                S._ivf_pq_trained_oracle(nprobe=nprobe)
+            ),
+        },
         "ann_semantic_decontaminate": {
             "fn": S.ann_semantic_decontaminate,
             "params": {

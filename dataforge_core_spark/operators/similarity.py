@@ -2890,15 +2890,24 @@ PQ_K = 16  # codewords per subspace
 _PQ_SUBDIM = DIM // PQ_M
 
 
-def _pq_dist(dialect: str, a: str, c: str, m: str) -> str:
+def _pq_subdim(pq_m: int) -> int:
+    """Subvector width for a pq_m-subspace layout; validates the dial
+    (pq_m must divide DIM so subspaces tile the vector exactly)."""
+    if pq_m < 1 or DIM % pq_m != 0:
+        raise ValueError(f"pq_m must divide DIM={DIM}, got {pq_m}")
+    return DIM // pq_m
+
+
+def _pq_dist(dialect: str, a: str, c: str, m: str, pq_m: int = PQ_M) -> str:
     """Unrolled squared L2 between subvectors m of ``a`` and ``c``."""
     off = 0 if dialect == "spark" else 1
+    subdim = _pq_subdim(pq_m)
     terms = [
-        f"(({a}[{m} * {_PQ_SUBDIM} + {i + off}]"
-        f" - {c}[{m} * {_PQ_SUBDIM} + {i + off}])"
-        f" * ({a}[{m} * {_PQ_SUBDIM} + {i + off}]"
-        f" - {c}[{m} * {_PQ_SUBDIM} + {i + off}]))"
-        for i in range(_PQ_SUBDIM)
+        f"(({a}[{m} * {subdim} + {i + off}]"
+        f" - {c}[{m} * {subdim} + {i + off}])"
+        f" * ({a}[{m} * {subdim} + {i + off}]"
+        f" - {c}[{m} * {subdim} + {i + off}]))"
+        for i in range(subdim)
     ]
     while len(terms) > 1:
         terms = [
@@ -2909,15 +2918,15 @@ def _pq_dist(dialect: str, a: str, c: str, m: str) -> str:
     return terms[0]
 
 
-def _pq_codes_ctes(dialect: str, v: str) -> str:
+def _pq_codes_ctes(dialect: str, v: str, pq_m: int = PQ_M) -> str:
     """The shared ``cb`` / ``sub`` / ``codes`` CTE chain: per-subspace
     squared-L2 argmin of every vector's subvectors over the codebook.
     ``codes`` has raw (vec_id, m, code) — callers cast for output."""
-    dist = _pq_dist(dialect, "s.emb", "cb.cemb", "s.m")
+    dist = _pq_dist(dialect, "s.emb", "cb.cemb", "s.m", pq_m)
     enum = (
-        f"explode(sequence(0, {PQ_M - 1}))"
+        f"explode(sequence(0, {pq_m - 1}))"
         if dialect == "spark"
-        else f"unnest(generate_series(0, {PQ_M - 1}))"
+        else f"unnest(generate_series(0, {pq_m - 1}))"
     )
     return f"""cb AS (
   SELECT vec_id AS code, emb AS cemb FROM {v} WHERE vec_id < {PQ_K}
@@ -3027,9 +3036,9 @@ FROM codes
 # ---------------------------------------------------------------------------
 
 
-def _pq_adc_tree() -> str:
-    """Fixed balanced-tree sum of the PQ_M pivoted partials."""
-    terms = [f"s{i}" for i in range(PQ_M)]
+def _pq_adc_tree(pq_m: int = PQ_M) -> str:
+    """Fixed balanced-tree sum of the pq_m pivoted partials."""
+    terms = [f"s{i}" for i in range(pq_m)]
     while len(terms) > 1:
         terms = [
             f"({terms[i]} + {terms[i + 1]})"
@@ -3077,26 +3086,89 @@ FROM (
 ) t WHERE rank <= {TOP_K}"""
 
 
-def _ivf_pq_body(dialect: str, af: str) -> str:
-    """Shared post-``codes`` SQL for IVF+ADC: probe the query's cell,
-    then score ONLY that cell's candidates by ADC lookups."""
-    qdist = _pq_dist(dialect, "q.qemb", "cb.cemb", "mm.m")
+def _probe_cte(
+    dialect: str,
+    af: str,
+    cv: str | None,
+    nprobe: int,
+    probe_sql: str | None,
+) -> str:
+    """``qp(query_id, cid)`` — the probed (query, cell) pairs shared by
+    every IVF-PQ flavor.  nprobe=1 reads the assignment column (a
+    vector's nearest centroid IS its cell, the same short-circuit
+    ann_ivf_search uses); nprobe>1 takes the caller-supplied literal
+    probe projection on Spark (``probe_sql``, built from the
+    driver-side centroids — no join) and the rn<=nprobe cross-join
+    form on DuckDB (mirroring _ivf_search_oracle's qp)."""
+    if nprobe == 1:
+        return f"""qp AS (
+  SELECT vec_id AS query_id, cid FROM {af} WHERE vec_id < {N_QUERIES}
+)"""
+    if dialect == "spark":
+        if probe_sql is None:
+            raise ValueError("spark nprobe>1 needs probe_sql")
+        return f"qp AS ({probe_sql})"
+    if cv is None:
+        raise ValueError("duck nprobe>1 needs the centroid relation")
+    qdot = _unrolled_dot("a.emb", "c.emb", "duck")
+    return f"""qp AS (
+  SELECT query_id, cid FROM (
+    SELECT a.vec_id AS query_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                ORDER BY (c.cc - (2 * ({qdot}))) ASC, c.cid) AS rn
+    FROM (SELECT * FROM {af} WHERE vec_id < {N_QUERIES}) a
+    CROSS JOIN {cv} c
+  ) t WHERE rn <= {nprobe}
+)"""
+
+
+def _spark_probe_sql(
+    spark: SparkSession, sf_dir: str, af: str, nprobe: int
+) -> str:
+    """Spark-side qp(query_id, cid) at nprobe>1: the sorted-centroid
+    literal projection (_probe_sorted_expr) + explode of the first
+    nprobe cells — no join, no BroadcastNestedLoopJoin."""
+    sa = _probe_sorted_expr(_kmeans_centroids(spark, sf_dir), "emb")
+    picks = ", ".join(f"__sa[{j}].c" for j in range(nprobe))
+    return f"""
+  SELECT vec_id AS query_id, pcid AS cid FROM (
+    SELECT vec_id, {sa} AS __sa FROM {af} WHERE vec_id < {N_QUERIES}
+  ) t LATERAL VIEW explode(array({picks})) p AS pcid"""
+
+
+def _ivf_pq_body(
+    dialect: str,
+    af: str,
+    cv: str | None = None,
+    nprobe: int = 1,
+    pq_m: int = PQ_M,
+    probe_sql: str | None = None,
+) -> str:
+    """Shared post-``codes`` SQL for IVF+ADC: probe the query's
+    ``nprobe`` nearest cells, then score ONLY those cells' candidates
+    by ADC lookups.  The LUT is probe-independent (raw-PQ codewords
+    are global, not cell-relative), so nprobe only widens ``cand``; a
+    corpus vector lives in exactly one cell, so probing distinct cells
+    cannot duplicate candidates.  ``nprobe``/``pq_m`` are the
+    driver-visible dials (queries_parameterized)."""
+    qdist = _pq_dist(dialect, "q.qemb", "cb.cemb", "mm.m", pq_m)
     enum = (
-        f"explode(sequence(0, {PQ_M - 1}))"
+        f"explode(sequence(0, {pq_m - 1}))"
         if dialect == "spark"
-        else f"unnest(generate_series(0, {PQ_M - 1}))"
+        else f"unnest(generate_series(0, {pq_m - 1}))"
     )
     pivots = ",\n         ".join(
         f"MAX(CASE WHEN co.m = {i} THEN l.d END) AS s{i}"
-        for i in range(PQ_M)
+        for i in range(pq_m)
     )
     hint_q = "/*+ BROADCAST(q) */ " if dialect == "spark" else ""
     hint_l = "/*+ BROADCAST(ca, l) */ " if dialect == "spark" else ""
     int_t = "INT" if dialect == "spark" else "INTEGER"
     return f"""qs AS (
-  SELECT vec_id AS query_id, emb AS qemb, cid FROM {af}
+  SELECT vec_id AS query_id, emb AS qemb FROM {af}
   WHERE vec_id < {N_QUERIES}
 ),
+{_probe_cte(dialect, af, cv, nprobe, probe_sql)},
 mm AS (SELECT {enum} AS m),
 lut AS (
   SELECT q.query_id, mm.m, cb.code, ({qdist}) AS d
@@ -3104,7 +3176,7 @@ lut AS (
 ),
 cand AS (
   SELECT {hint_q}q.query_id, c.vec_id
-  FROM qs q JOIN {af} c
+  FROM qp q JOIN {af} c
     ON q.cid = c.cid AND c.cellrn <= {IVF_CELL_CAP}
    AND c.vec_id <> q.query_id
 ),
@@ -3121,36 +3193,64 @@ SELECT query_id, CAST(rank AS {int_t}) AS rank, vec_id AS neighbor_id
 FROM (
   SELECT query_id, vec_id,
          ROW_NUMBER() OVER (PARTITION BY query_id
-              ORDER BY ({_pq_adc_tree()}) ASC, vec_id) AS rank
+              ORDER BY ({_pq_adc_tree(pq_m)}) ASC, vec_id) AS rank
   FROM adc
 ) t WHERE rank <= {TOP_K}"""
 
 
-def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full IVF-PQ query path: coarse-probe the k-means cell, then rank
-    the cell's candidates by PQ asymmetric distance — neither a raw
-    vector scan nor an all-cells ADC.  This is the billion-scale ANN
-    architecture end to end: the coarse quantizer bounds the candidate
-    set (cellrn cap guards skewed cells), the PQ codes bound the bytes
-    read per candidate, and the only per-query work is a broadcast-LUT
-    hash join over one cell's codes."""
+def ann_ivf_pq(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = 1,
+    pq_m: int = PQ_M,
+) -> DataFrame:
+    """Full IVF-PQ query path: coarse-probe the query's ``nprobe``
+    nearest k-means cells, then rank those cells' candidates by PQ
+    asymmetric distance — neither a raw vector scan nor an all-cells
+    ADC.  This is the billion-scale ANN architecture end to end: the
+    coarse quantizer bounds the candidate set (cellrn cap guards
+    skewed cells), the PQ codes bound the bytes read per candidate,
+    and the only per-query work is a broadcast-LUT hash join over the
+    probed cells' codes.
+
+    ``nprobe`` (recall dial) and ``pq_m`` (subspace count —
+    compression-vs-accuracy dial) are driver-visible through
+    queries_parameterized.  At the default ``pq_m`` the codes come
+    from the STORED code table (a production index never re-encodes
+    at query time); an off-default ``pq_m`` re-encodes inline, which
+    is the value-check path for the dial, not a deployment shape — a
+    deployment re-builds the stored index at the new m."""
+    if nprobe < 1 or nprobe > KMEANS_K:
+        raise ValueError(f"nprobe must be in [1, {KMEANS_K}]")
+    _pq_subdim(pq_m)
     v = _normed(spark, sf_dir)
     af = _kmeans_assignments(spark, sf_dir)
-    view = _pq_codes_view(spark, sf_dir)
+    probe_sql = (
+        _spark_probe_sql(spark, sf_dir, af, nprobe) if nprobe > 1 else None
+    )
+    if pq_m == PQ_M:
+        prelude = _pq_stored_prelude(v, _pq_codes_view(spark, sf_dir))
+    else:
+        prelude = _pq_codes_ctes("spark", v, pq_m)
     return spark.sql(
         f"""
-        WITH {_pq_stored_prelude(v, view)},
-        {_ivf_pq_body('spark', af)}
+        WITH {prelude},
+        {_ivf_pq_body('spark', af, nprobe=nprobe, pq_m=pq_m,
+                      probe_sql=probe_sql)}
         """
     )
 
 
-def _ivf_pq_oracle() -> str:
+def _ivf_pq_oracle(nprobe: int = 1, pq_m: int = PQ_M) -> str:
+    """DuckDB oracle builder mirroring :func:`ann_ivf_pq` for ANY
+    (nprobe, pq_m) — the oracle side of the parameterized contract."""
     return f"""
 WITH {_duck_v_cte()},
 {_kmeans_ctes('v', 'duck')},
-{_pq_codes_ctes('duck', 'v')},
-{_ivf_pq_body('duck', 'af')}
+afm AS MATERIALIZED (SELECT * FROM af),
+{_pq_codes_ctes('duck', 'v', pq_m)},
+{_ivf_pq_body('duck', 'afm', cv=f'c{KMEANS_ITERS}',
+              nprobe=nprobe, pq_m=pq_m)}
 """
 
 
@@ -3178,11 +3278,14 @@ WITH {_duck_v_cte()},
 # ---------------------------------------------------------------------------
 
 
-def _pq_rdist(dialect: str, a: str, ctr: str, c: str, m: str) -> str:
+def _pq_rdist(
+    dialect: str, a: str, ctr: str, c: str, m: str, pq_m: int = PQ_M
+) -> str:
     """Unrolled squared L2 between subvector m of the residual
     (``a`` - ``ctr``) and codeword subvector m of ``c``."""
     off = 0 if dialect == "spark" else 1
-    idx = [f"{m} * {_PQ_SUBDIM} + {i + off}" for i in range(_PQ_SUBDIM)]
+    subdim = _pq_subdim(pq_m)
+    idx = [f"{m} * {subdim} + {i + off}" for i in range(subdim)]
     terms = [
         f"((({a}[{ix}] - {ctr}[{ix}]) - {c}[{ix}])"
         f" * (({a}[{ix}] - {ctr}[{ix}]) - {c}[{ix}]))"
@@ -3197,14 +3300,16 @@ def _pq_rdist(dialect: str, a: str, ctr: str, c: str, m: str) -> str:
     return terms[0]
 
 
-def _res_codes_ctes(dialect: str, af: str, cv: str) -> str:
+def _res_codes_ctes(
+    dialect: str, af: str, cv: str, pq_m: int = PQ_M
+) -> str:
     """rcb + rsub + rcodes — the untrained-residual encode chain."""
     enum = (
-        f"explode(sequence(0, {PQ_M - 1}))"
+        f"explode(sequence(0, {pq_m - 1}))"
         if dialect == "spark"
-        else f"unnest(generate_series(0, {PQ_M - 1}))"
+        else f"unnest(generate_series(0, {pq_m - 1}))"
     )
-    rdist = _pq_rdist(dialect, "s.emb", "s.ctr", "rcb.cemb", "s.m")
+    rdist = _pq_rdist(dialect, "s.emb", "s.ctr", "rcb.cemb", "s.m", pq_m)
     return f"""{_res_cb_cte(dialect, af, cv)},
 rsub AS (
   SELECT a.vec_id, a.emb, c.emb AS ctr, {enum} AS m
@@ -3238,45 +3343,60 @@ def _res_cb_cte(dialect: str, af: str, cv: str) -> str:
 
 
 def _ivf_pq_residual_body(
-    dialect: str, af: str, cv: str, codes_src: str | None = None
+    dialect: str,
+    af: str,
+    cv: str,
+    codes_src: str | None = None,
+    nprobe: int = 1,
+    pq_m: int = PQ_M,
+    probe_sql: str | None = None,
 ) -> str:
     """Residual codebook + residual encode + residual-ADC search, shared
     between the Spark lane (checkpointed ``af``/literal ``cv`` views,
     codes served from the STORED code table via ``codes_src``) and the
-    DuckDB oracle (fully inlined chain, ``codes_src=None``)."""
+    DuckDB oracle (fully inlined chain, ``codes_src=None``).
+
+    Unlike raw PQ, the residual LUT is CELL-RELATIVE (the query's
+    residual is taken against each probed centroid — IVFADC proper),
+    so at nprobe>1 the LUT carries a cid key and the ADC join matches
+    the candidate's cell; at nprobe=1 the cid join is degenerate and
+    the plan is unchanged from the single-probe form."""
     enum = (
-        f"explode(sequence(0, {PQ_M - 1}))"
+        f"explode(sequence(0, {pq_m - 1}))"
         if dialect == "spark"
-        else f"unnest(generate_series(0, {PQ_M - 1}))"
+        else f"unnest(generate_series(0, {pq_m - 1}))"
     )
-    qrdist = _pq_rdist(dialect, "q.qemb", "c.emb", "rcb.cemb", "mm.m")
+    qrdist = _pq_rdist(dialect, "q.qemb", "c.emb", "rcb.cemb", "mm.m", pq_m)
     pivots = ",\n         ".join(
         f"MAX(CASE WHEN co.m = {i} THEN l.d END) AS s{i}"
-        for i in range(PQ_M)
+        for i in range(pq_m)
     )
     hint_q = "/*+ BROADCAST(q) */ " if dialect == "spark" else ""
     hint_l = "/*+ BROADCAST(ca, l) */ " if dialect == "spark" else ""
     int_t = "INT" if dialect == "spark" else "INTEGER"
     codes_part = (
-        _res_codes_ctes(dialect, af, cv)
+        _res_codes_ctes(dialect, af, cv, pq_m)
         if codes_src is None
         else f"{_res_cb_cte(dialect, af, cv)},\n"
         f"rcodes AS (SELECT vec_id, m, code FROM {codes_src})"
     )
     return f"""{codes_part},
 qs AS (
-  SELECT vec_id AS query_id, emb AS qemb, cid FROM {af}
+  SELECT vec_id AS query_id, emb AS qemb FROM {af}
   WHERE vec_id < {N_QUERIES}
 ),
+{_probe_cte(dialect, af, cv if dialect == 'duck' else None,
+            nprobe, probe_sql)},
 mm AS (SELECT {enum} AS m),
 lut AS (
-  SELECT q.query_id, mm.m, rcb.code, ({qrdist}) AS d
-  FROM qs q JOIN {cv} c ON q.cid = c.cid
+  SELECT q.query_id, p.cid, mm.m, rcb.code, ({qrdist}) AS d
+  FROM qs q JOIN qp p ON q.query_id = p.query_id
+  JOIN {cv} c ON p.cid = c.cid
   CROSS JOIN mm CROSS JOIN rcb
 ),
 cand AS (
-  SELECT {hint_q}q.query_id, c.vec_id
-  FROM qs q JOIN {af} c
+  SELECT {hint_q}q.query_id, q.cid, c.vec_id
+  FROM qp q JOIN {af} c
     ON q.cid = c.cid AND c.cellrn <= {IVF_CELL_CAP}
    AND c.vec_id <> q.query_id
 ),
@@ -3285,7 +3405,7 @@ adc AS (
          {pivots}
   FROM cand ca
   JOIN rcodes co ON co.vec_id = ca.vec_id
-  JOIN lut l ON l.query_id = ca.query_id
+  JOIN lut l ON l.query_id = ca.query_id AND l.cid = ca.cid
             AND l.m = co.m AND l.code = co.code
   GROUP BY ca.query_id, ca.vec_id
 )
@@ -3293,23 +3413,43 @@ SELECT query_id, CAST(rank AS {int_t}) AS rank, vec_id AS neighbor_id
 FROM (
   SELECT query_id, vec_id,
          ROW_NUMBER() OVER (PARTITION BY query_id
-              ORDER BY ({_pq_adc_tree()}) ASC, vec_id) AS rank
+              ORDER BY ({_pq_adc_tree(pq_m)}) ASC, vec_id) AS rank
   FROM adc
 ) t WHERE rank <= {TOP_K}"""
 
 
-def ann_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf_pq_residual(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = 1,
+    pq_m: int = PQ_M,
+) -> DataFrame:
     """IVFADC with residual encoding — the production IVF-PQ variant.
-    Codes served from the stored residual-code table."""
+    At the default ``pq_m`` codes are served from the stored
+    residual-code table; an off-default ``pq_m`` re-encodes inline
+    (the dial's value-check path — a deployment re-builds the stored
+    index instead).  ``nprobe`` probes more cells with per-cell query
+    residuals (IVFADC multi-probe)."""
+    if nprobe < 1 or nprobe > KMEANS_K:
+        raise ValueError(f"nprobe must be in [1, {KMEANS_K}]")
+    _pq_subdim(pq_m)
     af, cv = _kmeans_index(spark, sf_dir)
-    view = _rpq_codes_view(spark, sf_dir)
+    probe_sql = (
+        _spark_probe_sql(spark, sf_dir, af, nprobe) if nprobe > 1 else None
+    )
+    codes_src = (
+        _rpq_codes_view(spark, sf_dir) if pq_m == PQ_M else None
+    )
     return spark.sql(
         "WITH "
-        + _ivf_pq_residual_body("spark", af, cv, codes_src=view)
+        + _ivf_pq_residual_body(
+            "spark", af, cv, codes_src=codes_src,
+            nprobe=nprobe, pq_m=pq_m, probe_sql=probe_sql,
+        )
     )
 
 
-def _ivf_pq_residual_oracle() -> str:
+def _ivf_pq_residual_oracle(nprobe: int = 1, pq_m: int = PQ_M) -> str:
     # afm/cvm: duckdb 1.0 INLINES plain CTEs, so every one of the
     # body's af/centroid references would re-run the whole Lloyd chain
     # (the r7-documented allocator flake) — pin them MATERIALIZED
@@ -3318,7 +3458,7 @@ WITH {_duck_v_cte()},
 {_kmeans_ctes('v', 'duck')},
 afm AS MATERIALIZED (SELECT * FROM af),
 cvm AS MATERIALIZED (SELECT * FROM c{KMEANS_ITERS}),
-{_ivf_pq_residual_body('duck', 'afm', 'cvm')}
+{_ivf_pq_residual_body('duck', 'afm', 'cvm', nprobe=nprobe, pq_m=pq_m)}
 """
 
 
@@ -3459,8 +3599,24 @@ def _r8_dist(dialect: str, r: str, c: str) -> str:
 
 
 def _tcb_assign_sql(dialect: str, rsub: str, cb: str) -> str:
-    """argmin codeword per (vec_id, m) residual subvector."""
+    """argmin codeword per (vec_id, m) residual subvector.
+
+    Spark emits a MIN(struct(d, code, r)) hash aggregate instead of
+    the ROW_NUMBER window: struct comparison is lexicographic, (d,
+    code) is unique per group (codes are distinct), so the minimum is
+    exactly the window's (dist ASC, code) top row — bit-identical,
+    r12-verified — but the aggregate gets map-side partial combine
+    over the vec x M x K exploded join instead of a full shuffle+sort
+    (the r12 driver-loop measurement: 2 Lloyd iters 2.39 -> 1.26s
+    warm together with the VALUES literal below).  DuckDB keeps the
+    window form; its materialized-CTE chain is not the hot path."""
     dist = _r8_dist(dialect, "s.r", "cb.cemb")
+    if dialect == "spark":
+        return f"""SELECT vec_id, m, w.r AS r, w.code AS code FROM (
+  SELECT s.vec_id, s.m,
+         MIN(struct(({dist}) AS d, cb.code AS code, s.r AS r)) AS w
+  FROM {rsub} s JOIN {cb} cb ON s.m = cb.m
+  GROUP BY s.vec_id, s.m) t"""
     return f"""SELECT vec_id, m, r, code FROM (
   SELECT s.vec_id, s.m, s.r, cb.code,
          ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
@@ -3485,14 +3641,22 @@ def _tcb_update_sql(dialect: str, assigned: str) -> str:
 
 def _tcb_literal_sql(rows) -> str:
     """(m, code, cemb[8]) codebook as a SQL literal — repr round-trip,
-    exact (see _centroid_literal_sql)."""
-    selects = " UNION ALL ".join(
-        f"SELECT {int(r['m'])} AS m, {int(r['code'])} AS code, array("
+    exact (see _centroid_literal_sql).  One VALUES LocalRelation, not
+    a 128-way UNION ALL: the union form re-entered analysis once per
+    branch and dominated the Lloyd-loop wall clock (r12 measured the
+    2-iteration loop at 4.0s cold / 2.4s warm with unions vs 1.4/1.3s
+    with VALUES, rows bit-identical).  Spark-only — the DuckDB oracle
+    inlines the training chain as CTEs (_tcb_chain_sql) instead."""
+    vals = ",\n".join(
+        f"({int(r['m'])}, {int(r['code'])}, array("
         + ", ".join(f"CAST({x!r} AS DOUBLE)" for x in r["cemb"])
-        + ") AS cemb"
+        + "))"
         for r in rows
     )
-    return f"SELECT m, code, cemb FROM ({selects}) lit"
+    return (
+        "SELECT m, code, cemb FROM VALUES\n"
+        f"{vals}\nAS lit(m, code, cemb)"
+    )
 
 
 _trained_cb_cache: dict = {}
@@ -3577,29 +3741,44 @@ def _tcb_chain_sql(dialect: str, af: str, cv: str) -> str:
 def _ivf_pq_trained_body(
     dialect: str, af: str, cv: str, rsub: str, cb: str,
     out: str = "trained_topk", codes_src: str | None = None,
+    nprobe: int = 1, probe_sql: str | None = None,
 ) -> str:
     """Residual-ADC search with the TRAINED codebook: codes = argmin
-    over ``cb``; LUT from the query's own-cell residual subvectors.
+    over ``cb``; LUT from the query's per-probed-cell residual
+    subvectors (own cell at nprobe=1; IVFADC multi-probe recomputes
+    the residual against each probed centroid, so tqr/tlut carry a
+    cid key and the ADC join matches the candidate's cell).
     Emitted as a FLAT CTE chain ending in the ``out`` relation (never
     a nested parenthesized WITH: duckdb 1.0's binder rejects window
     functions inside a nested-WITH subquery that also carries the
-    lateral unnest — 'LATERAL join cannot contain window functions')."""
+    lateral unnest — 'LATERAL join cannot contain window functions').
+
+    No pq_m dial here by design: the trained codebook is a STORED
+    index artifact whose subspace count is fixed at train time
+    (FAISS's index factory works the same way) — re-training at a new
+    m is an index build, exercised through the raw/untrained lanes'
+    pq_m dial which shares these generators."""
     off = 0 if dialect == "spark" else 1
     qr_elems = ", ".join(
         f"(qemb[m * {_PQ_SUBDIM} + {i + off}]"
         f" - ctr[m * {_PQ_SUBDIM} + {i + off}])"
         for i in range(_PQ_SUBDIM)
     )
+    probe = _probe_cte(
+        dialect, af, cv if dialect == "duck" else None, nprobe, probe_sql
+    ).replace("qp AS (", "tqp AS (", 1)
     if dialect == "spark":
-        qr = f"""SELECT query_id, m, array({qr_elems}) AS r FROM (
-    SELECT q.vec_id AS query_id, q.emb AS qemb, c.emb AS ctr,
+        qr = f"""SELECT query_id, cid, m, array({qr_elems}) AS r FROM (
+    SELECT q.vec_id AS query_id, q.emb AS qemb, c.emb AS ctr, p.cid,
            explode(sequence(0, {PQ_M - 1})) AS m
-    FROM {af} q JOIN {cv} c ON q.cid = c.cid
+    FROM {af} q JOIN tqp p ON q.vec_id = p.query_id
+    JOIN {cv} c ON p.cid = c.cid
     WHERE q.vec_id < {N_QUERIES})"""
     else:
-        qr = f"""SELECT a.query_id, s.m, [{qr_elems}] AS r FROM
-    (SELECT q.vec_id AS query_id, q.emb AS qemb, c.emb AS ctr, q.cid
-     FROM {af} q JOIN {cv} c ON q.cid = c.cid
+        qr = f"""SELECT a.query_id, a.cid, s.m, [{qr_elems}] AS r FROM
+    (SELECT q.vec_id AS query_id, q.emb AS qemb, c.emb AS ctr, p.cid
+     FROM {af} q JOIN tqp p ON q.vec_id = p.query_id
+     JOIN {cv} c ON p.cid = c.cid
      WHERE q.vec_id < {N_QUERIES}) a,
     unnest(generate_series(0, {PQ_M - 1})) AS s(m)"""
     ldist = _r8_dist(dialect, "q.r", "cb.cemb")
@@ -3619,17 +3798,15 @@ def _ivf_pq_trained_body(
     return f"""tcodes AS (
   {tcodes}
 ),
-tqs AS (
-  SELECT vec_id AS query_id, cid FROM {af} WHERE vec_id < {N_QUERIES}
-),
+{probe},
 tqr AS ({qr}),
 tlut AS (
-  SELECT q.query_id, q.m, cb.code, ({ldist}) AS d
+  SELECT q.query_id, q.cid, q.m, cb.code, ({ldist}) AS d
   FROM tqr q JOIN {cb} cb ON q.m = cb.m
 ),
 tcand AS (
-  SELECT {hint_q}q.query_id, c.vec_id
-  FROM tqs q JOIN {af} c
+  SELECT {hint_q}q.query_id, q.cid, c.vec_id
+  FROM tqp q JOIN {af} c
     ON q.cid = c.cid AND c.cellrn <= {IVF_CELL_CAP}
    AND c.vec_id <> q.query_id
 ),
@@ -3638,7 +3815,7 @@ tadc AS (
          {pivots}
   FROM tcand ca
   JOIN tcodes co ON co.vec_id = ca.vec_id
-  JOIN tlut l ON l.query_id = ca.query_id
+  JOIN tlut l ON l.query_id = ca.query_id AND l.cid = ca.cid
             AND l.m = co.m AND l.code = co.code
   GROUP BY ca.query_id, ca.vec_id
 ),
@@ -3653,21 +3830,32 @@ tadc AS (
 )"""
 
 
-def ann_ivf_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf_pq_trained(
+    spark: SparkSession, sf_dir: str, nprobe: int = 1
+) -> DataFrame:
     """IVFADC with the k-means-TRAINED residual codebook — the full
-    production index: train(), encode, own-cell ADC search."""
+    production index: train(), encode, probed-cell ADC search.
+    ``nprobe`` is the query-time recall dial (per-cell query
+    residuals); the codebook's subspace count is fixed at train time
+    (see _ivf_pq_trained_body)."""
+    if nprobe < 1 or nprobe > KMEANS_K:
+        raise ValueError(f"nprobe must be in [1, {KMEANS_K}]")
     af, cv = _kmeans_index(spark, sf_dir)
     rsub, cb, codes = _trained_rcb(spark, sf_dir)
+    probe_sql = (
+        _spark_probe_sql(spark, sf_dir, af, nprobe) if nprobe > 1 else None
+    )
     return spark.sql(
         "WITH "
         + _ivf_pq_trained_body(
-            "spark", af, cv, rsub, cb, codes_src=codes
+            "spark", af, cv, rsub, cb, codes_src=codes,
+            nprobe=nprobe, probe_sql=probe_sql,
         )
         + " SELECT * FROM trained_topk"
     )
 
 
-def _ivf_pq_trained_oracle() -> str:
+def _ivf_pq_trained_oracle(nprobe: int = 1) -> str:
     cvn = f"c{KMEANS_ITERS}"
     return f"""
 WITH {_duck_v_cte()},
@@ -3676,7 +3864,7 @@ afm AS MATERIALIZED (SELECT * FROM af),
 cvm AS MATERIALIZED (SELECT * FROM {cvn}),
 {_tcb_chain_sql('duck', 'afm', 'cvm')},
 {_ivf_pq_trained_body('duck', 'afm', 'cvm', 'trsub',
-                      f'tcb{TRAINED_PQ_ITERS}')}
+                      f'tcb{TRAINED_PQ_ITERS}', nprobe=nprobe)}
 SELECT * FROM trained_topk
 """
 

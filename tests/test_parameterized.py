@@ -33,6 +33,12 @@ def test_contract_shape():
     "name,params",
     [
         ("ann_ivf_search", {"nprobe": 3, "top_k": 5}),
+        ("ann_ivf_pq", {"nprobe": 2}),
+        ("ann_ivf_pq", {"pq_m": 4}),
+        ("ann_ivf_pq", {"nprobe": 2, "pq_m": 16}),
+        ("ann_ivf_pq_residual", {"nprobe": 2}),
+        ("ann_ivf_pq_residual", {"pq_m": 4}),
+        ("ann_ivf_pq_trained", {"nprobe": 2}),
         ("ann_ivf_search", {"nprobe": 4, "top_k": 3}),
         ("ann_ivf_search", {"nprobe": 1, "top_k": 7}),
         ("ann_filtered_search", {"nprobe": 3, "top_k": 4}),

@@ -189,6 +189,9 @@ def _clear_operator_caches(spark) -> None:
     for _name, df in similarity._nprobe_scored_cache.values():
         free_local_checkpoint(df)
     similarity._nprobe_scored_cache.clear()
+    for _name, df in similarity._pq_curve_cache.values():
+        free_local_checkpoint(df)
+    similarity._pq_curve_cache.clear()
     for _rn, _cn, _con, rs_df, cb_df, codes_df in (
         similarity._trained_cb_cache.values()
     ):

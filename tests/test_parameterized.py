@@ -50,6 +50,7 @@ def test_contract_shape():
         ("embeddings_whiten", {"n_pc": 3}),
         ("dedup_cos_threshold_curve", {"bucket_cap": 10}),
         ("stream_near_dedup", {"threshold": 0.35}),
+        ("stream_semantic_gate", {"nprobe": 4, "thresh_q": 300_000}),
         # cap 2 forces the salt guard on the planted-dup-heavy fixture
         ("multimodal_phash_neardup", {"max_bucket": 2}),
         ("train_perplexity_filter", {"pct": 50}),

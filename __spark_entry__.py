@@ -392,6 +392,13 @@ def queries_parameterized() -> dict[str, dict]:
                 X._ppl_filter_sql("duck", pct=pct)
             ),
         },
+        "multimodal_audio_neardup": {
+            "fn": M.multimodal_audio_neardup,
+            "params": {"max_bucket": M.MAX_AFP_BUCKET},
+            "oracle_sql": lambda max_bucket=M.MAX_AFP_BUCKET: (
+                M._afp_neardup_oracle(max_bucket)
+            ),
+        },
         "multimodal_phash_neardup": {
             "fn": M.multimodal_phash_neardup,
             "params": {"max_bucket": M.MAX_PHASH_BUCKET},

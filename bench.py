@@ -206,6 +206,9 @@ def _clear_operator_caches(spark) -> None:
     for df in multimodal._phash_cache.values():
         free_local_checkpoint(df)
     multimodal._phash_cache.clear()
+    for df in multimodal._afp_cache.values():
+        free_local_checkpoint(df)
+    multimodal._afp_cache.clear()
     for _name, df in multimodal._phash_probe_cache.values():
         free_local_checkpoint(df)
     multimodal._phash_probe_cache.clear()
@@ -366,6 +369,13 @@ def _index_builders():
         (
             "phash_probe_index",
             lambda s: multimodal._phash_probe_index(s, SF_DIR),
+        ),
+        # the checkpointed audio-fingerprint index (the fused
+        # synth+parse+fingerprint Arrow pass both audio-fp lanes
+        # serve from)
+        (
+            "audio_afp_index",
+            lambda s: multimodal._afp_df(s, SF_DIR).count(),
         ),
         # the image dup-cluster labels (CC over the phash pair graph,
         # cached in multimodal._phash_clusters_cache)

@@ -1132,35 +1132,56 @@ PHASH_HAMMING_MAX = PHASH_BANDS - 1  # pigeonhole-guaranteed recall
 MAX_PHASH_BUCKET = 1000
 
 
-def _phash_blocks_expr() -> str:
+def _hash_blocks_expr(
+    col: str = "phash",
+    bands: int = PHASH_BANDS,
+    band_bits: int = _PHASH_BAND_BITS,
+) -> str:
     """Spark band-value elements (one shift/mask per band) — shared by
-    the near-dup body, the probe index and the streaming gate."""
+    the near-dup bodies, the probe index and the streaming gate; the
+    audio-fingerprint lanes reuse it with their own layout."""
+    mask = (1 << band_bits) - 1
     return ", ".join(
-        f"(shiftright(phash, {_PHASH_BAND_BITS * i})"
-        f" & {_PHASH_BAND_MASK})"
-        for i in range(PHASH_BANDS)
+        f"(shiftright({col}, {band_bits * i}) & {mask})"
+        for i in range(bands)
     )
 
 
-def _phash_pairs_ctes(dialect: str, src: str, cap: int) -> str:
+def _phash_blocks_expr() -> str:
+    return _hash_blocks_expr()
+
+
+def _hash_pairs_ctes(
+    dialect: str,
+    src: str,
+    cap: int,
+    col: str = "phash",
+    bands: int = PHASH_BANDS,
+    band_bits: int = _PHASH_BAND_BITS,
+    ham_max: int = PHASH_HAMMING_MAX,
+) -> str:
     """bands/heavy/salted/pairs — the banded + salted + verified pair
-    generation over any (doc_id, phash) relation ``src``, shared by
-    the per-image report and the cluster lane."""
+    generation over any (doc_id, <hash col>) relation ``src``, shared
+    by the image report, the cluster lane and the audio-fingerprint
+    report (pigeonhole: two hashes within ``ham_max`` = bands - 1
+    differing bits MUST agree on at least one whole block)."""
+    mask = (1 << band_bits) - 1
     if dialect == "spark":
         band = (
-            f"SELECT doc_id, phash,"
-            f" posexplode(array({_phash_blocks_expr()})) AS (bno, blk)"
+            f"SELECT doc_id, {col},"
+            f" posexplode(array("
+            f"{_hash_blocks_expr(col, bands, band_bits)})) AS (bno, blk)"
             f" FROM {src}"
         )
-        ham = "CAST(bit_count(a.phash ^ b.phash) AS INT)"
+        ham = f"CAST(bit_count(a.{col} ^ b.{col}) AS INT)"
     else:
         band = " UNION ALL ".join(
-            f"SELECT doc_id, phash, {i} AS bno,"
-            f" (phash >> {_PHASH_BAND_BITS * i}) & {_PHASH_BAND_MASK}"
+            f"SELECT doc_id, {col}, {i} AS bno,"
+            f" ({col} >> {band_bits * i}) & {mask}"
             f" AS blk FROM {src}"
-            for i in range(PHASH_BANDS)
+            for i in range(bands)
         )
-        ham = "CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER)"
+        ham = f"CAST(bit_count(xor(a.{col}, b.{col})) AS INTEGER)"
     return f"""bands AS ({band}),
 heavy AS (
   SELECT bno, blk,
@@ -1168,7 +1189,7 @@ heavy AS (
   FROM bands GROUP BY bno, blk HAVING COUNT(*) > {cap}
 ),
 salted AS (
-  SELECT b.doc_id, b.phash, b.bno, b.blk,
+  SELECT b.doc_id, b.{col}, b.bno, b.blk,
          b.doc_id % COALESCE(hv.nsalt, 1) AS salt
   FROM bands b LEFT JOIN heavy hv ON b.bno = hv.bno AND b.blk = hv.blk
 ),
@@ -1178,17 +1199,29 @@ pairs AS (
   FROM salted a JOIN salted b
     ON a.bno = b.bno AND a.blk = b.blk AND a.salt = b.salt
        AND a.doc_id < b.doc_id
-  WHERE {ham} <= {PHASH_HAMMING_MAX}
+  WHERE {ham} <= {ham_max}
 )"""
 
 
-def _phash_neardup_body(dialect: str, src: str, cap: int) -> str:
-    """Shared band/salt/join/aggregate SQL over any (doc_id, phash)
-    relation ``src`` — the Spark lane passes the checkpointed hash
-    view, the DuckDB oracle the recomputed ``h`` CTE, and the
+def _phash_pairs_ctes(dialect: str, src: str, cap: int) -> str:
+    return _hash_pairs_ctes(dialect, src, cap)
+
+
+def _hash_neardup_body(
+    dialect: str,
+    src: str,
+    cap: int,
+    col: str = "phash",
+    bands: int = PHASH_BANDS,
+    band_bits: int = _PHASH_BAND_BITS,
+    ham_max: int = PHASH_HAMMING_MAX,
+) -> str:
+    """Shared band/salt/join/aggregate SQL over any (doc_id, <hash>)
+    relation ``src`` — the Spark lanes pass the checkpointed hash
+    view, the DuckDB oracles the recomputed ``h`` CTE, and the
     constructive test a planted literal table."""
     return f"""
-{_phash_pairs_ctes(dialect, src, cap)},
+{_hash_pairs_ctes(dialect, src, cap, col, bands, band_bits, ham_max)},
 sym AS (
   SELECT doc_a AS doc_id, doc_b AS nb, hamming FROM pairs
   UNION ALL
@@ -1197,18 +1230,22 @@ sym AS (
 agg AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_near,
          MIN(hamming) AS min_hamming,
-         -- (min hamming, then min doc_id): hamming <= 56 packs into
-         -- the top bits (56 * 2^57 < 2^63) and doc_id < 2^57 fills the
+         -- (min hamming, then min doc_id): hamming <= 60 packs into
+         -- the top bits (60 * 2^57 < 2^63) and doc_id < 2^57 fills the
          -- rest — the full bigint doc_id range a 100 TB corpus uses,
          -- unlike a decimal multiplier that silently reorders past 1e9
          MIN_BY(nb, CAST(hamming AS BIGINT) * {1 << 57} + nb) AS nearest
   FROM sym GROUP BY doc_id
 )
-SELECT s.doc_id, s.phash,
+SELECT s.doc_id, s.{col},
        COALESCE(a.n_near, 0) AS n_near,
        a.min_hamming, a.nearest
 FROM {src} s LEFT JOIN agg a ON s.doc_id = a.doc_id
 """
+
+
+def _phash_neardup_body(dialect: str, src: str, cap: int) -> str:
+    return _hash_neardup_body(dialect, src, cap)
 
 
 _phash_probe_cache: dict = {}
@@ -1439,9 +1476,221 @@ FROM g
 """
 
 
+# ---------------------------------------------------------------------------
+# Acoustic fingerprint + audio near-dup — the AUDIO members of the
+# cross-modal near-dup family (text minhash, embedding cosine, image
+# dHash, now audio): a sign-of-derivative fingerprint (the core
+# primitive of the Shazam/Chromaprint family: 1 bit per step, "did the
+# signal rise?") over a deterministic synthetic waveform, banded into
+# AFP_BANDS pigeonhole blocks exactly like the image hash.
+#
+# The synthetic corpus plants audio near-dups by construction: docs
+# share a base track per trio (content key ck = doc_id - doc_id % 3,
+# samples a multiplicative ramp (ck * 7919 * (i+1)) % 65536 whose
+# slope ck*7919 mod 2^16 varies richly across trios), and each trio
+# member corrupts ONE sample at a member-specific position (+24000,
+# the "click/dropout" a fingerprint must survive).  One corrupted
+# sample flips at most the two adjacent delta-sign bits, so trio pairs
+# sit within hamming 4 of each other — AFP_BANDS = 5 x 12-bit blocks
+# pigeonhole-guarantee recall at AFP_HAMMING_MAX = 4.  Small-slope
+# tracks produce near-constant fingerprints (few wraps), concentrating
+# band values — the salt/cap guard handles them like the image lane.
+#
+# The Spark side goes through the REAL binary boundary: synth packs a
+# RIFF/WAVE file per doc, the fingerprint stage parses it back
+# (chunk walk + int16 unpack) — one fused Arrow pass, checkpointed as
+# the stored fingerprint index.  The DuckDB oracle re-derives the
+# closed form in SQL, so the whole round-trip is value-verified.
+# ---------------------------------------------------------------------------
+
+AFP_N_SAMPLES = 61
+AFP_BITS = AFP_N_SAMPLES - 1  # 60 delta-sign bits
+AFP_BANDS = 5
+_AFP_BAND_BITS = AFP_BITS // AFP_BANDS  # 12
+AFP_HAMMING_MAX = AFP_BANDS - 1  # pigeonhole-guaranteed recall
+MAX_AFP_BUCKET = 1000
+_AFP_PERTURB = 24000
+_AFP_RATE = 8000
+
+
+def afp_synth_fn():
+    """mapInPandas stage: (doc_id) -> trio-track WAV with one
+    member-specific corrupted sample (see section comment)."""
+
+    def synth(batches):
+        import struct
+
+        import pandas as pd
+
+        def wav(doc_id: int) -> bytes:
+            ck = doc_id - (doc_id % 3)
+            p = 1 + (doc_id % 3) * 19  # corrupted sample: 1 / 20 / 39
+            samples = []
+            for i in range(AFP_N_SAMPLES):
+                v = (ck * 7919 * (i + 1)) % 65536
+                if i == p:
+                    v = (v + _AFP_PERTURB) % 65536
+                samples.append(v - 32768)
+            data = b"".join(struct.pack("<h", s) for s in samples)
+            fmt = struct.pack(
+                "<HHIIHH", 1, 1, _AFP_RATE, _AFP_RATE * 2, 2, 16
+            )
+            return (
+                struct.pack(
+                    "<4sI4s", b"RIFF", 4 + 8 + len(fmt) + 8 + len(data),
+                    b"WAVE",
+                )
+                + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+                + struct.pack("<4sI", b"data", len(data)) + data
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [wav(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return synth
+
+
+def afp_fp_fn():
+    """mapInPandas stage: (doc_id, payload WAV) -> 60-bit delta-sign
+    fingerprint (bit i = sample[i+1] > sample[i])."""
+
+    def fp(batches):
+        import struct
+
+        import pandas as pd
+
+        def parse(b: bytes):
+            if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                return None
+            pos, data = 12, None
+            while pos + 8 <= len(b):
+                cid = b[pos:pos + 4]
+                (ln,) = struct.unpack("<I", b[pos + 4:pos + 8])
+                if cid == b"data":
+                    data = b[pos + 8:pos + 8 + ln]
+                pos += 8 + ln + (ln % 2)
+            if data is None:
+                return None
+            n = len(data) // 2
+            ss = struct.unpack(f"<{n}h", data[: 2 * n])
+            out = 0
+            for i in range(len(ss) - 1):
+                if ss[i + 1] > ss[i]:
+                    out |= 1 << i
+            return out
+
+        for pdf in batches:
+            rows = [
+                (int(d), parse(bytes(p)))
+                for d, p in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "afp"])
+
+    return fp
+
+
+_afp_cache: dict = {}
+
+
+def _afp_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed (doc_id, afp) relation — the stored audio
+    fingerprint index (one fused synth+parse+fingerprint Arrow pass
+    per session, like the image hash index)."""
+    from dataforge_core_spark.session import session_key
+
+    key = (session_key(spark), sf_dir)
+    if key not in _afp_cache:
+        synth, fp = afp_synth_fn(), afp_fp_fn()
+
+        def fused(batches):
+            return fp(synth(batches))
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id"
+        )
+        fps = docs.mapInPandas(fused, "doc_id bigint, afp bigint")
+        _afp_cache[key] = fps.localCheckpoint(eager=True)
+    return _afp_cache[key]
+
+
+def multimodal_audio_fingerprint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Acoustic fingerprint per doc + exact-duplicate group size,
+    served from the checkpointed fingerprint index."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    return _afp_df(spark, sf_dir).withColumn(
+        "n_dups", F.count("*").over(Window.partitionBy("afp"))
+    )
+
+
+def _afp_h_ctes() -> str:
+    """DuckDB re-derivation of the fingerprint closed form — the ONE
+    definition both audio-fingerprint oracles inline."""
+    return f"""asv AS (
+  SELECT d.doc_id, u.i,
+         ((d.doc_id - (d.doc_id % 3)) * 7919 * (u.i + 1)) % 65536
+           + CASE WHEN u.i = 1 + (d.doc_id % 3) * 19
+                  THEN {_AFP_PERTURB} ELSE 0 END AS vr
+  FROM documents d,
+       unnest(generate_series(0, {AFP_N_SAMPLES - 1})) AS u(i)
+),
+asn AS (SELECT doc_id, i, vr % 65536 AS v FROM asv),
+abit AS (
+  SELECT a.doc_id,
+         CAST(CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS BIGINT)
+           << a.i AS bit
+  FROM asn a
+  JOIN asn b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  WHERE a.i < {AFP_BITS}
+),
+h AS (SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS afp
+      FROM abit GROUP BY doc_id)"""
+
+
+_AFP_ORACLE = f"""
+WITH {_afp_h_ctes()}
+SELECT doc_id, afp, COUNT(*) OVER (PARTITION BY afp) AS n_dups FROM h
+"""
+
+
+def multimodal_audio_neardup(
+    spark: SparkSession, sf_dir: str, max_bucket: int | None = None
+) -> DataFrame:
+    """Per-track near-duplicate report via the banded acoustic
+    fingerprint — same output contract as multimodal_phash_neardup
+    (n_near, min_hamming, canonical nearest) over the audio hash."""
+    from dataforge_core_spark.session import session_key
+
+    cap = MAX_AFP_BUCKET if max_bucket is None else max_bucket
+    view = f"afp_idx_{abs(hash((session_key(spark), sf_dir))) % 10**8}"
+    _afp_df(spark, sf_dir).createOrReplaceTempView(view)
+    return spark.sql(
+        f"WITH {_hash_neardup_body('spark', view, cap, 'afp', AFP_BANDS, _AFP_BAND_BITS, AFP_HAMMING_MAX)}"
+    )
+
+
+def _afp_neardup_oracle(max_bucket: int | None = None) -> str:
+    cap = MAX_AFP_BUCKET if max_bucket is None else max_bucket
+    return f"""
+WITH {_afp_h_ctes()},
+{_hash_neardup_body('duck', 'h', cap, 'afp', AFP_BANDS,
+                    _AFP_BAND_BITS, AFP_HAMMING_MAX)}
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "multimodal_phash": multimodal_phash,
+        "multimodal_audio_fingerprint": multimodal_audio_fingerprint,
+        "multimodal_audio_neardup": multimodal_audio_neardup,
         "multimodal_phash_neardup": multimodal_phash_neardup,
         "multimodal_phash_clusters": multimodal_phash_clusters,
         "multimodal_aspect_buckets": multimodal_aspect_buckets,
@@ -1458,6 +1707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracles() -> dict[str, str]:
     return {
         "multimodal_phash": _PHASH_ORACLE,
+        "multimodal_audio_fingerprint": _AFP_ORACLE,
+        "multimodal_audio_neardup": _afp_neardup_oracle(),
         "multimodal_phash_neardup": _phash_neardup_oracle(),
         "multimodal_phash_clusters": _phash_clusters_oracle(),
         "multimodal_aspect_buckets": _ASPECT_ORACLE,

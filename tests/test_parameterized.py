@@ -53,6 +53,8 @@ def test_contract_shape():
         ("stream_semantic_gate", {"nprobe": 4, "thresh_q": 300_000}),
         # cap 2 forces the salt guard on the planted-dup-heavy fixture
         ("multimodal_phash_neardup", {"max_bucket": 2}),
+        # cap 5 forces the salt guard on the slope-concentrated buckets
+        ("multimodal_audio_neardup", {"max_bucket": 5}),
         ("train_perplexity_filter", {"pct": 50}),
         ("ann_mrl_rerank", {"c_short": 16}),
     ],

@@ -215,6 +215,9 @@ def _clear_operator_caches(spark) -> None:
     for df in multimodal._phash_clusters_cache.values():
         free_local_checkpoint(df)
     multimodal._phash_clusters_cache.clear()
+    for df in multimodal._afp_clusters_cache.values():
+        free_local_checkpoint(df)
+    multimodal._afp_clusters_cache.clear()
     for _name, df in sketches._toks_cache.values():
         free_local_checkpoint(df)
     sketches._toks_cache.clear()
@@ -376,6 +379,14 @@ def _index_builders():
         (
             "audio_afp_index",
             lambda s: multimodal._afp_df(s, SF_DIR).count(),
+        ),
+        # the audio dup-cluster labels (CC over the fingerprint pair
+        # graph, cached in multimodal._afp_clusters_cache)
+        (
+            "afp_cluster_labels",
+            lambda s: multimodal.multimodal_audio_clusters(
+                s, SF_DIR
+            ).count(),
         ),
         # the image dup-cluster labels (CC over the phash pair graph,
         # cached in multimodal._phash_clusters_cache)

@@ -1686,11 +1686,94 @@ WITH {_afp_h_ctes()},
 """
 
 
+_afp_clusters_cache: dict = {}
+
+
+def multimodal_audio_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audio duplicate CLUSTERS: connected components over the
+    fingerprint near-dup graph, run in HASH SPACE exactly like
+    multimodal_phash_clusters (identical fingerprints collapse to one
+    node before the CC; cluster_id = min doc_id over the component's
+    documents; singletons map to themselves).  Measured structure at
+    sf0.1: 1443 distinct fingerprints, 86 components, largest 219 —
+    similarity chains along the slope continuum merge, but no giant
+    component swallows the corpus, so the artifact stays
+    informative."""
+    from pyspark.sql import functions as F
+
+    from dataforge_core_spark.operators.dedup import _cc_min_label
+    from dataforge_core_spark.session import session_key
+
+    key = (session_key(spark), sf_dir)
+    if key not in _afp_clusters_cache:
+        view = f"afp_cl_{abs(hash(key)) % 10**8}"
+        _afp_df(spark, sf_dir).createOrReplaceTempView(view)
+        hsrc = f"(SELECT DISTINCT afp AS doc_id, afp FROM {view})"
+        pairs = spark.sql(
+            "WITH "
+            + _hash_pairs_ctes(
+                "spark", hsrc, MAX_AFP_BUCKET, "afp",
+                AFP_BANDS, _AFP_BAND_BITS, AFP_HAMMING_MAX,
+            )
+            + " SELECT doc_a, doc_b FROM pairs"
+        )
+        labels = _cc_min_label(pairs)[0]
+        docs = _afp_df(spark, sf_dir)
+        rooted = docs.join(
+            labels, docs.afp == labels.doc_id, "left"
+        ).select(
+            docs.doc_id.alias("d"),
+            F.coalesce("cluster_id", docs.afp).alias("root"),
+        )
+        out = (
+            rooted.join(
+                rooted.groupBy("root").agg(
+                    F.min("d").alias("cluster_id")
+                ),
+                "root",
+            )
+            .select(F.col("d").alias("doc_id"), "cluster_id")
+            .localCheckpoint(eager=True)
+        )
+        _afp_clusters_cache[key] = out
+    return _afp_clusters_cache[key]
+
+
+def _afp_clusters_oracle() -> str:
+    hsrc = "(SELECT DISTINCT afp AS doc_id, afp FROM h)"
+    return f"""
+WITH RECURSIVE {_afp_h_ctes()},
+{_hash_pairs_ctes('duck', hsrc, MAX_AFP_BUCKET, 'afp', AFP_BANDS,
+                  _AFP_BAND_BITS, AFP_HAMMING_MAX)},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach AS (
+  SELECT DISTINCT afp AS node, afp AS lab FROM h
+  UNION
+  SELECT e.b AS node, r.lab FROM reach r JOIN edges e ON e.a = r.node
+),
+hroot AS (SELECT node, MIN(lab) AS root FROM reach GROUP BY node),
+rooted AS (
+  SELECT d.doc_id AS d, r.root FROM h d JOIN hroot r ON d.afp = r.node
+)
+SELECT a.d AS doc_id, m.cluster_id
+FROM rooted a
+JOIN (SELECT root, MIN(d) AS cluster_id FROM rooted GROUP BY root) m
+  ON m.root = a.root
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "multimodal_phash": multimodal_phash,
         "multimodal_audio_fingerprint": multimodal_audio_fingerprint,
         "multimodal_audio_neardup": multimodal_audio_neardup,
+        "multimodal_audio_clusters": multimodal_audio_clusters,
         "multimodal_phash_neardup": multimodal_phash_neardup,
         "multimodal_phash_clusters": multimodal_phash_clusters,
         "multimodal_aspect_buckets": multimodal_aspect_buckets,
@@ -1709,6 +1792,7 @@ def oracles() -> dict[str, str]:
         "multimodal_phash": _PHASH_ORACLE,
         "multimodal_audio_fingerprint": _AFP_ORACLE,
         "multimodal_audio_neardup": _afp_neardup_oracle(),
+        "multimodal_audio_clusters": _afp_clusters_oracle(),
         "multimodal_phash_neardup": _phash_neardup_oracle(),
         "multimodal_phash_clusters": _phash_clusters_oracle(),
         "multimodal_aspect_buckets": _ASPECT_ORACLE,

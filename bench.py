@@ -212,6 +212,9 @@ def _clear_operator_caches(spark) -> None:
     for _name, df in multimodal._phash_probe_cache.values():
         free_local_checkpoint(df)
     multimodal._phash_probe_cache.clear()
+    for _name, df in multimodal._afp_probe_cache.values():
+        free_local_checkpoint(df)
+    multimodal._afp_probe_cache.clear()
     for df in multimodal._phash_clusters_cache.values():
         free_local_checkpoint(df)
     multimodal._phash_clusters_cache.clear()
@@ -379,6 +382,11 @@ def _index_builders():
         (
             "audio_afp_index",
             lambda s: multimodal._afp_df(s, SF_DIR).count(),
+        ),
+        # the corpus-side band table of the streaming audio gate
+        (
+            "afp_probe_index",
+            lambda s: multimodal._afp_probe_index(s, SF_DIR),
         ),
         # the audio dup-cluster labels (CC over the fingerprint pair
         # graph, cached in multimodal._afp_clusters_cache)

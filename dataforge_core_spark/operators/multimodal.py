@@ -1686,6 +1686,44 @@ WITH {_afp_h_ctes()},
 """
 
 
+_afp_probe_cache: dict = {}
+
+
+def _afp_probe_index(spark: SparkSession, sf_dir: str) -> str:
+    """Checkpointed CORPUS-side band table (bno, blk, cafp) for the
+    streaming audio gate — corpus docs only (the dedup_incremental
+    doc_id split), per-bucket membership rn-capped at MAX_AFP_BUCKET
+    like the image probe index, so an incoming track probes at most
+    AFP_BANDS * cap candidates."""
+    from dataforge_core_spark.operators.dedup import INCR_MOD, INCR_NEW_GE
+    from dataforge_core_spark.session import session_key
+
+    key = (session_key(spark), sf_dir)
+    if key not in _afp_probe_cache:
+        view = f"afp_src_{abs(hash(key)) % 10**8}"
+        _afp_df(spark, sf_dir).createOrReplaceTempView(view)
+        blocks = _hash_blocks_expr("afp", AFP_BANDS, _AFP_BAND_BITS)
+        df = spark.sql(
+            f"""
+            SELECT bno, blk, cafp FROM (
+              SELECT bno, blk, afp AS cafp,
+                     ROW_NUMBER() OVER (PARTITION BY bno, blk
+                          ORDER BY doc_id) AS rn
+              FROM (
+                SELECT doc_id, afp,
+                       posexplode(array({blocks})) AS (bno, blk)
+                FROM {view}
+                WHERE doc_id % {INCR_MOD} < {INCR_NEW_GE}
+              ) b
+            ) t WHERE rn <= {MAX_AFP_BUCKET}
+            """
+        ).localCheckpoint(eager=True)
+        name = f"afp_probe_{abs(hash(key)) % 10**8}"
+        df.createOrReplaceTempView(name)
+        _afp_probe_cache[key] = (name, df)
+    return _afp_probe_cache[key][0]
+
+
 _afp_clusters_cache: dict = {}
 
 

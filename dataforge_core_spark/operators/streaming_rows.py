@@ -1049,6 +1049,107 @@ GROUP BY n.doc_id
 """
 
 
+def stream_afp_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming AUDIO near-dedup gate — the acoustic member of the
+    gate family (text minhash, image phash, LM perplexity, semantic
+    embedding, now audio fingerprint): incoming tracks (the
+    dedup_incremental doc_id split) are fingerprinted per micro-batch
+    by the same fused Arrow synth+parse pass the batch lanes use
+    (mapInPandas is stateless, so it streams), then probe the STORED
+    corpus band index (multimodal._afp_probe_index) via a
+    stream-static join and are classified exact_dup (hamming 0) /
+    near_dup (<= AFP_HAMMING_MAX) / unique.  No stateful operator
+    except the final per-doc aggregate."""
+    from dataforge_core_spark.operators.dedup import INCR_MOD, INCR_NEW_GE
+    from dataforge_core_spark.operators.multimodal import (
+        _AFP_BAND_BITS,
+        _afp_probe_index,
+        _hash_blocks_expr,
+        AFP_BANDS,
+        AFP_HAMMING_MAX,
+        afp_fp_fn,
+        afp_synth_fn,
+    )
+    from dataforge_core_spark.streaming import stream_documents
+
+    idx = _afp_probe_index(spark, sf_dir)
+    synth, fp = afp_synth_fn(), afp_fp_fn()
+
+    def fused(batches):
+        return fp(synth(batches))
+
+    blocks = _hash_blocks_expr("afp", AFP_BANDS, _AFP_BAND_BITS)
+    new = (
+        stream_documents(spark, sf_dir)
+        .where(f"doc_id % {INCR_MOD} >= {INCR_NEW_GE}")
+        .selectExpr("doc_id")
+        .mapInPandas(fused, "doc_id bigint, afp bigint")
+        .selectExpr(
+            "doc_id", "afp",
+            f"posexplode(array({blocks})) AS (bno, blk)",
+        )
+    )
+    probed = new.join(spark.table(idx), ["bno", "blk"], "left").selectExpr(
+        "doc_id",
+        "CASE WHEN cafp IS NOT NULL"
+        " AND bit_count(afp ^ cafp) = 0 THEN 1 ELSE 0 END AS exf",
+        "CASE WHEN cafp IS NOT NULL"
+        f" AND bit_count(afp ^ cafp) <= {AFP_HAMMING_MAX}"
+        " THEN 1 ELSE 0 END AS nearf",
+    )
+    agg = probed.groupBy("doc_id").agg(
+        F.expr(
+            "CASE WHEN MAX(exf) = 1 THEN 'exact_dup' "
+            "WHEN MAX(nearf) = 1 THEN 'near_dup' "
+            "ELSE 'unique' END"
+        ).alias("status")
+    )
+    return _run_to_memory(agg, "drv_stream_afp_gate", spark, "complete")
+
+
+def _afp_gate_oracle() -> str:
+    from dataforge_core_spark.operators.dedup import INCR_MOD, INCR_NEW_GE
+    from dataforge_core_spark.operators.multimodal import (
+        _AFP_BAND_BITS,
+        _afp_h_ctes,
+        AFP_BANDS,
+        AFP_HAMMING_MAX,
+        MAX_AFP_BUCKET,
+    )
+
+    mask = (1 << _AFP_BAND_BITS) - 1
+    corp = f"doc_id % {INCR_MOD} < {INCR_NEW_GE}"
+    new = f"doc_id % {INCR_MOD} >= {INCR_NEW_GE}"
+    return f"""
+WITH {_afp_h_ctes()},
+bands AS MATERIALIZED (
+  SELECT doc_id, afp, i AS bno,
+         (afp >> ({_AFP_BAND_BITS} * i)) & {mask} AS blk
+  FROM h, unnest(generate_series(0, {AFP_BANDS - 1})) AS s(i)
+),
+corpb AS MATERIALIZED (
+  SELECT bno, blk, cafp FROM (
+    SELECT bno, blk, afp AS cafp,
+           ROW_NUMBER() OVER (PARTITION BY bno, blk
+                ORDER BY doc_id) AS rn
+    FROM bands WHERE {corp}
+  ) t WHERE rn <= {MAX_AFP_BUCKET}
+)
+SELECT n.doc_id,
+       CASE WHEN MAX(CASE WHEN c.cafp IS NOT NULL
+                 AND bit_count(xor(n.afp, c.cafp)) = 0
+                 THEN 1 ELSE 0 END) = 1 THEN 'exact_dup'
+            WHEN MAX(CASE WHEN c.cafp IS NOT NULL
+                 AND bit_count(xor(n.afp, c.cafp))
+                     <= {AFP_HAMMING_MAX}
+                 THEN 1 ELSE 0 END) = 1 THEN 'near_dup'
+            ELSE 'unique' END AS status
+FROM bands n LEFT JOIN corpb c ON n.bno = c.bno AND n.blk = c.blk
+WHERE n.{new}
+GROUP BY n.doc_id
+"""
+
+
 def stream_ppl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming LM quality gate — CCNet's ingest architecture: the
     bigram model, smoothing denominators, vocabulary fallback and keep
@@ -1385,6 +1486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stream_near_dedup": stream_near_dedup,
         "stream_phash_gate": stream_phash_gate,
+        "stream_afp_gate": stream_afp_gate,
         "stream_ppl_gate": stream_ppl_gate,
         "stream_semantic_gate": stream_semantic_gate,
         "stream_dd_quantiles": stream_dd_quantiles,
@@ -1405,6 +1507,7 @@ def oracles() -> dict[str, str]:
     return {
         "stream_near_dedup": _near_dedup_oracle(),
         "stream_phash_gate": _phash_gate_oracle(),
+        "stream_afp_gate": _afp_gate_oracle(),
         "stream_ppl_gate": _ppl_gate_oracle(),
         "stream_semantic_gate": _semantic_gate_oracle(),
         "stream_dd_quantiles": _stream_dd_oracle(),

@@ -4078,6 +4078,76 @@ pqscored_m AS MATERIALIZED (SELECT * FROM pqscored),
 """
 
 
+# ---------------------------------------------------------------------------
+# pq_m compression-accuracy curve — the dial-justification artifact
+# for the IVF-PQ subspace count (the sibling of ann_pq_nprobe_curve
+# for nprobe and ann_nprobe_recall_curve for the exact search): total
+# quantization distortion of the raw-PQ encode at every PQ_M_GRID
+# layout, against the code size it buys.  More subspaces = narrower
+# subvectors = each codeword approximates less = lower distortion at
+# linearly more bits/vector; the curve is what a deployment reads to
+# pick m.  Distortion is quantized per (vector, subspace) BEFORE the
+# sum (FLOOR(d * 2^20) — double summation order would otherwise make
+# the total partition-dependent), so the artifact is an exact integer
+# on both engines.
+# ---------------------------------------------------------------------------
+
+PQ_M_GRID = (2, 4, 8, 16)
+_PQDQ_SCALE = 1 << 20
+
+
+def _pq_m_curve_block(dialect: str, v: str, pq_m: int) -> str:
+    """One grid point: encode at ``pq_m``, reconstruct, sum quantized
+    subspace distortions (codes' argmin distance IS the subspace
+    distortion — no second lookup needed)."""
+    dist = _pq_dist(dialect, "s.emb", "cb.cemb", "s.m", pq_m)
+    enum = (
+        f"explode(sequence(0, {pq_m - 1}))"
+        if dialect == "spark"
+        else f"unnest(generate_series(0, {pq_m - 1}))"
+    )
+    int_t = "INT" if dialect == "spark" else "INTEGER"
+    return f"""
+  SELECT CAST({pq_m} AS {int_t}) AS pq_m,
+         CAST({pq_m * 4} AS {int_t}) AS bits_per_vec,
+         CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vectors,
+         CAST(SUM(dq) AS BIGINT) AS total_dist_q
+  FROM (
+    SELECT vec_id, CAST(FLOOR(mind * {_PQDQ_SCALE}) AS BIGINT) AS dq
+    FROM (
+      SELECT s.vec_id, s.m, MIN({dist}) AS mind
+      FROM (SELECT vec_id, emb, {enum} AS m FROM {v}) s
+      CROSS JOIN (SELECT vec_id AS code, emb AS cemb FROM {v}
+                  WHERE vec_id < {PQ_K}) cb
+      GROUP BY s.vec_id, s.m
+    ) t
+  ) q"""
+
+
+def ann_pq_m_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total raw-PQ quantization distortion at every PQ_M_GRID
+    subspace count vs the bits/vector it costs — the measured
+    justification for the pq_m dial (queries_parameterized): a
+    deployment reads this curve with ann_pq_nprobe_curve to pick the
+    (m, nprobe) operating point."""
+    v = _normed(spark, sf_dir)
+    union = "\n  UNION ALL\n".join(
+        _pq_m_curve_block("spark", v, m) for m in PQ_M_GRID
+    )
+    return spark.sql(union)
+
+
+def _pq_m_curve_oracle() -> str:
+    union = "\n  UNION ALL\n".join(
+        _pq_m_curve_block("duck", "vm", m) for m in PQ_M_GRID
+    )
+    return f"""
+WITH {_duck_v_cte()},
+vm AS MATERIALIZED (SELECT vec_id, emb FROM v)
+{union}
+"""
+
+
 def ann_pq_residual_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantization-loss eval: raw vs residual IVF-PQ recall@K against
     the exact in-cell ranking (3 rows per query: raw, residual,
@@ -4724,6 +4794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_probe3_k5": ann_ivf_probe3_k5,
         "ann_nprobe_recall_curve": ann_nprobe_recall_curve,
         "ann_pq_nprobe_curve": ann_pq_nprobe_curve,
+        "ann_pq_m_curve": ann_pq_m_curve,
         "ann_lsh_hyperplane": ann_lsh_hyperplane,
         "ann_rerank": ann_rerank,
         "dedup_embedding": dedup_embedding,
@@ -4773,6 +4844,7 @@ def oracles() -> dict[str, str]:
         "ann_ivf_probe3_k5": _ivf_probe3_k5_oracle(),
         "ann_nprobe_recall_curve": _nprobe_curve_oracle(),
         "ann_pq_nprobe_curve": _pq_nprobe_curve_oracle(),
+        "ann_pq_m_curve": _pq_m_curve_oracle(),
         "ann_lsh_hyperplane": _lsh_oracle(),
         "ann_rerank": _rerank_oracle(),
         "dedup_embedding": _dedup_embedding_oracle(),

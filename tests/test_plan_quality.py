@@ -234,6 +234,10 @@ _CARTESIAN_EXEMPT = {
     "ann_mrl_rerank",
     # intentional: MRR ranks the same broadcast-query all-pairs scan
     "ann_mrr",
+    # intentional: each PQ_M_GRID block encodes the corpus against the
+    # PQ_K=16-row broadcast codebook — the same tiny-broadcast encode
+    # cross join as ann_pq_encode, repeated once per grid point
+    "ann_pq_m_curve",
 }
 
 

@@ -114,3 +114,56 @@ def test_afp_trio_pigeonhole_recall(spark):
                     assert report[d][0] >= 1, (d, o, ham)
                     assert report[d][1] <= M.AFP_HAMMING_MAX
     assert planted > 0, "fixture lost its planted trio near-dups"
+
+
+def test_afp_clusters_match_python_reference(spark):
+    """HASH-SPACE connected components re-derived with a pure-Python
+    union-find over the fingerprint graph — the audio counterpart of
+    test_phash_clusters_match_python_reference."""
+    from dataforge_core_spark.operators import multimodal as M
+
+    docs = _doc_ids(spark)
+    hashes = {
+        d: _py_afp(d, M.AFP_N_SAMPLES, M._AFP_PERTURB) for d in docs
+    }
+    nodes = sorted(set(hashes.values()))
+    parent = {h: h for h in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    mask = (1 << M._AFP_BAND_BITS) - 1
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for h in nodes:
+        for b in range(M.AFP_BANDS):
+            buckets.setdefault(
+                (b, (h >> (M._AFP_BAND_BITS * b)) & mask), []
+            ).append(h)
+    for members in buckets.values():
+        nsalt = (
+            -(-len(members) // M.MAX_AFP_BUCKET)
+            if len(members) > M.MAX_AFP_BUCKET else 1
+        )
+        for i, a in enumerate(members):
+            for b in members[i + 1:]:
+                lo, hi = min(a, b), max(a, b)
+                if lo % nsalt != hi % nsalt:
+                    continue
+                if bin(lo ^ hi).count("1") <= M.AFP_HAMMING_MAX:
+                    ra, rb = find(lo), find(hi)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    root_min_doc: dict[int, int] = {}
+    for d, h in hashes.items():
+        r = find(h)
+        root_min_doc[r] = min(root_min_doc.get(r, d), d)
+    expect = {d: root_min_doc[find(h)] for d, h in hashes.items()}
+    got = {
+        r.doc_id: r.cluster_id
+        for r in M.multimodal_audio_clusters(spark, SF).collect()
+    }
+    assert got == expect
+    assert len(set(expect.values())) < len(docs), "no clustering happened"

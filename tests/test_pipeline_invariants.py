@@ -964,3 +964,100 @@ def test_stream_ppl_gate_hand_corpus(spark, tmp_path):
     # the stored scalars match the hand model too
     _m, _u, ql_v, t = X._ppl_model(spark, str(tmp_path))
     assert ql_v == qlog2(3) and t == thr
+
+
+def test_stream_semantic_gate_matches_batch_lane(spark, sf_dir):
+    """Cross-lane referee: the streaming semantic gate's per-doc
+    (max_cos_q, contaminated) must equal the BATCH
+    ann_semantic_decontaminate rows for the incoming-split ids — same
+    stored index, same cosine trees, same quantization, different
+    execution paths (micro-batch stream-static join vs batch IVF
+    probe)."""
+    from dataforge_core_spark.operators.dedup import INCR_MOD, INCR_NEW_GE
+    from dataforge_core_spark.operators.similarity import (
+        ann_semantic_decontaminate,
+    )
+    from dataforge_core_spark.operators.streaming_rows import (
+        stream_semantic_gate,
+    )
+
+    batch = {
+        r.doc_id: (r.max_cos_q, r.contaminated)
+        for r in ann_semantic_decontaminate(spark, sf_dir).collect()
+        if r.doc_id % INCR_MOD >= INCR_NEW_GE
+    }
+    stream = {
+        r.vec_id: (r.max_cos_q, r.contaminated)
+        for r in stream_semantic_gate(spark, sf_dir).collect()
+    }
+    assert stream == batch
+    assert stream, "empty incoming split"
+
+
+def _py_tree(terms):
+    """The engines' balanced pairwise reduce, re-derived: fold adjacent
+    pairs left-to-right per level, odd leftover passes through —
+    bit-identical to the SQL expression tree given IEEE doubles."""
+    while len(terms) > 1:
+        terms = [
+            terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
+
+
+def test_pq_nprobe_curve_np1_matches_trained_search(spark, sf_dir):
+    """Cross-lane referee for ann_pq_nprobe_curve: at nprobe=1 its
+    found set is by construction the trained IVFADC search's top-K
+    (same stored codes, same per-own-cell LUT), so n_hits must equal
+    |trained_topk(q) ∩ exactL2topK(q)| with the exact side re-derived
+    in pure Python using the engines' balanced summation trees."""
+    from dataforge_core_spark.operators.similarity import (
+        _PQ_SUBDIM,
+        N_QUERIES,
+        PQ_M,
+        TOP_K,
+        ann_ivf_pq_trained,
+        ann_pq_nprobe_curve,
+    )
+
+    embs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in spark.read.parquet(
+            f"{sf_dir}/embeddings.parquet"
+        ).collect()
+    }
+
+    def l2(a, b):
+        subs = []
+        for m in range(PQ_M):
+            terms = [
+                (a[m * _PQ_SUBDIM + i] - b[m * _PQ_SUBDIM + i])
+                * (a[m * _PQ_SUBDIM + i] - b[m * _PQ_SUBDIM + i])
+                for i in range(_PQ_SUBDIM)
+            ]
+            subs.append(_py_tree(terms))
+        return _py_tree(subs)
+
+    queries = [v for v in sorted(embs) if v < N_QUERIES]
+    exact = {
+        q: {
+            n
+            for _, n in sorted(
+                (l2(embs[q], embs[c]), c) for c in embs if c != q
+            )[:TOP_K]
+        }
+        for q in queries
+    }
+    trained: dict[int, set] = {}
+    for r in ann_ivf_pq_trained(spark, sf_dir).collect():
+        trained.setdefault(r.query_id, set()).add(r.neighbor_id)
+    curve = {
+        r.query_id: (r.n_exact, r.n_hits)
+        for r in ann_pq_nprobe_curve(spark, sf_dir).collect()
+        if r.nprobe == 1
+    }
+    assert set(curve) == set(exact)
+    for q in exact:
+        assert curve[q][0] == TOP_K
+        assert curve[q][1] == len(trained.get(q, set()) & exact[q]), q

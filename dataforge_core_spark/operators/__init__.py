@@ -111,25 +111,20 @@ def _recorded_names() -> set:
     }
 
 
-# Lanes added AFTER the round-7 capture-window bookkeeping froze (the
-# ROADMAP's "don't add further lanes before the r7 record lands"): NOT
-# hoisted ahead of driver-green rows while the r7 record is still
-# pending, so they cannot displace the 49 not-yet-proven r7 rows from
-# the driver's 50-row capture window.  They stay locally
+# Lanes added AFTER a round's capture-window composition was verified
+# and frozen: NOT hoisted ahead of driver-green rows while the
+# freezing round's record is still pending, so they cannot displace
+# the window's veteran-refresh block.  They stay locally
 # oracle-verified (tests/test_oracle.py) regardless; once a
-# CORRECTNESS_r7+ record exists the deferral expires and _merge hoists
-# them like any other unrecorded row (they become the least-proven set).
-_DEFER_UNTIL_ROUND = 7
+# CORRECTNESS_r{N}+ record exists the deferral expires and _merge
+# hoists them like any other unrecorded row (they become the
+# least-proven set).  Re-armed in r12 for the late-round composite
+# lane (the r12 window was verified as 3 pinned + hub_nation + all 37
+# r8 veterans + 7 new lanes + 2 r9s = 50 before this lane existed);
+# the original r7 deferral set expired when CORRECTNESS_r7 landed.
+_DEFER_UNTIL_ROUND = 12
 DEFER_PAST_CAPTURE: set = {
-    "ann_filtered_search",
-    "stream_corpus_ingest",
-    "text_gopher_rules",
-    "train_decontaminate_spans",
-    "train_dsir_weights",
-    "train_temperature_mix",
-    "train_bpe_encode",
-    "text_quality_linear",
-    "ann_incremental_assign",
+    "train_ingest_decision",
 }
 
 

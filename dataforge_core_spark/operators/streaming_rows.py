@@ -858,7 +858,10 @@ GROUP BY d.source
 
 
 def stream_near_dedup(
-    spark: SparkSession, sf_dir: str, threshold: float | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float | None = None,
+    batch: bool = False,
 ) -> DataFrame:
     """Streaming content-based near-dedup gate: an incoming document
     stream (the same doc_id % INCR_MOD >= INCR_NEW_GE "new batch" split
@@ -901,8 +904,13 @@ def stream_near_dedup(
     bname, kname = _near_dedup_index(spark, sf_dir)
     hs_expr, sig_cols = scalar_sig_exprs()
     bk_arr = "array(" + ", ".join(_band_keys(MINHASH_BANDS, MINHASH_R)) + ")"
+    src = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        if batch
+        else stream_documents(spark, sf_dir)
+    )
     new = (
-        stream_documents(spark, sf_dir)
+        src
         .where(f"doc_id % {INCR_MOD} >= {INCR_NEW_GE}")
         .selectExpr(
             "doc_id", f"md5({_SPARK_NORM}) AS k", f"{_SPARK_TOKENS} AS tok"
@@ -945,10 +953,14 @@ def stream_near_dedup(
             "ELSE 'unique' END"
         ).alias("status")
     )
+    if batch:
+        return agg
     return _run_to_memory(agg, "drv_stream_near_dedup", spark, "complete")
 
 
-def stream_phash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_phash_gate(
+    spark: SparkSession, sf_dir: str, batch: bool = False
+) -> DataFrame:
     """Streaming IMAGE near-dedup gate — the multimodal sibling of
     stream_near_dedup: incoming images (the dedup_incremental doc_id
     split) are dHashed per micro-batch by the same fused Arrow
@@ -978,8 +990,13 @@ def stream_phash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         _phash_blocks_expr,
     )
 
+    src = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        if batch
+        else stream_documents(spark, sf_dir)
+    )
     new = (
-        stream_documents(spark, sf_dir)
+        src
         .where(f"doc_id % {INCR_MOD} >= {INCR_NEW_GE}")
         .selectExpr("doc_id")
         .mapInPandas(fused, "doc_id bigint, phash bigint")
@@ -1003,6 +1020,8 @@ def stream_phash_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ELSE 'unique' END"
         ).alias("status")
     )
+    if batch:
+        return agg
     return _run_to_memory(agg, "drv_stream_phash_gate", spark, "complete")
 
 
@@ -1049,7 +1068,9 @@ GROUP BY n.doc_id
 """
 
 
-def stream_afp_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_afp_gate(
+    spark: SparkSession, sf_dir: str, batch: bool = False
+) -> DataFrame:
     """Streaming AUDIO near-dedup gate — the acoustic member of the
     gate family (text minhash, image phash, LM perplexity, semantic
     embedding, now audio fingerprint): incoming tracks (the
@@ -1079,8 +1100,13 @@ def stream_afp_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         return fp(synth(batches))
 
     blocks = _hash_blocks_expr("afp", AFP_BANDS, _AFP_BAND_BITS)
+    src = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        if batch
+        else stream_documents(spark, sf_dir)
+    )
     new = (
-        stream_documents(spark, sf_dir)
+        src
         .where(f"doc_id % {INCR_MOD} >= {INCR_NEW_GE}")
         .selectExpr("doc_id")
         .mapInPandas(fused, "doc_id bigint, afp bigint")
@@ -1104,6 +1130,8 @@ def stream_afp_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ELSE 'unique' END"
         ).alias("status")
     )
+    if batch:
+        return agg
     return _run_to_memory(agg, "drv_stream_afp_gate", spark, "complete")
 
 
@@ -1150,7 +1178,9 @@ GROUP BY n.doc_id
 """
 
 
-def stream_ppl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_ppl_gate(
+    spark: SparkSession, sf_dir: str, batch: bool = False
+) -> DataFrame:
     """Streaming LM quality gate — CCNet's ingest architecture: the
     bigram model, smoothing denominators, vocabulary fallback and keep
     threshold are all built ONCE from the corpus split and stored
@@ -1173,8 +1203,13 @@ def stream_ppl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataforge_core_spark.streaming import stream_documents
 
     mname, uname, ql_v, thr = _ppl_model(spark, sf_dir)
+    src = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        if batch
+        else stream_documents(spark, sf_dir)
+    )
     bg = (
-        stream_documents(spark, sf_dir)
+        src
         .where(f"doc_id % {INCR_MOD} >= {INCR_NEW_GE}")
         .selectExpr("doc_id", f"{_SPARK_TOK} AS tok")
         .where("size(tok) >= 2")
@@ -1207,6 +1242,8 @@ def stream_ppl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_bigrams", "mean_nll_q",
         f"mean_nll_q <= {thr} AS ppl_keep",
     )
+    if batch:
+        return out
     return _run_to_memory(out, "drv_stream_ppl_gate", spark, "complete")
 
 
@@ -1279,6 +1316,7 @@ def stream_semantic_gate(
     sf_dir: str,
     nprobe: int | None = None,
     thresh_q: int | None = None,
+    batch: bool = False,
 ) -> DataFrame:
     """Streaming EMBEDDING-space contamination gate — the semantic
     sibling of stream_near_dedup (text), stream_phash_gate (image)
@@ -1320,8 +1358,13 @@ def stream_semantic_gate(
     sa = _probe_sorted_expr(_kmeans_centroids(spark, sf_dir), "emb")
     picks = ", ".join(f"__sa[{j}].c" for j in range(np_))
     cos = _spark_cosine("q.emb", "c.emb", "q.nrm", "c.nrm")
+    src = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        if batch
+        else stream_embeddings(spark, sf_dir)
+    )
     new = (
-        stream_embeddings(spark, sf_dir)
+        src
         .where(f"vec_id % {INCR_MOD} >= {INCR_NEW_GE}")
         .selectExpr("vec_id", "CAST(embedding AS array<double>) AS emb")
         .selectExpr("vec_id", "emb", f"{_spark_norm('emb')} AS nrm")
@@ -1350,6 +1393,8 @@ def stream_semantic_gate(
             f" THEN 1 ELSE 0 END AS INT)"
         ).alias("contaminated"),
     )
+    if batch:
+        return agg
     return _run_to_memory(
         agg, "drv_stream_semantic_gate", spark, "complete"
     )

@@ -1360,8 +1360,108 @@ def train_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_decon_sql("spark"))
 
 
+# ---------------------------------------------------------------------------
+# Composite ingest decision — the five gate verdicts (text minhash,
+# image phash, audio fingerprint, bigram-LM perplexity, semantic
+# embedding) joined into ONE per-incoming-doc admit/reject record with
+# a reason column: the artifact a training-data ingest actually acts
+# on, and the end-to-end demonstration that every stored index serves
+# one decision.  Components are the GATE lanes run in batch mode
+# (streaming_rows.stream_*_gate(batch=True) — identical joins and
+# quantization, just a batch source instead of readStream), so each
+# column's semantics are already individually driver-proven; the
+# DuckDB oracle joins the five gate oracles verbatim as subqueries.
+#
+# Policy (explicit, stated, mirrored bit-for-bit in the oracle):
+# reject text exact duplicates, text near-duplicates, benchmark
+# contamination, and LM-quality failures — in that order of reasons.
+# Image/audio duplicate statuses are carried as FLAGS, not rejections:
+# this corpus's synthetic media are pathologically self-duplicative by
+# design (every incoming image is an exact dup — measured; rejecting
+# on media dups would degenerate the artifact to one reason), and for
+# a text-training ingest a document whose ATTACHED media duplicates
+# another's is not itself a duplicate.  Docs the LM gate cannot score
+# (< 2 tokens) pass that check (ppl_keep NULL -> ungated, the
+# stream_ppl_gate policy).  Measured admit mix at sf0.01: 25 admit /
+# 68 lm_quality / 6 text_near / 1 benchmark_contamination.
+# ---------------------------------------------------------------------------
+
+_INGEST_REASON_SQL = """CASE
+  WHEN text_status = 'exact_dup' THEN 'text_exact'
+  WHEN text_status = 'near_dup' THEN 'text_near'
+  WHEN contaminated = 1 THEN 'benchmark_contamination'
+  WHEN NOT COALESCE(ppl_keep, TRUE) THEN 'lm_quality'
+  ELSE NULL END"""
+
+
+def train_ingest_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-incoming-doc admit/reject record over all five ingest
+    gates — see the section comment for the policy."""
+    from pyspark.sql import functions as F
+
+    from dataforge_core_spark.operators import streaming_rows as SR
+
+    text = SR.stream_near_dedup(spark, sf_dir, batch=True).selectExpr(
+        "doc_id", "status AS text_status"
+    )
+    image = SR.stream_phash_gate(spark, sf_dir, batch=True).selectExpr(
+        "doc_id", "status AS image_status"
+    )
+    audio = SR.stream_afp_gate(spark, sf_dir, batch=True).selectExpr(
+        "doc_id", "status AS audio_status"
+    )
+    ppl = SR.stream_ppl_gate(spark, sf_dir, batch=True).selectExpr(
+        "doc_id", "ppl_keep"
+    )
+    sem = SR.stream_semantic_gate(spark, sf_dir, batch=True).selectExpr(
+        "vec_id AS doc_id", "contaminated"
+    )
+    out = (
+        text.join(image, "doc_id", "left")
+        .join(audio, "doc_id", "left")
+        .join(ppl, "doc_id", "left")
+        .join(sem, "doc_id", "left")
+        .withColumn("reason", F.expr(_INGEST_REASON_SQL))
+        .withColumn(
+            "admit", F.expr("CAST(reason IS NULL AS BOOLEAN)")
+        )
+    )
+    return out.select(
+        "doc_id", "text_status", "image_status", "audio_status",
+        "ppl_keep", "contaminated", "admit", "reason",
+    )
+
+
+def _ingest_decision_oracle() -> str:
+    from dataforge_core_spark.operators.streaming_rows import (
+        _afp_gate_oracle,
+        _near_dedup_oracle,
+        _phash_gate_oracle,
+        _ppl_gate_oracle,
+        _semantic_gate_oracle,
+    )
+
+    return f"""
+WITH joined AS (
+  SELECT t.doc_id, t.status AS text_status, i.status AS image_status,
+         a.status AS audio_status, p.ppl_keep, s.contaminated
+  FROM ({_near_dedup_oracle()}) t
+  LEFT JOIN ({_phash_gate_oracle()}) i ON i.doc_id = t.doc_id
+  LEFT JOIN ({_afp_gate_oracle()}) a ON a.doc_id = t.doc_id
+  LEFT JOIN ({_ppl_gate_oracle()}) p ON p.doc_id = t.doc_id
+  LEFT JOIN ({_semantic_gate_oracle()}) s ON s.vec_id = t.doc_id
+)
+SELECT doc_id, text_status, image_status, audio_status, ppl_keep,
+       contaminated,
+       CAST(({_INGEST_REASON_SQL}) IS NULL AS BOOLEAN) AS admit,
+       {_INGEST_REASON_SQL} AS reason
+FROM joined
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "train_ingest_decision": train_ingest_decision,
         "train_decontaminate_spans": train_decontaminate_spans,
         "train_dsir_weights": train_dsir_weights,
         "train_temperature_mix": train_temperature_mix,
@@ -1389,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracles() -> dict[str, str]:
     return {
+        "train_ingest_decision": _ingest_decision_oracle(),
         "train_decontaminate_spans": _decon_sql("duck"),
         "train_dsir_weights": _dsir_sql("duck"),
         "train_temperature_mix": _temperature_sql("duck"),

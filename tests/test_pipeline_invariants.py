@@ -1061,3 +1061,64 @@ def test_pq_nprobe_curve_np1_matches_trained_search(spark, sf_dir):
     for q in exact:
         assert curve[q][0] == TOP_K
         assert curve[q][1] == len(trained.get(q, set()) & exact[q]), q
+
+
+def test_ingest_decision_referees_components_and_policy(spark, sf_dir):
+    """Cross-lane referee for the composite ingest record: every
+    component column must equal the standalone gate lane's output
+    (batch==stream semantics), and admit/reason must re-derive from
+    the components under the documented policy — so the composite can
+    never drift from the gates it claims to summarize."""
+    from dataforge_core_spark.operators import streaming_rows as SR
+    from dataforge_core_spark.operators.training import (
+        train_ingest_decision,
+    )
+
+    comp = {
+        r.doc_id: r
+        for r in train_ingest_decision(spark, sf_dir).collect()
+    }
+    text = {
+        r.doc_id: r.status
+        for r in SR.stream_near_dedup(spark, sf_dir).collect()
+    }
+    image = {
+        r.doc_id: r.status
+        for r in SR.stream_phash_gate(spark, sf_dir).collect()
+    }
+    audio = {
+        r.doc_id: r.status
+        for r in SR.stream_afp_gate(spark, sf_dir).collect()
+    }
+    ppl = {
+        r.doc_id: r.ppl_keep
+        for r in SR.stream_ppl_gate(spark, sf_dir).collect()
+    }
+    sem = {
+        r.vec_id: r.contaminated
+        for r in SR.stream_semantic_gate(spark, sf_dir).collect()
+    }
+    assert set(comp) == set(text)
+    reasons = set()
+    for d, r in comp.items():
+        assert r.text_status == text[d], d
+        assert r.image_status == image.get(d), d
+        assert r.audio_status == audio.get(d), d
+        assert r.ppl_keep == ppl.get(d), d
+        assert r.contaminated == sem.get(d), d
+        if r.text_status == "exact_dup":
+            want = "text_exact"
+        elif r.text_status == "near_dup":
+            want = "text_near"
+        elif r.contaminated == 1:
+            want = "benchmark_contamination"
+        elif not (r.ppl_keep if r.ppl_keep is not None else True):
+            want = "lm_quality"
+        else:
+            want = None
+        assert r.reason == want, d
+        assert r.admit == (want is None), d
+        reasons.add(want)
+    # the fixture must exercise both admit and at least two reject
+    # reasons, or the policy test is vacuous
+    assert None in reasons and len(reasons - {None}) >= 2, reasons

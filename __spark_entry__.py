@@ -473,6 +473,13 @@ def queries_parameterized() -> dict[str, dict]:
                 SR._near_dedup_oracle(threshold)
             ),
         },
+        "stream_ann_topk": {
+            "fn": SR.stream_ann_topk,
+            "params": {"nprobe": 1, "top_k": S.TOP_K},
+            "oracle_sql": lambda nprobe=1, top_k=S.TOP_K: (
+                SR._ann_topk_oracle(nprobe=nprobe, top_k=top_k)
+            ),
+        },
         "stream_semantic_gate": {
             "fn": SR.stream_semantic_gate,
             "params": {

@@ -125,6 +125,7 @@ def _recorded_names() -> set:
 _DEFER_UNTIL_ROUND = 12
 DEFER_PAST_CAPTURE: set = {
     "train_ingest_decision",
+    "stream_ann_topk",
 }
 
 

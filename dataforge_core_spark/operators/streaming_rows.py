@@ -1453,6 +1453,138 @@ LEFT JOIN scored s ON s.vec_id = i.vec_id
 """
 
 
+def stream_ann_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int | None = None,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Streaming vector-search SERVING — the retrieval complement of
+    the ingest gates: incoming query embeddings (the incremental
+    vec_id split) probe their ``nprobe`` nearest cells of the stored
+    k-means IVF index (literal sorted-centroid projection, stateless)
+    and retrieve the top-K corpus-split neighbors by cosine via a
+    stream-static broadcast equi-join on cid.
+
+    Ranking shape: window functions are barred on streaming frames,
+    so the per-query top-K is the one stateful aggregate —
+    collect_list of (score, neighbor) structs per query — followed by
+    a PLAIN PROJECTION that array_sorts with an explicit
+    (score DESC, neighbor ASC) comparator and slices K: the
+    collect_list's arrival order is nondeterministic, the total-order
+    sort canonicalizes it, and per-query state is bounded by
+    nprobe x IVF_CELL_CAP.  Values match the batch ROW_NUMBER ranking
+    exactly (the oracle runs that form)."""
+    from dataforge_core_spark.operators.dedup import INCR_MOD, INCR_NEW_GE
+    from dataforge_core_spark.operators.similarity import (
+        KMEANS_K,
+        IVF_CELL_CAP,
+        TOP_K,
+        _kmeans_assignments,
+        _kmeans_centroids,
+        _probe_sorted_expr,
+        _spark_cosine,
+        _spark_norm,
+    )
+    from dataforge_core_spark.streaming import stream_embeddings
+
+    np_ = 1 if nprobe is None else nprobe
+    k = TOP_K if top_k is None else top_k
+    if np_ < 1 or np_ > KMEANS_K:
+        raise ValueError(f"nprobe must be in [1, {KMEANS_K}]")
+    if k < 1:
+        raise ValueError("top_k must be >= 1")
+    af = _kmeans_assignments(spark, sf_dir)
+    sa = _probe_sorted_expr(_kmeans_centroids(spark, sf_dir), "emb")
+    picks = ", ".join(f"__sa[{j}].c" for j in range(np_))
+    cos = _spark_cosine("q.emb", "c.emb", "q.nrm", "c.nrm")
+    qs = (
+        stream_embeddings(spark, sf_dir)
+        .where(f"vec_id % {INCR_MOD} >= {INCR_NEW_GE}")
+        .selectExpr("vec_id", "CAST(embedding AS array<double>) AS emb")
+        .selectExpr("vec_id", "emb", f"{_spark_norm('emb')} AS nrm")
+        .selectExpr("vec_id", "emb", "nrm", f"{sa} AS __sa")
+        .selectExpr(
+            "vec_id", "emb", "nrm", f"explode(array({picks})) AS pcid"
+        )
+        .alias("q")
+    )
+    corpus = spark.sql(
+        f"SELECT vec_id, emb, nrm, cid FROM {af}"
+        f" WHERE vec_id % {INCR_MOD} < {INCR_NEW_GE}"
+        f" AND cellrn <= {IVF_CELL_CAP}"
+    ).alias("c")
+    scored = qs.join(
+        corpus, F.expr("c.cid = q.pcid"), "inner"
+    ).selectExpr(
+        "q.vec_id AS query_id",
+        f"named_struct('s', {cos}, 'n', c.vec_id) AS sn",
+    )
+    agg = scored.groupBy("query_id").agg(
+        F.expr("collect_list(sn)").alias("cands")
+    )
+    ranked = agg.selectExpr(
+        "query_id",
+        f"""slice(array_sort(cands, (a, b) -> CASE
+              WHEN a.s > b.s THEN -1 WHEN a.s < b.s THEN 1
+              WHEN a.n < b.n THEN -1 WHEN a.n > b.n THEN 1
+              ELSE 0 END), 1, {k}) AS topk""",
+    ).selectExpr(
+        "query_id",
+        "posexplode(topk) AS (i, sn)",
+    ).selectExpr(
+        "query_id",
+        "CAST(i + 1 AS INT) AS rank",
+        "sn.n AS neighbor_id",
+    )
+    return _run_to_memory(
+        ranked, "drv_stream_ann_topk", spark, "complete"
+    )
+
+
+def _ann_topk_oracle(
+    nprobe: int | None = None, top_k: int | None = None
+) -> str:
+    from dataforge_core_spark.operators.dedup import INCR_MOD, INCR_NEW_GE
+    from dataforge_core_spark.operators.similarity import (
+        IVF_CELL_CAP,
+        KMEANS_ITERS,
+        TOP_K,
+        _duck_cosine,
+        _duck_v_cte,
+        _kmeans_ctes,
+        _unrolled_dot,
+    )
+
+    np_ = 1 if nprobe is None else nprobe
+    k = TOP_K if top_k is None else top_k
+    qdot = _unrolled_dot("a.emb", "c.emb", "duck")
+    cos = _duck_cosine("q.emb", "c.emb", "q.nrm", "c.nrm")
+    return f"""
+WITH {_duck_v_cte()},
+{_kmeans_ctes('v', 'duck')},
+afm AS MATERIALIZED (SELECT * FROM af),
+qp AS (
+  SELECT vec_id, emb, nrm, cid AS pcid FROM (
+    SELECT a.vec_id, a.emb, a.nrm, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                ORDER BY (c.cc - (2 * ({qdot}))) ASC, c.cid) AS rn
+    FROM (SELECT * FROM afm
+          WHERE vec_id % {INCR_MOD} >= {INCR_NEW_GE}) a
+    CROSS JOIN c{KMEANS_ITERS} c
+  ) t WHERE rn <= {np_}
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              ORDER BY ({cos}) DESC, c.vec_id) AS INTEGER) AS rank
+  FROM qp q JOIN afm c
+    ON c.cid = q.pcid AND c.vec_id % {INCR_MOD} < {INCR_NEW_GE}
+   AND c.cellrn <= {IVF_CELL_CAP}
+) r WHERE rank <= {k}
+"""
+
+
 def _near_dedup_oracle(threshold: float | None = None) -> str:
     from dataforge_core_spark.operators.dedup import (
         INCR_MOD,
@@ -1534,6 +1666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_afp_gate": stream_afp_gate,
         "stream_ppl_gate": stream_ppl_gate,
         "stream_semantic_gate": stream_semantic_gate,
+        "stream_ann_topk": stream_ann_topk,
         "stream_dd_quantiles": stream_dd_quantiles,
         "stream_hll_distinct": stream_hll_distinct,
         "stream_corpus_ingest": stream_corpus_ingest,
@@ -1555,6 +1688,7 @@ def oracles() -> dict[str, str]:
         "stream_afp_gate": _afp_gate_oracle(),
         "stream_ppl_gate": _ppl_gate_oracle(),
         "stream_semantic_gate": _semantic_gate_oracle(),
+        "stream_ann_topk": _ann_topk_oracle(),
         "stream_dd_quantiles": _stream_dd_oracle(),
         "stream_hll_distinct": _stream_hll_oracle(),
         "stream_corpus_ingest": _corpus_ingest_oracle(),

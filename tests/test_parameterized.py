@@ -51,6 +51,7 @@ def test_contract_shape():
         ("dedup_cos_threshold_curve", {"bucket_cap": 10}),
         ("stream_near_dedup", {"threshold": 0.35}),
         ("stream_semantic_gate", {"nprobe": 4, "thresh_q": 300_000}),
+        ("stream_ann_topk", {"nprobe": 2, "top_k": 5}),
         # cap 2 forces the salt guard on the planted-dup-heavy fixture
         ("multimodal_phash_neardup", {"max_bucket": 2}),
         # cap 5 forces the salt guard on the slope-concentrated buckets

@@ -1319,9 +1319,9 @@ def stream_semantic_gate(
     batch: bool = False,
 ) -> DataFrame:
     """Streaming EMBEDDING-space contamination gate — the semantic
-    sibling of stream_near_dedup (text), stream_phash_gate (image)
-    and stream_ppl_gate (LM quality), completing the four-gate
-    continuous-ingest family: incoming documents' embeddings (the
+    member of the continuous-ingest gate family (text minhash, image
+    phash, audio fingerprint, LM quality, this one — see
+    train_ingest_decision for the composite): incoming embeddings (the
     dedup_incremental vec_id split) are scored against the STORED
     benchmark cells of the k-means IVF index and gated at the batch
     lane's SEM_DECON_THRESH_Q — ann_semantic_decontaminate's

@@ -1526,8 +1526,12 @@ def afp_synth_fn():
             ck = doc_id - (doc_id % 3)
             p = 1 + (doc_id % 3) * 19  # corrupted sample: 1 / 20 / 39
             samples = []
+            # ck reduced mod 2^16 BEFORE the multiply: identical value
+            # (modular arithmetic) and the int64 oracle twin then
+            # cannot overflow at any bigint doc_id (r12 review fix)
+            ck16 = ck % 65536
             for i in range(AFP_N_SAMPLES):
-                v = (ck * 7919 * (i + 1)) % 65536
+                v = (ck16 * 7919 * (i + 1)) % 65536
                 if i == p:
                     v = (v + _AFP_PERTURB) % 65536
                 samples.append(v - 32768)
@@ -1636,7 +1640,12 @@ def _afp_h_ctes() -> str:
     definition both audio-fingerprint oracles inline."""
     return f"""asv AS (
   SELECT d.doc_id, u.i,
-         ((d.doc_id - (d.doc_id % 3)) * 7919 * (u.i + 1)) % 65536
+         -- ck reduced mod 2^16 before the multiply: value-identical,
+         -- and the product stays <= 65535*7919*61 ~ 3.2e13 — no int64
+         -- overflow at any bigint doc_id (r12 review fix; the Python
+         -- synth applies the same reduction)
+         (((d.doc_id - (d.doc_id % 3)) % 65536) * 7919 * (u.i + 1))
+           % 65536
            + CASE WHEN u.i = 1 + (d.doc_id % 3) * 19
                   THEN {_AFP_PERTURB} ELSE 0 END AS vr
   FROM documents d,

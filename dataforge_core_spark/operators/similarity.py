@@ -3092,26 +3092,30 @@ def _probe_cte(
     cv: str | None,
     nprobe: int,
     probe_sql: str | None,
+    name: str = "qp",
 ) -> str:
-    """``qp(query_id, cid)`` — the probed (query, cell) pairs shared by
-    every IVF-PQ flavor.  nprobe=1 reads the assignment column (a
-    vector's nearest centroid IS its cell, the same short-circuit
-    ann_ivf_search uses); nprobe>1 takes the caller-supplied literal
-    probe projection on Spark (``probe_sql``, built from the
-    driver-side centroids — no join) and the rn<=nprobe cross-join
-    form on DuckDB (mirroring _ivf_search_oracle's qp)."""
+    """``<name>(query_id, cid)`` — the probed (query, cell) pairs
+    shared by every IVF-PQ flavor.  nprobe=1 reads the assignment
+    column (a vector's nearest centroid IS its cell, the same
+    short-circuit ann_ivf_search uses); nprobe>1 takes the
+    caller-supplied literal probe projection on Spark (``probe_sql``,
+    built from the driver-side centroids — no join) and the
+    rn<=nprobe cross-join form on DuckDB (mirroring
+    _ivf_search_oracle's qp).  ``name`` lets the trained body emit a
+    collision-free CTE in the combined recall eval (parameter, not
+    string surgery — a r12 review fix)."""
     if nprobe == 1:
-        return f"""qp AS (
+        return f"""{name} AS (
   SELECT vec_id AS query_id, cid FROM {af} WHERE vec_id < {N_QUERIES}
 )"""
     if dialect == "spark":
         if probe_sql is None:
             raise ValueError("spark nprobe>1 needs probe_sql")
-        return f"qp AS ({probe_sql})"
+        return f"{name} AS ({probe_sql})"
     if cv is None:
         raise ValueError("duck nprobe>1 needs the centroid relation")
     qdot = _unrolled_dot("a.emb", "c.emb", "duck")
-    return f"""qp AS (
+    return f"""{name} AS (
   SELECT query_id, cid FROM (
     SELECT a.vec_id AS query_id, c.cid,
            ROW_NUMBER() OVER (PARTITION BY a.vec_id
@@ -3243,14 +3247,19 @@ def ann_ivf_pq(
 
 def _ivf_pq_oracle(nprobe: int = 1, pq_m: int = PQ_M) -> str:
     """DuckDB oracle builder mirroring :func:`ann_ivf_pq` for ANY
-    (nprobe, pq_m) — the oracle side of the parameterized contract."""
+    (nprobe, pq_m) — the oracle side of the parameterized contract.
+    cvm pinned MATERIALIZED like the sibling oracles: duckdb 1.0
+    inlines plain CTEs, so an unpinned centroid reference in the
+    nprobe>1 probe re-runs the whole Lloyd chain (measured 2.9s vs
+    1.4s at nprobe=2, and the repeat evaluation is the r7-documented
+    allocator-flake trigger)."""
     return f"""
 WITH {_duck_v_cte()},
 {_kmeans_ctes('v', 'duck')},
 afm AS MATERIALIZED (SELECT * FROM af),
+cvm AS MATERIALIZED (SELECT * FROM c{KMEANS_ITERS}),
 {_pq_codes_ctes('duck', 'v', pq_m)},
-{_ivf_pq_body('duck', 'afm', cv=f'c{KMEANS_ITERS}',
-              nprobe=nprobe, pq_m=pq_m)}
+{_ivf_pq_body('duck', 'afm', cv='cvm', nprobe=nprobe, pq_m=pq_m)}
 """
 
 
@@ -3765,8 +3774,9 @@ def _ivf_pq_trained_body(
         for i in range(_PQ_SUBDIM)
     )
     probe = _probe_cte(
-        dialect, af, cv if dialect == "duck" else None, nprobe, probe_sql
-    ).replace("qp AS (", "tqp AS (", 1)
+        dialect, af, cv if dialect == "duck" else None, nprobe,
+        probe_sql, name="tqp",
+    )
     if dialect == "spark":
         qr = f"""SELECT query_id, cid, m, array({qr_elems}) AS r FROM (
     SELECT q.vec_id AS query_id, q.emb AS qemb, c.emb AS ctr, p.cid,

@@ -1311,6 +1311,41 @@ FROM sc GROUP BY doc_id
 """
 
 
+def _incoming_emb_probe(
+    spark: SparkSession, sf_dir: str, nprobe: int, batch: bool
+):
+    """Shared prologue of the embedding-fed streaming lanes (semantic
+    gate, ANN top-K serving): the incoming-split embeddings double-cast
+    + normed + sorted-centroid literal probe, exploded to one row per
+    (vec_id, probed cid).  ONE definition so the cast/norm/probe
+    expressions cannot diverge between lanes (r12 review fix)."""
+    from dataforge_core_spark.operators.dedup import INCR_MOD, INCR_NEW_GE
+    from dataforge_core_spark.operators.similarity import (
+        _kmeans_centroids,
+        _probe_sorted_expr,
+        _spark_norm,
+    )
+    from dataforge_core_spark.streaming import stream_embeddings
+
+    sa = _probe_sorted_expr(_kmeans_centroids(spark, sf_dir), "emb")
+    picks = ", ".join(f"__sa[{j}].c" for j in range(nprobe))
+    src = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        if batch
+        else stream_embeddings(spark, sf_dir)
+    )
+    return (
+        src
+        .where(f"vec_id % {INCR_MOD} >= {INCR_NEW_GE}")
+        .selectExpr("vec_id", "CAST(embedding AS array<double>) AS emb")
+        .selectExpr("vec_id", "emb", f"{_spark_norm('emb')} AS nrm")
+        .selectExpr("vec_id", "emb", "nrm", f"{sa} AS __sa")
+        .selectExpr(
+            "vec_id", "emb", "nrm", f"explode(array({picks})) AS pcid"
+        )
+    )
+
+
 def stream_semantic_gate(
     spark: SparkSession,
     sf_dir: str,
@@ -1335,7 +1370,6 @@ def stream_semantic_gate(
     MAX aggregate.  Docs with no bench vector in any probed cell keep
     their row with the SEM_DECON_NO_CAND_Q sentinel, exactly like the
     batch lane."""
-    from dataforge_core_spark.operators.dedup import INCR_MOD, INCR_NEW_GE
     from dataforge_core_spark.operators.similarity import (
         KMEANS_K,
         N_QUERIES,
@@ -1343,37 +1377,16 @@ def stream_semantic_gate(
         SEM_DECON_NPROBE,
         SEM_DECON_THRESH_Q,
         _kmeans_assignments,
-        _kmeans_centroids,
-        _probe_sorted_expr,
         _spark_cosine,
-        _spark_norm,
     )
-    from dataforge_core_spark.streaming import stream_embeddings
 
     np_ = SEM_DECON_NPROBE if nprobe is None else nprobe
     thr = SEM_DECON_THRESH_Q if thresh_q is None else thresh_q
     if np_ < 1 or np_ > KMEANS_K:
         raise ValueError(f"nprobe must be in [1, {KMEANS_K}]")
     af = _kmeans_assignments(spark, sf_dir)
-    sa = _probe_sorted_expr(_kmeans_centroids(spark, sf_dir), "emb")
-    picks = ", ".join(f"__sa[{j}].c" for j in range(np_))
     cos = _spark_cosine("q.emb", "c.emb", "q.nrm", "c.nrm")
-    src = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        if batch
-        else stream_embeddings(spark, sf_dir)
-    )
-    new = (
-        src
-        .where(f"vec_id % {INCR_MOD} >= {INCR_NEW_GE}")
-        .selectExpr("vec_id", "CAST(embedding AS array<double>) AS emb")
-        .selectExpr("vec_id", "emb", f"{_spark_norm('emb')} AS nrm")
-        .selectExpr("vec_id", "emb", "nrm", f"{sa} AS __sa")
-        .selectExpr(
-            "vec_id", "emb", "nrm", f"explode(array({picks})) AS pcid"
-        )
-        .alias("c")
-    )
+    new = _incoming_emb_probe(spark, sf_dir, np_, batch).alias("c")
     bench = spark.sql(
         f"SELECT vec_id, emb, nrm, cid FROM {af}"
         f" WHERE vec_id < {N_QUERIES}"
@@ -1424,6 +1437,7 @@ def _semantic_gate_oracle(
 WITH {_duck_v_cte()},
 {_kmeans_ctes('v', 'duck')},
 afm AS MATERIALIZED (SELECT * FROM af),
+cvm AS MATERIALIZED (SELECT * FROM c{KMEANS_ITERS}),
 inc AS (
   SELECT vec_id, emb, nrm FROM afm
   WHERE vec_id % {INCR_MOD} >= {INCR_NEW_GE}
@@ -1433,7 +1447,7 @@ probed AS (
     SELECT a.vec_id, a.emb, a.nrm, c.cid,
            ROW_NUMBER() OVER (PARTITION BY a.vec_id
                 ORDER BY (c.cc - (2 * ({qdot}))) ASC, c.cid) AS rn
-    FROM inc a CROSS JOIN c{KMEANS_ITERS} c
+    FROM inc a CROSS JOIN cvm c
   ) t WHERE rn <= {np_}
 ),
 scored AS (
@@ -1481,12 +1495,8 @@ def stream_ann_topk(
         IVF_CELL_CAP,
         TOP_K,
         _kmeans_assignments,
-        _kmeans_centroids,
-        _probe_sorted_expr,
         _spark_cosine,
-        _spark_norm,
     )
-    from dataforge_core_spark.streaming import stream_embeddings
 
     np_ = 1 if nprobe is None else nprobe
     k = TOP_K if top_k is None else top_k
@@ -1495,20 +1505,8 @@ def stream_ann_topk(
     if k < 1:
         raise ValueError("top_k must be >= 1")
     af = _kmeans_assignments(spark, sf_dir)
-    sa = _probe_sorted_expr(_kmeans_centroids(spark, sf_dir), "emb")
-    picks = ", ".join(f"__sa[{j}].c" for j in range(np_))
     cos = _spark_cosine("q.emb", "c.emb", "q.nrm", "c.nrm")
-    qs = (
-        stream_embeddings(spark, sf_dir)
-        .where(f"vec_id % {INCR_MOD} >= {INCR_NEW_GE}")
-        .selectExpr("vec_id", "CAST(embedding AS array<double>) AS emb")
-        .selectExpr("vec_id", "emb", f"{_spark_norm('emb')} AS nrm")
-        .selectExpr("vec_id", "emb", "nrm", f"{sa} AS __sa")
-        .selectExpr(
-            "vec_id", "emb", "nrm", f"explode(array({picks})) AS pcid"
-        )
-        .alias("q")
-    )
+    qs = _incoming_emb_probe(spark, sf_dir, np_, batch=False).alias("q")
     corpus = spark.sql(
         f"SELECT vec_id, emb, nrm, cid FROM {af}"
         f" WHERE vec_id % {INCR_MOD} < {INCR_NEW_GE}"
@@ -1564,6 +1562,7 @@ def _ann_topk_oracle(
 WITH {_duck_v_cte()},
 {_kmeans_ctes('v', 'duck')},
 afm AS MATERIALIZED (SELECT * FROM af),
+cvm AS MATERIALIZED (SELECT * FROM c{KMEANS_ITERS}),
 qp AS (
   SELECT vec_id, emb, nrm, cid AS pcid FROM (
     SELECT a.vec_id, a.emb, a.nrm, c.cid,
@@ -1571,7 +1570,7 @@ qp AS (
                 ORDER BY (c.cc - (2 * ({qdot}))) ASC, c.cid) AS rn
     FROM (SELECT * FROM afm
           WHERE vec_id % {INCR_MOD} >= {INCR_NEW_GE}) a
-    CROSS JOIN c{KMEANS_ITERS} c
+    CROSS JOIN cvm c
   ) t WHERE rn <= {np_}
 )
 SELECT query_id, rank, neighbor_id FROM (

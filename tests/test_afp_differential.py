@@ -20,8 +20,9 @@ def _py_afp(doc_id: int, n_samples: int, perturb: int) -> int:
     ck = doc_id - (doc_id % 3)
     p = 1 + (doc_id % 3) * 19
     vs = []
+    ck16 = ck % 65536  # mirrors the engine's overflow-safe reduction
     for i in range(n_samples):
-        v = (ck * 7919 * (i + 1)) % 65536
+        v = (ck16 * 7919 * (i + 1)) % 65536
         if i == p:
             v = (v + perturb) % 65536
         vs.append(v)

@@ -765,3 +765,24 @@ def test_phash_neardup_salted_and_index_served(spark):
     assert "MapInPandas" not in plan, "lane re-runs the Python decode pass"
     assert "parquet" not in plan.lower(), "lane re-scans the corpus"
     assert "ExistingRDD" in plan, "hash rows not served from the index"
+
+
+def test_pq_nprobe_curve_served_from_checkpointed_scored(spark):
+    """ann_pq_nprobe_curve: every probe-depth block and the brute
+    baseline are rankings over the ONE checkpointed scored relation —
+    a warm execution plans only ExistingRDD scans, no parquet and no
+    join (the joins all happened once, inside the scored build)."""
+    from dataforge_core_spark.operators import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    S._pq_curve_scored_view(spark, sf)  # build the index artifact
+    plan = (
+        S.ann_pq_nprobe_curve(spark, sf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ExistingRDD" in plan, "curve re-derives the scored relation"
+    # the per-nprobe blocks LEFT JOIN brute vs found over the same
+    # materialized rows — joins over ExistingRDD are expected; what is
+    # NOT allowed is any file scan (a parquet read here means the
+    # scored checkpoint was bypassed and the corpus re-scanned):
+    assert "FileScan" not in plan and "parquet" not in plan.lower()

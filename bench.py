@@ -529,6 +529,16 @@ def main() -> None:
         "sf": float(sf),
         "runs_per_query": N_RUNS,
         "host_speed_s": host_speed,
+        # Provenance (r12 judge: the stamp NAME alone is ambiguous —
+        # the round driver writes CORRECTNESS_r{N} BEFORE its bench, so
+        # its round-N detail lands at _r{N+1}, while the builder's
+        # mid-round runs see max=N-1 and land at _r{N}).  These two
+        # fields disambiguate regardless of filename: the round a stamp
+        # belongs to is latest_correctness_round (+1 if bench_tag is
+        # "builder", since the builder runs before the round's record).
+        "latest_correctness_round": _next_round() - 1,
+        "bench_tag": os.environ.get("SPARK_GRAFT_BENCH_TAG", "")
+        or "untagged",
         "totals": {
             "median_total_s": round(total, 3),
             "cold_total_s": round(cold_total, 3),

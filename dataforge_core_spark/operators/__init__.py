@@ -174,17 +174,51 @@ HUB_POOL = (
 
 def stale_hubs() -> list[str]:
     """Relegated hubs to hoist INTO the capture window this round:
-    every hub whose latest driver record is >= 2 rounds stale (so no
-    hub's evidence ever ages past that), floor of one (the stalest) so
-    the hub family keeps refreshing even when all are near-fresh.
-    Round-10 change: the previous one-hub-per-round rotation left three
-    hubs riding r6 records while the rest of the registry re-proved —
-    the staleness rule replaces the fixed count."""
+    every hub whose latest driver record is >= 2 rounds stale, floor
+    of one (the stalest) so the hub family keeps refreshing even when
+    all are near-fresh.  Round-10 change: the previous
+    one-hub-per-round rotation left three hubs riding r6 records while
+    the rest of the registry re-proved — the staleness rule replaces
+    the fixed count.  Round-13 change: candidate hubs COMPETE with the
+    extension registry's veterans for window slots on record age
+    (oldest record wins, name tie-break — the same key _merge uses),
+    instead of being pinned unconditionally: in r13 the four
+    2-rounds-stale r10 hubs would otherwise have displaced three
+    strictly-older r9 operator lanes out of the 50-row capture window,
+    leaving r9 records active after the round.  A hub that loses the
+    competition is at most one round staler when it wins the next one
+    (oldest-first ordering), so hub evidence still cannot age
+    unboundedly; the floor keeps the guarantee that at least the
+    stalest hub refreshes every round."""
     latest = _latest_records()
     mx = _max_recorded_round()
-    pool = sorted(HUB_POOL, key=lambda n: (latest.get(n, (0, {}))[0], n))
-    out = [n for n in pool if latest.get(n, (0, {}))[0] <= mx - 2]
-    return out or pool[:1]
+
+    def _age_key(n: str):
+        return (latest.get(n, (0, {}))[0], n)
+
+    pool = sorted(HUB_POOL, key=_age_key)
+    cands = [n for n in pool if latest.get(n, (0, {}))[0] <= mx - 2]
+    cands = cands or pool[:1]
+
+    # Unified staleness budget: CAPTURE_WINDOW minus the 3 always-pinned
+    # pipeline rows minus the unproven block leaves the slots that hubs
+    # and registry veterans share; rank both populations together.
+    names: set[str] = set()
+    for m in _modules():
+        names.update(m.queries().keys())
+    recorded = {
+        n for n in names if _passed(latest.get(n, (0, {}))[1])
+    }
+    deferred = (
+        DEFER_PAST_CAPTURE
+        if _max_recorded_round() < _DEFER_UNTIL_ROUND
+        else set()
+    )
+    unproven = names - recorded - deferred
+    budget = max(0, CAPTURE_WINDOW - 3 - len(unproven))
+    combined = sorted(cands + sorted(recorded), key=_age_key)[:budget]
+    out = [n for n in cands if n in combined]
+    return out or cands[:1]
 
 
 def pinned_ahead() -> int:

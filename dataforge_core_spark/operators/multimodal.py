@@ -1220,6 +1220,16 @@ def _hash_neardup_body(
     relation ``src`` — the Spark lanes pass the checkpointed hash
     view, the DuckDB oracles the recomputed ``h`` CTE, and the
     constructive test a planted literal table."""
+    # The MIN_BY key packs (hamming, doc_id) into one bigint as
+    # hamming * 2^57 + doc_id; that total order is only correct while
+    # the largest packed value stays below 2^63 (doc_id < 2^57 is the
+    # data contract).  Enforce it on the parameter instead of implying
+    # it in the comment, so a future ham_max > 63 layout fails loudly
+    # rather than silently reordering 'nearest' (r12 advice).
+    assert ham_max * (1 << 57) + (1 << 57) < 2**63, (
+        f"ham_max={ham_max} overflows the (hamming, doc_id) bigint "
+        "packing; raise the shift or repack before widening the band"
+    )
     return f"""
 {_hash_pairs_ctes(dialect, src, cap, col, bands, band_bits, ham_max)},
 sym AS (

@@ -4104,6 +4104,11 @@ pqscored_m AS MATERIALIZED (SELECT * FROM pqscored),
 
 PQ_M_GRID = (2, 4, 8, 16)
 _PQDQ_SCALE = 1 << 20
+# One code per subspace indexes a PQ_K-entry codebook, so it costs
+# log2(PQ_K) bits; derived (not hardcoded) so a PQ_K change cannot
+# silently misreport the curve's cost axis (r12 advice).
+_PQ_CODE_BITS = PQ_K.bit_length() - 1
+assert (1 << _PQ_CODE_BITS) == PQ_K, "PQ_K must be a power of two"
 
 
 def _pq_m_curve_block(dialect: str, v: str, pq_m: int) -> str:
@@ -4119,7 +4124,7 @@ def _pq_m_curve_block(dialect: str, v: str, pq_m: int) -> str:
     int_t = "INT" if dialect == "spark" else "INTEGER"
     return f"""
   SELECT CAST({pq_m} AS {int_t}) AS pq_m,
-         CAST({pq_m * 4} AS {int_t}) AS bits_per_vec,
+         CAST({pq_m * _PQ_CODE_BITS} AS {int_t}) AS bits_per_vec,
          CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vectors,
          CAST(SUM(dq) AS BIGINT) AS total_dist_q
   FROM (

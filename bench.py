@@ -136,7 +136,16 @@ def _clear_operator_caches(spark) -> None:
     for hubs, _outs in entry._hub_cache.values():
         for df in hubs.values():
             free_local_checkpoint(df)
+    # both label caches hold localCheckpoint-ed frames — free the
+    # blocks eagerly (clear() alone leaves them to the async
+    # ContextCleaner, which lets superseded blocks linger through the
+    # timed phase)
+    for df in dedup._labels_cache.values():
+        free_local_checkpoint(df)
     dedup._labels_cache.clear()
+    for df in dedup._full_labels_cache.values():
+        free_local_checkpoint(df)
+    dedup._full_labels_cache.clear()
     for _p, _l, pos, lens in dedup._substr_cache.values():
         free_local_checkpoint(pos)
         free_local_checkpoint(lens)
@@ -271,7 +280,11 @@ def _index_builders():
         ),
         (
             "dedup_cluster_labels",
-            lambda s: dedup._cluster_labels(s, SF_DIR, False).count(),
+            # the FULL-corpus assignment (singletons attached,
+            # checkpointed) — what the cluster/stats/keep-best/report
+            # lanes actually consume; builds the endpoint labels
+            # transitively
+            lambda s: dedup._full_labels(s, SF_DIR, False).count(),
         ),
         # the corpus-side probe index of the streaming near-dedup gate
         (

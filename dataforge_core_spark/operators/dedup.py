@@ -974,11 +974,33 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     changed-rows self-join (which doubled per-round work and issued a
     second blocking job).
     """
-    labels = _cluster_labels(spark, sf_dir, pointer_doubling=False)
-    return _attach_singletons(spark, sf_dir, labels)
+    return _full_labels(spark, sf_dir, pointer_doubling=False)
 
 
 _labels_cache: dict = {}
+_full_labels_cache: dict = {}
+
+
+def _full_labels(
+    spark: SparkSession, sf_dir: str, pointer_doubling: bool
+) -> DataFrame:
+    """FULL-CORPUS cluster assignment (every doc_id, singletons mapped
+    to themselves), checkpointed once per (session, sf, variant): the
+    endpoint labels cover only pair-graph members, so every consumer
+    (cluster rows, the size histogram, keep-best, the report) was
+    re-running the docs-scan + left-join + coalesce per execution —
+    measurably the dominant cost of dedup_cluster_stats on the r12
+    driver record.  One checkpoint = every consumer's plan starts from
+    a single ExistingRDD scan; at 100 TB this is the written
+    cluster-assignment table a real dedup pipeline persists between
+    stages."""
+    key = (session_key(spark), sf_dir, pointer_doubling)
+    if key not in _full_labels_cache:
+        full = _attach_singletons(
+            spark, sf_dir, _cluster_labels(spark, sf_dir, pointer_doubling)
+        ).localCheckpoint(eager=True)
+        _full_labels_cache[key] = full
+    return _full_labels_cache[key]
 
 
 def _cluster_labels(
@@ -1163,8 +1185,7 @@ def dedup_cluster_pd(spark: SparkSession, sf_dir: str) -> DataFrame:
     where plain propagation's round count is the wall-clock bottleneck
     at corpus scale.  Same fixed point (component-min label), same
     oracle as dedup_cluster."""
-    labels = _cluster_labels(spark, sf_dir, pointer_doubling=True)
-    return _attach_singletons(spark, sf_dir, labels)
+    return _full_labels(spark, sf_dir, pointer_doubling=True)
 
 
 # min-label reachability: lab reaches node along (undirected) edges; the
@@ -1194,9 +1215,7 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic somewhere downstream."""
     from pyspark.sql import functions as F
 
-    labels = _attach_singletons(
-        spark, sf_dir, _cluster_labels(spark, sf_dir, False)
-    )
+    labels = _full_labels(spark, sf_dir, pointer_doubling=False)
     return (
         labels.groupBy("cluster_id")
         .agg(F.count("*").alias("sz"))

@@ -1039,10 +1039,9 @@ def _cc_min_label(
     # equivalent move is sizing the CC job's shuffle width to the edge
     # count, not the corpus scan width.
     spark = pairs.sparkSession
-    _sp_key = "spark.sql.shuffle.partitions"
-    _sp_prev = spark.conf.get(_sp_key)
-    spark.conf.set(_sp_key, "8")
-    try:
+    from dataforge_core_spark.session import shuffle_override
+
+    with shuffle_override(spark, 8):
         cap = (
             CC_DRIVER_MAX_EDGES
             if driver_max_edges is None
@@ -1053,8 +1052,6 @@ def _cc_min_label(
             if len(small) <= cap:
                 return _cc_union_find_driver(spark, small), 0
         return _cc_min_label_loop(pairs, pointer_doubling)
-    finally:
-        spark.conf.set(_sp_key, _sp_prev)
 
 
 # near-dup edge lists are a small fraction of the corpus (bounded by

@@ -584,10 +584,9 @@ def _kmeans_assignments(spark: SparkSession, sf_dir: str) -> str:
         # rows — size the build's shuffle width to that, not the session
         # default (restored after; the checkpointed outputs keep their
         # own partitioning so queries are unaffected)
-        _sp_key = "spark.sql.shuffle.partitions"
-        _sp_prev = spark.conf.get(_sp_key)
-        spark.conf.set(_sp_key, "8")
-        try:
+        from dataforge_core_spark.session import shuffle_override
+
+        with shuffle_override(spark, 8):
             cent = spark.sql(
                 f"SELECT vec_id AS cid, emb FROM {v} "
                 f"WHERE vec_id < {KMEANS_K} ORDER BY cid"
@@ -612,8 +611,6 @@ def _kmeans_assignments(spark: SparkSession, sf_dir: str) -> str:
                 .repartition("cid")
                 .localCheckpoint(eager=True)
             )
-        finally:
-            spark.conf.set(_sp_key, _sp_prev)
         name = f"kmeans_assign_{tag}"
         df.createOrReplaceTempView(name)
         # keep the final centroid view too: nprobe>1 search needs

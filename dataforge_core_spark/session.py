@@ -65,6 +65,35 @@ def session_key(spark: SparkSession) -> str:
     return spark.sparkContext.applicationId
 
 
+import threading as _threading
+
+_shuffle_lock = _threading.RLock()
+
+
+def shuffle_override(spark: SparkSession, n: int):
+    """Set ``spark.sql.shuffle.partitions`` for a build loop and restore
+    it after, SERIALIZED across threads: the save/set/restore pattern is
+    session-global, so two concurrent overrides can interleave as
+    A-saves-32 / A-sets-8 / B-saves-8 / A-restores-32 / B-restores-8 —
+    leaving the session at 8 for everything after.  The bench index
+    phase runs builders concurrently (round-13), so every override site
+    must go through this lock."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _ctx():
+        key = "spark.sql.shuffle.partitions"
+        with _shuffle_lock:
+            prev = spark.conf.get(key)
+            spark.conf.set(key, str(n))
+            try:
+                yield
+            finally:
+                spark.conf.set(key, prev)
+
+    return _ctx()
+
+
 def free_local_checkpoint(df) -> None:
     """Eagerly drop a ``localCheckpoint``'ed frame's storage blocks.
 

@@ -54,6 +54,23 @@ def jvm_stats(spark) -> dict:
         gc_ms += b.getCollectionTime()
         gc_n += b.getCollectionCount()
     heap = mf.getMemoryMXBean().getHeapMemoryUsage()
+    # JIT CodeCache occupancy: a 380-execution session (sf0.01 sweep +
+    # sf0.1 bench) generates thousands of codegen classes; if the code
+    # cache fills, the JVM disables the JIT compiler process-wide —
+    # exactly the uniform-inflation signature on the r12 driver stamp.
+    pools = {}
+    pit = mf.getMemoryPoolMXBeans().iterator()
+    while pit.hasNext():
+        p = pit.next()
+        nm = p.getName()
+        if "CodeHeap" in nm or "Metaspace" in nm or "CodeCache" in nm:
+            u = p.getUsage()
+            pools[nm] = {
+                "used_mb": u.getUsed() // (1 << 20),
+                "max_mb": (
+                    u.getMax() // (1 << 20) if u.getMax() > 0 else -1
+                ),
+            }
     try:
         env = jvm.org.apache.spark.SparkEnv.get()
         status = env.blockManager().master().getStorageStatus()
@@ -66,6 +83,7 @@ def jvm_stats(spark) -> dict:
         "heap_used_mb": heap.getUsed() // (1 << 20),
         "heap_committed_mb": heap.getCommitted() // (1 << 20),
         "n_blocks": n_blocks,
+        "pools": pools,
     }
 
 

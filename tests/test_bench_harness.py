@@ -110,3 +110,64 @@ def test_every_operator_cache_is_cleared_by_bench():
     assert not missing, (
         "caches unknown to bench._clear_operator_caches: " + ", ".join(missing)
     )
+
+
+def test_index_deps_cover_every_builder():
+    """_INDEX_DEPS must stay in 1:1 sync with _index_builders() (the
+    concurrent scheduler derives its DAG from the dict, so a builder
+    missing there dies at phase start) and every edge must point at a
+    real builder that precedes its dependent in the sequential order
+    (the fallback path must also satisfy the DAG)."""
+    bench = _bench("/root/testdata/sf0.001")
+    order = [name for name, _ in bench._index_builders()]
+    assert set(order) == set(bench._INDEX_DEPS)
+    pos = {n: i for i, n in enumerate(order)}
+    for name, deps in bench._INDEX_DEPS.items():
+        for d in deps:
+            assert d in pos, f"{name} depends on unknown builder {d}"
+            assert pos[d] < pos[name], (
+                f"sequential order violates edge {d} -> {name}"
+            )
+
+
+def test_concurrent_index_scheduler_respects_deps(monkeypatch):
+    """Drive _run_index_builds with a fake diamond DAG and record
+    completion order: no builder may start before its deps completed,
+    and every builder must run exactly once."""
+    import threading
+    import time as _t
+
+    bench = _bench("/root/testdata/sf0.001")
+    lock = threading.Lock()
+    events: list[tuple[str, str]] = []
+
+    def mk(name, delay):
+        def thunk(_s):
+            with lock:
+                events.append(("start", name))
+            _t.sleep(delay)
+            with lock:
+                events.append(("end", name))
+
+        return thunk
+
+    fake = [
+        ("a", mk("a", 0.05)),
+        ("b", mk("b", 0.01)),
+        ("c", mk("c", 0.01)),
+        ("d", mk("d", 0.01)),
+    ]
+    deps = {"a": [], "b": ["a"], "c": ["a"], "d": ["b", "c"]}
+    monkeypatch.setattr(bench, "_index_builders", lambda: fake)
+    monkeypatch.setattr(bench, "_INDEX_DEPS", deps)
+    times, wall = bench._run_index_builds(None)
+    assert set(times) == {"a", "b", "c", "d"}
+    assert wall > 0
+    ended = set()
+    for kind, name in events:
+        if kind == "end":
+            ended.add(name)
+        else:
+            missing = [d for d in deps[name] if d not in ended]
+            assert not missing, f"{name} started before {missing}"
+    assert sum(1 for k, n in events if k == "start") == 4

@@ -383,8 +383,20 @@ def queries_parameterized() -> dict[str, dict]:
     from dataforge_core_spark.operators import similarity as S
     from dataforge_core_spark.operators import streaming_rows as SR
     from dataforge_core_spark.operators import text as X
+    from dataforge_core_spark.operators import training as T
 
     return {
+        # media_policy: 'flag' (default — media dup statuses are
+        # carried as columns only) vs 'reject' (the cross-modal
+        # referee: image/audio dups become rejection reasons, ordered
+        # between the text-dup and content checks)
+        "train_ingest_decision": {
+            "fn": T.train_ingest_decision,
+            "params": {"media_policy": "flag"},
+            "oracle_sql": lambda media_policy="flag": (
+                T._ingest_decision_oracle(media_policy)
+            ),
+        },
         "train_perplexity_filter": {
             "fn": X.train_perplexity_filter,
             "params": {"pct": X.PPL_KEEP_PCT},

@@ -1375,28 +1375,62 @@ def train_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Policy (explicit, stated, mirrored bit-for-bit in the oracle):
 # reject text exact duplicates, text near-duplicates, benchmark
 # contamination, and LM-quality failures — in that order of reasons.
-# Image/audio duplicate statuses are carried as FLAGS, not rejections:
-# this corpus's synthetic media are pathologically self-duplicative by
-# design (every incoming image is an exact dup — measured; rejecting
-# on media dups would degenerate the artifact to one reason), and for
-# a text-training ingest a document whose ATTACHED media duplicates
-# another's is not itself a duplicate.  Docs the LM gate cannot score
-# (< 2 tokens) pass that check (ppl_keep NULL -> ungated, the
-# stream_ppl_gate policy).  Measured admit mix at sf0.01: 25 admit /
-# 68 lm_quality / 6 text_near / 1 benchmark_contamination.
+# Image/audio duplicate statuses are carried as FLAGS, not rejections,
+# under the DEFAULT media_policy='flag': this corpus's synthetic media
+# are pathologically self-duplicative by design (every incoming image
+# is an exact dup — measured; rejecting on media dups would degenerate
+# the artifact to one reason), and for a text-training ingest a
+# document whose ATTACHED media duplicates another's is not itself a
+# duplicate.  media_policy='reject' (round-13 dial, the r12 verdict's
+# cross-modal referee) turns the media statuses into rejections —
+# ordered between the dup checks and the content checks (dedup
+# precedes scoring at scale: a dup rejection saves the content gates'
+# work) — for corpora where attached-media duplication IS the dedup
+# signal (an image-caption or audio-transcript corpus).  Docs the LM
+# gate cannot score (< 2 tokens) pass that check (ppl_keep NULL ->
+# ungated, the stream_ppl_gate policy).  Measured admit mix at sf0.01:
+# flag = 25 admit / 68 lm_quality / 6 text_near /
+# 1 benchmark_contamination; reject adds the media reasons on exactly
+# the rows whose flag-variant columns carry dup statuses (differential
+# test).
 # ---------------------------------------------------------------------------
 
-_INGEST_REASON_SQL = """CASE
+_MEDIA_POLICIES = ("flag", "reject")
+
+
+def _ingest_reason_sql(media_policy: str = "flag") -> str:
+    if media_policy not in _MEDIA_POLICIES:
+        raise ValueError(
+            f"media_policy must be one of {_MEDIA_POLICIES}, "
+            f"got {media_policy!r}"
+        )
+    media = (
+        ""
+        if media_policy == "flag"
+        else """
+  WHEN image_status = 'exact_dup' THEN 'image_exact'
+  WHEN image_status = 'near_dup' THEN 'image_near'
+  WHEN audio_status = 'exact_dup' THEN 'audio_exact'
+  WHEN audio_status = 'near_dup' THEN 'audio_near'"""
+    )
+    return f"""CASE
   WHEN text_status = 'exact_dup' THEN 'text_exact'
-  WHEN text_status = 'near_dup' THEN 'text_near'
+  WHEN text_status = 'near_dup' THEN 'text_near'{media}
   WHEN contaminated = 1 THEN 'benchmark_contamination'
   WHEN NOT COALESCE(ppl_keep, TRUE) THEN 'lm_quality'
   ELSE NULL END"""
 
 
-def train_ingest_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+_INGEST_REASON_SQL = _ingest_reason_sql()
+
+
+def train_ingest_decision(
+    spark: SparkSession, sf_dir: str, media_policy: str = "flag"
+) -> DataFrame:
     """Per-incoming-doc admit/reject record over all five ingest
-    gates — see the section comment for the policy.
+    gates — see the section comment for the policy and the
+    ``media_policy`` dial ('flag' carries media dup statuses as
+    columns only; 'reject' turns them into rejection reasons).
 
     Cost shape: one plan containing the five gate probes (each a
     stream-shape join against its stored index) — 2.2s at sf0.1, the
@@ -1427,7 +1461,7 @@ def train_ingest_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(audio, "doc_id", "left")
         .join(ppl, "doc_id", "left")
         .join(sem, "doc_id", "left")
-        .withColumn("reason", F.expr(_INGEST_REASON_SQL))
+        .withColumn("reason", F.expr(_ingest_reason_sql(media_policy)))
         .withColumn(
             "admit", F.expr("CAST(reason IS NULL AS BOOLEAN)")
         )
@@ -1438,7 +1472,7 @@ def train_ingest_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ingest_decision_oracle() -> str:
+def _ingest_decision_oracle(media_policy: str = "flag") -> str:
     from dataforge_core_spark.operators.streaming_rows import (
         _afp_gate_oracle,
         _near_dedup_oracle,
@@ -1447,6 +1481,7 @@ def _ingest_decision_oracle() -> str:
         _semantic_gate_oracle,
     )
 
+    reason = _ingest_reason_sql(media_policy)
     return f"""
 WITH joined AS (
   SELECT t.doc_id, t.status AS text_status, i.status AS image_status,
@@ -1459,8 +1494,8 @@ WITH joined AS (
 )
 SELECT doc_id, text_status, image_status, audio_status, ppl_keep,
        contaminated,
-       CAST(({_INGEST_REASON_SQL}) IS NULL AS BOOLEAN) AS admit,
-       {_INGEST_REASON_SQL} AS reason
+       CAST(({reason}) IS NULL AS BOOLEAN) AS admit,
+       {reason} AS reason
 FROM joined
 """
 

@@ -58,6 +58,7 @@ def test_contract_shape():
         ("multimodal_audio_neardup", {"max_bucket": 5}),
         ("train_perplexity_filter", {"pct": 50}),
         ("ann_mrl_rerank", {"c_short": 16}),
+        ("train_ingest_decision", {"media_policy": "reject"}),
     ],
 )
 def test_dials_are_live(name, params, spark):

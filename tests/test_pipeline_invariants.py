@@ -1122,3 +1122,70 @@ def test_ingest_decision_referees_components_and_policy(spark, sf_dir):
     # the fixture must exercise both admit and at least two reject
     # reasons, or the policy test is vacuous
     assert None in reasons and len(reasons - {None}) >= 2, reasons
+
+
+def test_ingest_media_reject_policy_rederives_from_flag_variant(
+    spark, sf_dir
+):
+    """media_policy='reject' (the cross-modal referee dial) must differ
+    from the default ONLY on rows whose flag-variant columns carry a
+    media dup status, with the media reason slotted between the
+    text-dup and content checks — re-derived here row by row from the
+    flag variant's own columns, so the dial cannot drift from the
+    documented policy.  Non-vacuity: the fixture must produce at least
+    one media rejection AND keep at least one text-side reason."""
+    from dataforge_core_spark.operators.training import (
+        train_ingest_decision,
+    )
+
+    flag = {
+        r.doc_id: r
+        for r in train_ingest_decision(spark, sf_dir).collect()
+    }
+    rej = {
+        r.doc_id: r
+        for r in train_ingest_decision(
+            spark, sf_dir, media_policy="reject"
+        ).collect()
+    }
+    assert set(flag) == set(rej)
+    reasons = set()
+    for d, f in flag.items():
+        r = rej[d]
+        # component columns are policy-independent
+        for col in (
+            "text_status",
+            "image_status",
+            "audio_status",
+            "ppl_keep",
+            "contaminated",
+        ):
+            assert getattr(f, col) == getattr(r, col), (d, col)
+        if f.reason in ("text_exact", "text_near"):
+            want = f.reason  # text dups outrank media dups
+        elif f.image_status == "exact_dup":
+            want = "image_exact"
+        elif f.image_status == "near_dup":
+            want = "image_near"
+        elif f.audio_status == "exact_dup":
+            want = "audio_exact"
+        elif f.audio_status == "near_dup":
+            want = "audio_near"
+        else:
+            want = f.reason  # no media dup -> policies agree
+        assert r.reason == want, d
+        assert r.admit == (want is None), d
+        reasons.add(r.reason)
+    assert {"image_exact"} & reasons, reasons
+    assert {"text_exact", "text_near"} & reasons, reasons
+
+
+def test_ingest_media_policy_rejects_unknown(spark, sf_dir):
+    import pytest
+
+    from dataforge_core_spark.operators.training import (
+        train_ingest_decision,
+    )
+
+    with pytest.raises(ValueError, match="media_policy"):
+        train_ingest_decision(spark, sf_dir, media_policy="drop")

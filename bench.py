@@ -172,9 +172,14 @@ def _clear_operator_caches(spark) -> None:
         similarity,
         sketches,
         text,
+        training,
     )
     from dataforge_core_spark.session import free_local_checkpoint
 
+    # the DSIR feature-bucket relation (checkpointed)
+    for _name, df in training._dsir_bkt_cache.values():
+        free_local_checkpoint(df)
+    training._dsir_bkt_cache.clear()
     # merge tables are plain tuples (the train loop frees its own
     # blocks) — cleared so the timed train row measures a real build;
     # the encode lane's (word, n_pieces) vocabulary is checkpointed
@@ -342,6 +347,7 @@ _INDEX_DEPS: dict[str, list[str]] = {
     "afp_cluster_labels": ["audio_afp_index"],
     "train_bpe_merge_train": [],
     "ppl_gate_model": [],
+    "dsir_bucket_rows": [],
 }
 
 
@@ -405,6 +411,7 @@ def _index_builders():
         similarity,
         sketches,
         text,
+        training,
     )
 
     return [
@@ -578,6 +585,12 @@ def _index_builders():
         (
             "ppl_gate_model",
             lambda s: text._ppl_model(s, SF_DIR),
+        ),
+        # the checkpointed DSIR (doc_id, bkt, is_bench) feature-bucket
+        # relation (both DSIR passes + every lane run read it)
+        (
+            "dsir_bucket_rows",
+            lambda s: training._dsir_bucket_view(s, SF_DIR),
         ),
     ]
 

@@ -632,12 +632,14 @@ def test_graph_lanes_reuse_checkpointed_edges(spark):
         )
 
 
-def test_dsir_two_corpus_passes_broadcast_model(spark):
-    """train_dsir_weights must read the corpus exactly TWICE (model
-    build + scoring — the DSIR minimum): Spark inlines CTEs, so a
-    naive formulation re-evaluates the feature explode 9x.  The B-row
-    model side must broadcast; the smoothing totals must come from a
-    window over the model relation, not another corpus scan."""
+def test_dsir_reads_stored_buckets_broadcast_model(spark):
+    """train_dsir_weights must serve BOTH passes (model build +
+    scoring) from the checkpointed feature-bucket relation — zero
+    feature explodes and zero corpus scans in the lane plan (the
+    explode runs once, inside the index build; pre-r13 each execution
+    re-ran it twice).  The B-row model side must broadcast; the
+    smoothing totals must come from a window over the model relation,
+    not another corpus scan."""
     from dataforge_core_spark.operators import training as TR
 
     plan = (
@@ -647,7 +649,11 @@ def test_dsir_two_corpus_passes_broadcast_model(spark):
     n_gen = sum(
         1 for ln in plan.splitlines() if ln.strip("+- :*()").startswith("Generate")
     )
-    assert n_gen == 2, f"feature explode evaluated {n_gen}x (want 2)"
+    assert n_gen == 0, f"feature explode evaluated {n_gen}x (want 0)"
+    assert "Parquet" not in plan, "lane re-scans the corpus"
+    assert plan.count("Scan ExistingRDD") == 2, (
+        "model + scoring must each read the stored bucket relation"
+    )
     assert "BroadcastHashJoin" in plan, "bucket-model join not broadcast"
     assert "SortMergeJoin" not in plan, "corpus shuffled against B-row model"
 

@@ -126,10 +126,19 @@ def _host_speed_mt(workers: int = 8) -> float:
     host_speed_s in a stamp attributes uniform lane inflation to the
     environment, not the code."""
     import concurrent.futures as _cf
+    import multiprocessing as _mp
     import statistics as _st
 
     try:
-        with _cf.ProcessPoolExecutor(max_workers=workers) as ex:
+        # spawn, never fork: callers (the driver-replay harness, any
+        # embedding of bench.main) may already have the Spark JVM's
+        # py4j threads running, and forking a multi-threaded process
+        # can deadlock a child on a copied lock — a hang the except
+        # clause cannot catch (review fix, r13)
+        ctx = _mp.get_context("spawn")
+        with _cf.ProcessPoolExecutor(
+            max_workers=workers, mp_context=ctx
+        ) as ex:
             times = list(ex.map(_mt_probe_worker, range(workers)))
         return round(_st.median(times) * 10, 3)
     except Exception:  # pragma: no cover - sandboxed spawn failure
@@ -323,11 +332,14 @@ _INDEX_DEPS: dict[str, list[str]] = {
     "near_dedup_probe_index": ["dedup_minhash_pairs"],
     "simhash_signatures": ["token_base"],
     "simhash_salted_bands": ["simhash_signatures"],
+    # review fix (r13): _toks_view derives from dedup._ex_df — without
+    # the edge, kmv and the shingle builders race the unguarded
+    # _ex_cache/_tokbase_cache check-then-act at phase start
     "ann_normed": [],
     "ann_sq_codes": ["ann_normed"],
     "ann_knn_edges": ["ann_normed"],
     "ann_kcore_peel": ["ann_knn_edges"],
-    "kmv_shingle_toks": [],
+    "kmv_shingle_toks": ["dedup_shingles"],
     "cms_matrix": ["token_base"],
     "hll_registers": ["kmv_shingle_toks"],
     "embeddings_pc_fit": ["ann_normed"],
@@ -346,7 +358,8 @@ _INDEX_DEPS: dict[str, list[str]] = {
     "afp_probe_index": ["audio_afp_index"],
     "afp_cluster_labels": ["audio_afp_index"],
     "train_bpe_merge_train": [],
-    "ppl_gate_model": [],
+    # review fix (r13): text._ppl_model reads dedup._token_base_view
+    "ppl_gate_model": ["token_base"],
     "dsir_bucket_rows": [],
 }
 
@@ -608,9 +621,11 @@ def main() -> None:
     # and that difference belongs in the stamp (r12: driver-stamp
     # inflation with no local repro).
     preexisting_session = _SS.getActiveSession() is not None
+    # probe BEFORE creating the session when we can: with no JVM in
+    # the process yet, the pool is safe under any start method
+    host_speed_mt = _host_speed_mt()
     spark = get_spark(app_name="dataforge_bench")
     host_speed = _host_speed()
-    host_speed_mt = _host_speed_mt()
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     queries = {k: v for k, v in entry.queries().items() if k not in EXCLUDE}
 

@@ -111,6 +111,18 @@ def _recorded_names() -> set:
     }
 
 
+def _deferred_names() -> set:
+    """The DEFER_PAST_CAPTURE set while its freezing round's record is
+    still pending, else empty — the ONE definition of the deferral
+    gate (stale_hubs and _merge both rank against it; review fix,
+    r13)."""
+    return (
+        DEFER_PAST_CAPTURE
+        if _max_recorded_round() < _DEFER_UNTIL_ROUND
+        else set()
+    )
+
+
 # Lanes added AFTER a round's capture-window composition was verified
 # and frozen: NOT hoisted ahead of driver-green rows while the
 # freezing round's record is still pending, so they cannot displace
@@ -203,18 +215,13 @@ def stale_hubs() -> list[str]:
     # Unified staleness budget: CAPTURE_WINDOW minus the 3 always-pinned
     # pipeline rows minus the unproven block leaves the slots that hubs
     # and registry veterans share; rank both populations together.
+    # recorded/deferred come from the same helpers _merge ranks with,
+    # so the two can't drift (review fix, r13).
     names: set[str] = set()
     for m in _modules():
         names.update(m.queries().keys())
-    recorded = {
-        n for n in names if _passed(latest.get(n, (0, {}))[1])
-    }
-    deferred = (
-        DEFER_PAST_CAPTURE
-        if _max_recorded_round() < _DEFER_UNTIL_ROUND
-        else set()
-    )
-    unproven = names - recorded - deferred
+    recorded = names & _recorded_names()
+    unproven = names - recorded - _deferred_names()
     budget = max(0, CAPTURE_WINDOW - 3 - len(unproven))
     combined = sorted(cands + sorted(recorded), key=_age_key)[:budget]
     out = [n for n in cands if n in combined]
@@ -230,14 +237,8 @@ def pinned_ahead() -> int:
 
 def _merge(items: dict) -> dict:
     latest = _latest_records()
-    recorded = {
-        name for name, (_rnd, row) in latest.items() if _passed(row)
-    }
-    deferred = (
-        DEFER_PAST_CAPTURE
-        if _max_recorded_round() < _DEFER_UNTIL_ROUND
-        else set()
-    )
+    recorded = _recorded_names()
+    deferred = _deferred_names()
     fresh = {
         k: v
         for k, v in items.items()

@@ -71,32 +71,36 @@ def _run_to_memory(df: DataFrame, name: str, spark: SparkSession,
     # dominated by per-store commit fsyncs (fewer partitions win: 4
     # stores/partition/side), while applyInPandasWithState is dominated
     # by Python-worker parallelism (more partitions win).
-    key = "spark.sql.shuffle.partitions"
+    # the partitions save/set/restore goes through the session-wide
+    # shuffle_override lock (review fix, r13): streaming lanes run
+    # sequentially today, but an interleaving with a concurrently held
+    # override elsewhere would strand the session at the narrow width
+    from dataforge_core_spark.session import shuffle_override
+
     pkey = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(key)
     prev_provider = spark.conf.get(pkey, None)
-    spark.conf.set(key, str(partitions))
     provider = _state_provider_override(spark)
     if provider:
         spark.conf.set(pkey, provider)
     try:
-        q = (
-            df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        # awaitTermination(timeout) returns False while the query is
-        # still running — reading the memory sink then would silently
-        # compare a partially-populated table; fail loudly instead
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError(
-                f"streaming query {name!r} did not finish within 300s"
+        with shuffle_override(spark, partitions):
+            q = (
+                df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(mode)
+                .trigger(availableNow=True)
+                .start()
             )
+            # awaitTermination(timeout) returns False while the query
+            # is still running — reading the memory sink then would
+            # silently compare a partially-populated table; fail
+            # loudly instead
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError(
+                    f"streaming query {name!r} did not finish within 300s"
+                )
     finally:
-        spark.conf.set(key, prev)
         if provider:
             if prev_provider is None:
                 spark.conf.unset(pkey)

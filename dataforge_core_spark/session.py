@@ -65,11 +65,13 @@ def session_key(spark: SparkSession) -> str:
     return spark.sparkContext.applicationId
 
 
+import contextlib as _contextlib
 import threading as _threading
 
 _shuffle_lock = _threading.RLock()
 
 
+@_contextlib.contextmanager
 def shuffle_override(spark: SparkSession, n: int):
     """Set ``spark.sql.shuffle.partitions`` for a build loop and restore
     it after, SERIALIZED across threads: the save/set/restore pattern is
@@ -77,21 +79,21 @@ def shuffle_override(spark: SparkSession, n: int):
     A-saves-32 / A-sets-8 / B-saves-8 / A-restores-32 / B-restores-8 —
     leaving the session at 8 for everything after.  The bench index
     phase runs builders concurrently (round-13), so every override site
-    must go through this lock."""
-    import contextlib
-
-    @contextlib.contextmanager
-    def _ctx():
-        key = "spark.sql.shuffle.partitions"
-        with _shuffle_lock:
-            prev = spark.conf.get(key)
-            spark.conf.set(key, str(n))
-            try:
-                yield
-            finally:
-                spark.conf.set(key, prev)
-
-    return _ctx()
+    must go through this lock.  Note the setting itself is still
+    session-global while held: a concurrent NON-overriding job plans
+    its shuffles at ``n``.  Measured wash at sf0.1 (AQE coalescing
+    already sizes small shuffle outputs by bytes, not by the conf:
+    concurrent-phase warm totals match the sequential-phase r12
+    stamps), but a builder whose checkpoint partitioning must be exact
+    should pin it with an explicit repartition, not the session conf."""
+    key = "spark.sql.shuffle.partitions"
+    with _shuffle_lock:
+        prev = spark.conf.get(key)
+        spark.conf.set(key, str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set(key, prev)
 
 
 def free_local_checkpoint(df) -> None:

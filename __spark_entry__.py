@@ -397,6 +397,32 @@ def queries_parameterized() -> dict[str, dict]:
                 T._ingest_decision_oracle(media_policy)
             ),
         },
+        # the context-window / chunking dials a training pipeline
+        # sweeps when retargeting sequence length (round-13)
+        "train_pack": {
+            "fn": T.train_pack,
+            "params": {"token_budget": T.TOKEN_BUDGET},
+            "oracle_sql": lambda token_budget=T.TOKEN_BUDGET: (
+                T._pack_sql("duck", token_budget)
+            ),
+        },
+        "train_chunk": {
+            "fn": T.train_chunk,
+            "params": {
+                "chunk_tokens": T.CHUNK_TOKENS,
+                "chunk_stride": T.CHUNK_STRIDE,
+            },
+            "oracle_sql": lambda chunk_tokens=T.CHUNK_TOKENS, chunk_stride=(
+                T.CHUNK_STRIDE
+            ): T._chunk_sql("duck", chunk_tokens, chunk_stride),
+        },
+        "dedup_boilerplate": {
+            "fn": D.dedup_boilerplate,
+            "params": {"span": D.BOILERPLATE_SPAN},
+            "oracle_sql": lambda span=D.BOILERPLATE_SPAN: (
+                D._boilerplate_sql("duck", span)
+            ),
+        },
         "train_perplexity_filter": {
             "fn": X.train_perplexity_filter,
             "params": {"pct": X.PPL_KEEP_PCT},

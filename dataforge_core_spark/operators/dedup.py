@@ -1542,54 +1542,27 @@ FROM c JOIN t ON c.doc_id = t.doc_id
 BOILERPLATE_SPAN = 16  # tokens per span window
 
 
-def dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-document repeated span table (span_hash, occurrence stats)."""
-    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
-        "documents"
-    )
-    w = BOILERPLATE_SPAN
-    return spark.sql(
-        f"""
-        WITH t AS (SELECT doc_id, {_SPARK_TOKENS} AS tok FROM documents),
-        c AS (
-          SELECT doc_id, tok,
-                 explode(sequence(
-                   0, CAST(ceil(size(tok) / {w}.0) AS INT) - 1
-                 )) AS i
-          FROM t WHERE size(tok) > 0
-        ),
-        h AS (
-          SELECT doc_id,
-                 md5(array_join(slice(tok, i * {w} + 1, {w}), ' ')) AS h
-          FROM c WHERE size(slice(tok, i * {w} + 1, {w})) = {w}
-        )
-        SELECT h AS span_hash,
-               COUNT(*) AS n_occurrences,
-               COUNT(DISTINCT doc_id) AS n_docs,
-               MIN(doc_id) AS first_doc
-        FROM h GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
-        """
-    )
-
-
-_BOILERPLATE_ORACLE = f"""
-WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tok FROM documents),
+def _boilerplate_sql(dialect: str, span: int = BOILERPLATE_SPAN) -> str:
+    """Shared span-table SQL — ``span`` (tokens per non-overlapping
+    window) is the boilerplate-granularity dial: smaller spans catch
+    shorter repeated chrome at more rows; only FULL windows hash (a
+    short tail is not a comparable span)."""
+    if span < 1:
+        raise ValueError(f"span must be >= 1, got {span}")
+    if dialect == "spark":
+        return f"""
+WITH t AS (SELECT doc_id, {_SPARK_TOKENS} AS tok FROM documents),
 c AS (
   SELECT doc_id, tok,
-         unnest(generate_series(
-           0, CAST(ceil(len(tok) / {BOILERPLATE_SPAN}.0) AS BIGINT) - 1
+         explode(sequence(
+           0, CAST(ceil(size(tok) / {span}.0) AS INT) - 1
          )) AS i
-  FROM t WHERE len(tok) > 0
+  FROM t WHERE size(tok) > 0
 ),
 h AS (
   SELECT doc_id,
-         md5(array_to_string(list_slice(tok,
-           i * {BOILERPLATE_SPAN} + 1,
-           i * {BOILERPLATE_SPAN} + {BOILERPLATE_SPAN}), ' ')) AS h
-  FROM c
-  WHERE len(list_slice(tok, i * {BOILERPLATE_SPAN} + 1,
-            i * {BOILERPLATE_SPAN} + {BOILERPLATE_SPAN}))
-        = {BOILERPLATE_SPAN}
+         md5(array_join(slice(tok, i * {span} + 1, {span}), ' ')) AS h
+  FROM c WHERE size(slice(tok, i * {span} + 1, {span})) = {span}
 )
 SELECT h AS span_hash,
        COUNT(*) AS n_occurrences,
@@ -1597,6 +1570,44 @@ SELECT h AS span_hash,
        MIN(doc_id) AS first_doc
 FROM h GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
 """
+    return f"""
+WITH t AS (SELECT doc_id, {_DUCK_TOKENS} AS tok FROM documents),
+c AS (
+  SELECT doc_id, tok,
+         unnest(generate_series(
+           0, CAST(ceil(len(tok) / {span}.0) AS BIGINT) - 1
+         )) AS i
+  FROM t WHERE len(tok) > 0
+),
+h AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(tok,
+           i * {span} + 1,
+           i * {span} + {span}), ' ')) AS h
+  FROM c
+  WHERE len(list_slice(tok, i * {span} + 1, i * {span} + {span}))
+        = {span}
+)
+SELECT h AS span_hash,
+       COUNT(*) AS n_occurrences,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       MIN(doc_id) AS first_doc
+FROM h GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
+def dedup_boilerplate(
+    spark: SparkSession, sf_dir: str, span: int = BOILERPLATE_SPAN
+) -> DataFrame:
+    """Cross-document repeated span table (span_hash, occurrence
+    stats); ``span`` is driver-sweepable via queries_parameterized."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_boilerplate_sql("spark", span))
+
+
+_BOILERPLATE_ORACLE = _boilerplate_sql("duck")
 
 
 # ---------------------------------------------------------------------------

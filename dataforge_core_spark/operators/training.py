@@ -40,43 +40,20 @@ TOP_K = 100
 BENCH_MOD = 100  # doc_id % BENCH_MOD == 0 -> benchmark ("eval") split
 
 
-def train_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy concat-and-chunk packing: bin = floor(tokens-before /
-    budget) within the document's shard; offset = position inside the
-    pack.  A document may straddle two packs (stream-cut semantics, as
-    in training-corpus packing); all arithmetic is exact integers."""
-    _view(spark, sf_dir)
-    return spark.sql(
-        f"""
-        WITH t AS (
-          SELECT doc_id,
-                 CAST(doc_id % {N_SHARDS} AS INT) AS shard,
-                 size({_SPARK_TOK}) AS n_tokens
-          FROM documents
-        ),
-        c AS (
-          SELECT doc_id, shard, n_tokens,
-                 COALESCE(SUM(n_tokens) OVER (
-                   PARTITION BY shard ORDER BY doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                 ), 0) AS tokens_before
-          FROM t
-        )
-        SELECT doc_id, shard, n_tokens,
-               CAST(CAST(shard AS BIGINT) * {PACK_STRIDE} +
-                    FLOOR(tokens_before / {TOKEN_BUDGET}.0) AS BIGINT)
-                 AS pack_id,
-               CAST(tokens_before % {TOKEN_BUDGET} AS INT) AS pack_offset
-        FROM c
-        """
-    )
-
-
-_PACK_ORACLE = f"""
+def _pack_sql(dialect: str, token_budget: int = TOKEN_BUDGET) -> str:
+    """Shared pack SQL — ``token_budget`` is the context-window dial a
+    training pipeline sweeps (pack_id spacing is PACK_STRIDE=10^12 per
+    shard, far above any reachable packs-per-shard count)."""
+    if token_budget < 1:
+        raise ValueError(f"token_budget must be >= 1, got {token_budget}")
+    tok = _SPARK_TOK if dialect == "spark" else _DUCK_TOK
+    length = "size" if dialect == "spark" else "len"
+    int_t = "INT" if dialect == "spark" else "INTEGER"
+    return f"""
 WITH t AS (
   SELECT doc_id,
-         CAST(doc_id % {N_SHARDS} AS INTEGER) AS shard,
-         len({_DUCK_TOK}) AS n_tokens
+         CAST(doc_id % {N_SHARDS} AS {int_t}) AS shard,
+         {length}({tok}) AS n_tokens
   FROM documents
 ),
 c AS (
@@ -87,12 +64,28 @@ c AS (
          ), 0) AS tokens_before
   FROM t
 )
-SELECT doc_id, shard, CAST(n_tokens AS INTEGER) AS n_tokens,
+SELECT doc_id, shard, CAST(n_tokens AS {int_t}) AS n_tokens,
        CAST(CAST(shard AS BIGINT) * {PACK_STRIDE} +
-            FLOOR(tokens_before / {TOKEN_BUDGET}.0) AS BIGINT) AS pack_id,
-       CAST(tokens_before % {TOKEN_BUDGET} AS INTEGER) AS pack_offset
+            FLOOR(tokens_before / {token_budget}.0) AS BIGINT) AS pack_id,
+       CAST(tokens_before % {token_budget} AS {int_t}) AS pack_offset
 FROM c
 """
+
+
+def train_pack(
+    spark: SparkSession, sf_dir: str, token_budget: int = TOKEN_BUDGET
+) -> DataFrame:
+    """Greedy concat-and-chunk packing: bin = floor(tokens-before /
+    budget) within the document's shard; offset = position inside the
+    pack.  A document may straddle two packs (stream-cut semantics, as
+    in training-corpus packing); all arithmetic is exact integers.
+    ``token_budget`` (the context-window size) is driver-sweepable via
+    queries_parameterized."""
+    _view(spark, sf_dir)
+    return spark.sql(_pack_sql("spark", token_budget))
+
+
+_PACK_ORACLE = _pack_sql("duck")
 
 
 def train_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -387,7 +380,70 @@ CHUNK_TOKENS = 64  # training-window size
 CHUNK_STRIDE = 48  # overlap = CHUNK_TOKENS - CHUNK_STRIDE
 
 
-def train_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _chunk_sql(
+    dialect: str,
+    chunk_tokens: int = CHUNK_TOKENS,
+    chunk_stride: int = CHUNK_STRIDE,
+) -> str:
+    """Shared chunk SQL — (chunk_tokens, chunk_stride) are the training
+    window/overlap dials; stride > chunk_tokens leaves gaps (allowed —
+    subsampling), stride < 1 or window < 1 is rejected."""
+    if chunk_tokens < 1 or chunk_stride < 1:
+        raise ValueError(
+            f"chunk_tokens/chunk_stride must be >= 1, got "
+            f"({chunk_tokens}, {chunk_stride})"
+        )
+    if dialect == "spark":
+        return f"""
+WITH t AS (
+  SELECT doc_id, {_SPARK_TOK} AS tok FROM documents
+),
+c AS (
+  SELECT doc_id, tok,
+         explode(sequence(
+           0, CAST(ceil(size(tok) / {chunk_stride}.0) AS INT) - 1
+         )) AS chunk_idx
+  FROM t WHERE size(tok) > 0
+)
+SELECT doc_id,
+       chunk_idx,
+       CAST(chunk_idx * {chunk_stride} AS INT) AS chunk_start,
+       CAST(size(slice(tok, chunk_idx * {chunk_stride} + 1,
+                       {chunk_tokens})) AS INT) AS n_chunk_tokens,
+       md5(array_join(slice(tok, chunk_idx * {chunk_stride} + 1,
+                            {chunk_tokens}), ' ')) AS chunk_hash
+FROM c
+"""
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOK} AS tok FROM documents
+),
+c AS (
+  SELECT doc_id, tok, unnest(generate_series(
+           0, CAST(ceil(len(tok) / {chunk_stride}.0) AS BIGINT) - 1
+         )) AS chunk_idx
+  FROM t WHERE len(tok) > 0
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(chunk_idx * {chunk_stride} AS INTEGER) AS chunk_start,
+       CAST(len(list_slice(tok, chunk_idx * {chunk_stride} + 1,
+                           chunk_idx * {chunk_stride} + {chunk_tokens}))
+            AS INTEGER) AS n_chunk_tokens,
+       md5(array_to_string(
+             list_slice(tok, chunk_idx * {chunk_stride} + 1,
+                        chunk_idx * {chunk_stride} + {chunk_tokens}), ' '))
+         AS chunk_hash
+FROM c
+"""
+
+
+def train_chunk(
+    spark: SparkSession,
+    sf_dir: str,
+    chunk_tokens: int = CHUNK_TOKENS,
+    chunk_stride: int = CHUNK_STRIDE,
+) -> DataFrame:
     """Fixed-size token windows with stride (the chunking step that
     turns documents into overlapping training examples).
 
@@ -395,54 +451,14 @@ def train_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row array arithmetic (sequence + explode + slice), no shuffle
     at all: at 100 TB this runs entirely scan-side, and the output is
     written partitioned however the training job wants it.  chunk_hash
-    gives each window a stable identity for downstream exact dedup."""
+    gives each window a stable identity for downstream exact dedup.
+    (chunk_tokens, chunk_stride) are driver-sweepable via
+    queries_parameterized."""
     _view(spark, sf_dir)
-    return spark.sql(
-        f"""
-        WITH t AS (
-          SELECT doc_id, {_SPARK_TOK} AS tok FROM documents
-        ),
-        c AS (
-          SELECT doc_id, tok,
-                 explode(sequence(
-                   0, CAST(ceil(size(tok) / {CHUNK_STRIDE}.0) AS INT) - 1
-                 )) AS chunk_idx
-          FROM t WHERE size(tok) > 0
-        )
-        SELECT doc_id,
-               chunk_idx,
-               CAST(chunk_idx * {CHUNK_STRIDE} AS INT) AS chunk_start,
-               CAST(size(slice(tok, chunk_idx * {CHUNK_STRIDE} + 1,
-                               {CHUNK_TOKENS})) AS INT) AS n_chunk_tokens,
-               md5(array_join(slice(tok, chunk_idx * {CHUNK_STRIDE} + 1,
-                                    {CHUNK_TOKENS}), ' ')) AS chunk_hash
-        FROM c
-        """
-    )
+    return spark.sql(_chunk_sql("spark", chunk_tokens, chunk_stride))
 
 
-_CHUNK_ORACLE = f"""
-WITH t AS (
-  SELECT doc_id, {_DUCK_TOK} AS tok FROM documents
-),
-c AS (
-  SELECT doc_id, tok, unnest(generate_series(
-           0, CAST(ceil(len(tok) / {CHUNK_STRIDE}.0) AS BIGINT) - 1
-         )) AS chunk_idx
-  FROM t WHERE len(tok) > 0
-)
-SELECT doc_id,
-       CAST(chunk_idx AS INTEGER) AS chunk_idx,
-       CAST(chunk_idx * {CHUNK_STRIDE} AS INTEGER) AS chunk_start,
-       CAST(len(list_slice(tok, chunk_idx * {CHUNK_STRIDE} + 1,
-                           chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}))
-            AS INTEGER) AS n_chunk_tokens,
-       md5(array_to_string(
-             list_slice(tok, chunk_idx * {CHUNK_STRIDE} + 1,
-                        chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' '))
-         AS chunk_hash
-FROM c
-"""
+_CHUNK_ORACLE = _chunk_sql("duck")
 
 
 SOURCE_CAP = 15  # max docs kept per source

@@ -59,6 +59,13 @@ def test_contract_shape():
         ("train_perplexity_filter", {"pct": 50}),
         ("ann_mrl_rerank", {"c_short": 16}),
         ("train_ingest_decision", {"media_policy": "reject"}),
+        # sequence-length retarget: shorter context window, denser packs
+        ("train_pack", {"token_budget": 256}),
+        # non-overlapping chunks (stride == window) and gap subsampling
+        ("train_chunk", {"chunk_tokens": 32, "chunk_stride": 32}),
+        ("train_chunk", {"chunk_tokens": 16, "chunk_stride": 48}),
+        # finer boilerplate granularity: shorter repeated chrome spans
+        ("dedup_boilerplate", {"span": 8}),
     ],
 )
 def test_dials_are_live(name, params, spark):

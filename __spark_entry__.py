@@ -423,6 +423,16 @@ def queries_parameterized() -> dict[str, dict]:
                 D._boilerplate_sql("duck", span)
             ),
         },
+        "train_cap_per_source": {
+            "fn": T.train_cap_per_source,
+            "params": {"cap": T.SOURCE_CAP},
+            "oracle_sql": lambda cap=T.SOURCE_CAP: T._cap_sql("duck", cap),
+        },
+        "train_top_tokens": {
+            "fn": T.train_top_tokens,
+            "params": {"k": T.TOP_K},
+            "oracle_sql": lambda k=T.TOP_K: T._top_tokens_sql("duck", k),
+        },
         "train_perplexity_filter": {
             "fn": X.train_perplexity_filter,
             "params": {"pct": X.PPL_KEEP_PCT},

@@ -88,7 +88,45 @@ def train_pack(
 _PACK_ORACLE = _pack_sql("duck")
 
 
-def train_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _top_tokens_sql(dialect: str, k: int = TOP_K) -> str:
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if dialect == "spark":
+        # the rank filter stays on the BARE ROW_NUMBER attribute (cast
+        # outside) so Catalyst's InferWindowGroupLimit fires — see the
+        # lane docstring
+        return f"""
+WITH tok AS (
+  SELECT explode({_SPARK_TOK}) AS token FROM documents
+),
+counts AS (
+  SELECT token, COUNT(*) AS n FROM tok
+  WHERE token <> '' GROUP BY token
+)
+SELECT token, n, CAST(rank AS INT) AS rank FROM (
+  SELECT token, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank
+  FROM counts
+) WHERE rank <= {k}
+"""
+    return f"""
+WITH tok AS (
+  SELECT unnest({_DUCK_TOK}) AS token FROM documents
+),
+counts AS (
+  SELECT token, COUNT(*) AS n FROM tok WHERE token <> '' GROUP BY token
+)
+SELECT token, n, rank FROM (
+  SELECT token, n,
+         CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS INTEGER) AS rank
+  FROM counts
+) t WHERE rank <= {k}
+"""
+
+
+def train_top_tokens(
+    spark: SparkSession, sf_dir: str, k: int = TOP_K
+) -> DataFrame:
     """Corpus-wide top-K token frequencies with deterministic rank
     (count desc, token asc).
 
@@ -100,39 +138,13 @@ def train_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     With the rule applied, each map partition pre-limits to top-K before
     the final single-partition merge sees K rows per input partition.
     Plan-gated by tests/test_plan_quality.py::test_top_tokens_window_group_limit.
+    ``k`` is driver-sweepable via queries_parameterized.
     """
     _view(spark, sf_dir)
-    return spark.sql(
-        f"""
-        WITH tok AS (
-          SELECT explode({_SPARK_TOK}) AS token FROM documents
-        ),
-        counts AS (
-          SELECT token, COUNT(*) AS n FROM tok
-          WHERE token <> '' GROUP BY token
-        )
-        SELECT token, n, CAST(rank AS INT) AS rank FROM (
-          SELECT token, n,
-                 ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank
-          FROM counts
-        ) WHERE rank <= {TOP_K}
-        """
-    )
+    return spark.sql(_top_tokens_sql("spark", k))
 
 
-_TOP_TOKENS_ORACLE = f"""
-WITH tok AS (
-  SELECT unnest({_DUCK_TOK}) AS token FROM documents
-),
-counts AS (
-  SELECT token, COUNT(*) AS n FROM tok WHERE token <> '' GROUP BY token
-)
-SELECT token, n, rank FROM (
-  SELECT token, n,
-         CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS INTEGER) AS rank
-  FROM counts
-) t WHERE rank <= {TOP_K}
-"""
+_TOP_TOKENS_ORACLE = _top_tokens_sql("duck")
 
 
 def train_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -464,7 +476,28 @@ _CHUNK_ORACLE = _chunk_sql("duck")
 SOURCE_CAP = 15  # max docs kept per source
 
 
-def train_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cap_sql(dialect: str, cap: int = SOURCE_CAP) -> str:
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    int_t = "INT" if dialect == "spark" else "INTEGER"
+    str_t = "STRING" if dialect == "spark" else "VARCHAR"
+    return f"""
+SELECT source, doc_id, CAST(rn AS {int_t}) AS rn
+FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS {str_t})), doc_id
+         ) AS rn
+  FROM documents
+)
+WHERE rn <= {cap}
+"""
+
+
+def train_cap_per_source(
+    spark: SparkSession, sf_dir: str, cap: int = SOURCE_CAP
+) -> DataFrame:
     """Per-domain document caps (standard training-mix control: no
     single source may dominate the corpus).  Selection is deterministic
     — md5(doc_id) order within each source — so reruns keep the same
@@ -472,36 +505,13 @@ def train_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     would use the salted two-phase pattern of events_user_stats_salted,
     but the rank-then-filter form already parallelizes the scan and
     Spark lowers it to WindowGroupLimit (per-partition top-K before the
-    merge), so the hot key carries K rows, not its full count."""
+    merge), so the hot key carries K rows, not its full count.  ``cap``
+    is driver-sweepable via queries_parameterized."""
     _view(spark, sf_dir)
-    return spark.sql(
-        f"""
-        SELECT source, doc_id, CAST(rn AS INT) AS rn
-        FROM (
-          SELECT source, doc_id,
-                 ROW_NUMBER() OVER (
-                   PARTITION BY source
-                   ORDER BY md5(CAST(doc_id AS STRING)), doc_id
-                 ) AS rn
-          FROM documents
-        )
-        WHERE rn <= {SOURCE_CAP}
-        """
-    )
+    return spark.sql(_cap_sql("spark", cap))
 
 
-_CAP_ORACLE = f"""
-SELECT source, doc_id, CAST(rn AS INTEGER) AS rn
-FROM (
-  SELECT source, doc_id,
-         ROW_NUMBER() OVER (
-           PARTITION BY source
-           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-         ) AS rn
-  FROM documents
-)
-WHERE rn <= {SOURCE_CAP}
-"""
+_CAP_ORACLE = _cap_sql("duck")
 
 
 # ---------------------------------------------------------------------------

@@ -66,6 +66,9 @@ def test_contract_shape():
         ("train_chunk", {"chunk_tokens": 16, "chunk_stride": 48}),
         # finer boilerplate granularity: shorter repeated chrome spans
         ("dedup_boilerplate", {"span": 8}),
+        # tighter per-domain cap and a wider vocabulary cut
+        ("train_cap_per_source", {"cap": 5}),
+        ("train_top_tokens", {"k": 25}),
     ],
 )
 def test_dials_are_live(name, params, spark):

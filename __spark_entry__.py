@@ -379,6 +379,7 @@ def queries_parameterized() -> dict[str, dict]:
     this entry.
     """
     from dataforge_core_spark.operators import dedup as D
+    from dataforge_core_spark.operators import events as E
     from dataforge_core_spark.operators import multimodal as M
     from dataforge_core_spark.operators import similarity as S
     from dataforge_core_spark.operators import streaming_rows as SR
@@ -432,6 +433,13 @@ def queries_parameterized() -> dict[str, dict]:
             "fn": T.train_top_tokens,
             "params": {"k": T.TOP_K},
             "oracle_sql": lambda k=T.TOP_K: T._top_tokens_sql("duck", k),
+        },
+        "events_sessionize": {
+            "fn": E.events_sessionize,
+            "params": {"gap_min": E.SESSION_GAP_MIN},
+            "oracle_sql": lambda gap_min=E.SESSION_GAP_MIN: (
+                E._sessionize_sql("duck", gap_min)
+            ),
         },
         "train_perplexity_filter": {
             "fn": X.train_perplexity_filter,

@@ -86,52 +86,50 @@ GROUP BY date_trunc('hour', ts), event_type
 """
 
 
-def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization: a new session starts after a >30 min gap.
+def _sessionize_sql(dialect: str, gap_min: int = SESSION_GAP_MIN) -> str:
+    """Shared sessionize SQL — ``gap_min`` is the inactivity-gap dial
+    every analytics deployment tunes.  The only dialect split is the
+    BIGINT cast DuckDB needs on its running-sum (hugeint otherwise)."""
+    if gap_min < 1:
+        raise ValueError(f"gap_min must be >= 1, got {gap_min}")
+    cast_open, cast_close = (
+        ("", "") if dialect == "spark" else ("CAST(", " AS BIGINT)")
+    )
+    return f"""
+WITH g AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN ts > lag(ts) OVER w
+                   + INTERVAL {gap_min} MINUTE THEN 1
+              ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id, ts,
+       {cast_open}SUM(is_start) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW){cast_close}
+         AS session_number
+FROM g
+"""
+
+
+def events_sessionize(
+    spark: SparkSession, sf_dir: str, gap_min: int = SESSION_GAP_MIN
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts after a
+    >``gap_min`` minute gap (driver-sweepable via
+    queries_parameterized).
 
     Expressed as lag + running sum over a per-user window — the batch
     equivalent of applyInPandasWithState sessionization; shuffle key is
     user_id, state never leaves the executor.
     """
     _views(spark, sf_dir)
-    return spark.sql(
-        f"""
-        WITH g AS (
-          SELECT event_id, user_id, ts,
-                 CASE WHEN lag(ts) OVER w IS NULL THEN 1
-                      WHEN ts > lag(ts) OVER w
-                           + INTERVAL {SESSION_GAP_MIN} MINUTE THEN 1
-                      ELSE 0 END AS is_start
-          FROM events
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        )
-        SELECT event_id, user_id, ts,
-               SUM(is_start) OVER (PARTITION BY user_id
-                    ORDER BY ts, event_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS session_number
-        FROM g
-        """
-    )
+    return spark.sql(_sessionize_sql("spark", gap_min))
 
 
-_SESSIONIZE_ORACLE = f"""
-WITH g AS (
-  SELECT event_id, user_id, ts,
-         CASE WHEN lag(ts) OVER w IS NULL THEN 1
-              WHEN ts > lag(ts) OVER w
-                   + INTERVAL {SESSION_GAP_MIN} MINUTE THEN 1
-              ELSE 0 END AS is_start
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-)
-SELECT event_id, user_id, ts,
-       CAST(SUM(is_start) OVER (PARTITION BY user_id
-            ORDER BY ts, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         AS BIGINT) AS session_number
-FROM g
-"""
+_SESSIONIZE_ORACLE = _sessionize_sql("duck")
 
 
 def events_json(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -69,6 +69,8 @@ def test_contract_shape():
         # tighter per-domain cap and a wider vocabulary cut
         ("train_cap_per_source", {"cap": 5}),
         ("train_top_tokens", {"k": 25}),
+        # tighter inactivity gap splits sessions the default merges
+        ("events_sessionize", {"gap_min": 5}),
     ],
 )
 def test_dials_are_live(name, params, spark):

@@ -184,24 +184,25 @@ HUB_POOL = (
 )
 
 
-def stale_hubs() -> list[str]:
-    """Relegated hubs to hoist INTO the capture window this round:
-    every hub whose latest driver record is >= 2 rounds stale, floor
-    of one (the stalest) so the hub family keeps refreshing even when
-    all are near-fresh.  Round-10 change: the previous
-    one-hub-per-round rotation left three hubs riding r6 records while
-    the rest of the registry re-proved — the staleness rule replaces
-    the fixed count.  Round-13 change: candidate hubs COMPETE with the
-    extension registry's veterans for window slots on record age
-    (oldest record wins, name tie-break — the same key _merge uses),
-    instead of being pinned unconditionally: in r13 the four
-    2-rounds-stale r10 hubs would otherwise have displaced three
-    strictly-older r9 operator lanes out of the 50-row capture window,
-    leaving r9 records active after the round.  A hub that loses the
-    competition is at most one round staler when it wins the next one
-    (oldest-first ordering), so hub evidence still cannot age
-    unboundedly; the floor keeps the guarantee that at least the
-    stalest hub refreshes every round."""
+def _window_plan() -> tuple[list[str], list[str]]:
+    """The ONE computation of the capture window's refresh block
+    (r13 advice: stale_hubs' budget and _merge's veteran slots were
+    computed separately — stale_hubs budgeted CAPTURE_WINDOW-3-unproven
+    while _merge floored its veterans at ROTATION_SLOTS, so in a
+    heavy-add round hubs that won budget slots pushed _merge's floor
+    veterans past the 50-row window and the floor's refresh guarantee
+    was silently defeated).  Returns ``(hubs, veterans)``: the stale
+    hubs pinned after the 3 entry rows, and the recorded extension
+    veterans _merge seats right after the unproven block.  Both
+    populations are ranked TOGETHER by record age (oldest record wins,
+    name tie-break) into one budget of
+    ``max(ROTATION_SLOTS, CAPTURE_WINDOW - 3 - len(unproven))`` —
+    exactly what fits the window in a normal round, exactly the floor
+    in a heavy-add round (where the floor rows sit first in line
+    behind the unproven block for the next round's window).  Floor of
+    one hub (the stalest) regardless, so hub evidence cannot age
+    unboundedly; a forced-in hub takes its seat out of the same
+    budget instead of adding on top of it."""
     latest = _latest_records()
     mx = _max_recorded_round()
 
@@ -212,20 +213,33 @@ def stale_hubs() -> list[str]:
     cands = [n for n in pool if latest.get(n, (0, {}))[0] <= mx - 2]
     cands = cands or pool[:1]
 
-    # Unified staleness budget: CAPTURE_WINDOW minus the 3 always-pinned
-    # pipeline rows minus the unproven block leaves the slots that hubs
-    # and registry veterans share; rank both populations together.
-    # recorded/deferred come from the same helpers _merge ranks with,
-    # so the two can't drift (review fix, r13).
     names: set[str] = set()
     for m in _modules():
         names.update(m.queries().keys())
-    recorded = names & _recorded_names()
-    unproven = names - recorded - _deferred_names()
-    budget = max(0, CAPTURE_WINDOW - 3 - len(unproven))
-    combined = sorted(cands + sorted(recorded), key=_age_key)[:budget]
-    out = [n for n in cands if n in combined]
-    return out or cands[:1]
+    recorded = sorted(names & _recorded_names())
+    unproven = names - set(recorded) - _deferred_names()
+
+    budget = max(ROTATION_SLOTS, CAPTURE_WINDOW - 3 - len(unproven))
+    combined = sorted(cands + recorded, key=_age_key)[:budget]
+    hubs = [n for n in cands if n in combined] or cands[:1]
+    vets = [n for n in combined if n not in cands]
+    return hubs, vets[: max(0, budget - len(hubs))]
+
+
+def stale_hubs() -> list[str]:
+    """Relegated hubs to hoist INTO the capture window this round:
+    every hub whose latest driver record is >= 2 rounds stale, floor
+    of one (the stalest) so the hub family keeps refreshing even when
+    all are near-fresh.  Round-10 change: the previous
+    one-hub-per-round rotation left three hubs riding r6 records while
+    the rest of the registry re-proved — the staleness rule replaces
+    the fixed count.  Round-13 change: candidate hubs COMPETE with the
+    extension registry's veterans for window slots on record age
+    (oldest record wins, name tie-break), instead of being pinned
+    unconditionally.  Round-14 change: the hub/veteran split, the
+    budget, and the ROTATION_SLOTS floor all live in _window_plan,
+    shared verbatim with _merge (r13 advice)."""
+    return _window_plan()[0]
 
 
 def pinned_ahead() -> int:
@@ -236,7 +250,10 @@ def pinned_ahead() -> int:
 
 
 def _merge(items: dict) -> dict:
-    latest = _latest_records()
+    """Order the registry least-proven-first: unproven rows, then the
+    veteran refresh block _window_plan budgeted (shared with
+    stale_hubs so hubs and veterans cannot double-spend window slots —
+    r13 advice), then everything else."""
     recorded = _recorded_names()
     deferred = _deferred_names()
     fresh = {
@@ -244,13 +261,9 @@ def _merge(items: dict) -> dict:
         for k, v in items.items()
         if k not in recorded and k not in deferred
     }
-    slots = max(ROTATION_SLOTS, CAPTURE_WINDOW - pinned_ahead() - len(fresh))
-    stale_vets = sorted(
-        (k for k in items if k in recorded),
-        key=lambda k: (latest[k][0], k),
-    )[:slots]
-    for k in stale_vets:
-        fresh[k] = items[k]
+    for k in _window_plan()[1]:
+        if k in items:
+            fresh[k] = items[k]
     fresh.update(items)
     return fresh
 

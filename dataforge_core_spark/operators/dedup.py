@@ -1034,24 +1034,30 @@ def _cc_min_label(
     # corpus, tiny relative to the corpus) several times; session-wide
     # shuffle width pays per-partition task/commit overhead each round
     # for partitions that are mostly empty.  Size the loop's shuffles
-    # to the relation like the k-means build does (restored after; the
-    # checkpointed output keeps its own partitioning).  At 100 TB the
-    # equivalent move is sizing the CC job's shuffle width to the edge
-    # count, not the corpus scan width.
+    # to the relation like the k-means build does — in a SIBLING
+    # session's conf (narrow_session), not a save/restore on the main
+    # session, so the width cannot leak into builders planning
+    # concurrently (r13 advice); the per-round checkpoints keep the
+    # labels deterministic either way.  At 100 TB the equivalent move
+    # is sizing the CC job's shuffle width to the edge count, not the
+    # corpus scan width.
     spark = pairs.sparkSession
-    from dataforge_core_spark.session import shuffle_override
+    from dataforge_core_spark.session import narrow_session, rebind
 
-    with shuffle_override(spark, 8):
-        cap = (
-            CC_DRIVER_MAX_EDGES
-            if driver_max_edges is None
-            else driver_max_edges
-        )
-        if cap > 0:
-            small = pairs.select("doc_a", "doc_b").limit(cap + 1).collect()
-            if len(small) <= cap:
-                return _cc_union_find_driver(spark, small), 0
-        return _cc_min_label_loop(pairs, pointer_doubling)
+    cap = (
+        CC_DRIVER_MAX_EDGES
+        if driver_max_edges is None
+        else driver_max_edges
+    )
+    if cap > 0:
+        small = pairs.select("doc_a", "doc_b").limit(cap + 1).collect()
+        if len(small) <= cap:
+            return _cc_union_find_driver(spark, small), 0
+    ns = narrow_session(spark, 8)
+    labels, rounds = _cc_min_label_loop(
+        rebind(pairs, ns), pointer_doubling
+    )
+    return rebind(labels, spark), rounds
 
 
 # near-dup edge lists are a small fraction of the corpus (bounded by

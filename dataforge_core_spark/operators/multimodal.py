@@ -1226,10 +1226,13 @@ def _hash_neardup_body(
     # data contract).  Enforce it on the parameter instead of implying
     # it in the comment, so a future ham_max > 63 layout fails loudly
     # rather than silently reordering 'nearest' (r12 advice).
-    assert ham_max * (1 << 57) + (1 << 57) < 2**63, (
-        f"ham_max={ham_max} overflows the (hamming, doc_id) bigint "
-        "packing; raise the shift or repack before widening the band"
-    )
+    # ValueError, not assert: the guard must survive `python -O`
+    # (r13 advice — asserts are stripped under optimization)
+    if ham_max * (1 << 57) + (1 << 57) >= 2**63:
+        raise ValueError(
+            f"ham_max={ham_max} overflows the (hamming, doc_id) bigint "
+            "packing; raise the shift or repack before widening the band"
+        )
     return f"""
 {_hash_pairs_ctes(dialect, src, cap, col, bands, band_bits, ham_max)},
 sym AS (

@@ -582,35 +582,40 @@ def _kmeans_assignments(spark: SparkSession, sf_dir: str) -> str:
         cview = f"kmeans_c_{tag}"
         # the per-iteration frames are K-group aggregates over ~corpus/K
         # rows — size the build's shuffle width to that, not the session
-        # default (restored after; the checkpointed outputs keep their
-        # own partitioning so queries are unaffected)
-        from dataforge_core_spark.session import shuffle_override
+        # default.  The narrow width lives in a SIBLING session's conf
+        # (narrow_session), not a save/restore on the main session, so
+        # it cannot leak into builders planning concurrently (r13
+        # advice); the checkpointed output is rebound to the main
+        # session below and queries are unaffected.
+        from dataforge_core_spark.session import narrow_session, rebind
 
-        with shuffle_override(spark, 8):
-            cent = spark.sql(
-                f"SELECT vec_id AS cid, emb FROM {v} "
-                f"WHERE vec_id < {KMEANS_K} ORDER BY cid"
-            ).collect()
-            for _ in range(KMEANS_ITERS):
-                csrc = f"({_centroid_literal_sql(cent)})"
-                assign = _kmeans_assign(v, csrc, "spark")
-                update = _kmeans_update(f"({assign}) a_it", "spark")
-                cent = spark.sql(update).collect()
+        ns = narrow_session(spark, 8)
+        rebind(spark.table(v), ns).createOrReplaceTempView(v)
+        cent = ns.sql(
+            f"SELECT vec_id AS cid, emb FROM {v} "
+            f"WHERE vec_id < {KMEANS_K} ORDER BY cid"
+        ).collect()
+        for _ in range(KMEANS_ITERS):
             csrc = f"({_centroid_literal_sql(cent)})"
-            # cellrn rides the cid repartition the checkpoint pays
-            # anyway — the cell-size cap is then a free query-time
-            # filter (see IVF_CELL_CAP)
-            df = (
-                spark.sql(
-                    "SELECT vec_id, emb, nrm, cid, label,"
-                    " ROW_NUMBER() OVER (PARTITION BY cid"
-                    " ORDER BY vec_id) AS cellrn"
-                    f" FROM ({_kmeans_assign(v, csrc, 'spark', with_label=True)})"
-                    " af_in"
-                )
-                .repartition("cid")
-                .localCheckpoint(eager=True)
+            assign = _kmeans_assign(v, csrc, "spark")
+            update = _kmeans_update(f"({assign}) a_it", "spark")
+            cent = ns.sql(update).collect()
+        csrc = f"({_centroid_literal_sql(cent)})"
+        # cellrn rides the cid repartition the checkpoint pays
+        # anyway — the cell-size cap is then a free query-time
+        # filter (see IVF_CELL_CAP)
+        df = rebind(
+            ns.sql(
+                "SELECT vec_id, emb, nrm, cid, label,"
+                " ROW_NUMBER() OVER (PARTITION BY cid"
+                " ORDER BY vec_id) AS cellrn"
+                f" FROM ({_kmeans_assign(v, csrc, 'spark', with_label=True)})"
+                " af_in"
             )
+            .repartition("cid")
+            .localCheckpoint(eager=True),
+            spark,
+        )
         name = f"kmeans_assign_{tag}"
         df.createOrReplaceTempView(name)
         # keep the final centroid view too: nprobe>1 search needs
@@ -4105,7 +4110,10 @@ _PQDQ_SCALE = 1 << 20
 # log2(PQ_K) bits; derived (not hardcoded) so a PQ_K change cannot
 # silently misreport the curve's cost axis (r12 advice).
 _PQ_CODE_BITS = PQ_K.bit_length() - 1
-assert (1 << _PQ_CODE_BITS) == PQ_K, "PQ_K must be a power of two"
+# ValueError, not assert: the guard must survive `python -O`
+# (r13 advice — asserts are stripped under optimization)
+if (1 << _PQ_CODE_BITS) != PQ_K:
+    raise ValueError("PQ_K must be a power of two")
 
 
 def _pq_m_curve_block(dialect: str, v: str, pq_m: int) -> str:

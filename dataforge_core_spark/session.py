@@ -77,15 +77,18 @@ def shuffle_override(spark: SparkSession, n: int):
     it after, SERIALIZED across threads: the save/set/restore pattern is
     session-global, so two concurrent overrides can interleave as
     A-saves-32 / A-sets-8 / B-saves-8 / A-restores-32 / B-restores-8 —
-    leaving the session at 8 for everything after.  The bench index
-    phase runs builders concurrently (round-13), so every override site
-    must go through this lock.  Note the setting itself is still
-    session-global while held: a concurrent NON-overriding job plans
-    its shuffles at ``n``.  Measured wash at sf0.1 (AQE coalescing
-    already sizes small shuffle outputs by bytes, not by the conf:
-    concurrent-phase warm totals match the sequential-phase r12
-    stamps), but a builder whose checkpoint partitioning must be exact
-    should pin it with an explicit repartition, not the session conf."""
+    leaving the session at 8 for everything after.  Note the setting
+    itself is still session-global while held: a concurrent
+    NON-overriding job plans its shuffles at ``n``.  For BATCH builds
+    that want a narrow width, use ``narrow_session`` instead (r13
+    advice: with the concurrent index phase, the session-global
+    override made other builders' checkpoint partitioning
+    scheduling-dependent).  This context manager remains for the
+    STREAMING lanes only — a streaming query snapshots the conf of the
+    session its ``writeStream.start()`` runs on, and a streaming plan
+    cannot be rebound across sessions; those lanes run sequentially in
+    the query phase, so nothing plans concurrently while they hold
+    the lock."""
     key = "spark.sql.shuffle.partitions"
     with _shuffle_lock:
         prev = spark.conf.get(key)
@@ -94,6 +97,54 @@ def shuffle_override(spark: SparkSession, n: int):
             yield
         finally:
             spark.conf.set(key, prev)
+
+
+_narrow_sessions: dict = {}
+_narrow_lock = _threading.Lock()
+
+
+def narrow_session(spark: SparkSession, n: int) -> SparkSession:
+    """A sibling session (``spark.newSession()``: shared SparkContext,
+    cached blocks and global temp views; its OWN SQLConf) pinned to
+    ``spark.sql.shuffle.partitions = n``.
+
+    Batch builds that want a narrow shuffle width (small fixed-point
+    loops, K-group aggregates) run their jobs here instead of toggling
+    the main session's conf: the width then CANNOT leak into jobs that
+    happen to plan concurrently on the main session — under the bench's
+    concurrent index phase the session-global ``shuffle_override`` made
+    other builders' checkpoint partitioning scheduling-dependent (r13
+    advice).  Cached per (application, n); builder-time confs (AQE,
+    Arrow, codegen cache) live in the SparkContext conf and are
+    inherited by the sibling."""
+    key = (session_key(spark), n)
+    with _narrow_lock:
+        s = _narrow_sessions.get(key)
+        if s is None:
+            s = spark.newSession()
+            s.conf.set("spark.sql.shuffle.partitions", str(n))
+            _narrow_sessions[key] = s
+        return s
+
+
+import itertools as _itertools
+
+_rebind_ids = _itertools.count()
+
+
+def rebind(df, target: SparkSession):
+    """Re-expose ``df`` on a sibling session of the same SparkContext.
+
+    Goes through a global temp view (the one catalog ``newSession``
+    siblings share): ``target.table`` inlines the view's LOGICAL plan,
+    so the returned frame plans under the TARGET session's SQL conf.
+    For a checkpointed frame the inlined plan is its LogicalRDD —
+    nothing is recomputed; for an unmaterialized plan the target
+    session re-plans it (which is the point: that's how a narrow
+    session takes ownership of a build's shuffles)."""
+    name = f"rebind_{next(_rebind_ids)}"
+    df.createOrReplaceGlobalTempView(name)
+    return target.table(f"global_temp.{name}")
 
 
 def free_local_checkpoint(df) -> None:

@@ -532,6 +532,55 @@ def test_capture_window_constants_tied_to_authority():
     assert names[3].startswith("hub_")
 
 
+def test_window_plan_unifies_hub_and_veteran_budget(monkeypatch):
+    """Hubs and veterans share ONE refresh budget with the
+    ROTATION_SLOTS floor applied to the union (r13 advice: stale_hubs
+    budgeted the window while _merge floored its veterans separately,
+    so a heavy-add round seated ROTATION_SLOTS veterans PLUS the
+    winning hubs and pushed the floor rows past the 50-row capture
+    window)."""
+    from dataforge_core_spark import operators as ops
+
+    all_names = set()
+    for m in ops._modules():
+        all_names.update(m.queries())
+
+    def _check():
+        hubs, vets = ops._window_plan()
+        recorded = all_names & ops._recorded_names()
+        unproven = all_names - recorded - ops._deferred_names()
+        budget = max(
+            ops.ROTATION_SLOTS, ops.CAPTURE_WINDOW - 3 - len(unproven)
+        )
+        # the seated refresh block never exceeds the shared budget ...
+        assert len(hubs) + len(vets) <= budget
+        # ... and fills it when enough recorded rows exist
+        if len(recorded) + len(hubs) >= budget:
+            assert len(hubs) + len(vets) == budget
+        assert len(hubs) >= 1  # the stalest-hub floor
+        # _merge seats exactly the plan's veterans right after the
+        # unproven block, in plan order
+        items = {n: n for n in all_names}
+        merged = list(ops._merge(items))
+        n_fresh = len(
+            [n for n in all_names if n not in recorded
+             and n not in ops._deferred_names()]
+        )
+        assert merged[n_fresh:n_fresh + len(vets)] == vets
+        return hubs, vets, budget
+
+    # today's real composition
+    _check()
+
+    # simulated heavy-add round: only 20 recorded rows remain, the rest
+    # unproven -> the floor governs and hubs take seats OUT of it
+    few = set(sorted(all_names & ops._recorded_names())[:20])
+    monkeypatch.setattr(ops, "_recorded_names", lambda: few)
+    hubs, vets, budget = _check()
+    assert budget == ops.ROTATION_SLOTS
+    assert len(hubs) + len(vets) == ops.ROTATION_SLOTS
+
+
 def test_sq8_zero_vector_quantizes_deterministically(spark):
     """An all-zero embedding must quantize to all-zero codes (not NaN ->
     engine-dependent casts): the max-abs divisor is clamped to 1e-30

@@ -171,3 +171,120 @@ def test_concurrent_index_scheduler_respects_deps(monkeypatch):
             missing = [d for d in deps[name] if d not in ended]
             assert not missing, f"{name} started before {missing}"
     assert sum(1 for k, n in events if k == "start") == 4
+
+
+def test_index_deps_cover_every_cross_builder_cache_touch(spark, sf_dir):
+    """Deterministic missing-edge detector for the concurrent index
+    phase (r13 verdict #3: two missing edges — kmv->shingles,
+    ppl_model->token_base — were found racing unguarded
+    check-then-act cache guards only by code review).  Every
+    module-level ``*_cache`` dict is instrumented for reads AND
+    writes, the builders run sequentially with a current-builder tag,
+    and then for every cache key the rule is asserted
+    scheduling-independently: a builder that TOUCHES a key created by
+    another builder must have the creator among its declared
+    transitive _INDEX_DEPS — otherwise the concurrent scheduler is
+    free to run the two at once and the unlocked guard races (double
+    materialization at best, a half-built view at worst).  Also
+    asserts no key is written twice (a rebuild inside one sequential
+    pass = a guard that doesn't guard)."""
+    import importlib
+    import pkgutil
+
+    import __spark_entry__ as entry
+    from dataforge_core_spark import operators
+
+    bench = _bench(sf_dir)
+
+    mods = [
+        importlib.import_module(f"dataforge_core_spark.operators.{m.name}")
+        for m in pkgutil.iter_modules(operators.__path__)
+    ] + [entry]
+
+    current = {"builder": None}
+    touches: dict[tuple, dict] = {}  # (cache, key) -> {creator, touchers}
+
+    def _log(cname, key, write):
+        rec = touches.setdefault(
+            (cname, key), {"creators": [], "touchers": set()}
+        )
+        b = current["builder"]
+        if b is None:
+            return
+        rec["touchers"].add(b)
+        if write:
+            rec["creators"].append(b)
+
+    def _mk(cname):
+        class _Audited(dict):
+            def __contains__(self, key):
+                _log(cname, key, False)
+                return dict.__contains__(self, key)
+
+            def __getitem__(self, key):
+                _log(cname, key, False)
+                return dict.__getitem__(self, key)
+
+            def get(self, key, default=None):
+                _log(cname, key, False)
+                return dict.get(self, key, default)
+
+            def __setitem__(self, key, value):
+                _log(cname, key, not dict.__contains__(self, key))
+                dict.__setitem__(self, key, value)
+
+            def setdefault(self, key, default=None):
+                _log(cname, key, not dict.__contains__(self, key))
+                return dict.setdefault(self, key, default)
+
+        return _Audited()
+
+    originals: list[tuple] = []
+    bench._clear_operator_caches(spark)
+    try:
+        for mod in mods:
+            for name, val in list(vars(mod).items()):
+                if name.endswith("_cache") and isinstance(val, dict):
+                    cname = f"{mod.__name__.rsplit('.', 1)[-1]}.{name}"
+                    originals.append((mod, name, val))
+                    setattr(mod, name, _mk(cname))
+        assert len(originals) >= 20, "cache enumeration looks broken"
+
+        for name, build in bench._index_builders():
+            current["builder"] = name
+            build(spark)
+        current["builder"] = None
+
+        closure: dict[str, set] = {}
+
+        def _deps(n: str) -> set:
+            if n not in closure:
+                closure[n] = set()  # cycle guard; DAG asserted elsewhere
+                out = set()
+                for d in bench._INDEX_DEPS[n]:
+                    out.add(d)
+                    out |= _deps(d)
+                closure[n] = out
+            return closure[n]
+
+        problems = []
+        for (cname, key), rec in touches.items():
+            if len(rec["creators"]) > 1:
+                problems.append(
+                    f"{cname}{key!r} written {len(rec['creators'])}x "
+                    f"by {rec['creators']} (guard doesn't guard)"
+                )
+            if not rec["creators"]:
+                continue  # pre-seeded or never built in this phase
+            creator = rec["creators"][0]
+            for b in rec["touchers"] - {creator}:
+                if creator not in _deps(b):
+                    problems.append(
+                        f"missing _INDEX_DEPS edge {creator} -> {b} "
+                        f"(shared cache entry {cname}{key!r})"
+                    )
+        assert not problems, "\n".join(sorted(set(problems)))
+    finally:
+        for mod, name, val in originals:
+            setattr(mod, name, val)
+        bench._clear_operator_caches(spark)

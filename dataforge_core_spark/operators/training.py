@@ -1543,6 +1543,18 @@ def train_ingest_decision(
     )
 
 
+def train_ingest_media_reject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cross-modal referee: ``train_ingest_decision`` under
+    ``media_policy='reject'`` — attached-media duplicate statuses
+    become rejection reasons, ordered between the text dup checks and
+    the content gates (see the section comment).  Shipped as a dial in
+    r13 (the window was exactly full); lifted to a driver-proven lane
+    in r14 when the rotation left a free slot (the r13 verdict's
+    candidate #4 — same builder, same oracle builder, 'reject'
+    argument verbatim)."""
+    return train_ingest_decision(spark, sf_dir, media_policy="reject")
+
+
 def _ingest_decision_oracle(media_policy: str = "flag") -> str:
     from dataforge_core_spark.operators.streaming_rows import (
         _afp_gate_oracle,
@@ -1574,6 +1586,7 @@ FROM joined
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "train_ingest_decision": train_ingest_decision,
+        "train_ingest_media_reject": train_ingest_media_reject,
         "train_decontaminate_spans": train_decontaminate_spans,
         "train_dsir_weights": train_dsir_weights,
         "train_temperature_mix": train_temperature_mix,
@@ -1602,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracles() -> dict[str, str]:
     return {
         "train_ingest_decision": _ingest_decision_oracle(),
+        "train_ingest_media_reject": _ingest_decision_oracle("reject"),
         "train_decontaminate_spans": _decon_sql("duck"),
         "train_dsir_weights": _dsir_sql("duck"),
         "train_temperature_mix": _temperature_sql("duck"),

@@ -655,3 +655,33 @@ def test_text_tokenizer_matches_token_base():
     assert text._DUCK_TOK == f"string_split({dedup._DUCK_NORM}, ' ')"
     assert dedup._SPARK_TOKENS == text._SPARK_TOK
     assert dedup._DUCK_TOKENS == text._DUCK_TOK
+
+
+def test_narrow_session_isolates_shuffle_width(spark):
+    """narrow_session pins the narrow width in a SIBLING session's conf
+    so it cannot leak into jobs planning concurrently on the main
+    session (r13 advice: the session-global shuffle_override made other
+    builders' checkpoint partitioning scheduling-dependent), and rebind
+    hands frames across the sibling boundary both ways."""
+    from dataforge_core_spark.session import narrow_session, rebind
+
+    main_width = spark.conf.get("spark.sql.shuffle.partitions")
+    ns = narrow_session(spark, 7)
+    # sibling conf pinned; main conf untouched (the whole point)
+    assert ns.conf.get("spark.sql.shuffle.partitions") == "7"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == main_width
+    # cached per (application, n)
+    assert narrow_session(spark, 7) is ns
+    assert narrow_session(spark, 5) is not ns
+
+    # a shuffle planned on the sibling materializes at the narrow width
+    df = rebind(spark.range(1000).selectExpr("id % 13 AS k", "id"), ns)
+    assert df.sparkSession is ns
+    agg = df.groupBy("k").count().localCheckpoint(eager=True)
+    assert agg.rdd.getNumPartitions() <= 7
+    # ...and rebinding the checkpointed result back to the main session
+    # yields the same values under the main session's planner
+    back = rebind(agg, spark)
+    assert back.sparkSession is spark
+    assert back.count() == 13
+    assert {r["k"] for r in back.collect()} == set(range(13))

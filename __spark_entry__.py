@@ -448,19 +448,29 @@ def queries_parameterized() -> dict[str, dict]:
                 X._ppl_filter_sql("duck", pct=pct)
             ),
         },
+        # ham_max (r14): the near-dup strictness radius — exact up to
+        # bands - 1 differing bits (pigeonhole); wider values are
+        # rejected (a wider radius needs more bands, not a bigger
+        # threshold on this index)
         "multimodal_audio_neardup": {
             "fn": M.multimodal_audio_neardup,
-            "params": {"max_bucket": M.MAX_AFP_BUCKET},
-            "oracle_sql": lambda max_bucket=M.MAX_AFP_BUCKET: (
-                M._afp_neardup_oracle(max_bucket)
-            ),
+            "params": {
+                "max_bucket": M.MAX_AFP_BUCKET,
+                "ham_max": M.AFP_HAMMING_MAX,
+            },
+            "oracle_sql": lambda max_bucket=M.MAX_AFP_BUCKET, ham_max=(
+                M.AFP_HAMMING_MAX
+            ): M._afp_neardup_oracle(max_bucket, ham_max),
         },
         "multimodal_phash_neardup": {
             "fn": M.multimodal_phash_neardup,
-            "params": {"max_bucket": M.MAX_PHASH_BUCKET},
-            "oracle_sql": lambda max_bucket=M.MAX_PHASH_BUCKET: (
-                M._phash_neardup_oracle(max_bucket)
-            ),
+            "params": {
+                "max_bucket": M.MAX_PHASH_BUCKET,
+                "ham_max": M.PHASH_HAMMING_MAX,
+            },
+            "oracle_sql": lambda max_bucket=M.MAX_PHASH_BUCKET, ham_max=(
+                M.PHASH_HAMMING_MAX
+            ): M._phash_neardup_oracle(max_bucket, ham_max),
         },
         "dedup_minhash": {
             "fn": D.dedup_minhash,

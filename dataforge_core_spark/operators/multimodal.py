@@ -1220,6 +1220,18 @@ def _hash_neardup_body(
     relation ``src`` — the Spark lanes pass the checkpointed hash
     view, the DuckDB oracles the recomputed ``h`` CTE, and the
     constructive test a planted literal table."""
+    # The banding's pigeonhole guarantee (every pair within ham_max
+    # differing bits shares at least one whole block) holds only for
+    # ham_max <= bands - 1: the report is EXACT below that bound and
+    # silently banded-recall above it, so the dial rejects widening —
+    # a wider radius needs more bands (a different index), not a
+    # bigger threshold on this one (r14 dial).
+    if not 0 <= ham_max <= bands - 1:
+        raise ValueError(
+            f"ham_max={ham_max} outside [0, {bands - 1}]: the "
+            f"{bands}-band pigeonhole guarantee caps the exact "
+            "near-dup radius at bands - 1"
+        )
     # The MIN_BY key packs (hamming, doc_id) into one bigint as
     # hamming * 2^57 + doc_id; that total order is only correct while
     # the largest packed value stays below 2^63 (doc_id < 2^57 is the
@@ -1300,24 +1312,37 @@ def _phash_probe_index(spark: SparkSession, sf_dir: str) -> str:
 
 
 def multimodal_phash_neardup(
-    spark: SparkSession, sf_dir: str, max_bucket: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    max_bucket: int | None = None,
+    ham_max: int | None = None,
 ) -> DataFrame:
-    """Per-image near-duplicate report via banded dHash LSH."""
+    """Per-image near-duplicate report via banded dHash LSH.
+
+    ``ham_max`` (r14 dial) tightens the near-dup radius below the
+    pigeonhole-exact default of ``PHASH_BANDS - 1`` differing bits —
+    the strictness knob a media-dedup pipeline sweeps; values above
+    the band count's exactness bound are rejected (see
+    ``_hash_neardup_body``)."""
     from dataforge_core_spark.session import session_key
 
     cap = MAX_PHASH_BUCKET if max_bucket is None else max_bucket
+    ham = PHASH_HAMMING_MAX if ham_max is None else ham_max
     view = f"phash_idx_{abs(hash((session_key(spark), sf_dir))) % 10**8}"
     _phash_df(spark, sf_dir).createOrReplaceTempView(view)
     return spark.sql(
-        f"WITH {_phash_neardup_body('spark', view, cap)}"
+        f"WITH {_hash_neardup_body('spark', view, cap, ham_max=ham)}"
     )
 
 
-def _phash_neardup_oracle(max_bucket: int | None = None) -> str:
+def _phash_neardup_oracle(
+    max_bucket: int | None = None, ham_max: int | None = None
+) -> str:
     cap = MAX_PHASH_BUCKET if max_bucket is None else max_bucket
+    ham = PHASH_HAMMING_MAX if ham_max is None else ham_max
     return f"""
 WITH {_phash_h_ctes()},
-{_phash_neardup_body('duck', 'h', cap)}
+{_hash_neardup_body('duck', 'h', cap, ham_max=ham)}
 """
 
 
@@ -1684,27 +1709,35 @@ SELECT doc_id, afp, COUNT(*) OVER (PARTITION BY afp) AS n_dups FROM h
 
 
 def multimodal_audio_neardup(
-    spark: SparkSession, sf_dir: str, max_bucket: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    max_bucket: int | None = None,
+    ham_max: int | None = None,
 ) -> DataFrame:
     """Per-track near-duplicate report via the banded acoustic
     fingerprint — same output contract as multimodal_phash_neardup
-    (n_near, min_hamming, canonical nearest) over the audio hash."""
+    (n_near, min_hamming, canonical nearest) over the audio hash;
+    same ``ham_max`` strictness dial (exact up to AFP_BANDS - 1)."""
     from dataforge_core_spark.session import session_key
 
     cap = MAX_AFP_BUCKET if max_bucket is None else max_bucket
+    ham = AFP_HAMMING_MAX if ham_max is None else ham_max
     view = f"afp_idx_{abs(hash((session_key(spark), sf_dir))) % 10**8}"
     _afp_df(spark, sf_dir).createOrReplaceTempView(view)
     return spark.sql(
-        f"WITH {_hash_neardup_body('spark', view, cap, 'afp', AFP_BANDS, _AFP_BAND_BITS, AFP_HAMMING_MAX)}"
+        f"WITH {_hash_neardup_body('spark', view, cap, 'afp', AFP_BANDS, _AFP_BAND_BITS, ham)}"
     )
 
 
-def _afp_neardup_oracle(max_bucket: int | None = None) -> str:
+def _afp_neardup_oracle(
+    max_bucket: int | None = None, ham_max: int | None = None
+) -> str:
     cap = MAX_AFP_BUCKET if max_bucket is None else max_bucket
+    ham = AFP_HAMMING_MAX if ham_max is None else ham_max
     return f"""
 WITH {_afp_h_ctes()},
 {_hash_neardup_body('duck', 'h', cap, 'afp', AFP_BANDS,
-                    _AFP_BAND_BITS, AFP_HAMMING_MAX)}
+                    _AFP_BAND_BITS, ham)}
 """
 
 

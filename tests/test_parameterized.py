@@ -56,6 +56,11 @@ def test_contract_shape():
         ("multimodal_phash_neardup", {"max_bucket": 2}),
         # cap 5 forces the salt guard on the slope-concentrated buckets
         ("multimodal_audio_neardup", {"max_bucket": 5}),
+        # tighter near-dup radii (still pigeonhole-exact below bands-1);
+        # ham_max 0 = exact-duplicate-only reading of the same index
+        ("multimodal_phash_neardup", {"ham_max": 1}),
+        ("multimodal_phash_neardup", {"ham_max": 0, "max_bucket": 2}),
+        ("multimodal_audio_neardup", {"ham_max": 2}),
         ("train_perplexity_filter", {"pct": 50}),
         ("ann_mrl_rerank", {"c_short": 16}),
         ("train_ingest_decision", {"media_policy": "reject"}),
@@ -347,6 +352,34 @@ def test_band_layout_rejects_oversized(spark):
         D.dedup_minhash(spark, SF, bands=5, rows=3)
     with pytest.raises(ValueError, match="exceeds"):
         D.dedup_minhash(spark, SF, bands=0, rows=1)
+
+
+def test_ham_max_dial_monotone_and_bounded(spark):
+    """Tightening ham_max can only shrink the near-dup neighborhood
+    (pairs are filtered by hamming <= ham_max over the same candidate
+    set), and widening past the pigeonhole-exact bound (bands - 1) is
+    rejected — a wider radius needs more bands, not a bigger threshold
+    on this index."""
+    import pytest
+
+    import dataforge_core_spark.operators.multimodal as M
+
+    by_ham = {
+        h: {r["doc_id"]: r["n_near"]
+            for r in M.multimodal_phash_neardup(spark, SF, ham_max=h)
+            .collect()}
+        for h in range(M.PHASH_BANDS)
+    }
+    for h in range(1, M.PHASH_BANDS):
+        assert set(by_ham[h]) == set(by_ham[h - 1])  # full LEFT-join base
+        assert all(
+            by_ham[h - 1][d] <= by_ham[h][d] for d in by_ham[h]
+        ), f"n_near not monotone in ham_max at {h}"
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        M.multimodal_phash_neardup(spark, SF, ham_max=M.PHASH_BANDS)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        M.multimodal_audio_neardup(spark, SF, ham_max=-1)
 
 
 def test_k_recall_curve_referees_and_monotone(spark):

@@ -382,6 +382,7 @@ def queries_parameterized() -> dict[str, dict]:
     from dataforge_core_spark.operators import events as E
     from dataforge_core_spark.operators import multimodal as M
     from dataforge_core_spark.operators import similarity as S
+    from dataforge_core_spark.operators import simhash as SH
     from dataforge_core_spark.operators import streaming_rows as SR
     from dataforge_core_spark.operators import text as X
     from dataforge_core_spark.operators import training as T
@@ -471,6 +472,22 @@ def queries_parameterized() -> dict[str, dict]:
             "oracle_sql": lambda max_bucket=M.MAX_PHASH_BUCKET, ham_max=(
                 M.PHASH_HAMMING_MAX
             ): M._phash_neardup_oracle(max_bucket, ham_max),
+        },
+        # simhash text near-dup dials (r14): the verify threshold
+        # (recall/cost semantics — the 4-block banding is exact only
+        # <= 3, see the module docstring) and the LSH bucket cap
+        "dedup_simhash_pairs": {
+            "fn": SH.dedup_simhash_pairs,
+            "params": {
+                "max_block_bucket": SH.MAX_BLOCK_BUCKET,
+                "ham_max": SH.HAMMING_MAX,
+            },
+            "oracle_sql": (
+                lambda max_block_bucket=SH.MAX_BLOCK_BUCKET,
+                ham_max=SH.HAMMING_MAX: SH._pairs_sql(
+                    "duck", max_block_bucket, ham_max
+                )
+            ),
         },
         "dedup_minhash": {
             "fn": D.dedup_minhash,

@@ -158,9 +158,30 @@ def _hamming_int(dialect: str, a: str, b: str) -> str:
 MAX_BLOCK_BUCKET = 1000
 
 
-def _pairs_sql(dialect: str, max_block_bucket: int = None) -> str:
+def _check_ham_max(ham_max: int) -> int:
+    """0..64 — the exact-verify filter over a 64-bit hash; unlike the
+    phash/afp lanes the banding here is deliberately a recall/cost
+    dial (exact only <= 3 of the 4 blocks' pigeonhole bound — see the
+    module docstring), so the threshold may range over the whole
+    distance domain."""
+    if not 0 <= ham_max <= 64:
+        raise ValueError(
+            f"ham_max={ham_max} outside [0, 64]: simhash distances "
+            "live on a 64-bit hash"
+        )
+    return ham_max
+
+
+def _pairs_sql(
+    dialect: str,
+    max_block_bucket: int = None,
+    ham_max: int | None = None,
+) -> str:
     cap = (
         MAX_BLOCK_BUCKET if max_block_bucket is None else max_block_bucket
+    )
+    ham_cut = _check_ham_max(
+        HAMMING_MAX if ham_max is None else ham_max
     )
     halves = _parse_halves(dialect)
     if dialect == "spark":
@@ -200,7 +221,7 @@ def _pairs_sql(dialect: str, max_block_bucket: int = None) -> str:
         FROM salted a JOIN salted b
           ON a.bno = b.bno AND a.blk = b.blk AND a.salt = b.salt
              AND a.doc_id < b.doc_id
-        WHERE {ham} <= {HAMMING_MAX}
+        WHERE {ham} <= {ham_cut}
         """
 
 
@@ -286,7 +307,10 @@ def _salted_bands(
 
 
 def dedup_simhash_pairs(
-    spark: SparkSession, sf_dir: str, max_block_bucket: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    max_block_bucket: int | None = None,
+    ham_max: int | None = None,
 ) -> DataFrame:
     """Block-banded near-dup candidate pairs with exact hamming verify.
 
@@ -294,11 +318,19 @@ def dedup_simhash_pairs(
     per band row (two xor+popcounts per candidate, not a 32-call hex
     string walk), is evaluated IN the band join's select and filtered
     before the DISTINCT — the exchange carries narrow
-    (doc_a, doc_b, hamming) integer rows only."""
+    (doc_a, doc_b, hamming) integer rows only.
+
+    ``ham_max`` (r14 dial): the verify threshold — the text near-dup
+    strictness knob; recall/cost semantics per the module docstring
+    (the 4-block banding is exact only <= 3), mirrored exactly by the
+    oracle, so every setting value-checks."""
     from pyspark.sql import functions as F
 
     cap = (
         MAX_BLOCK_BUCKET if max_block_bucket is None else max_block_bucket
+    )
+    ham_cut = _check_ham_max(
+        HAMMING_MAX if ham_max is None else ham_max
     )
     salted = _salted_bands(spark, sf_dir, cap)
     b2 = salted.toDF(
@@ -320,7 +352,7 @@ def dedup_simhash_pairs(
             F.col("doc_id_b").alias("doc_b"),
             F.expr(f"CAST({ham} AS INT)").alias("hamming"),
         )
-        .filter(F.col("hamming") <= HAMMING_MAX)
+        .filter(F.col("hamming") <= ham_cut)
         .distinct()
     )
 

@@ -61,6 +61,12 @@ def test_contract_shape():
         ("multimodal_phash_neardup", {"ham_max": 1}),
         ("multimodal_phash_neardup", {"ham_max": 0, "max_bucket": 2}),
         ("multimodal_audio_neardup", {"ham_max": 2}),
+        # simhash verify threshold: the pigeonhole-exact radius (3),
+        # identical-hash-only (0), and a wider recall sweep (20); the
+        # bucket cap forces the salt guard
+        ("dedup_simhash_pairs", {"ham_max": 3}),
+        ("dedup_simhash_pairs", {"ham_max": 0}),
+        ("dedup_simhash_pairs", {"ham_max": 20, "max_block_bucket": 10}),
         ("train_perplexity_filter", {"pct": 50}),
         ("ann_mrl_rerank", {"c_short": 16}),
         ("train_ingest_decision", {"media_policy": "reject"}),
@@ -380,6 +386,15 @@ def test_ham_max_dial_monotone_and_bounded(spark):
         M.multimodal_phash_neardup(spark, SF, ham_max=M.PHASH_BANDS)
     with pytest.raises(ValueError, match="pigeonhole"):
         M.multimodal_audio_neardup(spark, SF, ham_max=-1)
+
+    # simhash: recall/cost semantics — any threshold on the 64-bit
+    # distance domain is valid, outside it is not
+    import dataforge_core_spark.operators.simhash as SH
+
+    with pytest.raises(ValueError, match="64-bit"):
+        SH.dedup_simhash_pairs(spark, SF, ham_max=65)
+    with pytest.raises(ValueError, match="64-bit"):
+        SH.dedup_simhash_pairs(spark, SF, ham_max=-1)
 
 
 def test_k_recall_curve_referees_and_monotone(spark):

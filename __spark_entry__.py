@@ -473,6 +473,16 @@ def queries_parameterized() -> dict[str, dict]:
                 M.PHASH_HAMMING_MAX
             ): M._phash_neardup_oracle(max_bucket, ham_max),
         },
+        # window_min (r14): the stage-completion window — each funnel
+        # stage's first event must land within window_min minutes of
+        # the previous stage's; None = the classic unbounded funnel
+        "events_funnel": {
+            "fn": E.events_funnel,
+            "params": {"window_min": None},
+            "oracle_sql": lambda window_min=None: (
+                E._funnel_sql(window_min)
+            ),
+        },
         # simhash text near-dup dials (r14): the verify threshold
         # (recall/cost semantics — the 4-block banding is exact only
         # <= 3, see the module docstring) and the LSH bucket cap

@@ -282,21 +282,23 @@ GROUP BY user_id
 """
 
 
-def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conversion funnel (view -> click -> purchase) per user: first
-    view, first click at-or-after it, first purchase at-or-after that
-    click, plus stage flags.
-
-    Scale shape: three user-keyed conditional MIN aggregates, each with
-    map-side partial aggregation, chained by user-keyed joins whose
-    probe sides are already user-reduced (one row per user) — the fact
-    table itself is scanned per stage but never joined to itself
-    row-to-row, so no stage multiplies events x events; all three
-    exchanges hash on the same key, so AQE reuses the partitioning.
-    """
-    _views(spark, sf_dir)
-    return spark.sql(
-        """
+def _funnel_sql(window_min: int | None = None) -> str:
+    """Shared funnel SQL (dialect-identical — Spark and DuckDB run the
+    same string).  ``window_min`` is the stage-completion window dial
+    every funnel analysis sweeps: each later stage's first event must
+    land within ``window_min`` minutes of the previous stage's, so a
+    click three weeks after the view no longer 'converts'.  ``None``
+    (the default) is the classic unbounded any-time funnel — the
+    original lane semantics, byte-identical SQL."""
+    if window_min is not None and window_min < 1:
+        raise ValueError(
+            f"window_min must be >= 1 minute or None, got {window_min}"
+        )
+    wc = wp = ""
+    if window_min is not None:
+        wc = f" AND e.ts <= v.first_view + INTERVAL {window_min} MINUTE"
+        wp = f" AND e.ts <= c.first_click + INTERVAL {window_min} MINUTE"
+    return f"""
         WITH v AS (
           SELECT user_id,
                  MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view
@@ -305,13 +307,13 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         c AS (
           SELECT e.user_id, MIN(e.ts) AS first_click
           FROM events e JOIN v ON v.user_id = e.user_id
-          WHERE e.event_type = 'click' AND e.ts >= v.first_view
+          WHERE e.event_type = 'click' AND e.ts >= v.first_view{wc}
           GROUP BY e.user_id
         ),
         p AS (
           SELECT e.user_id, MIN(e.ts) AS first_purchase
           FROM events e JOIN c ON c.user_id = e.user_id
-          WHERE e.event_type = 'purchase' AND e.ts >= c.first_click
+          WHERE e.event_type = 'purchase' AND e.ts >= c.first_click{wp}
           GROUP BY e.user_id
         )
         SELECT v.user_id, v.first_view, c.first_click, p.first_purchase,
@@ -322,35 +324,30 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         LEFT JOIN c ON c.user_id = v.user_id
         LEFT JOIN p ON p.user_id = v.user_id
         """
-    )
 
 
-_FUNNEL_ORACLE = """
-WITH v AS (
-  SELECT user_id,
-         MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view
-  FROM events GROUP BY user_id
-),
-c AS (
-  SELECT e.user_id, MIN(e.ts) AS first_click
-  FROM events e JOIN v ON v.user_id = e.user_id
-  WHERE e.event_type = 'click' AND e.ts >= v.first_view
-  GROUP BY e.user_id
-),
-p AS (
-  SELECT e.user_id, MIN(e.ts) AS first_purchase
-  FROM events e JOIN c ON c.user_id = e.user_id
-  WHERE e.event_type = 'purchase' AND e.ts >= c.first_click
-  GROUP BY e.user_id
-)
-SELECT v.user_id, v.first_view, c.first_click, p.first_purchase,
-       v.first_view IS NOT NULL AS viewed,
-       c.first_click IS NOT NULL AS clicked,
-       p.first_purchase IS NOT NULL AS converted
-FROM v
-LEFT JOIN c ON c.user_id = v.user_id
-LEFT JOIN p ON p.user_id = v.user_id
-"""
+def events_funnel(
+    spark: SparkSession, sf_dir: str, window_min: int | None = None
+) -> DataFrame:
+    """Conversion funnel (view -> click -> purchase) per user: first
+    view, first click at-or-after it, first purchase at-or-after that
+    click, plus stage flags.  ``window_min`` (r14 dial) bounds each
+    stage transition — see ``_funnel_sql``.
+
+    Scale shape: three user-keyed conditional MIN aggregates, each with
+    map-side partial aggregation, chained by user-keyed joins whose
+    probe sides are already user-reduced (one row per user) — the fact
+    table itself is scanned per stage but never joined to itself
+    row-to-row, so no stage multiplies events x events; all three
+    exchanges hash on the same key, so AQE reuses the partitioning.
+    """
+    _views(spark, sf_dir)
+    return spark.sql(_funnel_sql(window_min))
+
+
+# one builder serves both engines (the funnel SQL is
+# dialect-identical); the default instantiation is the lane oracle
+_FUNNEL_ORACLE = _funnel_sql()
 
 
 def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -82,6 +82,10 @@ def test_contract_shape():
         ("train_top_tokens", {"k": 25}),
         # tighter inactivity gap splits sessions the default merges
         ("events_sessionize", {"gap_min": 5}),
+        # bounded stage-completion windows (stage gaps on this corpus
+        # run ~100-5400 min, so both settings actually drop converts)
+        ("events_funnel", {"window_min": 1440}),
+        ("events_funnel", {"window_min": 120}),
     ],
 )
 def test_dials_are_live(name, params, spark):
@@ -395,6 +399,33 @@ def test_ham_max_dial_monotone_and_bounded(spark):
         SH.dedup_simhash_pairs(spark, SF, ham_max=65)
     with pytest.raises(ValueError, match="64-bit"):
         SH.dedup_simhash_pairs(spark, SF, ham_max=-1)
+
+
+def test_funnel_window_monotone_and_bounded(spark):
+    """A tighter stage-completion window can only lose conversions
+    (fewer clicks qualify as-after-view within the window, and the
+    qualifying first_click is never earlier), and the dial actually
+    binds on this corpus; window_min < 1 is rejected."""
+    import pytest
+
+    import dataforge_core_spark.operators.events as E
+
+    unbounded = {
+        r["user_id"]: (r["clicked"], r["converted"])
+        for r in E.events_funnel(spark, SF).collect()
+    }
+    day = {
+        r["user_id"]: (r["clicked"], r["converted"])
+        for r in E.events_funnel(spark, SF, window_min=1440).collect()
+    }
+    assert set(day) == set(unbounded)  # the view base is unchanged
+    assert all(day[u] <= unbounded[u] for u in day)  # True >= False
+    assert sum(c for c, _ in day.values()) < sum(
+        c for c, _ in unbounded.values()
+    ), "window_min=1440 should drop some clicks on this corpus"
+
+    with pytest.raises(ValueError, match="window_min"):
+        E.events_funnel(spark, SF, window_min=0)
 
 
 def test_k_recall_curve_referees_and_monotone(spark):

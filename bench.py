@@ -189,6 +189,10 @@ def _clear_operator_caches(spark) -> None:
     for _name, df in training._dsir_bkt_cache.values():
         free_local_checkpoint(df)
     training._dsir_bkt_cache.clear()
+    # the five-gate ingest verdict relation (checkpointed)
+    for df in training._ingest_base_cache.values():
+        free_local_checkpoint(df)
+    training._ingest_base_cache.clear()
     # merge tables are plain tuples (the train loop frees its own
     # blocks) — cleared so the timed train row measures a real build;
     # the encode lane's (word, n_pieces) vocabulary is checkpointed
@@ -361,6 +365,15 @@ _INDEX_DEPS: dict[str, list[str]] = {
     # review fix (r13): text._ppl_model reads dedup._token_base_view
     "ppl_gate_model": ["token_base"],
     "dsir_bucket_rows": [],
+    # the stored five-gate verdict relation: each gate probes its own
+    # stored index, so the base depends on all five (r14)
+    "ingest_gate_base": [
+        "near_dedup_probe_index",
+        "phash_probe_index",
+        "afp_probe_index",
+        "ppl_gate_model",
+        "ann_ivf_kmeans_index",
+    ],
 }
 
 
@@ -612,6 +625,12 @@ def _index_builders():
         (
             "dsir_bucket_rows",
             lambda s: training._dsir_bucket_view(s, SF_DIR),
+        ),
+        # the stored five-gate ingest verdict relation — both
+        # media_policy decision lanes are projections over it
+        (
+            "ingest_gate_base",
+            lambda s: training._ingest_base(s, SF_DIR).count(),
         ),
     ]
 

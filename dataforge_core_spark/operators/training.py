@@ -1495,6 +1495,48 @@ def _ingest_reason_sql(media_policy: str = "flag") -> str:
 _INGEST_REASON_SQL = _ingest_reason_sql()
 
 
+_ingest_base_cache: dict = {}
+
+
+def _ingest_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed five-gate VERDICT relation (doc_id, text_status,
+    image_status, audio_status, ppl_keep, contaminated) — the gate
+    probes computed ONCE per (session, sf); every ``media_policy``
+    variant is then a CASE projection over the stored verdicts (r14:
+    the flag and reject lanes each re-ran all five probes).  At 100 TB
+    this is the per-doc gate-verdict table an ingest deployment
+    persists: policies change far more often than verdicts, so
+    re-deriving a decision is a projection, not five index probes."""
+    from dataforge_core_spark.operators import streaming_rows as SR
+    from dataforge_core_spark.session import session_key
+
+    key = (session_key(spark), sf_dir)
+    if key not in _ingest_base_cache:
+        text = SR.stream_near_dedup(spark, sf_dir, batch=True).selectExpr(
+            "doc_id", "status AS text_status"
+        )
+        image = SR.stream_phash_gate(spark, sf_dir, batch=True).selectExpr(
+            "doc_id", "status AS image_status"
+        )
+        audio = SR.stream_afp_gate(spark, sf_dir, batch=True).selectExpr(
+            "doc_id", "status AS audio_status"
+        )
+        ppl = SR.stream_ppl_gate(spark, sf_dir, batch=True).selectExpr(
+            "doc_id", "ppl_keep"
+        )
+        sem = SR.stream_semantic_gate(spark, sf_dir, batch=True).selectExpr(
+            "vec_id AS doc_id", "contaminated"
+        )
+        _ingest_base_cache[key] = (
+            text.join(image, "doc_id", "left")
+            .join(audio, "doc_id", "left")
+            .join(ppl, "doc_id", "left")
+            .join(sem, "doc_id", "left")
+            .localCheckpoint(eager=True)
+        )
+    return _ingest_base_cache[key]
+
+
 def train_ingest_decision(
     spark: SparkSession, sf_dir: str, media_policy: str = "flag"
 ) -> DataFrame:
@@ -1503,35 +1545,16 @@ def train_ingest_decision(
     ``media_policy`` dial ('flag' carries media dup statuses as
     columns only; 'reject' turns them into rejection reasons).
 
-    Cost shape: one plan containing the five gate probes (each a
-    stream-shape join against its stored index) — 2.2s at sf0.1, the
-    sum of its parts; at scale each probe stays index-bounded (capped
-    band buckets / broadcast bench cells / broadcast LM model), so the
-    composite scales exactly as its worst component does."""
+    Cost shape: the five gate probes (each a stream-shape join against
+    its stored index) build the shared verdict relation once per
+    session (``_ingest_base``); each policy is a projection over it.
+    At scale each probe stays index-bounded (capped band buckets /
+    broadcast bench cells / broadcast LM model), so the composite
+    scales exactly as its worst component does."""
     from pyspark.sql import functions as F
 
-    from dataforge_core_spark.operators import streaming_rows as SR
-
-    text = SR.stream_near_dedup(spark, sf_dir, batch=True).selectExpr(
-        "doc_id", "status AS text_status"
-    )
-    image = SR.stream_phash_gate(spark, sf_dir, batch=True).selectExpr(
-        "doc_id", "status AS image_status"
-    )
-    audio = SR.stream_afp_gate(spark, sf_dir, batch=True).selectExpr(
-        "doc_id", "status AS audio_status"
-    )
-    ppl = SR.stream_ppl_gate(spark, sf_dir, batch=True).selectExpr(
-        "doc_id", "ppl_keep"
-    )
-    sem = SR.stream_semantic_gate(spark, sf_dir, batch=True).selectExpr(
-        "vec_id AS doc_id", "contaminated"
-    )
     out = (
-        text.join(image, "doc_id", "left")
-        .join(audio, "doc_id", "left")
-        .join(ppl, "doc_id", "left")
-        .join(sem, "doc_id", "left")
+        _ingest_base(spark, sf_dir)
         .withColumn("reason", F.expr(_ingest_reason_sql(media_policy)))
         .withColumn(
             "admit", F.expr("CAST(reason IS NULL AS BOOLEAN)")

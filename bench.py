@@ -145,6 +145,20 @@ def _host_speed_mt(workers: int = 8) -> float:
         return -1.0
 
 
+def _loadavg() -> list[float]:
+    """Host 1/5/15-minute load averages, [-1,-1,-1] off-Linux.  The
+    speed probes run ONCE, before the session — load arriving mid-run
+    is invisible to them (r14: a builder stamp inflated uniformly at a
+    QUIET pre-session mt gauge; /proc/loadavg during the follow-up
+    probe read 7.26 with zero session processes running).  Sampled at
+    start AND end so a stamp carries before/after evidence."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [round(float(x), 2) for x in f.read().split()[:3]]
+    except Exception:  # pragma: no cover - non-Linux
+        return [-1.0, -1.0, -1.0]
+
+
 def _jvm_gauges(spark) -> dict:
     """Driver-JVM pressure gauges stamped into the detail record so an
     inflated official stamp carries its own diagnosis (r12: the driver
@@ -651,6 +665,7 @@ def main() -> None:
     # probe BEFORE creating the session when we can: with no JVM in
     # the process yet, the pool is safe under any start method
     host_speed_mt = _host_speed_mt()
+    loadavg_start = _loadavg()
     spark = get_spark(app_name="dataforge_bench")
     host_speed = _host_speed()
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -744,6 +759,10 @@ def main() -> None:
         cold_total += cold
         warm_total += warm
 
+    # post-run gauges, computed once and stamped in BOTH payloads
+    host_speed_post = _host_speed()
+    loadavg_end = _loadavg()
+
     # Written twice: the mutable latest-run copy AND a round-stamped
     # copy (BENCH_DETAIL_r{N}.json) that persists the FULL per-lane map
     # for every round — the driver's BENCH_r{N}.json stores only a
@@ -765,6 +784,12 @@ def main() -> None:
         "bench_tag": os.environ.get("SPARK_GRAFT_BENCH_TAG", "")
         or "untagged",
         "host_speed_mt_s": host_speed_mt,
+        # post-run single-thread probe + host load at both ends: load
+        # arriving AFTER the pre-session probes is otherwise invisible
+        # (r14 blind spot — see _loadavg)
+        "host_speed_post_s": host_speed_post,
+        "loadavg_start": loadavg_start,
+        "loadavg_end": loadavg_end,
         "preexisting_session": preexisting_session,
         "jvm": _jvm_gauges(spark),
         "totals": {
@@ -827,6 +852,8 @@ def main() -> None:
                 "runs_per_query": N_RUNS,
                 "host_speed_s": host_speed,
                 "host_speed_mt_s": host_speed_mt,
+                "host_speed_post_s": host_speed_post,
+                "loadavg_end": loadavg_end,
             }
         ),
         flush=True,

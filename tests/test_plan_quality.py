@@ -792,3 +792,27 @@ def test_pq_nprobe_curve_served_from_checkpointed_scored(spark):
     # NOT allowed is any file scan (a parquet read here means the
     # scored checkpoint was bypassed and the corpus re-scanned):
     assert "FileScan" not in plan and "parquet" not in plan.lower()
+
+
+def test_ingest_decision_is_projection_over_stored_verdicts(spark):
+    """Both media_policy decision lanes must be pure projections over
+    the checkpointed five-gate verdict relation (r14: each lane
+    previously re-ran all five stream-shape index probes per
+    execution) — one ExistingRDD scan, zero joins, zero corpus scans,
+    zero Python evals in the lane plan."""
+    from dataforge_core_spark.operators import training as TR
+
+    sf = "/root/testdata/sf0.001"
+    for fn in (TR.train_ingest_decision, TR.train_ingest_media_reject):
+        plan = (
+            fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Scan ExistingRDD") == 1, (
+            f"{fn.__name__} must read exactly the stored verdict "
+            "relation"
+        )
+        for node in ("Join", "Parquet", "Generate", "Eval"):
+            assert node not in plan, (
+                f"{fn.__name__} plan contains {node} — not a "
+                "projection over the stored verdicts"
+            )

@@ -685,3 +685,76 @@ def test_narrow_session_isolates_shuffle_width(spark):
     assert back.sparkSession is spark
     assert back.count() == 13
     assert {r["k"] for r in back.collect()} == set(range(13))
+
+
+def test_window_plan_invariants_over_random_histories():
+    """Property test: under ANY record history (which lanes are
+    driver-proven, how old each record is, which are deferred),
+    _window_plan keeps its invariants — the refresh block never
+    exceeds the shared budget and fills it when enough recorded rows
+    exist, at least one hub always refreshes, hubs/veterans never
+    overlap, and veterans are served strictly oldest-record-first."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dataforge_core_spark import operators as ops
+
+    all_names = set()
+    for m in ops._modules():
+        all_names.update(m.queries())
+    universe = sorted(all_names)
+
+    @settings(max_examples=60, deadline=None)
+    @given(data=st.data())
+    def _run(data):
+        recorded = set(
+            data.draw(
+                st.lists(st.sampled_from(universe), unique=True),
+                label="recorded",
+            )
+        )
+        rounds = {
+            n: data.draw(st.integers(min_value=1, max_value=14),
+                         label=f"round_{n}")
+            for n in recorded | set(ops.HUB_POOL)
+        }
+        deferred = set(
+            data.draw(
+                st.lists(
+                    st.sampled_from(sorted(all_names - recorded) or ["_"]),
+                    unique=True,
+                    max_size=5,
+                ),
+                label="deferred",
+            )
+        ) & all_names
+
+        orig = (ops._recorded_names, ops._latest_records,
+                ops._deferred_names, ops._max_recorded_round)
+        try:
+            ops._recorded_names = lambda: recorded
+            ops._latest_records = lambda: {
+                n: (r, {}) for n, r in rounds.items()
+            }
+            ops._deferred_names = lambda: deferred
+            ops._max_recorded_round = lambda: max(rounds.values(), default=0)
+            hubs, vets = ops._window_plan()
+        finally:
+            (ops._recorded_names, ops._latest_records,
+             ops._deferred_names, ops._max_recorded_round) = orig
+
+        unproven = all_names - recorded - deferred
+        budget = max(
+            ops.ROTATION_SLOTS, ops.CAPTURE_WINDOW - 3 - len(unproven)
+        )
+        assert len(hubs) >= 1
+        assert set(hubs) <= set(ops.HUB_POOL)
+        assert not set(hubs) & set(vets)
+        assert set(vets) <= recorded
+        assert len(hubs) + len(vets) <= budget
+        if len(recorded) + len(hubs) >= budget:
+            assert len(hubs) + len(vets) == budget
+        ages = [(rounds[v], v) for v in vets]
+        assert ages == sorted(ages), "veterans not oldest-first"
+
+    _run()

@@ -303,6 +303,10 @@ def _clear_operator_caches(spark) -> None:
     for df in multimodal._phash_cache.values():
         free_local_checkpoint(df)
     multimodal._phash_cache.clear()
+    # the stored salted LSH band tables (image + audio, per cap)
+    for df in multimodal._salted_bands_cache.values():
+        free_local_checkpoint(df)
+    multimodal._salted_bands_cache.clear()
     for df in multimodal._afp_cache.values():
         free_local_checkpoint(df)
     multimodal._afp_cache.clear()
@@ -372,9 +376,11 @@ _INDEX_DEPS: dict[str, list[str]] = {
     "multimodal_phash_index": [],
     "phash_probe_index": ["multimodal_phash_index"],
     "phash_cluster_labels": ["multimodal_phash_index"],
+    "phash_salted_bands": ["multimodal_phash_index"],
     "audio_afp_index": [],
     "afp_probe_index": ["audio_afp_index"],
     "afp_cluster_labels": ["audio_afp_index"],
+    "afp_salted_bands": ["audio_afp_index"],
     "train_bpe_merge_train": [],
     # review fix (r13): text._ppl_model reads dedup._token_base_view
     "ppl_gate_model": ["token_base"],
@@ -595,6 +601,13 @@ def _index_builders():
             "phash_probe_index",
             lambda s: multimodal._phash_probe_index(s, SF_DIR),
         ),
+        # the stored salted LSH band table of the image near-dup lane
+        (
+            "phash_salted_bands",
+            lambda s: multimodal._salted_hash_bands(
+                s, SF_DIR, "phash", multimodal.MAX_PHASH_BUCKET
+            ).count(),
+        ),
         # the checkpointed audio-fingerprint index (the fused
         # synth+parse+fingerprint Arrow pass both audio-fp lanes
         # serve from)
@@ -606,6 +619,13 @@ def _index_builders():
         (
             "afp_probe_index",
             lambda s: multimodal._afp_probe_index(s, SF_DIR),
+        ),
+        # the stored salted LSH band table of the audio near-dup lane
+        (
+            "afp_salted_bands",
+            lambda s: multimodal._salted_hash_bands(
+                s, SF_DIR, "afp", multimodal.MAX_AFP_BUCKET
+            ).count(),
         ),
         # the audio dup-cluster labels (CC over the fingerprint pair
         # graph, cached in multimodal._afp_clusters_cache)

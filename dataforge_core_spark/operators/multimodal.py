@@ -1207,6 +1207,37 @@ def _phash_pairs_ctes(dialect: str, src: str, cap: int) -> str:
     return _hash_pairs_ctes(dialect, src, cap)
 
 
+def _check_hash_ham(ham_max: int, bands: int) -> None:
+    """The two media near-dup radius guards, shared by the Spark lanes
+    and the oracle body.
+
+    The banding's pigeonhole guarantee (every pair within ham_max
+    differing bits shares at least one whole block) holds only for
+    ham_max <= bands - 1: the report is EXACT below that bound and
+    silently banded-recall above it, so the dial rejects widening —
+    a wider radius needs more bands (a different index), not a
+    bigger threshold on this one (r14 dial).
+
+    The MIN_BY key packs (hamming, doc_id) into one bigint as
+    hamming * 2^57 + doc_id; that total order is only correct while
+    the largest packed value stays below 2^63 (doc_id < 2^57 is the
+    data contract).  Enforced on the parameter instead of implied in a
+    comment, so a future ham_max > 63 layout fails loudly rather than
+    silently reordering 'nearest' (r12 advice).  ValueError, not
+    assert: the guards must survive ``python -O`` (r13 advice)."""
+    if not 0 <= ham_max <= bands - 1:
+        raise ValueError(
+            f"ham_max={ham_max} outside [0, {bands - 1}]: the "
+            f"{bands}-band pigeonhole guarantee caps the exact "
+            "near-dup radius at bands - 1"
+        )
+    if ham_max * (1 << 57) + (1 << 57) >= 2**63:
+        raise ValueError(
+            f"ham_max={ham_max} overflows the (hamming, doc_id) bigint "
+            "packing; raise the shift or repack before widening the band"
+        )
+
+
 def _hash_neardup_body(
     dialect: str,
     src: str,
@@ -1217,34 +1248,12 @@ def _hash_neardup_body(
     ham_max: int = PHASH_HAMMING_MAX,
 ) -> str:
     """Shared band/salt/join/aggregate SQL over any (doc_id, <hash>)
-    relation ``src`` — the Spark lanes pass the checkpointed hash
-    view, the DuckDB oracles the recomputed ``h`` CTE, and the
-    constructive test a planted literal table."""
-    # The banding's pigeonhole guarantee (every pair within ham_max
-    # differing bits shares at least one whole block) holds only for
-    # ham_max <= bands - 1: the report is EXACT below that bound and
-    # silently banded-recall above it, so the dial rejects widening —
-    # a wider radius needs more bands (a different index), not a
-    # bigger threshold on this one (r14 dial).
-    if not 0 <= ham_max <= bands - 1:
-        raise ValueError(
-            f"ham_max={ham_max} outside [0, {bands - 1}]: the "
-            f"{bands}-band pigeonhole guarantee caps the exact "
-            "near-dup radius at bands - 1"
-        )
-    # The MIN_BY key packs (hamming, doc_id) into one bigint as
-    # hamming * 2^57 + doc_id; that total order is only correct while
-    # the largest packed value stays below 2^63 (doc_id < 2^57 is the
-    # data contract).  Enforce it on the parameter instead of implying
-    # it in the comment, so a future ham_max > 63 layout fails loudly
-    # rather than silently reordering 'nearest' (r12 advice).
-    # ValueError, not assert: the guard must survive `python -O`
-    # (r13 advice — asserts are stripped under optimization)
-    if ham_max * (1 << 57) + (1 << 57) >= 2**63:
-        raise ValueError(
-            f"ham_max={ham_max} overflows the (hamming, doc_id) bigint "
-            "packing; raise the shift or repack before widening the band"
-        )
+    relation ``src`` — the DuckDB oracles pass the recomputed ``h``
+    CTE and the constructive test a planted literal table; the Spark
+    lanes serve the same semantics from the stored salted band table
+    (_hash_neardup_served), sharing this body's guards via
+    _check_hash_ham."""
+    _check_hash_ham(ham_max, bands)
     return f"""
 {_hash_pairs_ctes(dialect, src, cap, col, bands, band_bits, ham_max)},
 sym AS (
@@ -1311,27 +1320,140 @@ def _phash_probe_index(spark: SparkSession, sf_dir: str) -> str:
     return _phash_probe_cache[key][0]
 
 
+_salted_bands_cache: dict = {}
+
+
+def _salted_hash_bands(
+    spark: SparkSession, sf_dir: str, col: str, cap: int
+) -> DataFrame:
+    """Checkpointed banded+salted media-hash table — the stored LSH
+    band table of the image/audio hash index (the treatment
+    simhash._salted_bands already has).  The near-dup self-join
+    references it on BOTH sides; left as a derived frame, the explode
+    + heavy-key aggregate + broadcast-salt chain executed twice per
+    query (~0.4s of each lane at sf0.1).  Built once per
+    (session, sf, hash, cap); at 100 TB this is the written LSH table
+    a media-dedup deployment probes."""
+    from pyspark.sql import functions as F
+
+    from dataforge_core_spark.session import session_key
+
+    bands_n, bits = (
+        (PHASH_BANDS, _PHASH_BAND_BITS)
+        if col == "phash"
+        else (AFP_BANDS, _AFP_BAND_BITS)
+    )
+    src = _phash_df if col == "phash" else _afp_df
+    key = (session_key(spark), sf_dir, col, cap)
+    if key not in _salted_bands_cache:
+        bands = src(spark, sf_dir).selectExpr(
+            "doc_id",
+            col,
+            f"posexplode(array({_hash_blocks_expr(col, bands_n, bits)}))"
+            " AS (bno, blk)",
+        )
+        heavy = (
+            bands.groupBy("bno", "blk")
+            .count()
+            .filter(F.col("count") > cap)
+            .select(
+                "bno", "blk", F.ceil(F.col("count") / cap).alias("nsalt")
+            )
+        )
+        salted = bands.join(
+            F.broadcast(heavy), ["bno", "blk"], "left"
+        ).select(
+            "bno",
+            "blk",
+            "doc_id",
+            col,
+            F.expr("doc_id % coalesce(nsalt, 1)").alias("salt"),
+        )
+        _salted_bands_cache[key] = salted.localCheckpoint(eager=True)
+    return _salted_bands_cache[key]
+
+
+def _neardup_from_salted_sql(
+    salted_view: str, src_view: str, col: str, ham_max: int
+) -> str:
+    """The verify/aggregate remainder of the near-dup report over the
+    STORED salted band table — same pairs/sym/agg semantics as
+    ``_hash_neardup_body`` (which the DuckDB oracles and the
+    constructive literal test still run end-to-end), minus the band
+    construction the checkpoint already paid."""
+    ham = f"CAST(bit_count(a.{col} ^ b.{col}) AS INT)"
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         {ham} AS hamming
+  FROM {salted_view} a JOIN {salted_view} b
+    ON a.bno = b.bno AND a.blk = b.blk AND a.salt = b.salt
+       AND a.doc_id < b.doc_id
+  WHERE {ham} <= {ham_max}
+),
+sym AS (
+  SELECT doc_a AS doc_id, doc_b AS nb, hamming FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_id, doc_a AS nb, hamming FROM pairs
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_near,
+         MIN(hamming) AS min_hamming,
+         MIN_BY(nb, CAST(hamming AS BIGINT) * {1 << 57} + nb) AS nearest
+  FROM sym GROUP BY doc_id
+)
+SELECT s.doc_id, s.{col},
+       COALESCE(a.n_near, 0) AS n_near,
+       a.min_hamming, a.nearest
+FROM {src_view} s LEFT JOIN agg a ON s.doc_id = a.doc_id
+"""
+
+
+def _hash_neardup_served(
+    spark: SparkSession,
+    sf_dir: str,
+    col: str,
+    cap: int,
+    ham_max: int,
+    bands_n: int,
+) -> DataFrame:
+    """Spark side of the two media near-dup lanes: validate the dial
+    (same guards as the oracle body), then run the remainder over the
+    stored salted band table."""
+    from dataforge_core_spark.session import session_key
+
+    _check_hash_ham(ham_max, bands_n)
+    tag = abs(hash((session_key(spark), sf_dir, col, cap))) % 10**8
+    salted_view = f"{col}_salted_{tag}"
+    src_view = f"{col}_idx_{tag}"
+    _salted_hash_bands(spark, sf_dir, col, cap).createOrReplaceTempView(
+        salted_view
+    )
+    src = _phash_df if col == "phash" else _afp_df
+    src(spark, sf_dir).createOrReplaceTempView(src_view)
+    return spark.sql(
+        _neardup_from_salted_sql(salted_view, src_view, col, ham_max)
+    )
+
+
 def multimodal_phash_neardup(
     spark: SparkSession,
     sf_dir: str,
     max_bucket: int | None = None,
     ham_max: int | None = None,
 ) -> DataFrame:
-    """Per-image near-duplicate report via banded dHash LSH.
+    """Per-image near-duplicate report via banded dHash LSH, served
+    from the STORED salted band table (r14 — see _salted_hash_bands).
 
     ``ham_max`` (r14 dial) tightens the near-dup radius below the
     pigeonhole-exact default of ``PHASH_BANDS - 1`` differing bits —
     the strictness knob a media-dedup pipeline sweeps; values above
     the band count's exactness bound are rejected (see
-    ``_hash_neardup_body``)."""
-    from dataforge_core_spark.session import session_key
-
+    ``_check_hash_ham``)."""
     cap = MAX_PHASH_BUCKET if max_bucket is None else max_bucket
     ham = PHASH_HAMMING_MAX if ham_max is None else ham_max
-    view = f"phash_idx_{abs(hash((session_key(spark), sf_dir))) % 10**8}"
-    _phash_df(spark, sf_dir).createOrReplaceTempView(view)
-    return spark.sql(
-        f"WITH {_hash_neardup_body('spark', view, cap, ham_max=ham)}"
+    return _hash_neardup_served(
+        spark, sf_dir, "phash", cap, ham, PHASH_BANDS
     )
 
 
@@ -1715,17 +1837,14 @@ def multimodal_audio_neardup(
     ham_max: int | None = None,
 ) -> DataFrame:
     """Per-track near-duplicate report via the banded acoustic
-    fingerprint — same output contract as multimodal_phash_neardup
-    (n_near, min_hamming, canonical nearest) over the audio hash;
-    same ``ham_max`` strictness dial (exact up to AFP_BANDS - 1)."""
-    from dataforge_core_spark.session import session_key
-
+    fingerprint, served from the STORED salted band table — same
+    output contract as multimodal_phash_neardup (n_near, min_hamming,
+    canonical nearest) over the audio hash; same ``ham_max``
+    strictness dial (exact up to AFP_BANDS - 1)."""
     cap = MAX_AFP_BUCKET if max_bucket is None else max_bucket
     ham = AFP_HAMMING_MAX if ham_max is None else ham_max
-    view = f"afp_idx_{abs(hash((session_key(spark), sf_dir))) % 10**8}"
-    _afp_df(spark, sf_dir).createOrReplaceTempView(view)
-    return spark.sql(
-        f"WITH {_hash_neardup_body('spark', view, cap, 'afp', AFP_BANDS, _AFP_BAND_BITS, ham)}"
+    return _hash_neardup_served(
+        spark, sf_dir, "afp", cap, ham, AFP_BANDS
     )
 
 

@@ -751,13 +751,23 @@ def main() -> None:
     _clear_operator_caches(spark)
     index_build, index_wall = _run_index_builds(spark)
 
-    # Phase 3: queries, indexes warm.
+    # Phase 3: queries, indexes warm.  Each lane also records its
+    # START OFFSET from the phase clock ("at_s", paired with the
+    # payload's query_phase_started_unix): the box carries intermittent
+    # external load (watched 0.16 -> 7.26 within an hour in r14), and
+    # pre/post gauges alone can't say WHICH lanes a mid-run spike hit —
+    # the offsets let a contaminated stamp be partially salvaged by
+    # mapping the spike's wall-clock window onto the lanes inside it
+    # (r14 verdict item 4).
     detail: dict[str, dict] = {}
     timings: dict[str, float] = {}
     total = cold_total = warm_total = 0.0
+    phase3_wall0 = time.time()
+    phase3_t0 = time.perf_counter()
     for name in sorted(queries):
         q = queries[name]
         runs: list[float] = []
+        lane_at = time.perf_counter() - phase3_t0
         n_runs = max(N_RUNS, NOISY_RUNS) if name in NOISY_LANES else N_RUNS
         for _ in range(n_runs):
             t0 = time.perf_counter()
@@ -774,6 +784,7 @@ def main() -> None:
             "warm_s": warm,
             "spread_s": round(max(runs) - min(runs), 3),
             "runs_s": [round(r, 3) for r in runs],
+            "at_s": round(lane_at, 3),
         }
         total += med
         cold_total += cold
@@ -826,6 +837,19 @@ def main() -> None:
             "index_build_sum_s": round(sum(index_build.values()), 3),
             "index_build_wall_s": index_wall,
         },
+        # Self-describing key semantics (r14 advice: in the r13-round
+        # stamps index_build_total_s carried the concurrent-phase WALL;
+        # every other round it is the per-builder SUM — a cross-round
+        # consumer comparing stamps under that one key would silently
+        # mix the two definitions; stamps without this marker need the
+        # README Verification note to disambiguate).
+        "stamp_schema": {
+            "index_build_total_s": "sum_of_builders",
+            "index_build_sum_s": "sum_of_builders",
+            "index_build_wall_s": "concurrent_phase_wall",
+            "queries.at_s": "lane start offset from query_phase_started_unix",
+        },
+        "query_phase_started_unix": round(phase3_wall0, 1),
         "index_build_s": index_build,
         "queries": detail,
     }

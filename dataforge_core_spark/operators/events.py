@@ -290,9 +290,18 @@ def _funnel_sql(window_min: int | None = None) -> str:
     click three weeks after the view no longer 'converts'.  ``None``
     (the default) is the classic unbounded any-time funnel — the
     original lane semantics, byte-identical SQL."""
-    if window_min is not None and window_min < 1:
+    # the value is interpolated into INTERVAL syntax verbatim, so only
+    # a true int may pass: a float (2.5) or bool (True) compares fine
+    # against 1 but lands in the SQL string with engine-dependent
+    # INTERVAL parsing between Spark and DuckDB (r14 advice)
+    if window_min is not None and (
+        not isinstance(window_min, int)
+        or isinstance(window_min, bool)
+        or window_min < 1
+    ):
         raise ValueError(
-            f"window_min must be >= 1 minute or None, got {window_min}"
+            f"window_min must be an int >= 1 minute or None, got "
+            f"{window_min!r}"
         )
     wc = wp = ""
     if window_min is not None:

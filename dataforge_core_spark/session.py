@@ -141,10 +141,22 @@ def rebind(df, target: SparkSession):
     For a checkpointed frame the inlined plan is its LogicalRDD —
     nothing is recomputed; for an unmaterialized plan the target
     session re-plans it (which is the point: that's how a narrow
-    session takes ownership of a build's shuffles)."""
+    session takes ownership of a build's shuffles).
+
+    The view is a RESOLUTION VEHICLE only: ``Dataset`` analysis is
+    eager, so by the time ``target.table`` returns, the view's plan is
+    already inlined into the returned frame and the catalog entry can
+    be dropped immediately.  Leaving it registered leaked one
+    ``global_temp.rebind_<n>`` per call for the application lifetime —
+    and, worse, the catalog reference pinned any checkpointed RDD in
+    the rebound plan so the ContextCleaner could never reclaim its
+    blocks (r14 advice)."""
     name = f"rebind_{next(_rebind_ids)}"
     df.createOrReplaceGlobalTempView(name)
-    return target.table(f"global_temp.{name}")
+    try:
+        return target.table(f"global_temp.{name}")
+    finally:
+        df.sparkSession.catalog.dropGlobalTempView(name)
 
 
 def free_local_checkpoint(df) -> None:
@@ -157,8 +169,19 @@ def free_local_checkpoint(df) -> None:
     The checkpointed RDD is held by the plan's ``LogicalRDD``;
     unpersisting THAT rdd frees the blocks immediately.  Only call on
     frames whose lineage is never consumed again — a locally
-    checkpointed RDD cannot be recomputed."""
+    checkpointed RDD cannot be recomputed.
+
+    A frame that went through ``rebind`` arrives with its LogicalRDD
+    wrapped in the temp-view resolution nodes (SubqueryAlias, and View
+    for stored-analyzed-plan views) — calling ``.rdd()`` on the
+    wrapper raised and silently fell through to the no-op branch, so
+    rebound checkpoints (e.g. _cc_min_label results) were never freed
+    (r14 advice).  Unwrap the alias chain first; anything that still
+    isn't a LogicalRDD has no checkpoint blocks to free."""
     try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        plan = df._jdf.queryExecution().analyzed()
+        while plan.getClass().getSimpleName() in ("SubqueryAlias", "View"):
+            plan = plan.child()
+        plan.rdd().unpersist(False)
     except Exception:
         pass  # best-effort: freeing falls back to the ContextCleaner

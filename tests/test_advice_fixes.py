@@ -758,3 +758,121 @@ def test_window_plan_invariants_over_random_histories():
         assert ages == sorted(ages), "veterans not oldest-first"
 
     _run()
+
+
+# ---------------------------------------------------------------------------
+# Round-14 advisor findings
+# ---------------------------------------------------------------------------
+
+
+def test_rebind_drops_its_global_temp_view(spark):
+    """rebind() registered one global_temp.rebind_<n> view per call and
+    never dropped it (r14 advice): the catalog entries accumulated for
+    the application lifetime AND pinned any checkpointed RDD in the
+    rebound plan against the ContextCleaner.  Analysis is eager, so the
+    view can be dropped the moment target.table() returns — the
+    returned frame must keep working afterwards."""
+    from dataforge_core_spark.session import narrow_session, rebind
+
+    def global_views():
+        return {t.name for t in spark.catalog.listTables("global_temp")}
+
+    ns = narrow_session(spark, 4)
+    before = global_views()
+    df = spark.range(1000).selectExpr("id", "id % 5 AS k")
+    r = rebind(df, ns)
+    assert global_views() == before, "rebind leaked a global temp view"
+    assert r.count() == 1000, "rebound frame broken after view drop"
+    # round-trip back (the _cc_min_label shape) stays leak-free too
+    back = rebind(r.groupBy("k").count(), spark)
+    assert global_views() == before
+    assert back.count() == 5
+
+
+def test_free_local_checkpoint_frees_rebound_frames(spark):
+    """A rebound frame's analyzed plan is SubqueryAlias(...LogicalRDD),
+    not a bare LogicalRDD, so free_local_checkpoint's .rdd() call
+    raised and silently no-opped (r14 advice) — exactly the shape bench
+    clears after _cc_min_label.  It must now unwrap the alias chain and
+    free the checkpoint blocks."""
+    from dataforge_core_spark.session import (
+        free_local_checkpoint,
+        narrow_session,
+        rebind,
+    )
+
+    sc = spark.sparkContext
+
+    def rdd_ids():
+        return {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+
+    ns = narrow_session(spark, 4)
+    before = rdd_ids()
+    ck = spark.range(50_000).selectExpr("id", "id * 3 AS x").localCheckpoint(
+        eager=True
+    )
+    mine = rdd_ids() - before
+    assert mine, "localCheckpoint produced no storage blocks"
+    rebound = rebind(ck, ns)
+    assert (
+        rebound._jdf.queryExecution().analyzed().getClass().getSimpleName()
+        != "LogicalRDD"
+    ), "precondition: rebind no longer wraps the plan; test is vacuous"
+    free_local_checkpoint(rebound)
+    assert not (mine & rdd_ids()), "rebound checkpoint blocks not freed"
+
+
+def test_cc_builds_leave_catalog_stable(spark):
+    """Repeated _cc_min_label distributed builds (the narrow-session +
+    rebind hot path) must not accumulate global_temp catalog entries
+    (r14 verdict item 3's done criterion)."""
+    from dataforge_core_spark.operators.dedup import _cc_min_label
+    from dataforge_core_spark.session import free_local_checkpoint
+
+    def global_views():
+        return {t.name for t in spark.catalog.listTables("global_temp")}
+
+    pairs = spark.range(60).selectExpr(
+        "id AS doc_a", "id + 1 AS doc_b"
+    )
+    before = global_views()
+    for _ in range(3):
+        # driver_max_edges=0 forces the distributed rebind path
+        labels, _rounds = _cc_min_label(pairs, driver_max_edges=0)
+        assert labels.count() == 61
+        free_local_checkpoint(labels)
+    assert global_views() == before, "CC builds leaked global temp views"
+
+
+def test_funnel_window_min_rejects_non_int():
+    """window_min is interpolated into INTERVAL syntax; a float or bool
+    passed the old '< 1' guard and landed verbatim in the SQL with
+    engine-dependent parsing (r14 advice) — both must raise."""
+    import pytest as _pytest
+
+    from dataforge_core_spark.operators.events import _funnel_sql
+
+    assert "INTERVAL 30 MINUTE" in _funnel_sql(30)
+    for bad in (2.5, True, "60"):
+        with _pytest.raises(ValueError, match="window_min"):
+            _funnel_sql(bad)
+
+
+def test_bench_stamp_schema_marker():
+    """The stamp must self-describe index_build_total_s (sum vs the
+    r13 stamps' wall meaning) and carry per-lane start offsets so a
+    mid-run load spike can be mapped onto the lanes it hit (r14 advice
+    + verdict item 4)."""
+    import ast
+    import os
+
+    import __spark_entry__ as e
+
+    src = open(
+        os.path.join(os.path.dirname(os.path.abspath(e.__file__)), "bench.py")
+    ).read()
+    assert '"stamp_schema"' in src
+    assert '"index_build_total_s": "sum_of_builders"' in src
+    assert '"query_phase_started_unix"' in src
+    assert '"at_s"' in src
+    ast.parse(src)

@@ -248,13 +248,17 @@ def _clear_operator_caches(spark) -> None:
     for df in dedup._ex_cache.values():
         free_local_checkpoint(df)
     dedup._ex_cache.clear()
-    for cache in (dedup._pairs_cache, simhash._sig_cache):
+    for cache in (dedup._pairs_cache,):
         for df in cache.values():
             try:
                 df.unpersist()
             except Exception:
                 pass
         cache.clear()
+    # the signature relation is checkpointed (narrow build) as of r15
+    for df in simhash._sig_cache.values():
+        free_local_checkpoint(df)
+    simhash._sig_cache.clear()
     for df in simhash._salted_cache.values():
         free_local_checkpoint(df)
     simhash._salted_cache.clear()

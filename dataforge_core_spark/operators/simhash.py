@@ -229,21 +229,56 @@ _sig_cache: dict = {}
 
 
 def _sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Persisted signature relation — the band self-join references it
-    twice; without the persist Spark recomputes the full signature
-    pipeline per reference (CTEs are inlined)."""
+    """Checkpointed signature relation — the band self-join references
+    it twice; without the materialization Spark recomputes the full
+    signature pipeline per reference (CTEs are inlined).
+
+    Built in the NARROW sibling session (width 8, the CC-loop /
+    k-means pattern): the relation is one row per document — ~5k rows
+    at sf0.1 — so its partitioning should be sized to the RELATION,
+    not inherited from the session's 32-wide corpus-scan conf.  The
+    64-SUM aggregate still map-side-combines on the token base's full
+    input width; only the ~n_docs-row final reduce narrows.  This is
+    what made the r13 stamps' 0.19s fast path SCHEDULING-DEPENDENT:
+    whenever a concurrent builder held the old session-global
+    shuffle_override, the signatures (and the salted band table
+    derived from them) happened to land at width 8 and every
+    downstream scan/broadcast of the stored index ran 8 tasks instead
+    of 32; the r14 conf isolation made the build deterministic but
+    deterministically WIDE (0.40s).  Building narrow on purpose keeps
+    the isolation and the fast shape (measured 0.197 vs 0.349 warm
+    interleaved at sf0.1).  At 100 TB the same rule sizes the stored
+    index's width to the signature count, not the scan width."""
     key = (session_key(spark), sf_dir)
     if key not in _sig_cache:
-        # per-occurrence tokens off the shared token base (one corpus
-        # tokenize pass for the whole index phase — dedup._token_base)
-        from dataforge_core_spark.operators.dedup import _token_base
+        from dataforge_core_spark.session import narrow_session, rebind
 
-        name = f"simhash_base_{abs(hash(key)) % 10**8}"
-        _token_base(spark, sf_dir).createOrReplaceTempView(name)
-        _sig_cache[key] = spark.sql(
-            _sig_sql("spark", f"SELECT doc_id, tk FROM {name}")
-        ).persist()
+        ns = narrow_session(spark, 8)
+        sig = _sig_build_df(spark, sf_dir, session=ns).localCheckpoint(
+            eager=True
+        )
+        _sig_cache[key] = rebind(sig, spark)
     return _sig_cache[key]
+
+
+def _sig_build_df(
+    spark: SparkSession, sf_dir: str, session: SparkSession | None = None
+) -> DataFrame:
+    """The UNMATERIALIZED signature plan, on ``session`` (defaults to
+    ``spark``) — split out of _sig_df so the plan-quality gates can
+    inspect the aggregate shape the checkpoint hides."""
+    from dataforge_core_spark.operators.dedup import _token_base
+    from dataforge_core_spark.session import rebind
+
+    target = session or spark
+    key = (session_key(spark), sf_dir)
+    name = f"simhash_base_{abs(hash(key)) % 10**8}"
+    # per-occurrence tokens off the shared token base (one corpus
+    # tokenize pass for the whole index phase — dedup._token_base)
+    rebind(_token_base(spark, sf_dir), target).createOrReplaceTempView(
+        name
+    )
+    return target.sql(_sig_sql("spark", f"SELECT doc_id, tk FROM {name}"))
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

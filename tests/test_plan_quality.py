@@ -342,11 +342,13 @@ def test_simhash_signature_integer_bits(spark):
     """The 64 simhash bit extractions must be integer shift/AND over two
     pre-parsed md5 halves, inside a partial+final hash aggregate.  A
     string-walk form (instr/substr per bit) in the plan means the r3
-    per-token regression is back: 64 string scans per exploded token."""
+    per-token regression is back: 64 string scans per exploded token.
+    Inspected on the BUILD plan (_sig_build_df): the served relation is
+    a checkpoint whose scan hides the aggregate (r15)."""
     from dataforge_core_spark.operators import simhash as S
 
     plan = (
-        S.dedup_simhash(spark, "/root/testdata/sf0.001")
+        S._sig_build_df(spark, "/root/testdata/sf0.001")
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -354,6 +356,24 @@ def test_simhash_signature_integer_bits(spark):
     assert "instr" not in plan, "per-bit string walk back in the hot path"
     assert "HashAggregate" in plan
     assert "partial" in plan.lower(), "no map-side combine on signature agg"
+
+
+def test_simhash_signature_served_from_stored_relation(spark):
+    """The signature LANE must serve the stored (narrow-built,
+    checkpointed) relation — a scan, no aggregate: re-deriving the
+    64-SUM pipeline per query is the pre-r13 shape, and a wide re-plan
+    would also undo the width-8 index sizing that keeps the pairs
+    lane's task count proportional to the ~n_docs-row relation (r15 —
+    the r13 'fast stamps' were this shape by scheduling accident)."""
+    from dataforge_core_spark.operators import simhash as S
+
+    df = S.dedup_simhash(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan, "signature lane not serving the checkpoint"
+    assert "HashAggregate" not in plan, "signature lane re-deriving per query"
+    assert df.rdd.getNumPartitions() <= 8, (
+        "stored signature relation not narrow-built"
+    )
 
 
 def test_simhash_pairs_bucket_salted(spark):

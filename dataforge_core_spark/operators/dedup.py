@@ -1094,8 +1094,17 @@ def _cc_union_find_driver(spark, edge_rows):
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)  # min-label union
     labels = [(x, find(x)) for x in parent]
+    from dataforge_core_spark.session import index_width
+
     df = spark.createDataFrame(labels, "doc_id long, cluster_id long")
-    return df.localCheckpoint(eager=True)
+    # createDataFrame slices the rows across defaultParallelism; a
+    # sub-cap label table (<= 2 * CC_DRIVER_MAX_EDGES rows by
+    # construction) stored at 32 near-empty partitions charges every
+    # consumer join one task per partition — coalesce to the
+    # relation's size before checkpointing (r15; narrow, no shuffle)
+    return df.coalesce(index_width(len(labels))).localCheckpoint(
+        eager=True
+    )
 
 
 def _cc_min_label_loop(pairs, pointer_doubling: bool):

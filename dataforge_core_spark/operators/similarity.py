@@ -101,6 +101,12 @@ def _normed(spark: SparkSession, sf_dir: str) -> str:
     """
     key = (session_key(spark), sf_dir)
     if key not in _v_cache:
+        # full session width ON PURPOSE (r15 measured-and-rejected:
+        # sizing this to the relation like the simhash band table made
+        # the ANN lanes 2x SLOWER — their per-row work is compute-dense
+        # unrolled 64-dim arithmetic multiplied by candidate fan-out,
+        # so the serving scans want the parallelism; only the
+        # aggregate-shaped _xq consumers won, and _xq sizes itself)
         par = spark.sparkContext.defaultParallelism
         spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
             par
@@ -1970,12 +1976,23 @@ def _xq_view(spark: SparkSession, sf_dir: str) -> str:
     -> 2.4s at sf0.1 just from checkpointing it)."""
     key = (session_key(spark), sf_dir)
     if key not in _xq_cache:
+        from dataforge_core_spark.session import index_width
+
         v = _normed(spark, sf_dir)
+        # width sized to the exploded matrix (r15): unlike the
+        # compute-dense ANN serving scans, every consumer of this
+        # relation is aggregate-shaped (vec_id windows, 64-group SUMs)
+        # with trivial per-row work, so inheriting the 32-wide scan
+        # partitioning just multiplies task overhead per power-iteration
+        # round (measured: pc_project 0.25 -> 0.11s warm)
         x = spark.sql(
             f"""
             SELECT vec_id, i, CAST(e * {PI_SCALE} AS BIGINT) AS eq
             FROM (SELECT vec_id, posexplode(emb) AS (i, e) FROM {v})
             """
+        )
+        x = x.repartition(
+            index_width(spark.table(v).count() * DIM, 32_000)
         ).localCheckpoint(eager=True)
         name = f"xq_{abs(hash(key)) % 10**8}"
         x.createOrReplaceTempView(name)
@@ -3706,9 +3723,13 @@ def _trained_rcb(spark: SparkSession, sf_dir: str) -> tuple[str, str, str]:
         # literal re-enters analysis/codegen on every consumer (the
         # trained lane measured ~1MB task binaries); the checkpoint is
         # a plain LogicalRDD with the identical binary64 rows
-        cb_df = spark.sql(_tcb_literal_sql(rows)).localCheckpoint(
-            eager=True
-        )
+        # coalesce(1): the codebook is PQ_K * m rows (128) by
+        # construction — stored at the literal plan's 32 partitions,
+        # every consumer's broadcast collect paid one task per
+        # near-empty partition (r15)
+        cb_df = spark.sql(_tcb_literal_sql(rows)).coalesce(
+            1
+        ).localCheckpoint(eager=True)
         cb_df.createOrReplaceTempView(cb_name)
         codes_name = f"pq_tcodes_{tag}"
         cdf = spark.sql(

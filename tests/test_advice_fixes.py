@@ -876,3 +876,18 @@ def test_bench_stamp_schema_marker():
     assert '"query_phase_started_unix"' in src
     assert '"at_s"' in src
     ast.parse(src)
+
+
+def test_index_width_sizing(monkeypatch):
+    """index_width sizes a stored index to its relation: ceil over
+    rows_per_part, floor 1, env-forceable for A/B measurement (r15)."""
+    from dataforge_core_spark.session import index_width
+
+    assert index_width(0) == 1
+    assert index_width(1) == 1
+    assert index_width(50_000) == 1
+    assert index_width(50_001) == 2
+    assert index_width(5_000_000) == 100
+    assert index_width(128_000, 32_000) == 4
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_WIDTH", "7")
+    assert index_width(10**9) == 7

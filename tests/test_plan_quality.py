@@ -836,3 +836,18 @@ def test_ingest_decision_is_projection_over_stored_verdicts(spark):
                 f"{fn.__name__} plan contains {node} — not a "
                 "projection over the stored verdicts"
             )
+
+
+def test_xq_matrix_sized_to_relation(spark):
+    """The stored exploded PC matrix must be sized to its own row
+    count, not the 32-wide embeddings scan it derives from: its
+    consumers are aggregate-shaped (vec_id windows, 64-group sums)
+    with trivial per-row work, so extra near-empty partitions are pure
+    task overhead per power-iteration round (r15 — measured 2x on
+    pc_project/abtt at sf0.1)."""
+    from dataforge_core_spark.operators import similarity as S
+    from dataforge_core_spark.session import index_width
+
+    name = S._xq_view(spark, "/root/testdata/sf0.001")
+    df = spark.table(name)
+    assert df.rdd.getNumPartitions() <= index_width(df.count(), 32_000)

@@ -483,6 +483,38 @@ def queries_parameterized() -> dict[str, dict]:
                 E._funnel_sql(window_min)
             ),
         },
+        # span-corruption dials (r15): the T5 denoising knobs — the
+        # corruption rate (% of token positions starting a mask span,
+        # drawn from a mod-100 hash residue so any int in (0,100] is
+        # exactly representable) and the maximum span length
+        "train_span_corruption": {
+            "fn": T.train_span_corruption,
+            "params": {
+                "rate_pct": T.SPAN_RATE_PCT,
+                "span_max": T.SPAN_MAX,
+            },
+            "oracle_sql": lambda rate_pct=T.SPAN_RATE_PCT, span_max=(
+                T.SPAN_MAX
+            ): T._span_sql("duck", rate_pct, span_max),
+        },
+        # bot-filter strictness dials (r15): the volume floor and the
+        # CV² threshold as an exact rational (num/den ints keep the
+        # flag an integer cross-multiplied comparison at any setting)
+        "events_bot_detection": {
+            "fn": E.events_bot_detection,
+            "params": {
+                "min_gaps": E.BOT_MIN_GAPS,
+                "cv2_num": E.BOT_CV2_NUM,
+                "cv2_den": E.BOT_CV2_DEN,
+            },
+            "oracle_sql": (
+                lambda min_gaps=E.BOT_MIN_GAPS,
+                cv2_num=E.BOT_CV2_NUM,
+                cv2_den=E.BOT_CV2_DEN: E._bot_sql(
+                    "duck", min_gaps, cv2_num, cv2_den
+                )
+            ),
+        },
         # simhash text near-dup dials (r14): the verify threshold
         # (recall/cost semantics — the 4-block banding is exact only
         # <= 3, see the module docstring) and the LSH bucket cap

@@ -886,58 +886,87 @@ BOT_MIN_GAPS = 20
 BOT_CV2_NUM, BOT_CV2_DEN = 3, 4
 
 
-def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user gap statistics + low-variance-at-volume bot flag."""
-    _views(spark, sf_dir)
-    return spark.sql(
-        f"""
-        WITH g AS (
-          SELECT user_id,
-                 unix_timestamp(ts)
-                   - unix_timestamp(lag(ts) OVER (PARTITION BY user_id
-                        ORDER BY ts, event_id)) AS gap_s
-          FROM events
-        ),
-        s AS (
-          SELECT user_id, COUNT(gap_s) AS n_gaps,
-                 SUM(gap_s) AS sum_gap_s,
-                 SUM(gap_s * gap_s) AS sum_gap2
-          FROM g WHERE gap_s IS NOT NULL GROUP BY user_id
+def _bot_sql(
+    dialect: str,
+    min_gaps: int = BOT_MIN_GAPS,
+    cv2_num: int = BOT_CV2_NUM,
+    cv2_den: int = BOT_CV2_DEN,
+) -> str:
+    """Shared bot-detection SQL (dialect-identical arithmetic).  The
+    dials are the abuse-filter strictness knobs every deployment
+    tunes: ``min_gaps`` is the volume floor below which regularity is
+    not evidence, and ``cv2_num/cv2_den`` the CV² threshold as an
+    exact RATIONAL — kept as two ints so the flag stays the
+    cross-multiplied integer comparison (no division, no doubles,
+    engine-identical hashes) at ANY threshold setting (r15)."""
+    for name, v in (
+        ("min_gaps", min_gaps),
+        ("cv2_num", cv2_num),
+        ("cv2_den", cv2_den),
+    ):
+        if not isinstance(v, int) or isinstance(v, bool):
+            raise ValueError(f"{name} must be an int, got {v!r}")
+    if min_gaps < 2:
+        raise ValueError(
+            f"min_gaps={min_gaps} must be >= 2: CV needs at least "
+            "two gaps"
         )
-        SELECT user_id, n_gaps, sum_gap_s,
-               n_gaps * sum_gap2 - sum_gap_s * sum_gap_s AS gap_var_num,
-               n_gaps >= {BOT_MIN_GAPS}
-                 AND {BOT_CV2_DEN} * (n_gaps * sum_gap2
-                                      - sum_gap_s * sum_gap_s)
-                     < {BOT_CV2_NUM} * sum_gap_s * sum_gap_s
-                 AS is_bot
-        FROM s
-        """
-    )
-
-
-_BOT_ORACLE = f"""
+    if cv2_num < 0 or cv2_den < 1:
+        raise ValueError(
+            f"cv2 threshold {cv2_num}/{cv2_den} must be a"
+            " non-negative rational"
+        )
+    if dialect == "spark":
+        gap = (
+            "unix_timestamp(ts)\n"
+            "           - unix_timestamp(lag(ts) OVER (PARTITION BY"
+            " user_id\n                ORDER BY ts, event_id)) AS gap_s"
+        )
+        sg, sg2 = "SUM(gap_s)", "SUM(gap_s * gap_s)"
+    else:
+        gap = (
+            "CAST(floor(epoch(ts)) AS BIGINT)\n"
+            "           - CAST(floor(epoch(lag(ts) OVER (PARTITION BY"
+            " user_id\n                ORDER BY ts, event_id))) AS"
+            " BIGINT) AS gap_s"
+        )
+        sg = "CAST(SUM(gap_s) AS BIGINT)"
+        sg2 = "CAST(SUM(gap_s * gap_s) AS BIGINT)"
+    return f"""
 WITH g AS (
   SELECT user_id,
-         CAST(floor(epoch(ts)) AS BIGINT)
-           - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id
-                ORDER BY ts, event_id))) AS BIGINT) AS gap_s
+         {gap}
   FROM events
 ),
 s AS (
   SELECT user_id, COUNT(gap_s) AS n_gaps,
-         CAST(SUM(gap_s) AS BIGINT) AS sum_gap_s,
-         CAST(SUM(gap_s * gap_s) AS BIGINT) AS sum_gap2
+         {sg} AS sum_gap_s,
+         {sg2} AS sum_gap2
   FROM g WHERE gap_s IS NOT NULL GROUP BY user_id
 )
 SELECT user_id, n_gaps, sum_gap_s,
        n_gaps * sum_gap2 - sum_gap_s * sum_gap_s AS gap_var_num,
-       n_gaps >= {BOT_MIN_GAPS}
-         AND {BOT_CV2_DEN} * (n_gaps * sum_gap2 - sum_gap_s * sum_gap_s)
-             < {BOT_CV2_NUM} * sum_gap_s * sum_gap_s
+       n_gaps >= {min_gaps}
+         AND {cv2_den} * (n_gaps * sum_gap2 - sum_gap_s * sum_gap_s)
+             < {cv2_num} * sum_gap_s * sum_gap_s
          AS is_bot
 FROM s
 """
+
+
+def events_bot_detection(
+    spark: SparkSession,
+    sf_dir: str,
+    min_gaps: int = BOT_MIN_GAPS,
+    cv2_num: int = BOT_CV2_NUM,
+    cv2_den: int = BOT_CV2_DEN,
+) -> DataFrame:
+    """Per-user gap statistics + low-variance-at-volume bot flag."""
+    _views(spark, sf_dir)
+    return spark.sql(_bot_sql("spark", min_gaps, cv2_num, cv2_den))
+
+
+_BOT_ORACLE = _bot_sql("duck")
 
 
 # ---------------------------------------------------------------------------

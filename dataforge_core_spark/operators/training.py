@@ -668,52 +668,76 @@ SPAN_RATE_PCT = 15
 SPAN_MAX = 3
 
 
-def train_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic mask-span starts and lengths per document."""
-    _view(spark, sf_dir)
-    h = (
-        "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':', "
-        "CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT)"
-    )
-    return spark.sql(
-        f"""
-        WITH t AS (
-          SELECT doc_id, size({_SPARK_TOK}) AS n FROM documents
-        ),
-        pos AS (
-          SELECT doc_id, n, explode(sequence(1, n)) AS i
-          FROM t WHERE n >= 1
-        ),
-        draws AS (
-          SELECT doc_id, n, i, {h} AS h FROM pos
+def _check_span_dials(rate_pct: int, span_max: int) -> None:
+    """Both dials are interpolated into SQL and drive integer modular
+    arithmetic — true ints only (bool passes isinstance(int)), rate in
+    (0, 100] (the draw is h % 100), span_max >= 1."""
+    for name, v in (("rate_pct", rate_pct), ("span_max", span_max)):
+        if not isinstance(v, int) or isinstance(v, bool):
+            raise ValueError(f"{name} must be an int, got {v!r}")
+    if not 1 <= rate_pct <= 100:
+        raise ValueError(
+            f"rate_pct={rate_pct} outside [1, 100]: spans are drawn "
+            "from a mod-100 hash residue"
         )
-        SELECT doc_id, CAST(i AS INT) AS span_start,
-               CAST(LEAST(1 + (h DIV 100) % {SPAN_MAX}, n - i + 1) AS INT)
-                 AS span_len
-        FROM draws WHERE h % 100 < {SPAN_RATE_PCT}
-        """
-    )
+    if span_max < 1:
+        raise ValueError(f"span_max={span_max} must be >= 1")
 
 
-_SPAN_ORACLE = f"""
+def _span_sql(
+    dialect: str,
+    rate_pct: int = SPAN_RATE_PCT,
+    span_max: int = SPAN_MAX,
+) -> str:
+    """Shared span-corruption SQL.  ``rate_pct`` is the T5 corruption
+    rate (% of token positions that start a mask span); ``span_max``
+    the maximum drawn span length — THE two dials of the denoising
+    objective, swept when retargeting noise density (r15)."""
+    _check_span_dials(rate_pct, span_max)
+    if dialect == "spark":
+        tok, flat, div = _SPARK_TOK, "explode(sequence(1, n))", "DIV"
+        h = (
+            "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':', "
+            "CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        )
+        itype, lenf = "INT", "size"
+    else:
+        tok, flat, div = _DUCK_TOK, "unnest(generate_series(1, n))", "//"
+        h = (
+            "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||"
+            " CAST(i AS VARCHAR)), 1, 8))::BIGINT"
+        )
+        itype, lenf = "INTEGER", "len"
+    return f"""
 WITH t AS (
-  SELECT doc_id, len({_DUCK_TOK}) AS n FROM documents
+  SELECT doc_id, {lenf}({tok}) AS n FROM documents
 ),
 pos AS (
-  SELECT doc_id, n, unnest(generate_series(1, n)) AS i
+  SELECT doc_id, n, {flat} AS i
   FROM t WHERE n >= 1
 ),
 draws AS (
-  SELECT doc_id, n, i,
-         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
-                             CAST(i AS VARCHAR)), 1, 8))::BIGINT AS h
-  FROM pos
+  SELECT doc_id, n, i, {h} AS h FROM pos
 )
-SELECT doc_id, CAST(i AS INTEGER) AS span_start,
-       CAST(LEAST(1 + (h // 100) % {SPAN_MAX}, n - i + 1) AS INTEGER)
+SELECT doc_id, CAST(i AS {itype}) AS span_start,
+       CAST(LEAST(1 + (h {div} 100) % {span_max}, n - i + 1) AS {itype})
          AS span_len
-FROM draws WHERE h % 100 < {SPAN_RATE_PCT}
+FROM draws WHERE h % 100 < {rate_pct}
 """
+
+
+def train_span_corruption(
+    spark: SparkSession,
+    sf_dir: str,
+    rate_pct: int = SPAN_RATE_PCT,
+    span_max: int = SPAN_MAX,
+) -> DataFrame:
+    """Deterministic mask-span starts and lengths per document."""
+    _view(spark, sf_dir)
+    return spark.sql(_span_sql("spark", rate_pct, span_max))
+
+
+_SPAN_ORACLE = _span_sql("duck")
 
 
 # ---------------------------------------------------------------------------

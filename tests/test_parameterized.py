@@ -86,6 +86,15 @@ def test_contract_shape():
         # run ~100-5400 min, so both settings actually drop converts)
         ("events_funnel", {"window_min": 1440}),
         ("events_funnel", {"window_min": 120}),
+        # denser / sparser corruption and span-length retargets
+        ("train_span_corruption", {"rate_pct": 30}),
+        ("train_span_corruption", {"rate_pct": 5, "span_max": 1}),
+        ("train_span_corruption", {"span_max": 8}),
+        # bot-filter strictness: lower volume floor, stricter CV²
+        # rational, and a looser-than-Poisson sweep point
+        ("events_bot_detection", {"min_gaps": 5}),
+        ("events_bot_detection", {"cv2_num": 1, "cv2_den": 2}),
+        ("events_bot_detection", {"min_gaps": 50, "cv2_num": 9, "cv2_den": 8}),
     ],
 )
 def test_dials_are_live(name, params, spark):
@@ -476,3 +485,60 @@ def test_mrl_rerank_anchors(spark):
     assert sum(r.n_hits_two_stage for r in prod) > sum(
         r.n_hits_prefix_only for r in prod
     )
+
+
+def test_span_corruption_rate_monotone(spark):
+    """The mask-position sets are NESTED in rate_pct (h % 100 < rate),
+    so row count is non-decreasing and rate 100 masks every position;
+    span_len never exceeds the span_max dial; out-of-domain dials are
+    rejected."""
+    import dataforge_core_spark.operators.training as T
+
+    counts = {}
+    for rate in (5, 15, 60, 100):
+        rows = T.train_span_corruption(spark, SF, rate_pct=rate).collect()
+        counts[rate] = len(rows)
+        assert all(r.span_len <= T.SPAN_MAX for r in rows)
+    assert counts[5] <= counts[15] <= counts[60] <= counts[100]
+    assert counts[5] < counts[100], "rate dial not binding"
+    n_positions = (
+        T.train_span_corruption(spark, SF, rate_pct=100, span_max=1)
+        .count()
+    )
+    assert n_positions == counts[100]
+    wide = T.train_span_corruption(spark, SF, span_max=8).collect()
+    assert max(r.span_len for r in wide) > T.SPAN_MAX, (
+        "span_max dial not binding on this corpus"
+    )
+    for bad in ({"rate_pct": 0}, {"rate_pct": 150}, {"rate_pct": 2.5},
+                {"span_max": 0}, {"span_max": True}):
+        with pytest.raises(ValueError):
+            T._span_sql("spark", **bad)
+
+
+def test_bot_threshold_monotone(spark):
+    """Stricter settings flag SUBSETS: raising min_gaps or shrinking
+    the CV² rational can only unflag users (the gap statistics are
+    setting-independent); degenerate dials are rejected."""
+    import dataforge_core_spark.operators.events as E
+
+    def flagged(**kw):
+        return {
+            r.user_id
+            for r in E.events_bot_detection(spark, SF, **kw).collect()
+            if r.is_bot
+        }
+
+    base = flagged()
+    assert flagged(min_gaps=50) <= base
+    assert flagged(cv2_num=1, cv2_den=2) <= base
+    assert base <= flagged(min_gaps=5)
+    assert base <= flagged(cv2_num=9, cv2_den=8)
+    looser = flagged(min_gaps=2, cv2_num=2, cv2_den=1)
+    assert base <= looser and len(looser) > len(base), (
+        "bot dials not binding on this corpus"
+    )
+    for bad in ({"min_gaps": 1}, {"min_gaps": 2.5}, {"cv2_den": 0},
+                {"cv2_num": -1}, {"min_gaps": True}):
+        with pytest.raises(ValueError):
+            E._bot_sql("spark", **bad)

@@ -221,6 +221,10 @@ def _clear_operator_caches(spark) -> None:
         free_local_checkpoint(udf)
         free_local_checkpoint(cntdf)
     text._ppl_model_cache.clear()
+    # the per-document LM score relation (checkpointed, r15)
+    for _name, df in text._lm_scores_cache.values():
+        free_local_checkpoint(df)
+    text._lm_scores_cache.clear()
     for hubs, _outs in entry._hub_cache.values():
         for df in hubs.values():
             free_local_checkpoint(df)
@@ -388,6 +392,7 @@ _INDEX_DEPS: dict[str, list[str]] = {
     "train_bpe_merge_train": [],
     # review fix (r13): text._ppl_model reads dedup._token_base_view
     "ppl_gate_model": ["token_base"],
+    "lm_doc_scores": ["token_base"],
     "dsir_bucket_rows": [],
     # the stored five-gate verdict relation: each gate probes its own
     # stored index, so the base depends on all five (r14)
@@ -657,6 +662,13 @@ def _index_builders():
         (
             "ppl_gate_model",
             lambda s: text._ppl_model(s, SF_DIR),
+        ),
+        # the per-document LM score relation — text_bigram_lm serves
+        # it directly and the perplexity filter's threshold subtree and
+        # output are projections over it (r15)
+        (
+            "lm_doc_scores",
+            lambda s: text._lm_scores(s, SF_DIR),
         ),
         # the checkpointed DSIR (doc_id, bkt, is_bench) feature-bucket
         # relation (both DSIR passes + every lane run read it)

@@ -851,3 +851,20 @@ def test_xq_matrix_sized_to_relation(spark):
     name = S._xq_view(spark, "/root/testdata/sf0.001")
     df = spark.table(name)
     assert df.rdd.getNumPartitions() <= index_width(df.count(), 32_000)
+
+
+def test_ppl_filter_serves_stored_scores(spark):
+    """text_bigram_lm and train_perplexity_filter must serve the
+    checkpointed per-doc LM score relation — no Generate (token
+    explode) and no parquet scan in either lane plan: re-deriving the
+    bigram-LM chain per execution (the filter inlined it twice:
+    threshold subtree + output) is the pre-r15 shape."""
+    from dataforge_core_spark.operators import text as X
+
+    for fn in (X.train_perplexity_filter, X.text_bigram_lm):
+        df = fn(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        name = fn.__name__
+        assert "ExistingRDD" in plan, f"{name} not serving stored scores"
+        assert "Generate" not in plan, f"{name} re-derives the explode"
+        assert "parquet" not in plan.lower(), f"{name} re-scans the corpus"

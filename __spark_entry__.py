@@ -531,6 +531,20 @@ def queries_parameterized() -> dict[str, dict]:
                 )
             ),
         },
+        # exact n-gram Jaccard dials (r15): the hot-shingle df cap
+        # (skew/recall — a lower cap drops boilerplate shingles from
+        # pair generation while sizes stay full) and the near-dup
+        # strictness threshold
+        "dedup_ngram_jaccard": {
+            "fn": D.dedup_ngram_jaccard,
+            "params": {
+                "max_shingle_df": D.MAX_SHINGLE_DF,
+                "threshold": D.JACCARD_THRESHOLD,
+            },
+            "oracle_sql": lambda max_shingle_df=D.MAX_SHINGLE_DF, threshold=(
+                D.JACCARD_THRESHOLD
+            ): D._ngram_oracle(max_shingle_df, threshold),
+        },
         "dedup_minhash": {
             "fn": D.dedup_minhash,
             "params": {

@@ -1266,8 +1266,38 @@ SELECT sz AS cluster_size, COUNT(*) AS n_clusters FROM s GROUP BY sz
 MAX_SHINGLE_DF = 1000
 
 
+def _check_jaccard_dials(max_shingle_df: int, threshold: float) -> None:
+    """max_shingle_df is interpolated into SQL and bounds per-shingle
+    group state — true int >= 2 (df=1 shingles can't pair); threshold
+    is a Jaccard score in (0, 1] (0 would admit every co-shingle pair
+    and the lane's output stops being a near-dup report)."""
+    if not isinstance(max_shingle_df, int) or isinstance(
+        max_shingle_df, bool
+    ):
+        raise ValueError(
+            f"max_shingle_df must be an int, got {max_shingle_df!r}"
+        )
+    if max_shingle_df < 2:
+        raise ValueError(
+            f"max_shingle_df={max_shingle_df} must be >= 2: pairs need"
+            " shingles shared by at least two docs"
+        )
+    if isinstance(threshold, bool) or not isinstance(
+        threshold, (int, float)
+    ):
+        raise ValueError(f"threshold must be a number, got {threshold!r}")
+    if not 0 < threshold <= 1:
+        raise ValueError(
+            f"threshold={threshold} outside (0, 1]: Jaccard scores"
+            " live in the unit interval"
+        )
+
+
 def dedup_ngram_jaccard(
-    spark: SparkSession, sf_dir: str, max_shingle_df: int = MAX_SHINGLE_DF
+    spark: SparkSession,
+    sf_dir: str,
+    max_shingle_df: int = MAX_SHINGLE_DF,
+    threshold: float = JACCARD_THRESHOLD,
 ) -> DataFrame:
     """Exact n-gram Jaccard for all pairs sharing >= 1 (non-hot) shingle.
 
@@ -1279,9 +1309,15 @@ def dedup_ngram_jaccard(
     key's fan-out; groups are <= cap doc_ids, so per-group state is
     bounded at any corpus size.  The df=1 floor also drops the (vast)
     unique-shingle majority before pair generation.
+
+    Dials (r15): ``max_shingle_df`` — the hot-shingle df cap, the
+    skew/recall knob (a lower cap drops boilerplate-heavy shingles
+    from pair generation while sizes stay full, so scores only
+    shrink); ``threshold`` — the near-dup strictness cut.
     """
     from pyspark.sql import functions as F
 
+    _check_jaccard_dials(max_shingle_df, threshold)
     ex = _ex_df(spark, sf_dir)
     grouped = (
         ex.groupBy("s")
@@ -1303,13 +1339,17 @@ def dedup_ngram_jaccard(
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
-def _ngram_oracle(max_shingle_df: int = MAX_SHINGLE_DF) -> str:
+def _ngram_oracle(
+    max_shingle_df: int = MAX_SHINGLE_DF,
+    threshold: float = JACCARD_THRESHOLD,
+) -> str:
     """DuckDB mirror of dedup_ngram_jaccard incl. the hot-shingle cap
     (pairs only from shingles with 2 <= df <= cap; sizes stay full)."""
+    _check_jaccard_dials(max_shingle_df, threshold)
     return f"""
 WITH exploded AS ({_duck_ex_sql()}),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM exploded GROUP BY doc_id),
@@ -1330,7 +1370,7 @@ FROM pair_inter p
 JOIN sizes sa ON p.doc_a = sa.doc_id
 JOIN sizes sb ON p.doc_b = sb.doc_id
 WHERE CAST(p.inter_n AS DOUBLE) / (sa.n + sb.n - p.inter_n)
-      >= {JACCARD_THRESHOLD}
+      >= {threshold}
 """
 
 

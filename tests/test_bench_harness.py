@@ -288,3 +288,29 @@ def test_index_deps_cover_every_cross_builder_cache_touch(spark, sf_dir):
         for mod, name, val in originals:
             setattr(mod, name, val)
         bench._clear_operator_caches(spark)
+
+
+def test_stamp_salvage_tool():
+    """scripts/stamp_salvage.py must reproduce the r15 adjudication:
+    per-bucket ratio profile + per-lane min composite over two
+    partially-contaminated stamps (pure stdlib, no Spark)."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+    try:
+        from stamp_salvage import salvage
+    finally:
+        sys.path.pop(0)
+
+    out = salvage(
+        os.path.join(repo, "BENCH_DETAIL_r15_builder_prelm.json"),
+        os.path.join(repo, "BENCH_DETAIL_r15_builder.json"),
+    )
+    assert out["n_lanes"] == 191
+    assert out["min_composite_s"] <= min(
+        out["ref_total_s"], out["suspect_total_s"]
+    )
+    assert out["per_bucket_ratio"], "no at_s offsets found"
+    assert all(r > 0 for r in out["per_bucket_ratio"].values())

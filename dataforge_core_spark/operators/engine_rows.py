@@ -228,16 +228,24 @@ def engine_subsource(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataforge_core_spark.model import Project
     from dataforge_core_spark.runner import ProjectRunner
 
+    # pre-partition by the group key: partial collect_list cannot
+    # reduce bytes, so the exchange carries plain rows instead of
+    # object-serialized list buffers (r15, guide §2.3)
     spark.sql(
         f"""
-        SELECT o.o_orderkey,
+        SELECT o_orderkey,
                collect_list(struct(
-                 l.l_linenumber, l.l_quantity, l.l_extendedprice, l.l_discount
+                 l_linenumber, l_quantity, l_extendedprice, l_discount
                )) AS items
-        FROM parquet.`{sf_dir}/orders.parquet` o
-        JOIN parquet.`{sf_dir}/lineitem.parquet` l
-          ON l.l_orderkey = o.o_orderkey
-        GROUP BY o.o_orderkey
+        FROM (
+          SELECT /*+ REPARTITION(o_orderkey) */ o.o_orderkey,
+                 l.l_linenumber, l.l_quantity, l.l_extendedprice,
+                 l.l_discount
+          FROM parquet.`{sf_dir}/orders.parquet` o
+          JOIN parquet.`{sf_dir}/lineitem.parquet` l
+            ON l.l_orderkey = o.o_orderkey
+        )
+        GROUP BY o_orderkey
         """
     ).createOrReplaceTempView("engine_subsource_src")
     items_schema = {
@@ -324,10 +332,14 @@ def engine_subsource_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataforge_core_spark.model import Project
     from dataforge_core_spark.runner import ProjectRunner
 
+    # pre-partitioned pack — see engine_subsource
     spark.sql(
         f"""
-        SELECT o.o_orderkey,
-               collect_list(struct(
+        SELECT o_orderkey,
+               collect_list(struct(l_linenumber, l_quantity, charges))
+                 AS items
+        FROM (
+          SELECT /*+ REPARTITION(o_orderkey) */ o.o_orderkey,
                  l.l_linenumber,
                  CAST(l.l_quantity AS DOUBLE) AS l_quantity,
                  array(
@@ -336,11 +348,11 @@ def engine_subsource_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
                    named_struct('kind', 'disc',
                                 'amount', CAST(l.l_discount AS DOUBLE))
                  ) AS charges
-               )) AS items
-        FROM parquet.`{sf_dir}/orders.parquet` o
-        JOIN parquet.`{sf_dir}/lineitem.parquet` l
-          ON l.l_orderkey = o.o_orderkey
-        GROUP BY o.o_orderkey
+          FROM parquet.`{sf_dir}/orders.parquet` o
+          JOIN parquet.`{sf_dir}/lineitem.parquet` l
+            ON l.l_orderkey = o.o_orderkey
+        )
+        GROUP BY o_orderkey
         """
     ).createOrReplaceTempView("engine_subsource_chain_src")
     charges_schema = {
@@ -483,24 +495,29 @@ def engine_subsource_siblings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataforge_core_spark.model import Project
     from dataforge_core_spark.runner import ProjectRunner
 
+    # pre-partitioned pack — see engine_subsource
     spark.sql(
         f"""
-        SELECT o.o_orderkey,
-               collect_list(struct(
-                 l.l_linenumber,
-                 CAST(l.l_quantity AS DOUBLE) AS l_quantity,
-                 CAST(l.l_extendedprice AS DOUBLE) AS l_extendedprice
-               )) AS items,
+        SELECT o_orderkey,
+               collect_list(struct(l_linenumber, l_quantity,
+                                   l_extendedprice)) AS items,
                array(
                  named_struct('kind', 'tax',
-                              'rate', CAST(max(l.l_tax) AS DOUBLE)),
+                              'rate', CAST(max(l_tax) AS DOUBLE)),
                  named_struct('kind', 'disc',
-                              'rate', CAST(max(l.l_discount) AS DOUBLE))
+                              'rate', CAST(max(l_discount) AS DOUBLE))
                ) AS fees
-        FROM parquet.`{sf_dir}/orders.parquet` o
-        JOIN parquet.`{sf_dir}/lineitem.parquet` l
-          ON l.l_orderkey = o.o_orderkey
-        GROUP BY o.o_orderkey
+        FROM (
+          SELECT /*+ REPARTITION(o_orderkey) */ o.o_orderkey,
+                 l.l_linenumber,
+                 CAST(l.l_quantity AS DOUBLE) AS l_quantity,
+                 CAST(l.l_extendedprice AS DOUBLE) AS l_extendedprice,
+                 l.l_tax, l.l_discount
+          FROM parquet.`{sf_dir}/orders.parquet` o
+          JOIN parquet.`{sf_dir}/lineitem.parquet` l
+            ON l.l_orderkey = o.o_orderkey
+        )
+        GROUP BY o_orderkey
         """
     ).createOrReplaceTempView("engine_subsource_sib_src")
     items_schema = {

@@ -47,17 +47,26 @@ def nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-host 3x on this lane was serial-CPU amplification — see
     ROADMAP, the lane runs ~3 CPU-seconds over <=10 tasks)."""
     _views(spark, sf_dir)
+    # The pack pre-partitions the join output by the group key: partial
+    # collect_list cannot reduce bytes (lists only concatenate), so the
+    # default partial+final shape shuffles object-serialized list
+    # buffers for nothing — repartitioning first moves the same rows as
+    # plain unsafe rows and the aggregate runs in one pass (r15:
+    # 1.9 -> 1.3s at sf0.1; guide §2.3/§2.4).
     return spark.sql(
         """
-        WITH nested AS (
-          SELECT o.o_orderkey, o.o_custkey,
-                 collect_list(struct(
-                   l.l_linenumber, l.l_quantity,
-                   CAST(l.l_extendedprice AS DECIMAL(18,2)) AS ext_dec,
-                   CAST(1 - l.l_discount AS DECIMAL(8,4)) AS disc_dec
-                 )) AS items
+        WITH pre AS (
+          SELECT /*+ REPARTITION(o_orderkey) */ o.o_orderkey, o.o_custkey,
+                 l.l_linenumber, l.l_quantity,
+                 CAST(l.l_extendedprice AS DECIMAL(18,2)) AS ext_dec,
+                 CAST(1 - l.l_discount AS DECIMAL(8,4)) AS disc_dec
           FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-          GROUP BY o.o_orderkey, o.o_custkey
+        ),
+        nested AS (
+          SELECT o_orderkey, o_custkey,
+                 collect_list(struct(l_linenumber, l_quantity,
+                                     ext_dec, disc_dec)) AS items
+          FROM pre GROUP BY o_orderkey, o_custkey
         ),
         enriched AS (
           SELECT o_orderkey, o_custkey,
@@ -91,13 +100,19 @@ def nested_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregates computed over the nested array with higher-order
     functions (no re-explode): size() and aggregate() fold."""
     _views(spark, sf_dir)
+    # same pack shape as nested_roundtrip: pre-partition by the group
+    # key so collect_list runs after a plain row exchange
     return spark.sql(
         """
-        WITH nested AS (
-          SELECT o.o_orderkey,
-                 collect_list(struct(l.l_linenumber, l.l_quantity)) AS items
+        WITH pre AS (
+          SELECT /*+ REPARTITION(o_orderkey) */ o.o_orderkey,
+                 l.l_linenumber, l.l_quantity
           FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-          GROUP BY o.o_orderkey
+        ),
+        nested AS (
+          SELECT o_orderkey,
+                 collect_list(struct(l_linenumber, l_quantity)) AS items
+          FROM pre GROUP BY o_orderkey
         )
         SELECT o_orderkey,
                size(items) AS n_items,

@@ -333,6 +333,10 @@ def _clear_operator_caches(spark) -> None:
     for _name, df in sketches._toks_cache.values():
         free_local_checkpoint(df)
     sketches._toks_cache.clear()
+    # the stored bottom-K sketch rows (r15)
+    for _name, df in sketches._bk_cache.values():
+        free_local_checkpoint(df)
+    sketches._bk_cache.clear()
     for _name, df in sketches._hll_regs_cache.values():
         free_local_checkpoint(df)
     sketches._hll_regs_cache.clear()
@@ -370,6 +374,7 @@ _INDEX_DEPS: dict[str, list[str]] = {
     "ann_knn_edges": ["ann_normed"],
     "ann_kcore_peel": ["ann_knn_edges"],
     "kmv_shingle_toks": ["dedup_shingles"],
+    "kmv_bottomk": ["kmv_shingle_toks"],
     "cms_matrix": ["token_base"],
     "hll_registers": ["kmv_shingle_toks"],
     "embeddings_pc_fit": ["ann_normed"],
@@ -543,6 +548,13 @@ def _index_builders():
         (
             "kmv_shingle_toks",
             lambda s: sketches._toks_view(s, SF_DIR),
+        ),
+        # the stored bottom-K sketch rows (source, h, rn) — the KMV
+        # counterpart of the HLL register table; five estimator lanes
+        # read it instead of re-ranking the universe (r15)
+        (
+            "kmv_bottomk",
+            lambda s: sketches._bk_view(s, SF_DIR),
         ),
         # the checkpointed CMS counter matrix + exact top tokens
         (

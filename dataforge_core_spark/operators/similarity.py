@@ -1578,11 +1578,21 @@ def _pagerank_tail(idiv: str, edges: str, mat: str = "") -> str:
         f"outd AS {mat}(SELECT src, COUNT(*) AS d FROM {edges} GROUP BY src)",
         f"r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS r FROM nodes)",
     ]
+    # spark-only join-strategy hints: the checkpointed edge scan has no
+    # stats, so every per-iteration join planned as sort-merge — the
+    # edge side was re-SORTED each of the 3 iterations.  SHUFFLE_HASH
+    # builds the per-partition rank/degree maps instead (no sort on
+    # either side), and stays scale-safe: the build side per partition
+    # is the rank slice, 16 bytes/node (guide §3.1; duck ignores the
+    # comment-style hints but is kept hint-free anyway).
+    sh = (lambda a: f"/*+ SHUFFLE_HASH({a}) */ ") if idiv == "DIV" \
+        else (lambda a: "")
     prev = "r0"
     for k in range(1, PR_ITERS + 1):
         parts.append(
             f"""c{k} AS {mat}(
-  SELECT e.dst AS node, CAST(SUM(r.r {idiv} o.d) AS BIGINT) AS s
+  SELECT {sh('r, o')}e.dst AS node,
+         CAST(SUM(r.r {idiv} o.d) AS BIGINT) AS s
   FROM {edges} e
   JOIN {prev} r ON r.node = e.src
   JOIN outd o ON o.src = e.src
@@ -1591,7 +1601,7 @@ def _pagerank_tail(idiv: str, edges: str, mat: str = "") -> str:
         )
         parts.append(
             f"""r{k} AS {mat}(
-  SELECT n.node,
+  SELECT {sh('c')}n.node,
          CAST(({PR_SCALE} * {PR_DAMP_DEN - PR_DAMP_NUM}) {idiv} {PR_DAMP_DEN}
               + ({PR_DAMP_NUM} * COALESCE(c.s, 0)) {idiv} {PR_DAMP_DEN}
            AS BIGINT) AS r

@@ -27,6 +27,9 @@ from pyspark.sql import DataFrame, SparkSession
 from dataforge_core_spark.session import session_key
 
 KMV_K = 64
+# the stored bottom-K view keeps enough rows for every consumer: the
+# estimator K and the largest K on the k-curve grid (both 64 today)
+KMV_BK_MAX = 64
 # 56-bit hash space (14 hex chars of md5 -> BIGINT), the same
 # engine-portable construction as the dedup shingle hash (dedup._SPARK_H)
 _HSPACE = 1 << 56
@@ -107,13 +110,78 @@ def _toks_view(spark: SparkSession, sf_dir: str) -> str:
     return _toks_cache[key][0]
 
 
-def _kmv_sql(dialect: str, toks_src: str | None = None) -> str:
+_bk_cache: dict = {}
+
+
+def _bk_view(spark: SparkSession, sf_dir: str) -> str:
+    """The STORED bottom-K sketch rows: checkpointed (source, h, rn)
+    with rn <= KMV_BK_MAX — the KMV counterpart of _hll_regs_view.
+    Five estimator lanes (kmv_distinct, k_curve, jaccard, setops,
+    intersection_eval) each re-ran the per-source ROW_NUMBER window
+    over the whole shingle universe per execution; the sketch is
+    deterministic (toks is distinct (source, h), so ORDER BY h has no
+    ties) and n_sources * KMV_BK_MAX rows, stored narrow per the
+    index-width rule (its consumers are tiny joins/aggregates).  At
+    100 TB this is the persisted K-row sketch a warehouse serves
+    overlap queries from; only the exact eval baselines still scan the
+    universe (r15, guide §2.4)."""
+    key = (session_key(spark), sf_dir)
+    if key not in _bk_cache:
+        toks = _toks_view(spark, sf_dir)
+        df = (
+            spark.sql(
+                f"""
+                SELECT source, h, rn FROM (
+                  SELECT source, h,
+                         ROW_NUMBER() OVER (PARTITION BY source
+                                            ORDER BY h) AS rn
+                  FROM {toks}
+                ) WHERE rn <= {KMV_BK_MAX}
+                """
+            )
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+        )
+        name = f"kmv_bk_{abs(hash(key)) % 10**8}"
+        df.createOrReplaceTempView(name)
+        _bk_cache[key] = (name, df)
+    return _bk_cache[key][0]
+
+
+def _bk_ctes(
+    dialect: str, bk_src: str | None, k: int, cols: str = "source, h"
+) -> str:
+    """The ranked/bk CTE pair — or a read of the stored bottom-K view
+    (bk_src) on the spark side; the duck oracle always re-derives."""
+    if bk_src:
+        return (
+            f"bk AS (SELECT {cols} FROM ({bk_src}) WHERE rn <= {k})"
+        )
+    mat = "MATERIALIZED " if dialect == "duck" else ""
+    return f"""ranked AS (
+  SELECT source, h,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM toks
+),
+bk AS {mat}(SELECT {cols} FROM ranked WHERE rn <= {k})"""
+
+
+def _kmv_sql(
+    dialect: str,
+    toks_src: str | None = None,
+    bk_src: str | None = None,
+) -> str:
     k = KMV_K
     # duck inlines plain CTEs (ROADMAP: mark any multiply-referenced
     # duck CTE MATERIALIZED); the spark side reads the checkpointed view
     toks = toks_src or _toks_cte(dialect)
     mat = "MATERIALIZED " if dialect == "duck" else ""
     idiv = "DIV" if dialect == "spark" else "//"
+    # the small-side join hints are spark-only (the stored-index scans
+    # carry no stats, so the planner falls back to sort-merge for
+    # joins whose sides are bounded by n_sources — guide §3.1)
+    bc = (lambda a: f"/*+ BROADCAST({a}) */ ") if dialect == "spark" \
+        else (lambda a: "")
     # When a scope holds fewer than K distinct hashes the sketch IS the
     # set and the estimate is exact (n_kept); otherwise the order
     # statistic h_K estimates (K-1) * 2^56 / h_K.  (K-1) * 2^56 < 2^62:
@@ -127,14 +195,9 @@ def _kmv_sql(dialect: str, toks_src: str | None = None) -> str:
     return f"""
 WITH toks AS {mat}({toks}),
 exact AS (SELECT source, COUNT(*) AS n_exact FROM toks GROUP BY source),
-ranked AS (
-  SELECT source, h,
-         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
-  FROM toks
-),
-bk AS (SELECT source, h FROM ranked WHERE rn <= {k}),
+{_bk_ctes(dialect, bk_src, k)},
 per_source AS (
-  SELECT b.source, e.n_exact,
+  SELECT {bc('e')}b.source, e.n_exact,
          CAST(COUNT(*) AS BIGINT) AS n_kept,
          MAX(b.h) AS h_k
   FROM bk b JOIN exact e ON b.source = e.source
@@ -258,6 +321,9 @@ def _hll_sql(
     toks = toks_src or _toks_cte(dialect)
     mat = "MATERIALIZED " if dialect == "duck" else ""
     idiv = "DIV" if dialect == "spark" else "//"
+    # both join sides are n_sources+1 rows; broadcast on the spark side
+    # (the stored-register scan has no stats — guide §3.1)
+    bc = "/*+ BROADCAST(e) */ " if dialect == "spark" else ""
     m = HLL_M
     rho = _hll_rho_expr(dialect)
     pw = _hll_pw_expr(dialect)
@@ -296,7 +362,7 @@ ex AS (
   SELECT '__all__' AS scope,
          (SELECT CAST(COUNT(DISTINCT h) AS BIGINT) FROM toks) AS n_exact
 )
-SELECT s.scope, e.n_exact, s.v_zero,
+SELECT {bc}s.scope, e.n_exact, s.v_zero,
        CAST({est} AS BIGINT) AS hll_est,
        CAST((1000000 * ABS({est} - e.n_exact)) {idiv} e.n_exact
          AS BIGINT) AS err_ppm
@@ -358,9 +424,17 @@ _HLL_ORACLE = _hll_sql("duck")
 
 
 KMV_K_GRID = (16, 32, 64)
+if max(KMV_K_GRID) > KMV_BK_MAX or KMV_K > KMV_BK_MAX:
+    raise ValueError(
+        "KMV_BK_MAX must cover KMV_K and the largest k-curve grid entry"
+    )
 
 
-def _kmv_k_curve_sql(dialect: str, toks_src: str | None = None) -> str:
+def _kmv_k_curve_sql(
+    dialect: str,
+    toks_src: str | None = None,
+    bk_src: str | None = None,
+) -> str:
     """Sketch-size tuning curve: the KMV estimate and its error at
     every K in KMV_K_GRID, from ONE ranked pass — the bottom-k of a
     bottom-K sketch is the bottom-k sketch (prefix property), so each
@@ -389,21 +463,18 @@ def _kmv_k_curve_sql(dialect: str, toks_src: str | None = None) -> str:
         f"ELSE CAST(((k - 1) * {_HSPACE}) {idiv} GREATEST(h_k, 1) "
         f"AS BIGINT) END"
     )
+    bc = (lambda a: f"/*+ BROADCAST({a}) */ ") if dialect == "spark" \
+        else (lambda a: "")
     return f"""
 WITH toks AS {mat}({toks}),
 exact AS (SELECT source, COUNT(*) AS n_exact FROM toks GROUP BY source),
-ranked AS (
-  SELECT source, h,
-         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
-  FROM toks
-),
-bk AS {mat}(SELECT source, h, rn FROM ranked WHERE rn <= {kmax}),
+{_bk_ctes(dialect, bk_src, kmax, "source, h, rn")},
 mranked AS (
   SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
   FROM (SELECT DISTINCT h FROM bk) m
 ),
 scoped AS (
-  SELECT b.source AS scope, e.n_exact, b.h, b.rn
+  SELECT {bc('e')}b.source AS scope, e.n_exact, b.h, b.rn
   FROM bk b JOIN exact e ON b.source = e.source
   UNION ALL
   SELECT '__all__' AS scope,
@@ -433,8 +504,13 @@ def sketch_kmv_k_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     K=64 rows must equal sketch_kmv_distinct's (cross-lane referee in
     tests/test_parameterized.py)."""
     toks = _toks_view(spark, sf_dir)
+    bk = _bk_view(spark, sf_dir)
     return spark.sql(
-        _kmv_k_curve_sql("spark", f"SELECT source, h FROM {toks}")
+        _kmv_k_curve_sql(
+            "spark",
+            f"SELECT source, h FROM {toks}",
+            f"SELECT source, h, rn FROM {bk}",
+        )
     )
 
 
@@ -451,7 +527,14 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     one global ROW_NUMBER runs over <= K * n_sources sketch rows
     (aggregated input — the bounded-global-window rule)."""
     toks = _toks_view(spark, sf_dir)
-    return spark.sql(_kmv_sql("spark", f"SELECT source, h FROM {toks}"))
+    bk = _bk_view(spark, sf_dir)
+    return spark.sql(
+        _kmv_sql(
+            "spark",
+            f"SELECT source, h FROM {toks}",
+            f"SELECT source, h, rn FROM {bk}",
+        )
+    )
 
 
 _KMV_ORACLE = _kmv_sql("duck")
@@ -472,13 +555,17 @@ _KMV_ORACLE = _kmv_sql("duck")
 # ---------------------------------------------------------------------------
 
 
-def _kmv_pair_merge_ctes(dialect: str) -> str:
+def _kmv_pair_merge_ctes(dialect: str, bk_src: str | None = None) -> str:
     """ranked/bk/srcs/pairs/ph0/ph/m — the per-source bottom-K build,
     the bounded pair enumeration, and the merged pair sketch with
     membership flags.  ONE definition shared by the jaccard and
-    set-algebra lanes (they diverge only in what they read off ``m``)."""
+    set-algebra lanes (they diverge only in what they read off ``m``).
+    ``bk_src`` (spark lanes): read the stored bottom-K view instead of
+    re-ranking the universe."""
     k = KMV_K
     mat = "MATERIALIZED " if dialect == "duck" else ""
+    bc = (lambda a: f"/*+ BROADCAST({a}) */ ") if dialect == "spark" \
+        else (lambda a: "")
     if dialect == "spark":
         # pair enumeration WITHOUT a non-equi join (which Spark can only
         # plan as BroadcastNestedLoopJoin — the r8 plan-gate failure):
@@ -498,19 +585,14 @@ def _kmv_pair_merge_ctes(dialect: str) -> str:
             "SELECT a.source AS sa, b.source AS sb "
             "FROM srcs a JOIN srcs b ON a.source < b.source"
         )
-    return f"""ranked AS (
-  SELECT source, h,
-         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
-  FROM toks
-),
-bk AS {mat}(SELECT source, h FROM ranked WHERE rn <= {k}),
+    return f"""{_bk_ctes(dialect, bk_src, k)},
 srcs AS (SELECT DISTINCT source FROM toks),
 pairs AS {mat}({pairs}),
 ph0 AS (
-  SELECT p.sa, p.sb, k.h, 1 AS in_a, 0 AS in_b
+  SELECT {bc('p')}p.sa, p.sb, k.h, 1 AS in_a, 0 AS in_b
   FROM pairs p JOIN bk k ON k.source = p.sa
   UNION ALL
-  SELECT p.sa, p.sb, k.h, 0 AS in_a, 1 AS in_b
+  SELECT {bc('p')}p.sa, p.sb, k.h, 0 AS in_a, 1 AS in_b
   FROM pairs p JOIN bk k ON k.source = p.sb
 ),
 ph AS (
@@ -535,14 +617,20 @@ inter AS (
 )"""
 
 
-def _kmv_jaccard_sql(dialect: str, toks_src: str | None = None) -> str:
+def _kmv_jaccard_sql(
+    dialect: str,
+    toks_src: str | None = None,
+    bk_src: str | None = None,
+) -> str:
     k = KMV_K
     idiv = "DIV" if dialect == "spark" else "//"
     toks = toks_src or _toks_cte(dialect)
     mat = "MATERIALIZED " if dialect == "duck" else ""
+    bc = (lambda a: f"/*+ BROADCAST({a}) */ ") if dialect == "spark" \
+        else (lambda a: "")
     return f"""
 WITH toks AS {mat}({toks}),
-{_kmv_pair_merge_ctes(dialect)},
+{_kmv_pair_merge_ctes(dialect, bk_src)},
 est AS (
   SELECT sa, sb,
          CAST(SUM(in_a * in_b) AS BIGINT) AS m_inter,
@@ -551,7 +639,7 @@ est AS (
 ),
 {_kmv_exact_pair_ctes()},
 exact AS (
-  SELECT p.sa, p.sb,
+  SELECT {bc('za, zb, i')}p.sa, p.sb,
          COALESCE(i.n_inter, 0) AS n_inter,
          za.n + zb.n - COALESCE(i.n_inter, 0) AS n_union
   FROM pairs p
@@ -559,7 +647,7 @@ exact AS (
   JOIN sizes zb ON zb.source = p.sb
   LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb
 )
-SELECT e.sa, e.sb,
+SELECT {bc('s')}e.sa, e.sb,
        CAST((1000000 * s.m_inter) {idiv} s.m_n AS BIGINT) AS est_ppm,
        CAST((1000000 * e.n_inter) {idiv} e.n_union AS BIGINT)
          AS exact_ppm,
@@ -574,8 +662,13 @@ def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise cross-source Jaccard estimated from K-row sketches
     (theta-intersection), with the exact value as eval baseline."""
     toks = _toks_view(spark, sf_dir)
+    bk = _bk_view(spark, sf_dir)
     return spark.sql(
-        _kmv_jaccard_sql("spark", f"SELECT source, h FROM {toks}")
+        _kmv_jaccard_sql(
+            "spark",
+            f"SELECT source, h FROM {toks}",
+            f"SELECT source, h, rn FROM {bk}",
+        )
     )
 
 
@@ -628,11 +721,17 @@ theta AS (
 )"""
 
 
-def _kmv_setops_sql(dialect: str, toks_src: str | None = None) -> str:
+def _kmv_setops_sql(
+    dialect: str,
+    toks_src: str | None = None,
+    bk_src: str | None = None,
+) -> str:
     k = KMV_K
     idiv = "DIV" if dialect == "spark" else "//"
     toks = toks_src or _toks_cte(dialect)
     mat = "MATERIALIZED " if dialect == "duck" else ""
+    bc = (lambda a: f"/*+ BROADCAST({a}) */ ") if dialect == "spark" \
+        else (lambda a: "")
     est_s = (
         f"CASE WHEN n_kept < {k} THEN n_kept "
         f"ELSE CAST(({k - 1} * {_HSPACE}) {idiv} GREATEST(h_k, 1) "
@@ -640,14 +739,14 @@ def _kmv_setops_sql(dialect: str, toks_src: str | None = None) -> str:
     )
     return f"""
 WITH toks AS {mat}({toks}),
-{_kmv_pair_merge_ctes(dialect)},
+{_kmv_pair_merge_ctes(dialect, bk_src)},
 per_source AS {mat}(
   SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(h) AS h_k
   FROM bk GROUP BY source
 ),
 {_theta_msk_ctes(idiv)},
 algebra AS (
-  SELECT t.sa, t.sb, t.est_union, t.est_inter,
+  SELECT {bc('ea, eb')}t.sa, t.sb, t.est_union, t.est_inter,
          ea.est_s AS est_a, eb.est_s AS est_b
   FROM theta t
   JOIN (SELECT source, CAST({est_s} AS BIGINT) AS est_s
@@ -657,7 +756,7 @@ algebra AS (
 ),
 {_kmv_exact_pair_ctes()},
 exact AS (
-  SELECT p.sa, p.sb,
+  SELECT {bc('za, zb, i')}p.sa, p.sb,
          CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
          CAST(za.n + zb.n - COALESCE(i.n_inter, 0) AS BIGINT) AS n_union,
          CAST(za.n - COALESCE(i.n_inter, 0) AS BIGINT) AS n_diff_ab,
@@ -667,7 +766,7 @@ exact AS (
   JOIN sizes zb ON zb.source = p.sb
   LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb
 )
-SELECT e.sa, e.sb,
+SELECT {bc('g')}e.sa, e.sb,
        e.n_union, g.est_union,
        -- ppm ledger bound: 1e6*ABS(est-exact) stays in int64 while
        -- est < 2^63/1e6 ~ 9.22e12.  est_union = 63*2^56/h_k exceeds
@@ -692,8 +791,13 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source-pair union/intersection/difference estimates from the
     K-row sketches alone, exact counterparts as eval baseline."""
     toks = _toks_view(spark, sf_dir)
+    bk = _bk_view(spark, sf_dir)
     return spark.sql(
-        _kmv_setops_sql("spark", f"SELECT source, h FROM {toks}")
+        _kmv_setops_sql(
+            "spark",
+            f"SELECT source, h FROM {toks}",
+            f"SELECT source, h, rn FROM {bk}",
+        )
     )
 
 
@@ -715,10 +819,13 @@ def _inter_eval_sql(
     dialect: str,
     toks_src: str | None = None,
     regs_src: str | None = None,
+    bk_src: str | None = None,
 ) -> str:
     idiv = "DIV" if dialect == "spark" else "//"
     toks = toks_src or _toks_cte(dialect)
     mat = "MATERIALIZED " if dialect == "duck" else ""
+    bc = (lambda a: f"/*+ BROADCAST({a}) */ ") if dialect == "spark" \
+        else (lambda a: "")
     m = HLL_M
     pw = _hll_pw_expr(dialect)
     est = _hll_est_expr(dialect)
@@ -731,7 +838,7 @@ def _inter_eval_sql(
 """
     return f"""
 WITH toks AS {mat}({toks}),
-{_kmv_pair_merge_ctes(dialect)},
+{_kmv_pair_merge_ctes(dialect, bk_src)},
 {_theta_msk_ctes(idiv)},
 regs AS {mat}({regs_body}),
 s_scoped AS (
@@ -745,10 +852,10 @@ s_scoped AS (
 ),
 s_est AS (SELECT source, CAST({est} AS BIGINT) AS e FROM s_scoped),
 uregs0 AS (
-  SELECT p.sa, p.sb, g.bucket, g.r
+  SELECT {bc('p')}p.sa, p.sb, g.bucket, g.r
   FROM pairs p JOIN regs g ON g.source = p.sa
   UNION ALL
-  SELECT p.sa, p.sb, g.bucket, g.r
+  SELECT {bc('p')}p.sa, p.sb, g.bucket, g.r
   FROM pairs p JOIN regs g ON g.source = p.sb
 ),
 uregs AS (
@@ -767,7 +874,7 @@ u_scoped AS (
 u_est AS (SELECT sa, sb, CAST({est} AS BIGINT) AS e_union
           FROM u_scoped),
 hll AS (
-  SELECT u.sa, u.sb,
+  SELECT {bc('ea, eb')}u.sa, u.sb,
          ea.e + eb.e - u.e_union AS est_hll_ie
   FROM u_est u
   JOIN s_est ea ON ea.source = u.sa
@@ -775,10 +882,11 @@ hll AS (
 ),
 {_kmv_exact_pair_ctes()},
 exact AS (
-  SELECT p.sa, p.sb, CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter
+  SELECT {bc('i')}p.sa, p.sb,
+         CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter
   FROM pairs p LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb
 )
-SELECT e.sa, e.sb, e.n_inter,
+SELECT {bc('t, h')}e.sa, e.sb, e.n_inter,
        t.est_inter AS est_theta,
        CAST((1000000 * ABS(t.est_inter - e.n_inter))
             {idiv} GREATEST(e.n_inter, 1) AS BIGINT) AS err_theta_ppm,
@@ -806,11 +914,13 @@ def sketch_intersection_eval(
     matter, store theta-mergeable sketches, not just HLL."""
     toks = _toks_view(spark, sf_dir)
     regs = _hll_regs_view(spark, sf_dir)
+    bk = _bk_view(spark, sf_dir)
     return spark.sql(
         _inter_eval_sql(
             "spark",
             f"SELECT source, h FROM {toks}",
             f"SELECT source, bucket, r FROM {regs}",
+            f"SELECT source, h, rn FROM {bk}",
         )
     )
 

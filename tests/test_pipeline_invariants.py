@@ -1189,3 +1189,37 @@ def test_ingest_media_policy_rejects_unknown(spark, sf_dir):
 
     with pytest.raises(ValueError, match="media_policy"):
         train_ingest_decision(spark, sf_dir, media_policy="drop")
+
+
+def test_kmv_stored_bottomk_matches_inline_ranking(spark, sf_dir):
+    """The stored bottom-K sketch view (r15) must hold exactly the rows
+    the estimator lanes' previous inline window derived — same (source,
+    h, rn) triples, rn dense from 1 per source, nothing past
+    KMV_BK_MAX."""
+    from dataforge_core_spark.operators import sketches as K
+
+    bk = K._bk_view(spark, sf_dir)
+    toks = K._toks_view(spark, sf_dir)
+    stored = {
+        (r.source, r.h, r.rn)
+        for r in spark.table(bk).collect()
+    }
+    inline = {
+        (r.source, r.h, r.rn)
+        for r in spark.sql(
+            f"""
+            SELECT source, h, rn FROM (
+              SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source
+                     ORDER BY h) AS rn
+              FROM {toks}
+            ) WHERE rn <= {K.KMV_BK_MAX}
+            """
+        ).collect()
+    }
+    assert stored == inline and stored
+    by_src = {}
+    for s, _h, rn in stored:
+        by_src.setdefault(s, []).append(rn)
+    for s, rns in by_src.items():
+        assert sorted(rns) == list(range(1, len(rns) + 1)), s
+        assert max(rns) <= K.KMV_BK_MAX, s

@@ -259,7 +259,10 @@ def _jaccard_verify(ex: DataFrame, cand: DataFrame) -> DataFrame:
     at 100 TB too."""
     from pyspark.sql import functions as F
 
-    arrs = ex.groupBy("doc_id").agg(
+    # pre-partition by the group key: partial collect_list cannot
+    # reduce bytes, so the pack exchange carries plain rows instead of
+    # object-serialized list buffers (r15, guide §2.3)
+    arrs = ex.repartition("doc_id").groupBy("doc_id").agg(
         F.sort_array(F.collect_list("s")).alias("arr")
     )
     aa = arrs.toDF("doc_a", "arr_a")
@@ -773,7 +776,8 @@ def _near_dedup_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     if key not in _nd_index_cache:
         corp = f"doc_id % {INCR_MOD} < {INCR_NEW_GE}"
         ex = _ex_df(spark, sf_dir).filter(corp)
-        arrs = ex.groupBy("doc_id").agg(
+        # pre-partitioned pack — see _jaccard_verify
+        arrs = ex.repartition("doc_id").groupBy("doc_id").agg(
             F.sort_array(F.collect_list("s")).alias("chs")
         )
         keys = ", ".join(_band_keys(MINHASH_BANDS, MINHASH_R))
@@ -1319,6 +1323,11 @@ def dedup_ngram_jaccard(
 
     _check_jaccard_dials(max_shingle_df, threshold)
     ex = _ex_df(spark, sf_dir)
+    # NOT the pre-partitioned pack shape (_jaccard_verify): the group
+    # key here is the shingle, which repeats across docs within a map
+    # partition, so partial collect_list dedupes the key strings
+    # map-side and genuinely shrinks the exchange (measured: the
+    # repartition shape is ~5% slower on this lane)
     grouped = (
         ex.groupBy("s")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
@@ -1396,6 +1405,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     ex = _ex_df(spark, sf_dir)
+    # shingle-keyed pack: keep the partial-agg shape (see the
+    # dedup_ngram_jaccard note — partial collect_list dedupes repeated
+    # shingle keys map-side)
     grouped = (
         ex.groupBy("s")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))

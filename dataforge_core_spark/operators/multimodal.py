@@ -1402,7 +1402,7 @@ agg AS (
          MIN_BY(nb, CAST(hamming AS BIGINT) * {1 << 57} + nb) AS nearest
   FROM sym GROUP BY doc_id
 )
-SELECT s.doc_id, s.{col},
+SELECT /*+ SHUFFLE_HASH(a) */ s.doc_id, s.{col},
        COALESCE(a.n_near, 0) AS n_near,
        a.min_hamming, a.nearest
 FROM {src_view} s LEFT JOIN agg a ON s.doc_id = a.doc_id

@@ -2539,7 +2539,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hit", F.lit(1))
     )
     return (
-        brute.join(ivf, ["query_id", "neighbor_id"], "left")
+        brute.join(F.broadcast(ivf), ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(
             F.count(F.lit(1)).alias("n_exact"),
@@ -3515,11 +3515,14 @@ def _pq_full_l2(dialect: str, a: str, b: str) -> str:
     return terms[0]
 
 
-def _recall_arms_sql() -> str:
+def _recall_arms_sql(dialect: str = "duck") -> str:
     """One recall@K arm per (variant label, top-K relation) — a single
-    template so the recall computation cannot drift between variants."""
+    template so the recall computation cannot drift between variants.
+    Both eval sides are N_QUERIES * TOP_K rows — broadcast on spark
+    (guide §3.1)."""
+    bc = "/*+ BROADCAST(r) */ " if dialect == "spark" else ""
     return "\nUNION ALL\n".join(
-        f"""SELECT e.query_id, '{variant}' AS variant,
+        f"""SELECT {bc}e.query_id, '{variant}' AS variant,
        CAST(COUNT(*) AS BIGINT) AS n_exact,
        CAST(COUNT(r.neighbor_id) AS BIGINT) AS n_hits,
        CAST(COUNT(r.neighbor_id) AS DOUBLE) / COUNT(*) AS recall
@@ -3576,7 +3579,7 @@ exact AS (
      AND c.vec_id <> q.query_id
   ) t WHERE rank <= {TOP_K}
 )
-{_recall_arms_sql()}"""
+{_recall_arms_sql(dialect)}"""
 
 
 # ---------------------------------------------------------------------------
@@ -4010,10 +4013,11 @@ def _pq_curve_blocks(dialect: str, scored: str) -> str:
     over the shared scored relation (ADC ranks ascending — it is a
     distance, unlike the cosine curve's score)."""
     np_cast = "INT" if dialect == "spark" else "INTEGER"
+    hint_h = "/*+ BROADCAST(h) */ " if dialect == "spark" else ""
     blocks = []
     for np in PROBE_GRID:
         blocks.append(f"""
-  SELECT CAST({np} AS {np_cast}) AS nprobe, b.query_id,
+  SELECT {hint_h}CAST({np} AS {np_cast}) AS nprobe, b.query_id,
          COUNT(*) AS n_exact, COUNT(h.hit) AS n_hits,
          CAST(COUNT(h.hit) AS DOUBLE) / COUNT(*) AS recall
   FROM pqbrute b LEFT JOIN (
@@ -4292,7 +4296,7 @@ def ann_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     ).withColumn("hit", F.lit(1))
     return (
-        brute.join(mrl, ["query_id", "neighbor_id"], "left")
+        brute.join(F.broadcast(mrl), ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(
             F.count(F.lit(1)).alias("n_exact"),
@@ -4321,6 +4325,9 @@ MRL_RERANK_C = 32  # shortlist budget (candidates per query)
 
 
 def _mrl_rerank_body(dialect: str, v: str, c_short: int) -> str:
+    # both eval sides are N_QUERIES * TOP_K rows; the stats-less stored
+    # scan otherwise falls back to sort-merge (guide §3.1)
+    hint_t = "/*+ BROADCAST(t, p) */ " if dialect == "spark" else ""
     cosf = (_spark_cosine if dialect == "spark" else _duck_cosine)(
         "q.emb", "c.emb", "q.nrm", "c.nrm"
     )
@@ -4357,7 +4364,7 @@ exactk AS (
     FROM qv q JOIN {v} c ON q.vec_id <> c.vec_id
   ) t WHERE rank <= {TOP_K}
 )
-SELECT e.query_id,
+SELECT {hint_t}e.query_id,
        CAST(COUNT(*) AS BIGINT) AS n_exact,
        CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_hits_two_stage,
        CAST(COUNT(p.neighbor_id) AS BIGINT) AS n_hits_prefix_only,
@@ -4447,7 +4454,7 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hit", F.lit(1))
     )
     return (
-        brute.join(pq, ["query_id", "neighbor_id"], "left")
+        brute.join(F.broadcast(pq), ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(
             F.count(F.lit(1)).alias("n_exact"),
@@ -4505,7 +4512,7 @@ def ann_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hit", F.lit(1))
     )
     return (
-        brute.join(sq, ["query_id", "neighbor_id"], "left")
+        brute.join(F.broadcast(sq), ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(
             F.count(F.lit(1)).alias("n_exact"),
@@ -4635,7 +4642,7 @@ def ann_semantic_decontaminate(
             ON q.cid = c.pcid AND q.vec_id <> c.vec_id
           GROUP BY c.vec_id
         )
-        SELECT d.doc_id, d.source,
+        SELECT /*+ SHUFFLE_HASH(s) */ d.doc_id, d.source,
                CAST(COALESCE(FLOOR(s.max_cos * 1000000),
                              {SEM_DECON_NO_CAND_Q}) AS BIGINT)
                  AS max_cos_q,

@@ -1366,10 +1366,15 @@ def sketch_accuracy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = _toks_view(spark, sf_dir)
     mname, tname = _cms_views(spark, sf_dir)
+    bk = _bk_view(spark, sf_dir)
     return spark.sql(
         _accuracy_sql(
             "spark",
-            _kmv_sql("spark", f"SELECT source, h FROM {toks}"),
+            _kmv_sql(
+                "spark",
+                f"SELECT source, h FROM {toks}",
+                f"SELECT source, h, rn FROM {bk}",
+            ),
             _cms_probe_sql(mname, tname),
             _hll_sql(
                 "spark",

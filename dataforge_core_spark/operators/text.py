@@ -1235,7 +1235,7 @@ def train_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS word
           FROM documents
         )
-        SELECT doc_id,
+        SELECT /*+ BROADCAST(v) */ doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_words,
                CAST(SUM(COALESCE(v.n_pieces, 1)) AS BIGINT)
                  AS n_bpe_tokens,
@@ -1302,7 +1302,7 @@ def train_tokenizer_fertility(
                    AS word
           FROM documents
         )
-        SELECT lang,
+        SELECT /*+ BROADCAST(v) */ lang,
                CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
                CAST(COUNT(*) AS BIGINT) AS n_words,
                CAST(SUM(COALESCE(v.n_pieces, 1)) AS BIGINT)

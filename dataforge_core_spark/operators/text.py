@@ -806,10 +806,27 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines, where ln() implementations may differ in the last
     ulp and flip near-tie ranks.
 
-    Scale shape: tf is one doc-keyed shuffle with map-side combine; df
-    is term-keyed with map-side combine; N is a scalar subquery (one
-    count job, no join node — a 1-row CROSS JOIN would plan a
-    BroadcastNestedLoopJoin); the rank window lowers to
+    Scale shape: ONE corpus tokenize.  tf groups by (term, doc_id) —
+    the same key order Spark's distinct-aggregate rewrite would shuffle
+    df by — and df is COUNT(*) over tf (exact: tf holds one row per
+    (term, doc_id) pair), so the df branch's inlined copy of the tf
+    CTE plans the IDENTICAL partial-aggregate + Exchange subtree and
+    ReuseExchange collapses it: the corpus is scanned and exploded
+    once, not once per CTE reference.  (With GROUP BY doc_id, term the
+    two branches shuffle by differently-ordered keys and the corpus
+    tokenizes twice — measured plan: 2 Scan+Generate chains.)  df
+    counts SUM(CASE WHEN tf > 0 ...), not COUNT(*) or COUNT(tf): every
+    tf is >= 1 so the value is identical (one row per (term, doc_id)
+    pair — exactly COUNT(DISTINCT doc_id)), but COUNT forms let the
+    optimizer rewrite to count(1) and prune the count out of the df
+    branch's inlined copy of tf, breaking the subtree identity the
+    reuse needs; the tf > 0 predicate is not provable, so the count
+    column survives.  The reuse is applied by AQE at stage
+    materialization (ReusedExchange appears in the final adaptive
+    plan, not the initial explain) — pinned by
+    tests/test_plan_quality.py::test_tfidf_single_tokenize_pass.  N is a
+    scalar subquery (one count job, no join node — a 1-row CROSS JOIN
+    would plan a BroadcastNestedLoopJoin); the rank window lowers to
     WindowGroupLimit (per-partition top-K before the merge), so no
     full per-doc term lists ever gather."""
     _view(spark, sf_dir)
@@ -819,10 +836,11 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT doc_id, term, COUNT(*) AS tf
           FROM (SELECT doc_id, explode({_SPARK_TOK}) AS term
                 FROM documents)
-          GROUP BY doc_id, term
+          GROUP BY term, doc_id
         ),
         df AS (
-          SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+          SELECT term, SUM(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS df
+          FROM tf GROUP BY term
         ),
         scored AS (
           SELECT tf.doc_id, tf.term,

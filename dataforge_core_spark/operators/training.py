@@ -321,9 +321,22 @@ FROM documents
 # dedup._ex_df) instead of a higher-order array lambda: Spark interprets
 # lambda transforms row-at-a-time and does not CSE them, so the previous
 # form re-evaluated the trigram build 5x per row (13.2s at sf0.1 — the
-# slowest bench query; judge-measured >2x headroom).  Counting is a
-# two-level aggregate — (doc, trigram) multiplicities, then per-doc sums
-# — so distinct counting needs no expand and every stage is map-side
+# slowest bench query; judge-measured >2x headroom).  The window is ALSO
+# deliberately kept over the scan-side subscript form (tok[pos+1] /
+# tok[pos+2] after a pos+2 < size(tok) filter, r15 opt round): that
+# shape removes the Exchange+Sort but materializes the 3-token STRINGS
+# before the (doc, tg) group-by shuffle, so the exchange carries ~3x
+# the bytes (trigram strings vs single tokens) and it measured ~25%
+# slower in an interleaved A/B at sf0.1 (0.74 -> 0.94 median, control
+# flat) — measured-and-rejected; the window's exchange ships narrow
+# (doc_id, pos, tk) rows and every downstream aggregate then runs
+# in-place on the established doc_id partitioning.  (The decon lane's
+# shingles DID move to the subscript form — there the shingle hashes
+# to a BIGINT before anything shuffles, so no string ever crosses an
+# exchange; the pack-shape rule generalizes: pick the form that puts
+# the narrow representation on the wire.)  Counting is a two-level
+# aggregate — (doc, trigram) multiplicities, then per-doc sums — so
+# distinct counting needs no expand and every stage is map-side
 # combinable.  Docs with < 3 tokens get n_trigrams = 0 (the lead()
 # IS NOT NULL guard; the old sequence(1, size-2) form produced a [1, 0]
 # bounds bug on short docs — ADVICE r2).
@@ -1375,20 +1388,44 @@ def _decon_sql(dialect: str) -> str:
     r = DECON_RADIUS
     if dialect == "spark":
         tokens, h, size, idiv = _SPARK_TOKENS, _SPARK_H, "size", "DIV"
-        posex = (
-            "SELECT doc_id, n_tok, pos, tk FROM toks"
-            " LATERAL VIEW posexplode(tok) t AS pos, tk"
-        )
-        win = "WINDOW w AS (PARTITION BY doc_id ORDER BY pos)"
-        lead1, lead2 = "lead(tk, 1) OVER w", "lead(tk, 2) OVER w"
+        # Shingles are built SCAN-SIDE: posexplode keeps the token
+        # array alongside each (pos, tk) row, the pos + 2 < n_tok
+        # filter drops tail positions BEFORE any subscripting (so the
+        # tok[pos+1] / tok[pos+2] accesses are always in-bounds, ANSI-
+        # safe), and the 3-token string is plain codegen'd subscript +
+        # concat_ws — no window, no lambda (higher-order transforms are
+        # interpreted row-at-a-time, see train_repetition's note).  The
+        # windowed formulation planned posexplode -> Exchange(doc_id)
+        # -> Sort -> Window(lead x2) — once per consuming branch (bench
+        # AND train) — all of which disappears (guide §2.4: remove
+        # shuffles outright).  Rows and values are identical: the
+        # windowed form emits every pos and keeps pos <= n_tok-3 via
+        # `ok`; this form emits exactly those positions, and
+        # lead(tk, k) over (doc_id, pos) IS tok[pos+k] on posexplode
+        # output.
+        sh_block = """sh AS (
+  SELECT doc_id, n_tok, pos,
+         concat_ws(' ', tk, tok[pos + 1], tok[pos + 2]) AS s,
+         true AS ok
+  FROM (
+    SELECT doc_id, n_tok, tok, pos, tk
+    FROM toks LATERAL VIEW posexplode(tok) t AS pos, tk
+  )
+  WHERE pos + 2 < n_tok
+)"""
     else:
         tokens, h, size, idiv = _DUCK_TOKENS, _DUCK_H, "len", "//"
         posex = (
             "SELECT doc_id, n_tok, generate_subscripts(tok, 1) - 1 AS pos,"
             " unnest(tok) AS tk FROM toks"
         )
-        win = "WINDOW w AS (PARTITION BY doc_id ORDER BY pos)"
-        lead1, lead2 = "lead(tk, 1) OVER w", "lead(tk, 2) OVER w"
+        sh_block = f"""pos AS ({posex}),
+sh AS (
+  SELECT doc_id, n_tok, pos,
+         concat_ws(' ', tk, lead(tk, 1) OVER w, lead(tk, 2) OVER w) AS s,
+         lead(tk, 2) OVER w IS NOT NULL AS ok
+  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+)"""
     return f"""
 WITH toks AS (
   SELECT doc_id, tok, {size}(tok) AS n_tok
@@ -1397,13 +1434,7 @@ WITH toks AS (
 base AS (
   SELECT doc_id, n_tok FROM toks WHERE doc_id % {BENCH_MOD} <> 0
 ),
-pos AS ({posex}),
-sh AS (
-  SELECT doc_id, n_tok, pos,
-         concat_ws(' ', tk, {lead1}, {lead2}) AS s,
-         {lead2} IS NOT NULL AS ok
-  FROM pos {win}
-),
+{sh_block},
 hsh AS (
   SELECT doc_id, n_tok, pos, {h} AS hh FROM sh WHERE ok
 ),

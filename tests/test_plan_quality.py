@@ -544,6 +544,48 @@ def test_decontaminate_bench_set_broadcasts(spark):
     )
 
 
+def test_decon_shingles_are_scan_side(spark):
+    """train_decontaminate_spans builds its 3-token shingles scan-side
+    (posexplode + in-bounds subscripts + immediate 56-bit hash), NOT
+    via lead() windows: the window formulation shuffled and sorted the
+    ENTIRE exploded corpus by doc_id — once per consuming branch —
+    just to read the next two tokens (r15 opt round, guide §2.4; the
+    hash projects to a BIGINT before anything shuffles).  The plan
+    must carry no lead(); the two surviving windows are the
+    gaps-and-islands pass over collision hits only.  (train_repetition
+    deliberately KEEPS its lead() window: there the group-by key is
+    the trigram STRING, and the window shape ships narrow tokens
+    across the exchange instead — measured 25% faster; see the
+    operator comment.)"""
+    from dataforge_core_spark.operators import training as T
+
+    dec = _plan(T.train_decontaminate_spans(spark, "/root/testdata/sf0.001"))
+    assert "lead(" not in dec, (
+        "decon shingles re-grew the lead() window over the exploded "
+        "corpus"
+    )
+
+
+def test_tfidf_single_tokenize_pass(spark):
+    """text_tfidf: the df branch must reuse the tf branch's exchange
+    (one corpus tokenize, not one per CTE reference) — the tf GROUP BY
+    is keyed (term, doc_id) to match the shuffle order the df branch
+    plans and df's aggregate is written so column pruning cannot strip
+    the count from the inlined copy, making the two exchange subtrees
+    identical.  AQE applies the reuse at stage materialization, so the
+    gate executes the query and reads the FINAL adaptive plan."""
+    from dataforge_core_spark.operators import text as X
+
+    df = X.text_tfidf(spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan, (
+        "df branch re-tokenizes the corpus instead of reusing the tf "
+        "exchange"
+    )
+
+
 def test_vocab_top_v_is_take_ordered(spark):
     """train_tokenizer_vocab's global top-V must plan as
     TakeOrderedAndProject (per-partition heap of V) — a global Sort of

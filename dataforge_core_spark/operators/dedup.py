@@ -1873,6 +1873,15 @@ def _substring_clean_sql(
             "struct(j, tk))), x -> x.tk), ' ')"
         )
         idiv = "DIV"
+        # doc-keyed collect_list pack: pre-partition so the exchange
+        # carries plain (doc_id, j, tk) rows and the ObjectHashAggregate
+        # runs once, complete-mode, after the shuffle (partial list
+        # buffers cannot shrink map-side — the r15 pack rule); the
+        # per-doc lens ⋈ agg join is a hash equi-join of two
+        # corpus-cardinality relations, so SMJ's sorts are pure
+        # overhead (guide §3.1).
+        rep_hint = "/*+ REPARTITION(doc_id) */ "
+        shj_hint = "/*+ SHUFFLE_HASH(a) */ "
     else:
         t = f"SELECT doc_id, {_DUCK_TOKENS} AS tok FROM documents"
         pos = f"""
@@ -1888,6 +1897,8 @@ def _substring_clean_sql(
         """
         joined = "string_agg(tk, ' ' ORDER BY j)"
         idiv = "//"
+        rep_hint = ""
+        shj_hint = ""
     szfn = "size" if dialect == "spark" else "len"
     lens_cte = lens_src or (
         f"SELECT doc_id, CAST({szfn}(tok) AS BIGINT) AS n_tokens FROM t"
@@ -1928,10 +1939,10 @@ kept AS (
 agg AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
          {joined} AS cleaned_text
-  FROM kept GROUP BY doc_id
+  FROM (SELECT {rep_hint}* FROM kept) kr GROUP BY doc_id
 ),
 lens AS ({lens_cte})
-SELECT l.doc_id, l.n_tokens,
+SELECT {shj_hint}l.doc_id, l.n_tokens,
        l.n_tokens - COALESCE(a.n_kept, 0) AS n_removed,
        CAST((1000000 * (l.n_tokens - COALESCE(a.n_kept, 0)))
             {idiv} l.n_tokens AS BIGINT) AS removed_ppm,

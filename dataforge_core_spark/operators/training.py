@@ -890,25 +890,31 @@ def train_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"size(array_distinct({_SPARK_TOK})) AS n_distinct",
     )
     base = ex.join(labels, "doc_id").join(toks, "doc_id")
+    # pass_neardup in ONE window pass, no self-join (r15 opt round,
+    # guide §2.4): the old shape ranked the non-dup rows separately and
+    # LEFT-joined the flags back onto base — a corpus x corpus
+    # SortMergeJoin plus its two Exchange+Sort pairs.  Ordering the
+    # window by is_dup ASC first puts every non-dup row ahead of every
+    # dup row within its cluster, so rank 1 lands on exactly the row
+    # the filtered ranking picked (same (n_tokens DESC, doc_id)
+    # tie-break among non-dups), and `rn = 1 AND NOT is_dup` equals the
+    # old COALESCE(joined flag, FALSE) on every row — dup rows and
+    # rank>1 non-dups read FALSE either way, and an all-dup cluster's
+    # rank-1 row is a dup, correctly FALSE.
     w = Window.partitionBy("cluster_id").orderBy(
-        F.col("n_tokens").desc(), F.col("doc_id")
-    )
-    best = (
-        base.filter(~F.col("is_dup"))
-        .withColumn("rn", F.row_number().over(w))
-        .select("doc_id", (F.col("rn") == 1).alias("pass_neardup"))
+        F.col("is_dup").asc(), F.col("n_tokens").desc(), F.col("doc_id")
     )
     return (
-        base.join(best, "doc_id", "left")
+        base.withColumn("rn", F.row_number().over(w))
         .select(
             "doc_id",
             (~F.col("is_dup")).alias("pass_exact"),
-            F.coalesce("pass_neardup", F.lit(False)).alias("pass_neardup"),
+            ((F.col("rn") == 1) & ~F.col("is_dup")).alias("pass_neardup"),
             F.expr(
                 "n_tokens BETWEEN 20 AND 1000 AND n_distinct * 5 > n_tokens"
             ).alias("pass_quality"),
             F.expr(
-                "NOT is_dup AND COALESCE(pass_neardup, FALSE)"
+                "NOT is_dup AND (rn = 1)"
                 " AND n_tokens BETWEEN 20 AND 1000"
                 " AND n_distinct * 5 > n_tokens"
             ).alias("final_keep"),

@@ -544,6 +544,28 @@ def test_decontaminate_bench_set_broadcasts(spark):
     )
 
 
+def test_corpus_pipeline_no_self_join(spark):
+    """train_corpus_pipeline computes pass_neardup in ONE window pass
+    over base (ordered is_dup ASC first) — the old filtered-rank +
+    LEFT-join-back shape planned a corpus x corpus SortMergeJoin (r15
+    opt round).  dedup_substring_clean's per-doc lens ⋈ pack join must
+    be a hash join, not sort-merge, and its doc-keyed collect_list
+    pack must shuffle plain rows (complete-mode ObjectHashAggregate
+    after its exchange)."""
+    from dataforge_core_spark.operators import dedup as D
+    from dataforge_core_spark.operators import training as T
+
+    sf = "/root/testdata/sf0.001"
+    pipe = _plan(T.train_corpus_pipeline(spark, sf))
+    assert "SortMergeJoin" not in pipe, (
+        "corpus_pipeline re-grew the corpus-scale self-join"
+    )
+    sub = _plan(D.dedup_substring_clean(spark, sf))
+    assert "SortMergeJoin" not in sub, (
+        "substring_clean lens ⋈ pack fell back to sort-merge"
+    )
+
+
 def test_decon_shingles_are_scan_side(spark):
     """train_decontaminate_spans builds its 3-token shingles scan-side
     (posexplode + in-bounds subscripts + immediate 56-bit hash), NOT

@@ -477,7 +477,13 @@ def _ppl_model(spark: SparkSession, sf_dir: str):
         # per-w1 occurrence count = SUM(c); V = COUNT(DISTINCT w2)):
         # deriving each artifact from the raw bigram chain instead
         # measured 19.7s for the whole build at sf0.1 — from the
-        # checkpointed cnt it is ~4s including the threshold pass
+        # checkpointed cnt it is ~4s including the threshold pass.
+        # r16 measured-and-rejected: checkpointing the per-doc dbg
+        # counts first (the _lm_scores one-pass shape) and deriving cnt
+        # + the threshold pass from it read 2.6/3.2 vs 2.5/2.6s over
+        # interleaved arms — here the corpus-SPLIT bigram stream is
+        # small enough that materializing dbg costs more than the
+        # second window pass it removes.
         cntv = f"ppl_cnt_{tag}"
         cnt = spark.sql(
             f"SELECT w1, w2, COUNT(*) AS c FROM ({corp_bg}) bgx"
@@ -568,17 +574,64 @@ def _lm_scores(spark: SparkSession, sf_dir: str) -> str:
     from dataforge_core_spark.operators.dedup import _token_base_view
     from dataforge_core_spark.session import index_width
 
+    from dataforge_core_spark.session import free_local_checkpoint
+
     key = (session_key(spark), sf_dir)
     if key not in _lm_scores_cache:
         _view(spark, sf_dir)
         tb = _token_base_view(spark, sf_dir)
         n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        tag = abs(hash(key)) % 10**8
+        # ONE bigram pass (r16): inlined, _bigram_lm_sql's dbg/cnt/uni
+        # CTEs each re-derive the lead-window bigram stream over the
+        # token base (Spark inlines CTEs per reference, and the three
+        # different group keys defeat exchange reuse) — the build paid
+        # three corpus window passes.  dbg (one row per distinct
+        # (doc, bigram)) is aggregated once and checkpointed; cnt and
+        # uni are provably sums of its k column (COUNT(*) over bg
+        # grouped coarser == SUM(k) over dbg), and V is unchanged
+        # (COUNT(DISTINCT w2) over cnt).  The scaffolding checkpoints
+        # are freed as soon as the score relation materializes.
+        dbg = spark.sql(
+            f"SELECT doc_id, w1, w2, COUNT(*) AS k "
+            f"FROM ({_tb_bigram_sql(tb)}) bgx GROUP BY doc_id, w1, w2"
+        ).localCheckpoint(eager=True)
+        dbgv = f"lm_dbg_{tag}"
+        dbg.createOrReplaceTempView(dbgv)
+        cnt = spark.sql(
+            f"SELECT w1, w2, CAST(SUM(k) AS BIGINT) AS c "
+            f"FROM {dbgv} GROUP BY w1, w2"
+        ).localCheckpoint(eager=True)
+        cntv = f"lm_cnt_{tag}"
+        cnt.createOrReplaceTempView(cntv)
         df = (
-            spark.sql(_bigram_lm_sql("spark", _tb_bigram_sql(tb)))
+            spark.sql(
+                f"""
+            WITH uni AS (
+              SELECT w1, SUM(c)
+                     + (SELECT COUNT(DISTINCT w2) FROM {cntv}) AS cuv
+              FROM {cntv} GROUP BY w1
+            ),
+            model AS (
+              SELECT c.w1, c.w2,
+                     ({_qlog2('spark', 'c.c + 1')}
+                      - {_qlog2('spark', 'u.cuv')}) AS s
+              FROM {cntv} c JOIN uni u ON c.w1 = u.w1
+            )
+            SELECT d.doc_id, CAST(SUM(d.k) AS BIGINT) AS n_bigrams,
+                   CAST(SUM(d.k * m.s) AS BIGINT) AS lp_sum_q
+            FROM {dbgv} d JOIN model m ON d.w1 = m.w1 AND d.w2 = m.w2
+            GROUP BY d.doc_id
+            """
+            )
             .coalesce(index_width(n_docs))
             .localCheckpoint(eager=True)
         )
-        name = f"lm_scores_{abs(hash(key)) % 10**8}"
+        free_local_checkpoint(dbg)
+        free_local_checkpoint(cnt)
+        spark.catalog.dropTempView(dbgv)
+        spark.catalog.dropTempView(cntv)
+        name = f"lm_scores_{tag}"
         df.createOrReplaceTempView(name)
         _lm_scores_cache[key] = (name, df)
     return _lm_scores_cache[key][0]

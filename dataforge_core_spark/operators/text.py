@@ -526,7 +526,16 @@ def _ppl_model(spark: SparkSession, sf_dir: str):
         # threshold: nearest-rank pct of the CORPUS docs' mean NLL
         # under this model (corpus bigrams are all seen by construction)
         # — the one remaining bigram pass, joined against the stored
-        # model relation
+        # model relation.
+        # The cum window below is GLOBAL (single partition) but its
+        # input is the value-grouped vals relation, whose row count is
+        # bounded by the mean_nll_q value GRID, not the corpus: every
+        # per-bigram score is a _qlog2 quantized log (0 <= -s <=
+        # 64 * _QL_SCALE, since cuv < 2^63), and the per-doc mean
+        # inherits that range — at most ~640k distinct integer values
+        # at ANY corpus size (r16 window audit; the plan-quality gate
+        # test_global_windows_only_over_aggregated_relations asserts
+        # the aggregate sits below every global window).
         thr = spark.sql(
             f"""
             WITH dbg AS (SELECT doc_id, w1, w2, COUNT(*) AS k
@@ -655,7 +664,11 @@ def _ppl_filter_sql(
     divergence on negatives never arises).  The threshold is derived
     from value-grouped counts + one cumulative window over the
     AGGREGATED value relation (never a corpus-sized global sort), the
-    stream_dd/nearest-rank idiom.
+    stream_dd/nearest-rank idiom.  That global cum window's input is
+    bounded by the mean_nll_q value GRID, not the corpus: -s per
+    bigram is a _qlog2 quantized log in [0, 64 * _QL_SCALE] and the
+    per-doc mean inherits the range, so vals is at most ~640k narrow
+    rows at ANY corpus size (r16 window audit).
 
     ``scores_src``: optional stored per-doc LM score relation
     (doc_id, n_bigrams, lp_sum_q) — the Spark lane serves the

@@ -1,7 +1,8 @@
 """Capture .explain('formatted') output for declared queries.
 
 Usage: python scripts/capture_plans.py <suffix> <lane> [<lane> ...]
-Writes plans/r15/<lane>_<suffix>.txt for each lane (suffix: before/after).
+Writes plans/$SPARK_GRAFT_PLANS_ROUND/<lane>_<suffix>.txt for each lane
+(suffix: before/after; round dir defaults to r16).
 Uses $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) like bench.py.
 """
 
@@ -25,7 +26,8 @@ def main() -> None:
 
     spark = get_spark()
     qs = entry.all_queries()
-    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15")
+    rd = os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r16")
+    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", rd)
     os.makedirs(outdir, exist_ok=True)
     for lane in lanes:
         df = qs[lane](spark, sf_dir)

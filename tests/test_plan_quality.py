@@ -932,3 +932,27 @@ def test_ppl_filter_serves_stored_scores(spark):
         assert "ExistingRDD" in plan, f"{name} not serving stored scores"
         assert "Generate" not in plan, f"{name} re-derives the explode"
         assert "parquet" not in plan.lower(), f"{name} re-scans the corpus"
+
+
+def test_shingle_pack_exchange_carries_bigint_keys(spark):
+    """The shingle-keyed pair lanes (dedup_ngram_jaccard /
+    dedup_containment) shuffle the shared shingle relation grouped by
+    the shingle — which _ex_df stores as the 56-bit md5 hash (BIGINT),
+    never the 3-gram string (r16 audit of verdict item 6: a regression
+    to string group keys ~4x'es the exchange bytes at any corpus
+    size).  Asserts the relation's s column is bigint and that every
+    lane plan partitions on it as a long (the #NL expression-id
+    suffix)."""
+    import re
+
+    from dataforge_core_spark.operators import dedup
+
+    sf = "/root/testdata/sf0.001"
+    ex = dedup._ex_df(spark, sf)
+    assert dict(ex.dtypes)["s"] == "bigint"
+    for fn in (dedup.dedup_ngram_jaccard, dedup.dedup_containment):
+        plan = _plan(fn(spark, sf))
+        assert re.search(r"hashpartitioning\(s#\d+L", plan), (
+            f"{fn.__name__}: shingle exchange no longer keyed on the "
+            f"bigint hash"
+        )

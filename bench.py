@@ -145,6 +145,34 @@ def _host_speed_mt(workers: int = 8) -> float:
         return -1.0
 
 
+def _cpu_ticks() -> list[int]:
+    """Aggregate /proc/stat cpu ticks (user..guest_nice), [] off-Linux.
+    Sampled at session start and end so the stamp carries the run's own
+    STEAL share: r16 measured 6.1% steal with a ±17% per-vCPU spread
+    under a full 32-wide spin on an 'idle' box — hypervisor-side
+    throttling that inflates every straggler-bound stage while the
+    single-thread host_speed probe and the MEDIAN-of-workers mt probe
+    both stay in-band.  A stamp whose lanes read uniformly slow at
+    in-band speed gauges but elevated steal is priced by the host, not
+    the code."""
+    try:
+        with open("/proc/stat") as f:
+            return [int(v) for v in f.readline().split()[1:]]
+    except Exception:  # pragma: no cover - non-Linux
+        return []
+
+
+def _steal_pct(t0: list[int], t1: list[int]) -> float:
+    """Steal share (%) of all cpu ticks between two _cpu_ticks samples;
+    -1.0 when unavailable."""
+    if not t0 or not t1 or len(t0) < 8 or len(t1) < 8:
+        return -1.0
+    tot = sum(b - a for a, b in zip(t0, t1))
+    if tot <= 0:
+        return -1.0
+    return round(100.0 * (t1[7] - t0[7]) / tot, 2)
+
+
 def _loadavg() -> list[float]:
     """Host 1/5/15-minute load averages, [-1,-1,-1] off-Linux.  The
     speed probes run ONCE, before the session — load arriving mid-run
@@ -725,6 +753,7 @@ def main() -> None:
     # the process yet, the pool is safe under any start method
     host_speed_mt = _host_speed_mt()
     loadavg_start = _loadavg()
+    cpu_ticks_start = _cpu_ticks()
     spark = get_spark(app_name="dataforge_bench")
     host_speed = _host_speed()
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -832,6 +861,7 @@ def main() -> None:
     # post-run gauges, computed once and stamped in BOTH payloads
     host_speed_post = _host_speed()
     loadavg_end = _loadavg()
+    steal_pct = _steal_pct(cpu_ticks_start, _cpu_ticks())
 
     # Written twice: the mutable latest-run copy AND a round-stamped
     # copy (BENCH_DETAIL_r{N}.json) that persists the FULL per-lane map
@@ -865,6 +895,8 @@ def main() -> None:
         "host_speed_post_s": host_speed_post,
         "loadavg_start": loadavg_start,
         "loadavg_end": loadavg_end,
+        # hypervisor steal share over the whole run (see _cpu_ticks)
+        "steal_pct": steal_pct,
         "preexisting_session": preexisting_session,
         "jvm": _jvm_gauges(spark),
         "totals": {
@@ -950,6 +982,7 @@ def main() -> None:
                 "host_speed_mt_s": host_speed_mt,
                 "host_speed_post_s": host_speed_post,
                 "loadavg_end": loadavg_end,
+                "steal_pct": steal_pct,
             }
         ),
         flush=True,

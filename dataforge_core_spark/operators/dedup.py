@@ -1879,7 +1879,15 @@ def _substring_clean_sql(
         # buffers cannot shrink map-side — the r15 pack rule); the
         # per-doc lens ⋈ agg join is a hash equi-join of two
         # corpus-cardinality relations, so SMJ's sorts are pure
-        # overhead (guide §3.1).
+        # overhead (guide §3.1).  SCALE ASSUMPTION (r15 advice): the
+        # SHUFFLE_HASH build side is agg — one row per doc CARRYING
+        # cleaned_text, so per-partition build memory is
+        # (corpus bytes / shuffle partitions).  That holds as long as
+        # shuffle width scales with the corpus (the session derives it
+        # from cores locally; a 100 TB deployment sizes partitions to
+        # the 100 MB–1 GB band per guide §2.2, keeping each build-side
+        # partition bounded); where width cannot scale, drop the hint
+        # and let sort-merge spill.
         rep_hint = "/*+ REPARTITION(doc_id) */ "
         shj_hint = "/*+ SHUFFLE_HASH(a) */ "
     else:

@@ -314,3 +314,18 @@ def test_stamp_salvage_tool():
     )
     assert out["per_bucket_ratio"], "no at_s offsets found"
     assert all(r > 0 for r in out["per_bucket_ratio"].values())
+
+
+def test_steal_gauge_pure():
+    """_steal_pct must compute the steal share of total ticks and fail
+    closed (-1.0) on missing/degenerate samples — the gauge the r16
+    stamps use to attribute uniform lane inflation to hypervisor
+    throttling."""
+    bench = _bench("/root/testdata/sf0.001")
+    t0 = [0] * 10
+    t1 = [10, 0, 0, 70, 0, 0, 0, 20, 0, 0]  # 20% of 100 ticks stolen
+    assert bench._steal_pct(t0, t1) == 20.0
+    assert bench._steal_pct([], t1) == -1.0
+    assert bench._steal_pct(t0, t0) == -1.0
+    ticks = bench._cpu_ticks()
+    assert ticks == [] or len(ticks) >= 8

@@ -582,9 +582,20 @@ def test_decon_shingles_are_scan_side(spark):
     from dataforge_core_spark.operators import training as T
 
     dec = _plan(T.train_decontaminate_spans(spark, "/root/testdata/sf0.001"))
-    assert "lead(" not in dec, (
+    # scoped to the windowed-shingle signature, not a bare "lead(" over
+    # the whole plan (r15 advice: a future legitimate lead() elsewhere
+    # — e.g. in the gaps-and-islands pass — would trip a global match):
+    # the regression this targets is lead(tk, ...) over the exploded
+    # token rows, and the island windows never touch a tk column.
+    assert "lead(tk" not in dec, (
         "decon shingles re-grew the lead() window over the exploded "
         "corpus"
+    )
+    # also bound the window count itself: scan-side shingles leave
+    # exactly the two gaps-and-islands windows (running MAX + running
+    # SUM over collision hits)
+    assert dec.count("Window") <= 4, (  # formatted tree prints each once
+        "extra Window operators appeared in the decon plan"
     )
 
 
@@ -605,6 +616,29 @@ def test_tfidf_single_tokenize_pass(spark):
     assert "ReusedExchange" in plan, (
         "df branch re-tokenizes the corpus instead of reusing the tf "
         "exchange"
+    )
+    # exactly one Generate (explode) in the FINAL plan — diagnoses a
+    # reuse regression precisely (r15 advice): if a Spark upgrade stops
+    # the exchange reuse, the second tokenize shows up as a second
+    # Generate even before ReusedExchange disappears.  The adaptive
+    # plan string interleaves "== Initial Plan ==" sections (one per
+    # AdaptiveSparkPlan, including scalar subqueries), so track the
+    # section markers line-by-line and count only final-plan lines.
+    # A section's extent is its indentation: content sits deeper than
+    # the marker, and a shallower line ends it (nested subquery plans
+    # carry their own markers mid-tree).
+    n_gen = 0
+    initial_indents = []  # indents of open "Initial Plan" sections
+    for line in plan.splitlines():
+        indent = len(line) - len(line.lstrip())
+        while initial_indents and indent <= initial_indents[-1]:
+            initial_indents.pop()
+        if "== Initial Plan ==" in line:
+            initial_indents.append(indent)
+        elif not initial_indents and "Generate " in line:
+            n_gen += 1
+    assert n_gen == 1, (
+        f"expected exactly one tokenize Generate, found {n_gen}"
     )
 
 
